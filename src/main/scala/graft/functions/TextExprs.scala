@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis expression library for the training-data-pipeline surface
+  * (BASELINE.json north star): tokenization, shingling, MinHash banding,
+  * SimHash, fingerprinting, quality metrics, language-ID heuristics.
+  *
+  * All pure `Column` transforms over `functions._` higher-order array
+  * functions — codegen'd, no UDFs, so every operator stays inside
+  * whole-stage codegen and distributes trivially: per-document work is
+  * embarrassingly parallel; only the pair-finding joins shuffle.
+  */
+object TextExprs {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (space-joined). Caller must ensure
+    * `size(tokens) >= n` — standard MinHash preprocessing. */
+  def shingles(toks: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+
+  /** Deterministic per-seed shingle hash for MinHash: lowest md5 hex of
+    * `"<seed>:<shingle>"` lexicographically — stable across engines and
+    * cluster sizes (no JVM hashCode). */
+  def seededMd5(seed: Column, value: Column): Column =
+    md5(concat(seed, lit(":"), value).cast("binary"))
+
+  /** Normalized-document fingerprint: lowercase, collapse whitespace, md5.
+    * The batch analog of a rolling-hash content fingerprint. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Count of tokens belonging to a fixed marker set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /** Exact sum of token lengths (integer arithmetic — deterministic). */
+  def totalTokenChars(toks: Column): Column =
+    aggregate(transform(toks, t => length(t)), lit(0), (acc, x) => acc + x)
+
+  private val HexChars: Column = array("0123456789abcdef".map(c => lit(c.toString)): _*)
+
+  /** 64-bit SimHash of a document's distinct-token set, returned as a
+    * 16-hex-char string (avoids signed-64 overflow games and is directly
+    * comparable across engines).
+    *
+    * Must be computed via [[simhashAggExprs]] over exploded distinct
+    * tokens, then [[simhashAssemble]] on the 64 per-bit vote sums.
+    */
+  /** The 16 hex digits of each token's md5-derived 64-bit hash, as int
+    * columns d0..d15. */
+  def tokenHexDigits(tok: Column): Seq[Column] = {
+    val hex = md5(tok.cast("binary"))
+    (0 until 16).map(j => conv(substring(hex, j + 1, 1), 16, 10).cast("int"))
+  }
+
+  /** 64 per-bit vote aggregates (+1 if bit set, -1 otherwise) over a
+    * document's tokens; index jb = nibble*4 + bitInNibble (MSB first). */
+  def simhashAggExprs(digits: Seq[Column]): Seq[Column] =
+    for (j <- 0 until 16; b <- 0 until 4) yield
+      sum(when(shiftright(digits(j), 3 - b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+        .as(s"v_${j}_$b")
+
+  /** Reassemble the 64 vote sums into the hex SimHash (bit = vote > 0). */
+  def simhashAssemble(votes: Seq[Column]): Column = {
+    val nibbleChars = (0 until 16).map { j =>
+      val nib = (0 until 4).map { b =>
+        when(votes(j * 4 + b) > 0, lit(1 << (3 - b))).otherwise(lit(0))
+      }.reduce(_ + _)
+      element_at(HexChars, nib + 1)
+    }
+    concat(nibbleChars: _*)
+  }
+}

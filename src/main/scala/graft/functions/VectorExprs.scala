@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector expression library for the similarity-search surface.
+  *
+  * Vectors are `array<float>` columns (testdata `embeddings.embedding`);
+  * all math is done in double after an explicit upcast so results are
+  * bit-comparable with a DuckDB `CAST(... AS DOUBLE[])` oracle, and the
+  * left-to-right fold order of `aggregate` is deterministic regardless of
+  * partitioning (no shuffle-order-dependent floating point).
+  *
+  * These are codegen'd catalyst expressions (no UDFs) — the brute-force
+  * top-k stays inside whole-stage codegen. For the 100 TB path the IVF
+  * variant ([[graft.operators.SimilarityQueries]]) prunes candidates by
+  * coarse centroid assignment before any pairwise math.
+  */
+object VectorExprs {
+
+  /** Element-wise dot product in double precision, sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextExprs
+
+/** Deduplication operators over the `documents` table — the LLM
+  * training-data-pipeline surface (BASELINE.json north star): exact
+  * hash dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash
+  * fingerprints, and normalized content fingerprinting.
+  *
+  * Scale design: every per-document computation is a narrow map; the only
+  * shuffles are (a) groupBy(hash) for exact dedup — uniformly distributed
+  * keys, no skew — and (b) the shingle/band self-joins, whose fan-out is
+  * bounded by shingle selectivity (word 3-grams) and LSH band width
+  * rather than O(N²). Brute-force pair enumeration never happens outside
+  * LSH candidate buckets, which is what makes the approach viable at
+  * 100 TB: candidates ∝ Σ bucket², not N².
+  */
+object DedupQueries {
+
+  private val ShingleN = 3
+  private val MinhashSeeds = 16
+  private val BandRows = 2 // 8 bands × 2 rows — ~1.0 recall at J≥0.8
+  private val JaccardThreshold = 0.8
+
+  /** Distinct word-3-gram shingles per document: (doc_id, sh). */
+  private def shingleSet(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextExprs.tokens(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("w"))
+      .where(size(col("w")) >= ShingleN)
+      .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for a candidate pair set
+    * (columns d1, d2) — integer set math, deterministic. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("d1"), col("sh"))
+    val b = sh.select(col("doc_id").as("d2"), col("sh"))
+    val inter = cands.join(a, "d1").join(b, Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("n1") + col("n2") - col("inter")).as("un"),
+        (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------- exact
+  /** Exact dedup by content hash: every doc annotated with its group's
+    * canonical keeper (lowest doc_id) and duplicate count. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val groups = docs.groupBy("h")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_n"))
+    docs.join(groups, "h")
+      .select(col("doc_id"), col("h"), col("keeper"), col("group_n"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+  }
+
+  val dedupExactSql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |g AS (SELECT h, min(doc_id) AS keeper, count(*) AS group_n FROM d GROUP BY h)
+      |SELECT d.doc_id, d.h, g.keeper, g.group_n, d.doc_id != g.keeper AS is_dup
+      |FROM d JOIN g USING (h)""".stripMargin
+
+  // ------------------------------------------------- n-gram Jaccard
+  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8, found via the
+    * shingle inverted index (pairs sharing ≥1 shingle — selective for
+    * 3-grams, unlike unigrams). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir)
+    val cands = sh.select(col("doc_id").as("d1"), col("sh"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), "sh")
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    verifyJaccard(cands, sh).where(col("jaccard") >= JaccardThreshold)
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM t),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT d1, d2, inter, s1.n + s2.n - inter AS un,
+       |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+       |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
+
+  // ----------------------------------------------------- MinHash+LSH
+  /** MinHash + LSH near-dup: 16 md5-seeded min-hash signatures per doc,
+    * banded 8×2; pairs colliding in any band are candidates, then
+    * verified by exact Jaccard ≥ 0.8. The scale path: candidate count is
+    * driven by band collisions, never N². */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSet(spark, dir)
+    val sigs = sh
+      .crossJoin(spark.range(MinhashSeeds).select(col("id").as("seed")))
+      .groupBy("doc_id", "seed")
+      .agg(min(TextExprs.seededMd5(col("seed"), col("sh"))).as("sig"))
+    val bands = sigs
+      .withColumn("band", call_function("div", col("seed"), lit(BandRows.toLong)))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
+          x => x.getField("sig")), "|").as("bk"))
+    val cands = bands.select(col("doc_id").as("d1"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    verifyJaccard(cands, sh).where(col("jaccard") >= JaccardThreshold)
+  }
+
+  val minhashLshSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM t),
+       |sig AS (SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS sig
+       |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds GROUP BY 1, 2),
+       |bands AS (SELECT doc_id, seed // 2 AS band, string_agg(sig, '|' ORDER BY seed) AS bk
+       |  FROM sig GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, inter, s1.n + s2.n - inter AS un,
+       |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+       |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
+
+  // --------------------------------------------------------- SimHash
+  /** 64-bit SimHash per document (hex string) over distinct tokens —
+    * near-dup docs land within small Hamming distance; one narrow
+    * aggregation, no joins. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(TextExprs.tokens(col("text")))).as("tok"))
+    val digits = TextExprs.tokenHexDigits(col("tok"))
+    val agged = toks.groupBy("doc_id").agg(
+      TextExprs.simhashAggExprs(digits).head,
+      TextExprs.simhashAggExprs(digits).tail: _*)
+    val votes = (for (j <- 0 until 16; b <- 0 until 4) yield col(s"v_${j}_$b"))
+    agged.select(col("doc_id"), TextExprs.simhashAssemble(votes).as("simhash"))
+  }
+
+  val simhashSql: String =
+    """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |d AS (SELECT doc_id, tok, md5(tok) AS hex FROM toks),
+      |bits AS (SELECT doc_id, j.j, b.b,
+      |    CASE WHEN ((strpos('0123456789abcdef', substr(hex, j.j + 1, 1)) - 1) >> (3 - b.b)) & 1 = 1
+      |         THEN 1 ELSE -1 END AS v
+      |  FROM d, (SELECT unnest(range(16)) AS j) j, (SELECT unnest(range(4)) AS b) b),
+      |votes AS (SELECT doc_id, j, b, sum(v) AS s FROM bits GROUP BY 1, 2, 3),
+      |nib AS (SELECT doc_id, j,
+      |    sum(CASE WHEN s > 0 THEN 1 << CAST(3 - b AS INTEGER) ELSE 0 END) AS nibble
+      |  FROM votes GROUP BY 1, 2)
+      |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nibble AS INTEGER) + 1, 1), '' ORDER BY j) AS simhash
+      |FROM nib GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------- fingerprinting
+  /** Normalized content fingerprint (lowercase, whitespace-collapsed,
+    * md5) with canonical-keeper annotation — catches
+    * formatting-only duplicates that exact hashing misses. */
+  def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextExprs.fingerprint(col("text")).as("fp"))
+    val groups = docs.groupBy("fp").agg(min("doc_id").as("keeper"), count(lit(1)).as("group_n"))
+    docs.join(groups, "fp")
+      .select(col("doc_id"), col("fp"), (col("doc_id") === col("keeper")).as("is_canonical"))
+  }
+
+  val fingerprintSql: String =
+    """WITH d AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents),
+      |g AS (SELECT fp, min(doc_id) AS keeper FROM d GROUP BY fp)
+      |SELECT d.doc_id, d.fp, d.doc_id = g.keeper AS is_canonical
+      |FROM d JOIN g USING (fp)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_dedup_exact" -> dedupExact _,
+    "q17_ngram_jaccard" -> ngramJaccard _,
+    "q18_minhash_lsh" -> minhashLsh _,
+    "q19_simhash" -> simhash _,
+    "q25_fingerprint" -> fingerprintDedup _)
+
+  val oracles: Map[String, String] = Map(
+    "q16_dedup_exact" -> dedupExactSql,
+    "q17_ngram_jaccard" -> ngramJaccardSql,
+    "q18_minhash_lsh" -> minhashLshSql,
+    "q19_simhash" -> simhashSql,
+    "q25_fingerprint" -> fingerprintSql)
+}
