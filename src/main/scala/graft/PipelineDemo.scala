@@ -1,0 +1,125 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.jobs.{CompactionJob, CompactorJob, RepairJob}
+import graft.multimodal.MediaOps
+import graft.sources.BronzeReader
+import graft.state.JdbcStateStore
+import graft.streaming.StreamingIngest
+
+/** End-to-end usage demo of the pipeline layer — the flow the reference
+  * runs in production (SURVEY §3.1–3.3), driven through the public API:
+  *
+  *   register bronze keys → claim → bronze→silver compaction → ack →
+  *   idempotent re-run → small-file compaction → mispartition repair →
+  *   streaming (AvailableNow) ingest → multimodal feature extraction.
+  *
+  * Run: `sbt "runMain graft.PipelineDemo /tmp/graft_demo"`
+  */
+object PipelineDemo {
+
+  private val Base = 1704067200L // 2024-01-01T00:00:00Z
+
+  private def writeGz(path: String, lines: Seq[String]): String = {
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    val out = new GZIPOutputStream(new FileOutputStream(f))
+    out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    out.close()
+    f.toURI.toString
+  }
+
+  private def telemetry(hb: Long, unit: String, speed: Double, extra: String = ""): String =
+    s"""{"heartbeat": $hb, "unitno": "$unit", "deviceid": "DEV-$unit", "gpsspeed": $speed, "VehicleSpeed": ${speed - 1.0}, "gpsnumsat": 11.0, "gpslat": -2.1, "gpslong": 115.4, "speedsource": "GPS", "camcabinstatus": "OK", "camfrontstatus": "OK"$extra}"""
+
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft_demo")
+    new scala.reflect.io.Directory(new File(root)).deleteRecursively()
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // -- 1. bronze fixtures: mixed epoch precisions, drift, corruption, late row
+    val keys = Seq(
+      writeGz(s"$root/bronze/site/dev1/2024010100/2024010100.txt.gz", Seq(
+        telemetry(Base, "LD772", 42.5), // seconds epoch
+        telemetry((Base + 60) * 1000, "LD772", 43.0), // ms
+        telemetry((Base + 120) * 1000000L, "LD772", 44.0), // µs
+        telemetry((Base + 180) * 1000000000L, "LD772", 45.0))), // ns
+      writeGz(s"$root/bronze/site/dev2/2024010100/2024010100.txt.gz", Seq(
+        telemetry(Base + 240, "PM1582", 30.0, """, "fuel_level": 0.82"""), // drifted schema
+        """{"heartbeat": 999, BROKEN""", // malformed line
+        telemetry(Base - 86400, "PM1582", 31.0)))) // late: lands in yesterday's partition
+
+    // -- 2. claim → compact → ack (file-level exactly-once)
+    val store = new JdbcStateStore(s"jdbc:derby:memory:demo;create=true")
+    store.ensureTable()
+    keys.zipWithIndex.foreach { case (k, i) =>
+      store.register(k, "DISTRICTB", new Timestamp(1704067200000L + i))
+    }
+    val silver = s"$root/silver"
+    val r1 = CompactorJob.run(spark, store, "run-1", "DISTRICTB", silver)
+    println(s"[demo] run-1: claimed=${r1.claimed} rows=${r1.rows} quarantined=${r1.quarantined}")
+
+    val layout = spark.read.parquet(silver)
+      .groupBy("hiveperiod", "dstrct_code").count()
+      .orderBy("hiveperiod").collect()
+      .map(r => s"${r.get(0)}/${r.getString(1)}=${r.getLong(2)}").mkString(" ")
+    println(s"[demo] silver partitions: $layout")
+
+    // -- 3. idempotent re-run: nothing left to claim
+    val r2 = CompactorJob.run(spark, store, "run-2", "DISTRICTB", silver)
+    println(s"[demo] run-2 (re-run): claimed=${r2.claimed} rows=${r2.rows}")
+
+    // -- 4. fragment a partition with hourly appends, then compact
+    (1 to 6).foreach { h =>
+      val k = writeGz(s"$root/bronze/site/dev1/202401010$h/202401010$h.txt.gz",
+        Seq(telemetry(Base + h * 3600, "LD772", 40.0 + h)))
+      store.register(k, "DISTRICTB", new Timestamp(1704067200000L + 1000 + h))
+      CompactorJob.run(spark, store, s"run-h$h", "DISTRICTB", silver)
+    }
+    val frag = CompactionJob.findFragmented(spark, silver, maxFiles = 2)
+    val cr = CompactionJob.run(spark, silver, maxFiles = 2)
+    println(s"[demo] compaction: fragmented=${frag.map(p => s"${p.relPath}(${p.files}f)").mkString(",")} " +
+      s"rows ${cr.rowsBefore}->${cr.rowsAfter} verified=${cr.verified}")
+
+    // -- 5. legacy mispartitioned data → repair
+    import spark.implicits._
+    Seq((Base + 2 * 86400, "LEGACY", "2024-01-01", "DISTRICTB"))
+      .toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+      .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+      .write.mode("append").partitionBy("hiveperiod", "dstrct_code").parquet(silver)
+    val moved = RepairJob.repair(spark, silver)
+    val total = spark.read.parquet(silver).count()
+    println(s"[demo] repair: moved=$moved rows_total=$total " +
+      s"mispartitioned_now=${RepairJob.detectMispartitioned(spark.read.parquet(silver)).count()}")
+
+    // -- 6. streaming flavor: AvailableNow drain of a fresh bronze dir
+    val sbronze = s"$root/bronze2"
+    writeGz(s"$sbronze/site/dev9/2024010200/2024010200.txt.gz",
+      Seq(telemetry(Base + 86400, "ST1", 55.0), telemetry(Base + 86460, "ST1", 56.0)))
+    val schema = BronzeReader.withCorruptColumn(
+      spark.read.option("samplingRatio", "1.0").json(s"$sbronze/site/*/*").schema)
+    val q = StreamingIngest.start(spark, s"$sbronze/site/*/*", schema,
+      s"$root/silver_stream", s"$root/ckpt", "DISTRICTG")
+    q.awaitTermination(120000)
+    println(s"[demo] streaming silver rows=${spark.read.parquet(s"$root/silver_stream").count()}")
+
+    // -- 7. multimodal plumbing
+    val media = Seq(
+      MediaOps.MediaRow(1L, "image", Array.tabulate(64)(_.toByte), 8, 8, 0L),
+      MediaOps.MediaRow(2L, "video", Array.tabulate(900)(_.toByte), 640, 480, 3000L)).toDS()
+    val feats = MediaOps.extractFeatures(media).collect()
+    val frames = MediaOps.sampleFrames(media, 1000L).count()
+    println(s"[demo] media: features=${feats.map(f => s"${f.media_id}:${f.features.length}d").mkString(",")} frames=$frames")
+
+    spark.stop()
+    println("[demo] DONE")
+  }
+}

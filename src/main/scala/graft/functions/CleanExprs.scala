@@ -31,11 +31,13 @@ object CleanExprs {
     * into typed fields (reference `data-cleaner.py:127-138` splitn→struct). */
   def parseKey(key: Column): Column = {
     val parts = split(key, "/", 7)
+    // `get` (not getItem) so short keys yield nulls instead of an ANSI
+    // out-of-bounds error — repair scans meet ragged keys routinely.
     struct(
-      parts.getItem(0).as("jobsite"),
-      stripPrefix(parts.getItem(1), "hiveperiod=").as("hiveperiod"),
-      stripPrefix(parts.getItem(2), "dstrct_code=").as("dstrct_code"),
-      parts.getItem(3).as("filename"))
+      get(parts, lit(0)).as("jobsite"),
+      stripPrefix(get(parts, lit(1)), "hiveperiod=").as("hiveperiod"),
+      stripPrefix(get(parts, lit(2)), "dstrct_code=").as("dstrct_code"),
+      get(parts, lit(3)).as("filename"))
   }
 
   /** Strip a literal prefix (reference `data-cleaner.py:141`

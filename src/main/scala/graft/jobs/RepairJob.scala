@@ -1,0 +1,75 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeExprs
+
+/** Mispartition repair — the reference's data-cleaner
+  * (`data-cleaner.py:93-237`): rows whose stored `hiveperiod` partition
+  * disagrees with the partition their event time dictates (possible when
+  * device clocks drift days off and land "late" — the reference never
+  * drops late data, §2.10) are detected and the affected partitions are
+  * rewritten with re-derived keys.
+  *
+  * Differences from the reference, by design:
+  *  - detection and rewrite are one Spark job each, not a driver loop
+  *    over CSV work lists;
+  *  - the rewrite uses dynamic partition overwrite (atomic per
+  *    partition) instead of append-then-manually-delete — the reference
+  *    stub's "delete old files" step is where its risk lived.
+  */
+object RepairJob {
+
+  private def derivedPeriod: Column =
+    to_date(TimeExprs.toWita(TimeExprs.normalizeEpoch(col("heartbeat"))))
+
+  /** Audit query (reference `data-cleaner.py:109-115`): distinct
+    * (stored partition, derived partition) disagreements. */
+  def detectMispartitioned(silver: DataFrame): DataFrame =
+    silver
+      .withColumn("accurate_hiveperiod", derivedPeriod)
+      .where(col("hiveperiod") =!= col("accurate_hiveperiod"))
+      .select("hiveperiod", "dstrct_code", "accurate_hiveperiod")
+      .distinct()
+
+  /** Rewrite every partition touched by mispartitioned rows — sources
+    * AND destinations, so dynamic overwrite never replaces a destination
+    * partition with only its incoming rows. The set {stored ∪ derived}
+    * from a global detection pass is closed: any row inside it lands
+    * inside it. Returns the number of rows that changed partition. */
+  def repair(spark: SparkSession, silverPath: String): Long = {
+    val silver = spark.read.parquet(silverPath)
+    val bad = detectMispartitioned(silver).collect()
+    if (bad.isEmpty) return 0L
+
+    val affected: Set[(String, String)] = bad.flatMap { r =>
+      val dc = r.getString(1)
+      Seq((r.getDate(0).toString, dc), (r.getDate(2).toString, dc))
+    }.toSet
+    val inAffected = affected
+      .map { case (hp, dc) => col("hiveperiod") === hp && col("dstrct_code") === dc }
+      .reduce(_ || _)
+
+    val moved = silver.where(inAffected && col("hiveperiod") =!= derivedPeriod).count()
+
+    // Materialize before writing: Spark (rightly) refuses a plan that
+    // overwrites a path it is still reading. localCheckpoint pins the
+    // corrected rows in executor storage, then the write is read-free.
+    val corrected = silver.where(inAffected).withColumn("hiveperiod", derivedPeriod)
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      corrected
+        .repartition(col("hiveperiod"), col("dstrct_code"))
+        .write.mode("overwrite")
+        .partitionBy("hiveperiod", "dstrct_code")
+        .parquet(silverPath)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    moved
+  }
+}

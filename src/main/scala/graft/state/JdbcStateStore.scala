@@ -1,0 +1,125 @@
+package graft.state
+
+import java.sql.{Connection, DriverManager, Timestamp}
+import scala.collection.mutable.ArrayBuffer
+
+/** Control-plane state store: per-file processing state for incremental,
+  * idempotent, exactly-once-per-file batches — the reference's MSSQL
+  * claim pattern (`s3_datalog_processor.py:54-97`,
+  * `README-v2-orchestrated-pipeline.md:153-170`):
+  *
+  *  1. `claim(runId, n)` — atomically tag up to n unclaimed pending keys
+  *     with this run's id (newest first);
+  *  2. process exactly the claimed keys;
+  *  3. `ack(runId)` on success / `release(runId)` on failure so the keys
+  *     become claimable again.
+  *
+  * Implementation is plain JDBC (works against MSSQL/Postgres/Derby —
+  * tests use embedded Derby). The reference's `IN (':key_list_string')`
+  * bind bug (`s3_datalog_processor.py:215`, single string literal that
+  * matches nothing) is deliberately NOT reproduced: acks are keyed by
+  * run id, which is both correct and O(1) SQL.
+  *
+  * This is driver-side control-plane I/O — a few thousand rows per batch
+  * (`KEY_LIMIT_PER_RUN`, reference `gzip-to-parquet-etl.py:35`) — so it
+  * never needs to be distributed.
+  */
+class JdbcStateStore(url: String) extends AutoCloseable {
+
+  val Table = "tbl_t_upload_datalog"
+
+  private val conn: Connection = DriverManager.getConnection(url)
+  conn.setAutoCommit(true)
+
+  def ensureTable(): Unit = {
+    val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    var exists = false
+    while (meta.next()) if (meta.getString("TABLE_NAME").equalsIgnoreCase(Table)) exists = true
+    if (!exists) {
+      val st = conn.createStatement()
+      // Columns mirror the reference control table (FIXTURES.md §B3).
+      st.execute(
+        s"""CREATE TABLE $Table (
+           |  file_path_s3 VARCHAR(1024) PRIMARY KEY,
+           |  is_upload_s3 VARCHAR(8),
+           |  distrik VARCHAR(64),
+           |  compression_status VARCHAR(32),
+           |  compression_timestamp TIMESTAMP,
+           |  compression_run_id VARCHAR(64),
+           |  upload_s3_date TIMESTAMP)""".stripMargin)
+      st.close()
+    }
+  }
+
+  /** Register a newly-uploaded bronze file as pending. */
+  def register(key: String, district: String, uploadedAt: Timestamp): Unit = {
+    val ps = conn.prepareStatement(
+      s"INSERT INTO $Table (file_path_s3, is_upload_s3, distrik, upload_s3_date) VALUES (?, 'true', ?, ?)")
+    ps.setString(1, key); ps.setString(2, district); ps.setTimestamp(3, uploadedAt)
+    ps.executeUpdate(); ps.close()
+  }
+
+  /** Atomically claim up to `limit` pending keys (newest upload first —
+    * reference `ORDER BY upload_s3_date DESC`) for `runId`. Returns the
+    * claimed keys. Re-claiming for the same runId returns its existing
+    * claims (crash-retry safe). */
+  def claim(runId: String, limit: Int, district: Option[String] = None): Seq[String] = {
+    val districtPred = district.map(_ => " AND distrik = ?").getOrElse("")
+    val ps = conn.prepareStatement(
+      s"""UPDATE $Table SET compression_run_id = ? WHERE file_path_s3 IN (
+         |  SELECT file_path_s3 FROM $Table
+         |  WHERE is_upload_s3 = 'true' AND compression_run_id IS NULL
+         |    AND (compression_status IS NULL OR compression_status <> 'SUCCESS')$districtPred
+         |  ORDER BY upload_s3_date DESC
+         |  FETCH FIRST ? ROWS ONLY)""".stripMargin)
+    ps.setString(1, runId)
+    district.foreach(ps.setString(2, _))
+    ps.setInt(if (district.isDefined) 3 else 2, limit)
+    ps.executeUpdate(); ps.close()
+    claimedKeys(runId)
+  }
+
+  /** The keys currently claimed by a run (reference
+    * `s3_datalog_processor.py:70-75`). */
+  def claimedKeys(runId: String): Seq[String] = {
+    val ps = conn.prepareStatement(
+      s"SELECT file_path_s3 FROM $Table WHERE compression_run_id = ? AND (compression_status IS NULL OR compression_status <> 'SUCCESS')")
+    ps.setString(1, runId)
+    val rs = ps.executeQuery()
+    val out = ArrayBuffer.empty[String]
+    while (rs.next()) out += rs.getString(1)
+    rs.close(); ps.close()
+    out.toSeq
+  }
+
+  /** Mark a run's claims processed (reference `SET 'SUCCESS'`,
+    * `gzip-to-parquet-etl.py:286-317`). */
+  def ack(runId: String): Int =
+    updateStatus(runId, "SUCCESS")
+
+  /** Release a failed run's claims so a later run re-claims them —
+    * the retry path of the claim pattern. */
+  def release(runId: String): Int = {
+    val ps = conn.prepareStatement(
+      s"UPDATE $Table SET compression_run_id = NULL, compression_status = 'FAILED', compression_timestamp = ? WHERE compression_run_id = ?")
+    ps.setTimestamp(1, new Timestamp(System.currentTimeMillis())); ps.setString(2, runId)
+    val n = ps.executeUpdate(); ps.close(); n
+  }
+
+  private def updateStatus(runId: String, status: String): Int = {
+    val ps = conn.prepareStatement(
+      s"UPDATE $Table SET compression_status = ?, compression_timestamp = ? WHERE compression_run_id = ?")
+    ps.setString(1, status)
+    ps.setTimestamp(2, new Timestamp(System.currentTimeMillis()))
+    ps.setString(3, runId)
+    val n = ps.executeUpdate(); ps.close(); n
+  }
+
+  def pendingCount(): Long = {
+    val rs = conn.createStatement().executeQuery(
+      s"SELECT count(*) FROM $Table WHERE compression_run_id IS NULL AND (compression_status IS NULL OR compression_status <> 'SUCCESS')")
+    rs.next(); val n = rs.getLong(1); rs.close(); n
+  }
+
+  override def close(): Unit = conn.close()
+}

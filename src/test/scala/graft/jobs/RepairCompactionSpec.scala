@@ -1,0 +1,80 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RepairCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Base = 1704067200L // 2024-01-01T00:00:00Z → WITA 2024-01-01
+
+  /** A silver table where some rows sit in the wrong partition. */
+  private def writeSilver(path: String): Unit = {
+    val rows = Seq(
+      // correct rows in 2024-01-01
+      (Base, "u1", "2024-01-01", "D1"),
+      (Base + 60, "u2", "2024-01-01", "D1"),
+      // mispartitioned: event time says 2024-01-02, stored in 2024-01-01
+      (Base + 86400, "u3", "2024-01-01", "D1"),
+      // correct resident of the destination partition (must survive!)
+      (Base + 86460, "u4", "2024-01-02", "D1"))
+    rows.toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+      .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+      .write.partitionBy("hiveperiod", "dstrct_code").parquet(path)
+  }
+
+  test("repair moves mispartitioned rows without losing destination residents") {
+    val path = tmpDir("repair")
+    writeSilver(path)
+    val before = spark.read.parquet(path)
+    assert(RepairJob.detectMispartitioned(before).count() == 1)
+
+    val moved = RepairJob.repair(spark, path)
+    assert(moved == 1)
+
+    val after = spark.read.parquet(path)
+    assert(after.count() == 4) // nothing lost
+    assert(RepairJob.detectMispartitioned(after).count() == 0)
+    val p2 = after.where("hiveperiod = '2024-01-02'")
+      .select("unitno").as[String].collect().toSet
+    assert(p2 == Set("u3", "u4")) // mover arrived, resident survived
+  }
+
+  test("repair is a no-op on a healthy table") {
+    val path = tmpDir("repair_ok")
+    Seq((Base, "u1", "2024-01-01", "D1"))
+      .toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+      .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+      .write.partitionBy("hiveperiod", "dstrct_code").parquet(path)
+    assert(RepairJob.repair(spark, path) == 0L)
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
+  test("compaction merges small files, preserves rows, skips healthy partitions") {
+    val path = tmpDir("compact")
+    // fragmented partition: 8 appends of one file each
+    (0 until 8).foreach { i =>
+      Seq((Base + i, s"u$i", "2024-01-01", "D1"))
+        .toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+        .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+        .repartition(1)
+        .write.mode("append").partitionBy("hiveperiod", "dstrct_code").parquet(path)
+    }
+    // healthy partition: single file
+    Seq((Base + 86400, "ux", "2024-01-02", "D1"))
+      .toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+      .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+      .repartition(1)
+      .write.mode("append").partitionBy("hiveperiod", "dstrct_code").parquet(path)
+
+    val frag = CompactionJob.findFragmented(spark, path, maxFiles = 4)
+    assert(frag.map(_.relPath) == Seq("hiveperiod=2024-01-01/dstrct_code=D1"))
+    assert(frag.head.files == 8)
+
+    val res = CompactionJob.run(spark, path, maxFiles = 4)
+    assert(res.verified && res.rowsBefore == 8 && res.rowsAfter == 8)
+    assert(CompactionJob.findFragmented(spark, path, maxFiles = 4).isEmpty)
+    assert(spark.read.parquet(path).count() == 9) // healthy partition intact
+  }
+}
