@@ -24,12 +24,6 @@ object TextExprs {
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
 
-  /** Deterministic per-seed shingle hash for MinHash: lowest md5 hex of
-    * `"<seed>:<shingle>"` lexicographically — stable across engines and
-    * cluster sizes (no JVM hashCode). */
-  def seededMd5(seed: Column, value: Column): Column =
-    md5(concat(seed, lit(":"), value).cast("binary"))
-
   /** Normalized-document fingerprint: lowercase, collapse whitespace, md5.
     * The batch analog of a rolling-hash content fingerprint. */
   def fingerprint(text: Column): Column =

@@ -18,16 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object VectorExprs {
 
-  /** Element-wise dot product in double precision, sequential fold. */
+  /** Element-wise dot product in double precision, sequential fold.
+    * Backed by the native codegen'd [[graft.plans.DotProduct]] — same
+    * left-to-right order as the composable
+    * `aggregate(zip_with(...))` formulation, minus its per-row
+    * intermediate array. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    graft.plans.VectorExpressions.vectorDot(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalize once so pairwise cosine degrades to a single dot —
+    * at N² pair volume, recomputing norms per pair is the dominant cost.
+    * Cosine of two pre-normalized vectors = dot(na, nb). */
+  def normalize(a: Column): Column = {
+    val ad = a.cast("array<double>")
+    transform(ad, x => x / sqrt(aggregate(
+      zip_with(ad, ad, (p, q) => p * q), lit(0.0), (acc, x2) => acc + x2)))
+  }
 }

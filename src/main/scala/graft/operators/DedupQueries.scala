@@ -26,7 +26,13 @@ object DedupQueries {
   private val BandRows = 2 // 8 bands × 2 rows — ~1.0 recall at J≥0.8
   private val JaccardThreshold = 0.8
 
-  /** Distinct word-3-gram shingles per document: (doc_id, sh). */
+  /** Distinct word-3-gram shingles per document: (doc_id, sh).
+    *
+    * Persisted: every near-dup pipeline references this relation several
+    * times (both sides of the self-join + per-doc sizes); without
+    * materialization Spark re-runs the explode+distinct for each
+    * reference — at 100 TB that's the difference between one corpus scan
+    * and five. */
   private def shingleSet(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextExprs.tokens(col("text"))
     Tables(spark, dir, "documents")
@@ -34,6 +40,7 @@ object DedupQueries {
       .where(size(col("w")) >= ShingleN)
       .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
       .distinct()
+      .persist()
   }
 
   /** Exact Jaccard over shingle sets for a candidate pair set
@@ -76,12 +83,21 @@ object DedupQueries {
     * shingle inverted index (pairs sharing ≥1 shingle — selective for
     * 3-grams, unlike unigrams). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // One self-join computes intersections directly — no separate
+    // candidate pass (pairs sharing zero shingles never appear at all).
     val sh = shingleSet(spark, dir)
-    val cands = sh.select(col("doc_id").as("d1"), col("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("d1"), col("sh"))
       .join(sh.select(col("doc_id").as("d2"), col("sh")), "sh")
       .where(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    verifyJaccard(cands, sh).where(col("jaccard") >= JaccardThreshold)
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("n1") + col("n2") - col("inter")).as("un"),
+        (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
   }
 
   val ngramJaccardSql: String =
@@ -99,22 +115,33 @@ object DedupQueries {
        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
 
   // ----------------------------------------------------- MinHash+LSH
-  /** MinHash + LSH near-dup: 16 md5-seeded min-hash signatures per doc,
-    * banded 8×2; pairs colliding in any band are candidates, then
-    * verified by exact Jaccard ≥ 0.8. The scale path: candidate count is
-    * driven by band collisions, never N². */
+  /** MinHash + LSH near-dup, banded 8×2; pairs colliding in any band are
+    * candidates, then verified by exact Jaccard ≥ 0.8. The scale path:
+    * candidate count is driven by band collisions, never N².
+    *
+    * Signatures use Kirsch–Mitzenmacher double hashing: ONE md5 per
+    * shingle yields two 48-bit halves (h1, h2); the i-th hash is
+    * `h1 + i·h2` (overflow-free below 2^53). All 16 per-doc minima are
+    * computed as 16 aggregates of a single groupBy — one pass, one
+    * shuffle, versus the naive 16× row fan-out with 16 md5 calls per
+    * shingle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(spark, dir)
-    val sigs = sh
-      .crossJoin(spark.range(MinhashSeeds).select(col("id").as("seed")))
-      .groupBy("doc_id", "seed")
-      .agg(min(TextExprs.seededMd5(col("seed"), col("sh"))).as("sig"))
+    val hex = md5(col("sh").cast("binary"))
+    val hashed = sh.select(
+      col("doc_id"),
+      conv(substring(hex, 1, 12), 16, 10).cast("long").as("h1"),
+      conv(substring(hex, 17, 12), 16, 10).cast("long").as("h2"))
+    val sigAggs = (0 until MinhashSeeds)
+      .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+    val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val bandStructs = (0 until MinhashSeeds / BandRows).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*).as("bk"))
+    }
     val bands = sigs
-      .withColumn("band", call_function("div", col("seed"), lit(BandRows.toLong)))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
-          x => x.getField("sig")), "|").as("bk"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
     val cands = bands.select(col("doc_id").as("d1"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
       .where(col("d1") < col("d2"))
@@ -122,16 +149,22 @@ object DedupQueries {
     verifyJaccard(cands, sh).where(col("jaccard") >= JaccardThreshold)
   }
 
-  val minhashLshSql: String =
+  val minhashLshSql: String = {
+    val sigCols = (0 until MinhashSeeds)
+      .map(i => s"min(h1 + $i * h2) AS s$i").mkString(", ")
+    val bandSelects = (0 until MinhashSeeds / BandRows).map { b =>
+      val bk = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $bk AS bk FROM sig"
+    }.mkString(" UNION ALL ")
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |           WHERE len(string_split(text, ' ')) >= 3),
        |sh AS (SELECT DISTINCT doc_id,
        |  unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
        |  FROM t),
-       |sig AS (SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS sig
-       |  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds GROUP BY 1, 2),
-       |bands AS (SELECT doc_id, seed // 2 AS band, string_agg(sig, '|' ORDER BY seed) AS bk
-       |  FROM sig GROUP BY 1, 2),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+       |             ('0x' || substr(md5(sh), 17, 12))::BIGINT AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -142,6 +175,7 @@ object DedupQueries {
        |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
        |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
+  }
 
   // --------------------------------------------------------- SimHash
   /** 64-bit SimHash per document (hex string) over distinct tokens —

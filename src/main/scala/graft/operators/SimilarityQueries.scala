@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.functions.VectorExprs
 import graft.functions.VectorExprs.cosine
 
 /** Similarity search over the `embeddings` table (`array<float>` vectors).
@@ -125,18 +126,26 @@ object SimilarityQueries {
     * pair enumeration here is the verification baseline; at scale the
     * candidate set would come from the IVF buckets above. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val a = emb(spark, dir).select(col("vec_id").as("id1"), col("embedding").as("v1"))
-    val b = emb(spark, dir).select(col("vec_id").as("id2"), col("embedding").as("v2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("v1"), col("v2")))
+    // Normalize once (N norms, not N² — the norm is the expensive half of
+    // pairwise cosine) and repartition the streamed side: a single-file
+    // corpus otherwise drives the nested-loop join on ONE task.
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val normed = emb(spark, dir)
+      .select(col("vec_id"), VectorExprs.normalize(col("embedding")).as("nv"))
+    val a = normed.select(col("vec_id").as("id1"), col("nv").as("nv1")).repartition(nParts)
+    val b = normed.select(col("vec_id").as("id2"), col("nv").as("nv2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("cos", VectorExprs.dot(col("nv1"), col("nv2")))
       .where(col("cos") >= NearDupThreshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("sim"))
   }
 
   val cosineNearDupSql: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |    list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS c
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS nv
+       |  FROM embeddings),
+       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, list_dot_product(a.nv, b.nv) AS c
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |SELECT id1, id2, round(c, 6) AS sim FROM p WHERE c >= $NearDupThreshold""".stripMargin
 
