@@ -111,6 +111,15 @@ object PipelineDemo {
     q.awaitTermination(120000)
     println(s"[demo] streaming silver rows=${spark.read.parquet(s"$root/silver_stream").count()}")
 
+    // -- 6b. the dashboard read path over the silver lake
+    val silverDf = spark.read.parquet(silver)
+    val units = graft.analytics.Dashboard.unitList(silverDf, "2024-01-01", "DISTRICTB")
+      .select("unitno").collect().map(_.getString(0)).sorted
+    val slice = graft.analytics.Dashboard.telemetrySlice(
+      silverDf, "2024-01-01", "DISTRICTB", units.toSeq, (0, 23))
+    val perMin = graft.analytics.Dashboard.perMinuteDeviation(slice)
+    println(s"[demo] dashboard: units=${units.mkString(",")} minutes=${perMin.count()}")
+
     // -- 7. multimodal plumbing
     val media = Seq(
       MediaOps.MediaRow(1L, "image", Array.tabulate(64)(_.toByte), 8, 8, 0L),

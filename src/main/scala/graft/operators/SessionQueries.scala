@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Sessionization + multi-level aggregation extensions.
+  *
+  * q28 exercises Spark's native `session_window` (gap-merged event
+  * sessions per device — the IoT sessionization shape SURVEY §2.6 points
+  * at); the oracle reproduces the same semantics in portable SQL via
+  * gaps-and-islands (lag + cumulative flag sum), which is also the
+  * proof the two formulations agree.
+  *
+  * q29 exercises ROLLUP (multi-level grouped aggregation) — absent from
+  * the reference but part of the standard relational surface the
+  * extension mandate requires.
+  */
+object SessionQueries {
+
+  private val GapMinutes = 30
+
+  /** Q28: 30-minute-gap sessions per user over `events`: session start,
+    * end (last event + gap), and event count. */
+  def q28SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(session_window(col("ts"), s"$GapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+
+  val q28Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN ts - lag(ts) OVER w <= INTERVAL $GapMinutes MINUTE THEN 0 ELSE 1 END AS new_session
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |s AS (SELECT user_id, ts,
+       |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |      FROM e)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL $GapMinutes MINUTE AS session_end,
+       |  count(*) AS n_events
+       |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Q29: rollup over (event_type, user-bucket): per-cell, per-type, and
+    * grand-total aggregates in one pass. */
+  def q29Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+      .rollup("event_type", "user_bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        CoreQueries.decSum(col("value")).as("sum_value"))
+
+  val q29Sql: String =
+    """SELECT event_type, user_id % 10 AS user_bucket, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY ROLLUP (event_type, user_bucket)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_session_window" -> q28SessionWindow _,
+    "q29_rollup" -> q29Rollup _)
+
+  val oracles: Map[String, String] = Map(
+    "q28_session_window" -> q28Sql,
+    "q29_rollup" -> q29Sql)
+}
