@@ -49,6 +49,7 @@ class JdbcStateStore(url: String) extends AutoCloseable {
            |  upload_s3_date TIMESTAMP)""".stripMargin)
       st.close()
     }
+    ensureSchemaTable()
   }
 
   /** Register a newly-uploaded bronze file as pending. */
@@ -113,6 +114,65 @@ class JdbcStateStore(url: String) extends AutoCloseable {
     ps.setTimestamp(2, new Timestamp(System.currentTimeMillis()))
     ps.setString(3, runId)
     val n = ps.executeUpdate(); ps.close(); n
+  }
+
+  // ---- schema registry --------------------------------------------
+  // The reference accepts a full-scan inference pass per batch
+  // (`sample_size=-1`); at scale that is a second read of every byte.
+  // Persisting the merged schema lets steady-state batches skip
+  // inference entirely (SURVEY §4 "optimization opportunity: cache
+  // inferred StructType in the state store").
+
+  val SchemaTable = "tbl_t_schema"
+
+  def ensureSchemaTable(): Unit = {
+    val meta = conn.getMetaData.getTables(null, null, null, Array("TABLE"))
+    var exists = false
+    while (meta.next()) if (meta.getString("TABLE_NAME").equalsIgnoreCase(SchemaTable)) exists = true
+    if (!exists) {
+      val st = conn.createStatement()
+      st.execute(
+        s"""CREATE TABLE $SchemaTable (
+           |  dataset VARCHAR(128) PRIMARY KEY,
+           |  schema_json CLOB,
+           |  updated_at TIMESTAMP)""".stripMargin)
+      st.close()
+    }
+  }
+
+  def loadSchema(dataset: String): Option[org.apache.spark.sql.types.StructType] = {
+    val ps = conn.prepareStatement(s"SELECT schema_json FROM $SchemaTable WHERE dataset = ?")
+    ps.setString(1, dataset)
+    val rs = ps.executeQuery()
+    val out = if (rs.next())
+      Some(org.apache.spark.sql.types.DataType.fromJson(rs.getString(1))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    else None
+    rs.close(); ps.close()
+    out
+  }
+
+  /** Merge-and-save: new fields append, existing fields keep their first
+    * type (the drift-tolerant by-name union the reference relies on). */
+  def mergeSchema(dataset: String,
+      observed: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    val current = loadSchema(dataset)
+    val merged = current match {
+      case None => observed
+      case Some(cur) =>
+        val known = cur.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          cur.fields ++ observed.fields.filterNot(f => known.contains(f.name)))
+    }
+    val del = conn.prepareStatement(s"DELETE FROM $SchemaTable WHERE dataset = ?")
+    del.setString(1, dataset); del.executeUpdate(); del.close()
+    val ins = conn.prepareStatement(
+      s"INSERT INTO $SchemaTable (dataset, schema_json, updated_at) VALUES (?, ?, ?)")
+    ins.setString(1, dataset)
+    ins.setString(2, merged.json)
+    ins.setTimestamp(3, new Timestamp(System.currentTimeMillis()))
+    ins.executeUpdate(); ins.close()
+    merged
   }
 
   def pendingCount(): Long = {

@@ -8,7 +8,10 @@ import graft.core.GraftSession
 /** Shared session for all suites (one JVM, one SparkSession). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    val s = GraftSession.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
