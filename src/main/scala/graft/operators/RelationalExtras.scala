@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Remaining standard-relational surface: pivot, scalar subqueries
+  * through the SQL interface, set operators, JSON functions, and array
+  * aggregation — none appear in the reference's data plane, all are
+  * table-stakes for "a user of the reference could switch" (the engine
+  * must answer the queries they would write next).
+  */
+object RelationalExtras {
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // ------------------------------------------------------------ pivot
+  /** Q30: events pivoted to one count column per type per user bucket.
+    * Explicit value list keeps the plan one-pass (no distinct-scan) and
+    * the output schema deterministic. */
+  def q30Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+      .groupBy("user_bucket")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  val q30Sql: String =
+    """SELECT user_id % 10 AS user_bucket,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ------------------------------------------- scalar subquery (SQL API)
+  /** Q31: orders above the average order value — exercised through
+    * `spark.sql` (the SQL front door + scalar-subquery planning), with
+    * the decimal-sum average so both engines compare against the exact
+    * same threshold. */
+  def q31ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders_v
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |  FROM orders_v)""".stripMargin)
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+      |  FROM orders)""".stripMargin
+
+  // -------------------------------------------------- set operators
+  /** Q32: INTERSECT / EXCEPT over user activity sets: users who both
+    * purchased and errored, minus users with a high-value signup (the
+    * EXCEPT side is selective so the result is non-trivial at every
+    * scale factor). */
+  def q32SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def users(t: String) = ev.where(col("event_type") === t).select("user_id")
+    users("purchase").intersect(users("error"))
+      .except(ev.where(col("event_type") === "signup" && col("value") > 190.0)
+        .select("user_id"))
+  }
+
+  val q32Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'error'
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'signup' AND value > 190""".stripMargin
+
+  // -------------------------------------------------- JSON functions
+  /** Q33: extract the numeric payload from the raw JSON props column —
+    * the engine-level JSON surface (the reference parses JSON only at
+    * scan time; downstream users still need point extraction). */
+  def q33Json(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"),
+      get_json_object(col("props"), "$.missing").as("missing"))
+
+  val q33Sql: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  json_extract_string(props, '$.missing') AS missing
+      |FROM events""".stripMargin
+
+  // -------------------------------------------------- array functions
+  /** Q34: per-user sorted distinct event-type array + element ops —
+    * array aggregation, sorting, sizing, membership. */
+  def q34Arrays(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(
+        col("user_id"),
+        col("types"),
+        size(col("types")).cast("long").as("n_types"),
+        array_contains(col("types"), "error").as("has_error"),
+        element_at(col("types"), 1).as("first_type"))
+
+  val q34Sql: String =
+    """WITH t AS (SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      |           FROM events GROUP BY user_id)
+      |SELECT user_id, types, CAST(len(types) AS BIGINT) AS n_types,
+      |  list_contains(types, 'error') AS has_error, types[1] AS first_type
+      |FROM t""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_pivot" -> q30Pivot _,
+    "q31_scalar_subquery" -> q31ScalarSubquery _,
+    "q32_set_ops" -> q32SetOps _,
+    "q33_json" -> q33Json _,
+    "q34_arrays" -> q34Arrays _)
+
+  val oracles: Map[String, String] = Map(
+    "q30_pivot" -> q30Sql,
+    "q31_scalar_subquery" -> q31Sql,
+    "q32_set_ops" -> q32Sql,
+    "q33_json" -> q33Sql,
+    "q34_arrays" -> q34Sql)
+}
