@@ -25,7 +25,30 @@ object Bench {
       spark.catalog.clearCache() // free per-query persisted relations
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Transform-class benchmark vs BASELINE.md "3M rows < 3 min": the
+    // reference enrichment (epoch normalization + partition keys) over a
+    // 3M-row batch, written as hive-partitioned snappy parquet.
+    val ingest = {
+      import org.apache.spark.sql.functions._
+      val ev = graft.core.Tables(spark, sfDir, "events")
+      val n = ev.count()
+      val copies = math.max(1, (3000000L / math.max(1L, n)).toInt)
+      val big = ev.withColumn("rep", explode(array((0 until copies).map(lit): _*)))
+        .withColumn("heartbeat", unix_micros(col("ts").cast("timestamp")))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_bench_ingest"
+      val t0 = System.nanoTime()
+      val (wita, hp) = graft.functions.TimeExprs.enrichment(col("heartbeat"))
+      big.withColumn("datetime_wita", wita.cast("timestamp_ntz"))
+        .withColumn("hiveperiod", hp)
+        .withColumn("dstrct_code", concat(lit("D"), pmod(col("user_id"), lit(4))))
+        .repartition(col("hiveperiod"), col("dstrct_code"))
+        .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy("hiveperiod", "dstrct_code").parquet(out)
+      val dt = (System.nanoTime() - t0) / 1e9
+      (n * copies, dt)
+    }
+    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
+      Seq(s""""x_transform_${ingest._1}_rows":${ingest._2}"""))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
