@@ -117,7 +117,30 @@ object RelationalExtras {
       |  list_contains(types, 'error') AS has_error, types[1] AS first_type
       |FROM t""".stripMargin
 
+  // -------------------------------------------------- percentiles
+  /** Q35: exact interpolated percentiles per event type — Spark's exact
+    * `percentile` (not the approximate sketch) against DuckDB's
+    * `quantile_cont`; both interpolate linearly over the sorted values,
+    * so results are bit-comparable. The approximate sketch variant
+    * (`percentile_approx`) is deliberately NOT oracle-checked — sketches
+    * are engine-specific. */
+  def q35Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("median_value"),
+        expr("percentile(value, 0.9)").as("p90_value"),
+        expr("percentile(value, array(0.25, 0.75))").as("iqr"))
+
+  val q35Sql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS median_value,
+      |  quantile_cont(value, 0.9) AS p90_value,
+      |  quantile_cont(value, [0.25, 0.75]) AS iqr
+      |FROM events GROUP BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_percentiles" -> q35Percentiles _,
     "q30_pivot" -> q30Pivot _,
     "q31_scalar_subquery" -> q31ScalarSubquery _,
     "q32_set_ops" -> q32SetOps _,
@@ -125,6 +148,7 @@ object RelationalExtras {
     "q34_arrays" -> q34Arrays _)
 
   val oracles: Map[String, String] = Map(
+    "q35_percentiles" -> q35Sql,
     "q30_pivot" -> q30Sql,
     "q31_scalar_subquery" -> q31Sql,
     "q32_set_ops" -> q32Sql,
