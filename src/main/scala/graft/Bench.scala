@@ -15,20 +15,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/catalyst/scan machinery so the first timed query
-    // doesn't absorb one-time JVM initialization.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // doesn't absorb one-time JVM initialization. Failure-tolerant: a
+    // bad SF dir must still produce the JSON line (with negative
+    // per-query durations), not a crash.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // free per-query persisted relations
-      name -> dt
+      // Failures are reported as negative durations — a silent
+      // plausible-looking timing would corrupt baseline comparisons.
+      name -> (if (ok) dt else -dt)
     }
     // Transform-class benchmark vs BASELINE.md "3M rows < 3 min": the
     // reference enrichment (epoch normalization + partition keys) over a
     // 3M-row batch, written as hive-partitioned snappy parquet.
-    val ingest = {
+    val ingest = try {
       import org.apache.spark.sql.functions._
       val ev = graft.core.Tables(spark, sfDir, "events")
       val n = ev.count()
@@ -46,11 +55,14 @@ object Bench {
         .partitionBy("hiveperiod", "dstrct_code").parquet(out)
       val dt = (System.nanoTime() - t0) / 1e9
       (n * copies, dt)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] transform benchmark failed: ${e.getMessage}")
+      (0L, -1.0)
     }
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
       Seq(s""""x_transform_${ingest._1}_rows":${ingest._2}"""))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.CleanExprs
+import graft.functions.{AggExprs, CleanExprs}
 
 /** The dashboard query library — the read path the whole lake layout is
   * optimized for (reference §3.3, `streamlit-app.py:104-230`; its
@@ -56,11 +56,13 @@ object Dashboard {
         window(col("datetime_wita"), "1 minute"),
         col("unitno"), col("dstrct_code"), col("hiveperiod"))
       .agg(
-        avg(col("gpsspeed")).as("avg_gpsspeed"),
-        avg(col("VehicleSpeed")).as("avg_vehiclespeed"),
-        avg(col("error_rate")).as("avg_error_rate"),
-        avg(col("gpsnumsat")).as("avg_gpsnumsat"),
-        avg(col("constant")).as("avg_constant"),
+        // decAvg, not avg: per-minute numbers must be bit-identical
+        // across reruns/partitionings (see AggExprs).
+        AggExprs.decAvg(col("gpsspeed")).as("avg_gpsspeed"),
+        AggExprs.decAvg(col("VehicleSpeed")).as("avg_vehiclespeed"),
+        AggExprs.decAvg(col("error_rate")).as("avg_error_rate"),
+        AggExprs.decAvg(col("gpsnumsat")).as("avg_gpsnumsat"),
+        AggExprs.decAvg(col("constant")).as("avg_constant"),
         min(col("gpsstatus")).as("gpsstatus"),
         min(col("camfrontstatus")).as("camfrontstatus"),
         min(col("camcabinstatus")).as("camcabinstatus"),

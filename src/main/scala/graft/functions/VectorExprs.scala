@@ -35,10 +35,20 @@ object VectorExprs {
 
   /** Unit-normalize once so pairwise cosine degrades to a single dot —
     * at N² pair volume, recomputing norms per pair is the dominant cost.
-    * Cosine of two pre-normalized vectors = dot(na, nb). */
-  def normalize(a: Column): Column = {
-    val ad = a.cast("array<double>")
-    transform(ad, x => x / sqrt(aggregate(
-      zip_with(ad, ad, (p, q) => p * q), lit(0.0), (acc, x2) => acc + x2)))
-  }
+    * Cosine of two pre-normalized vectors = dot(na, nb).
+    *
+    * The norm must be supplied as its own (pre-projected) column:
+    * embedding it inside the transform lambda would re-evaluate the
+    * O(d) norm for every element — O(d²) per vector. See
+    * [[normalized]] for the two-step projection that does it right. */
+  def divideBy(a: Column, normCol: Column): Column =
+    transform(a.cast("array<double>"), x => x / normCol)
+
+  /** Project `df` to (carryCols..., <out> = unit-normalized `vecCol`),
+    * computing each vector's norm exactly once. */
+  def normalized(df: org.apache.spark.sql.DataFrame, vecCol: String, out: String,
+      carryCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withColumn("__norm", norm(col(vecCol)))
+      .select(carryCols.map(col) :+
+        divideBy(col(vecCol), col("__norm")).as(out): _*)
 }

@@ -52,43 +52,37 @@ object CompactionJob {
   }
 
   /** Compact every fragmented partition under `root` (hive layout
-    * `hiveperiod=…/dstrct_code=…`). Returns before/after row counts for
-    * the no-data-loss check. */
+    * `hiveperiod=…/dstrct_code=…`). Each partition is rewritten by its
+    * own narrow job reading ONLY that leaf directory — partitions never
+    * influence each other, the jobs parallelize across partitions, and
+    * the per-partition `repartition(ceil(bytes / target))` actually
+    * controls output file sizes (a global repartition hashed on the
+    * partition columns would collapse each partition onto one task).
+    *
+    * Schema note: the leaf read uses `mergeSchema` — silver files have
+    * drift-heterogeneous schemas by design, and a footer-sampled schema
+    * would silently drop late-drifted columns from the rewrite.
+    *
+    * Returns before/after row counts for the no-data-loss check. */
   def run(spark: SparkSession, root: String, maxFiles: Int = 4): Result = {
     val fragmented = findFragmented(spark, root, maxFiles)
     if (fragmented.isEmpty) return Result(Nil, 0L, 0L)
 
-    val before = spark.read.parquet(root)
-    val preds = fragmented.map { p =>
-      p.relPath.split("/").filter(_.nonEmpty).map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        col(k) === v
-      }.reduce(_ && _)
-    }
-    val inFragmented = preds.reduce(_ || _)
-    val rowsBefore = before.where(inFragmented).count()
-
-    val compacted = before.where(inFragmented)
-      .localCheckpoint(true) // break lineage: we overwrite what we read
-    val partCols = fragmented.head.relPath.split("/").filter(_.nonEmpty)
-      .map(_.split("=", 2)(0)).toSeq
-
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val nFiles = math.max(1, (fragmented.map(_.bytes).sum / TargetFileBytes).toInt)
-      compacted
-        .repartition(nFiles, partCols.map(col): _*)
+    var rowsBefore = 0L
+    var rowsAfter = 0L
+    fragmented.foreach { p =>
+      val leaf = s"$root/${p.relPath}"
+      val df = spark.read.option("mergeSchema", "true").parquet(leaf)
+      val n = df.count()
+      rowsBefore += n
+      val nFiles = math.max(1, math.ceil(p.bytes.toDouble / TargetFileBytes).toInt)
+      // Break lineage before overwriting the directory we just read.
+      df.repartition(nFiles).localCheckpoint(true)
         .write.mode("overwrite")
-        .partitionBy(partCols: _*)
         .option("compression", "snappy")
-        .parquet(root)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        .parquet(leaf)
+      rowsAfter += spark.read.parquet(leaf).count()
     }
-
-    val rowsAfter = spark.read.parquet(root).where(inFragmented).count()
     Result(fragmented.map(_.relPath), rowsBefore, rowsAfter)
   }
 }

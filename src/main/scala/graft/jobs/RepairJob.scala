@@ -39,7 +39,11 @@ object RepairJob {
     * from a global detection pass is closed: any row inside it lands
     * inside it. Returns the number of rows that changed partition. */
   def repair(spark: SparkSession, silverPath: String): Long = {
-    val silver = spark.read.parquet(silverPath)
+    // mergeSchema: silver files carry drift-heterogeneous schemas by
+    // design; a footer-sampled schema would rewrite affected partitions
+    // WITHOUT late-drifted columns — silent data loss that a row-count
+    // check cannot see.
+    val silver = spark.read.option("mergeSchema", "true").parquet(silverPath)
     val bad = detectMispartitioned(silver).collect()
     if (bad.isEmpty) return 0L
 

@@ -33,14 +33,23 @@ object AsOfJoin {
       time: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // The right row travels as ONE struct so the running last() picks a
+    // whole row atomically — per-column fills would tear values from
+    // different right rows whenever a matched row holds a NULL member.
+    // NULL join keys never match (SQL equality semantics): null-key
+    // right rows carry a null struct (donate nothing) and null-key left
+    // rows are masked after the fill.
     // tag=1 left, tag=0 right: at equal timestamps the right row sorts
     // first, so `l.time >= r.time` includes same-instant matches.
-    val taggedLeft = rightVals.foldLeft(left.withColumn("__tag", lit(1))) {
-      (d, c) => d.withColumn(s"__r_$c", lit(null).cast(right.schema(c).dataType))
-    }
-    val taggedRight = leftCols.foldLeft(right.select(
-      (Seq(col(key), col(time)) ++ rightVals.map(c => col(c).as(s"__r_$c"))): _*)
-      .withColumn("__tag", lit(0))) {
+    val rightStruct = when(col(key).isNotNull,
+      struct(rightVals.map(col): _*)).otherwise(lit(null))
+    val taggedLeft = left
+      .withColumn("__tag", lit(1))
+      .withColumn("__r", lit(null).cast(right.select(rightVals.map(col): _*).schema))
+    val taggedRight = leftCols.foldLeft(
+      right.withColumn("__r", rightStruct)
+        .select(col(key), col(time), col("__r"))
+        .withColumn("__tag", lit(0))) {
       (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null))
     }
 
@@ -48,11 +57,12 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(time), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = unioned.withColumn("__r",
+      when(col(key).isNotNull, last(col("__r"), ignoreNulls = true).over(w))
+        .otherwise(lit(null)))
     filled.where(col("__tag") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(c => col(s"__r_$c").as(s"r_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col(s"__r.$c").as(s"r_$c")): _*)
   }
 
   /** Q27: for each purchase event, the most recent click by the same

@@ -23,14 +23,12 @@ import graft.functions.{CleanExprs, TimeExprs}
   */
 object CoreQueries {
 
-  /** Order-insensitive exact double aggregation: cast to decimal, sum
-    * exactly, return double. Deterministic under any partitioning —
-    * a plain `sum(double)` varies in the last ULPs with the shuffle's
-    * merge order, which breaks hash-parity and reproducibility at scale. */
-  def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+  /** Order-insensitive exact double aggregation — see
+    * [[graft.functions.AggExprs]]. */
+  def decSum(c: Column): Column = graft.functions.AggExprs.decSum(c)
 
   /** Deterministic mean built from the exact sum. */
-  def decAvg(c: Column): Column = decSum(c) / count(c)
+  def decAvg(c: Column): Column = graft.functions.AggExprs.decAvg(c)
 
   // ---------------------------------------------------------------- Q1
   /** Partition-prunable scan: narrow projection + IN-list + date equality

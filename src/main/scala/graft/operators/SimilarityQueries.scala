@@ -130,8 +130,8 @@ object SimilarityQueries {
     // pairwise cosine) and repartition the streamed side: a single-file
     // corpus otherwise drives the nested-loop join on ONE task.
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val normed = emb(spark, dir)
-      .select(col("vec_id"), VectorExprs.normalize(col("embedding")).as("nv"))
+    val normed = VectorExprs.normalized(
+      emb(spark, dir), "embedding", "nv", Seq("vec_id"))
     val a = normed.select(col("vec_id").as("id1"), col("nv").as("nv1")).repartition(nParts)
     val b = normed.select(col("vec_id").as("id2"), col("nv").as("nv2"))
     a.join(broadcast(b), col("id1") < col("id2"))

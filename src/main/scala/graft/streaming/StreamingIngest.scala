@@ -69,10 +69,10 @@ object StreamingIngest {
         window(col("datetime_wita"), "1 minute"),
         col("unitno"), col("dstrct_code"))
       .agg(
-        avg(col("gpsspeed")).as("avg_gpsspeed"),
-        avg(col("VehicleSpeed")).as("avg_vehiclespeed"),
-        avg(abs(col("gpsspeed") - col("VehicleSpeed"))).as("avg_error_rate"),
-        avg(col("gpsnumsat")).as("avg_gpsnumsat"),
+        graft.functions.AggExprs.decAvg(col("gpsspeed")).as("avg_gpsspeed"),
+        graft.functions.AggExprs.decAvg(col("VehicleSpeed")).as("avg_vehiclespeed"),
+        graft.functions.AggExprs.decAvg(abs(col("gpsspeed") - col("VehicleSpeed"))).as("avg_error_rate"),
+        graft.functions.AggExprs.decAvg(col("gpsnumsat")).as("avg_gpsnumsat"),
         min(col("gpsstatus")).as("gpsstatus"),
         min(col("camfrontstatus")).as("camfrontstatus"),
         min(col("camcabinstatus")).as("camcabinstatus"),
