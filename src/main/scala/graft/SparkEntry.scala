@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, CoreQueries, DedupQueries, RelationalExtras, SessionQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsOfJoin, CoreQueries, DedupQueries, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,12 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      TextQueries.all ++ AsOfJoin.all ++ SessionQueries.all ++ RelationalExtras.all
+      TextQueries.all ++ AsOfJoin.all ++ SessionQueries.all ++ RelationalExtras.all ++
+      SamplingQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ AsOfJoin.oracles ++ SessionQueries.oracles ++
-      RelationalExtras.oracles
+      RelationalExtras.oracles ++ SamplingQueries.oracles
 }

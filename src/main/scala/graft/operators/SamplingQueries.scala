@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Deterministic sampling operators — the reproducibility-critical tier
+  * of a training-data pipeline: train/test splits and corpus mixtures
+  * must be stable across reruns, cluster sizes, and engines, so the
+  * "randomness" is a content hash, never `rand()`.
+  *
+  * The hash is md5-derived (engine-portable, like every hash in this
+  * codebase): bucket(id) = first-8-hex-chars(md5(id)) mod 100, giving a
+  * uniform 0..99 percentile per row that DuckDB reproduces exactly.
+  */
+object SamplingQueries {
+
+  /** Uniform 0..99 hash percentile of an id column. */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+
+  private def duckBucket(idExpr: String): String =
+    s"(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8))::BIGINT % 100)"
+
+  /** Q36: stable 10% sample of events, stratified audit by type —
+    * the deterministic train/test-split primitive. Rerunning on any
+    * cluster yields byte-identical membership. */
+  def q36HashSample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .withColumn("bucket", hashBucket(col("event_id")))
+    ev.where(col("bucket") < 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
+  val q36Sql: String =
+    s"""SELECT event_type, count(*) AS n_sampled,
+       |  min(event_id) AS min_id, max(event_id) AS max_id
+       |FROM events WHERE ${duckBucket("event_id")} < 10
+       |GROUP BY event_type""".stripMargin
+
+  /** Q37: corpus mixture sampling — per-language acceptance rates (the
+    * up/down-weighting step when composing a training mix), again by
+    * content hash so the mix is reproducible. */
+  def q37MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 80)
+      .when(col("lang") === "de", 50)
+      .otherwise(20)
+    Tables(spark, dir, "documents")
+      .withColumn("bucket", hashBucket(col("doc_id")))
+      .where(col("bucket") < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("chars_kept"))
+      .withColumn("chars_kept", col("chars_kept").cast("long"))
+  }
+
+  val q37Sql: String =
+    s"""SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents
+       |WHERE ${duckBucket("doc_id")} <
+       |  CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 20 END
+       |GROUP BY lang""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_hash_sample" -> q36HashSample _,
+    "q37_mixture_sample" -> q37MixtureSample _)
+
+  val oracles: Map[String, String] = Map(
+    "q36_hash_sample" -> q36Sql,
+    "q37_mixture_sample" -> q37Sql)
+}
