@@ -73,6 +73,17 @@ object PipelineDemo {
       .map(r => s"${r.get(0)}/${r.getString(1)}=${r.getLong(2)}").mkString(" ")
     println(s"[demo] silver partitions: $layout")
 
+    // -- 2b. the control table is itself a queryable relation
+    //        (SURVEY S3: spark.read.jdbc over the state store)
+    val control = spark.read.format("jdbc")
+      .option("url", "jdbc:derby:memory:demo")
+      .option("dbtable", store.Table)
+      .load()
+    val stateCounts = control.groupBy("compression_status").count()
+      .collect().map(r => s"${Option(r.getString(0)).getOrElse("NULL")}=${r.getLong(1)}")
+      .sorted.mkString(" ")
+    println(s"[demo] control table via spark.read.jdbc: $stateCounts")
+
     // -- 3. idempotent re-run: nothing left to claim
     val r2 = CompactorJob.run(spark, store, "run-2", "DISTRICTB", silver)
     println(s"[demo] run-2 (re-run): claimed=${r2.claimed} rows=${r2.rows}")
