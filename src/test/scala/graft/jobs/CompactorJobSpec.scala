@@ -79,6 +79,22 @@ class CompactorJobSpec extends SparkSpec {
     store.close()
   }
 
+  test("racing runs claim disjoint key sets") {
+    val store = newStore()
+    (1 to 6).foreach(i => store.register(s"file:/r$i", "D", new Timestamp(i * 1000L)))
+    val a = store.claim("run-A", 3, None)
+    val b = store.claim("run-B", 3, None)
+    assert(a.size == 3 && b.size == 3)
+    assert(a.toSet.intersect(b.toSet).isEmpty, "a key must never be claimed twice")
+    assert(store.pendingCount() == 0)
+    // releasing A puts only A's keys back
+    store.release("run-A")
+    assert(store.pendingCount() == 3)
+    val c = store.claim("run-C", 10, None)
+    assert(c.toSet == a.toSet)
+    store.close()
+  }
+
   test("claims are newest-first and bounded by the limit") {
     val store = newStore()
     (1 to 5).foreach(i => store.register(s"file:/k$i", "D", new Timestamp(i * 1000L)))
