@@ -16,12 +16,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ AsOfJoin.all ++ SessionQueries.all ++ RelationalExtras.all ++
-      SamplingQueries.all
+      SamplingQueries.all ++
+      Map("q38_quality_checks" ->
+        ((s: SparkSession, d: String) => graft.analytics.DataQuality.q38QualityChecks(s, d)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ AsOfJoin.oracles ++ SessionQueries.oracles ++
-      RelationalExtras.oracles ++ SamplingQueries.oracles
+      RelationalExtras.oracles ++ SamplingQueries.oracles ++
+      Map("q38_quality_checks" -> graft.analytics.DataQuality.q38Sql)
 }
