@@ -131,6 +131,18 @@ object PipelineDemo {
     val perMin = graft.analytics.Dashboard.perMinuteDeviation(slice)
     println(s"[demo] dashboard: units=${units.mkString(",")} minutes=${perMin.count()}")
 
+    // -- 6c. typed top-k: best readings per unit via the bounded-buffer
+    //        Aggregator (no full window sort)
+    val topSpeeds = silverDf
+      .where(col("gpsspeed").isNotNull && col("gpsspeed") > 0)
+      .select(col("unitno"), struct(col("gpsspeed"), col("heartbeat")).as("p"))
+      .as[(String, (Double, Long))]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.TopKAggregator(2).toColumn.name("topk"))
+      .collect()
+      .map { case (u, xs) => s"$u=[${xs.map(_._1).mkString(",")}]" }.sorted.mkString(" ")
+    println(s"[demo] top-2 speeds per unit: $topSpeeds")
+
     // -- 7. multimodal plumbing
     val media = Seq(
       MediaOps.MediaRow(1L, "image", Array.tabulate(64)(_.toByte), 8, 8, 0L),

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k accumulator (`Aggregator[IN, BUF, OUT]`): keeps the k
+  * best (score, id) pairs per group in a bounded buffer, merged
+  * associatively across partitions.
+  *
+  * Scale rationale: `row_number().over(Window.partitionBy(g).orderBy(s))`
+  * sorts EVERY row of every group to discard all but k; this aggregator
+  * carries at most k elements per partition per group through the
+  * shuffle — the right shape when groups are large and k is small
+  * (top-k neighbors, top-k documents per query). Ties break on id so
+  * results are deterministic.
+  */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def prune(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    xs.sortBy { case (score, id) => (-score, id) }.take(k)
+
+  override def zero: Seq[(Double, Long)] = Seq.empty
+
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.size < k || in._1 > buf.last._1 ||
+      (in._1 == buf.last._1 && in._2 < buf.last._2)) prune(buf :+ in)
+    else buf
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    prune(a ++ b)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}
