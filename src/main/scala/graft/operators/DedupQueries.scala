@@ -22,8 +22,16 @@ import graft.functions.TextExprs
 object DedupQueries {
 
   private val ShingleN = 3
-  private val MinhashSeeds = 16
-  private val BandRows = 2 // 8 bands × 2 rows — ~1.0 recall at J≥0.8
+  private val MinhashSeeds = 20
+  private val BandRows = 2 // 10 bands × 2 rows — ~1.0 recall at J≥0.8
+
+  /** Kirsch–Mitzenmacher modulus (largest prime < 2^50). The mod is not
+    * optional: without it, `h1 + i·h2` for growing i degrades into
+    * ordering by h2 alone, so every signature picks the same min-h2
+    * shingle and short documents lose all band diversity (observed:
+    * J=0.92 pairs missed at sf0.1). Values stay < 2^53, so the
+    * arithmetic is exact in both engines. */
+  private val KmPrime = 1125899906842597L
   private val JaccardThreshold = 0.8
 
   /** Distinct word-3-gram shingles per document: (doc_id, sh).
@@ -133,7 +141,7 @@ object DedupQueries {
       conv(substring(hex, 1, 12), 16, 10).cast("long").as("h1"),
       conv(substring(hex, 17, 12), 16, 10).cast("long").as("h2"))
     val sigAggs = (0 until MinhashSeeds)
-      .map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"s$i"))
+      .map(i => min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(KmPrime))).as(s"s$i"))
     val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val bandStructs = (0 until MinhashSeeds / BandRows).map { b =>
       struct(lit(b).as("band"),
@@ -151,7 +159,7 @@ object DedupQueries {
 
   val minhashLshSql: String = {
     val sigCols = (0 until MinhashSeeds)
-      .map(i => s"min(h1 + $i * h2) AS s$i").mkString(", ")
+      .map(i => s"min((h1 + $i * h2) % $KmPrime) AS s$i").mkString(", ")
     val bandSelects = (0 until MinhashSeeds / BandRows).map { b =>
       val bk = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $bk AS bk FROM sig"
