@@ -98,14 +98,17 @@ object RelationalExtras {
 
   // -------------------------------------------------- array functions
   /** Q34: per-user sorted distinct event-type array + element ops —
-    * array aggregation, sorting, sizing, membership. */
+    * array aggregation, sorting, sizing, membership. The array itself is
+    * emitted as a canonical JSON string (`to_json`) so the result is
+    * scalar-typed end to end: the verification harness canonicalizes
+    * rows by sorting every output column, which a raw array cell breaks. */
   def q34Arrays(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy("user_id")
       .agg(sort_array(collect_set(col("event_type"))).as("types"))
       .select(
         col("user_id"),
-        col("types"),
+        to_json(col("types")).as("types_json"),
         size(col("types")).cast("long").as("n_types"),
         array_contains(col("types"), "error").as("has_error"),
         element_at(col("types"), 1).as("first_type"))
@@ -113,7 +116,8 @@ object RelationalExtras {
   val q34Sql: String =
     """WITH t AS (SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
       |           FROM events GROUP BY user_id)
-      |SELECT user_id, types, CAST(len(types) AS BIGINT) AS n_types,
+      |SELECT user_id, CAST(to_json(types) AS VARCHAR) AS types_json,
+      |  CAST(len(types) AS BIGINT) AS n_types,
       |  list_contains(types, 'error') AS has_error, types[1] AS first_type
       |FROM t""".stripMargin
 
@@ -130,14 +134,23 @@ object RelationalExtras {
       .agg(
         expr("percentile(value, 0.5)").as("median_value"),
         expr("percentile(value, 0.9)").as("p90_value"),
+        // multi-quantile in ONE pass (array-returning percentile), then
+        // unpacked to scalars so the harness can sort/hash the columns
         expr("percentile(value, array(0.25, 0.75))").as("iqr"))
+      .select(
+        col("event_type"), col("median_value"), col("p90_value"),
+        element_at(col("iqr"), 1).as("p25"),
+        element_at(col("iqr"), 2).as("p75"))
 
   val q35Sql: String =
-    """SELECT event_type,
-      |  quantile_cont(value, 0.5) AS median_value,
-      |  quantile_cont(value, 0.9) AS p90_value,
-      |  quantile_cont(value, [0.25, 0.75]) AS iqr
-      |FROM events GROUP BY event_type""".stripMargin
+    """WITH t AS (SELECT event_type,
+      |    quantile_cont(value, 0.5) AS median_value,
+      |    quantile_cont(value, 0.9) AS p90_value,
+      |    quantile_cont(value, [0.25, 0.75]) AS iqr
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, median_value, p90_value,
+      |  iqr[1] AS p25, iqr[2] AS p75
+      |FROM t""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_percentiles" -> q35Percentiles _,
