@@ -1,11 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.VectorExprs
+import graft.functions.{TopKAggregator, VectorExprs}
 import graft.functions.VectorExprs.cosine
 
 /** Similarity search over the `embeddings` table (`array<float>` vectors).
@@ -15,11 +14,22 @@ import graft.functions.VectorExprs.cosine
   *    is small and broadcast, so the big side streams through one
   *    scan with no shuffle of the corpus;
   *  - IVF (inverted-file) ANN — the 100 TB path: vectors are assigned to
-  *    coarse centroids once (one broadcast join), queries probe only
-  *    their nearest nprobe centroid buckets, so per-query work is
-  *    |corpus|/C × nprobe instead of |corpus|;
-  *  - cosine near-dup pairs — threshold-filtered, for embedding-level
-  *    dedup of a corpus.
+  *    coarse centroids, queries probe only their nearest nprobe centroid
+  *    buckets, so per-query work is |corpus|/C × nprobe instead of
+  *    |corpus|;
+  *  - IVF-bucketed cosine near-dup pairs — embedding-level dedup whose
+  *    candidate set is pairs sharing a centroid bucket (multi-assigned),
+  *    never the all-pairs cross product.
+  *
+  * Centroid handling is Faiss-shaped: the codebook ([[NumCentroids]]
+  * vectors — at scale the output of a k-means training job) is collected
+  * once to the driver and inlined as literals, so centroid scoring is a
+  * narrow, whole-stage-codegen'd projection with ZERO shuffle (the
+  * literal-side norms constant-fold). Every top-k extraction goes
+  * through [[TopKAggregator]] — a bounded-buffer partial aggregation
+  * that carries at most k rows per group per partition through the
+  * shuffle, instead of a `row_number` window that would shuffle and
+  * fully sort every scored row into |queries| partitions.
   */
 object SimilarityQueries {
 
@@ -27,27 +37,67 @@ object SimilarityQueries {
   private val TopK = 5
   private val NumCentroids = 16
   private val NProbe = 4
-  private val NearDupThreshold = 0.55
+  private val NearDupThreshold = 0.4
+  private val NearDupProbes = 2
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
 
+  // ------------------------------------------------- centroid codebook
+  /** Collect the coarse centroids to the driver — [[NumCentroids]] rows,
+    * bounded by construction (the IVF codebook is always
+    * memory-resident, like a Faiss quantizer; this is NOT a corpus
+    * collect). */
+  private def centroidList(e: DataFrame): Seq[(Long, Seq[Double])] =
+    e.where(col("vec_id") < NumCentroids)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** Per-row (cosine, -centroid_id) struct per codebook entry — a narrow
+    * codegen'd projection against literal centroids; the literal-side
+    * norms constant-fold, so each row costs one dot per centroid. */
+  private def centroidScores(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(cosine(vec, typedlit(cv)).as("cc"), lit(-cid).as("negid"))
+    }: _*)
+
+  /** The m nearest centroids, exploded — ordering is cosine desc then
+    * centroid id asc (ascending struct sort on (cc, -id), reversed). */
+  private def topCentroids(scores: Column, m: Int): Column =
+    explode(slice(reverse(array_sort(scores)), 1, m))
+
+  // ------------------------------------------------------- shared top-k
+  /** Top-k rows per q_id from (q_id, n_id, cos) via the bounded-buffer
+    * [[TopKAggregator]]: partial aggregation keeps ≤ k candidates per
+    * group per partition ahead of the shuffle. Ties break on n_id; rank
+    * is the buffer position (identical to `row_number` over
+    * (cos desc, n_id)). */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    scored.groupBy("q_id")
+      .agg(topk(col("cos"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("n_id"),
+        (col("pos") + 1).cast("long").as("rn"),
+        round(col("col._1"), 6).as("sim"))
+  }
+
   // ------------------------------------------------- brute-force top-k
   /** Exact cosine top-k: for each of the first [[NumQueries]] vectors,
-    * the [[TopK]] nearest others. Queries are broadcast; ties broken by
-    * neighbor id for determinism. */
+    * the [[TopK]] nearest others. Queries are broadcast; the corpus
+    * streams through one narrow scoring pass into the partial top-k
+    * aggregation — no corpus shuffle, no window sort. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val q = e.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val base = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    base.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= TopK)
-      .select(col("q_id"), col("n_id"), col("rn").cast("long").as("rn"),
-        round(col("cos"), 6).as("sim"))
+    val scored = e.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    topK(scored, TopK)
   }
 
   val cosineTopKSql: String =
@@ -61,43 +111,27 @@ object SimilarityQueries {
 
   // --------------------------------------------------------- IVF ANN
   /** IVF-style approximate nearest neighbor: the first [[NumCentroids]]
-    * vectors serve as coarse centroids (deterministic "training"); every
-    * vector is assigned to its nearest centroid, queries probe their
-    * [[NProbe]] nearest centroid buckets only. Centroids and assignments
-    * are broadcast-scale; the corpus is scanned once for assignment and
-    * once per probe — never all-pairs. */
+    * vectors serve as the codebook (deterministic "training"); every
+    * vector is narrowly assigned to its nearest centroid, queries probe
+    * their [[NProbe]] nearest buckets only. The corpus is scanned once —
+    * assignment is a literal-centroid projection, the probe join is a
+    * broadcast hash join on bucket id, and the final top-k is a partial
+    * aggregation. Never all-pairs, never a corpus-wide sort. */
   def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cent = e.where(col("vec_id") < NumCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-
-    // corpus → nearest centroid (argmax cosine, ties to lowest centroid)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("c_id"))
-    val assign = e.crossJoin(broadcast(cent))
-      .withColumn("cc", cosine(col("embedding"), col("c_vec")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"), col("c_id").as("cluster"))
-
-    // query → nprobe nearest centroids
-    val q = e.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("qc").desc, col("c_id"))
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("qc", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("prn", row_number().over(wProbe))
-      .where(col("prn") <= NProbe)
-      .select(col("q_id"), col("q_vec"), col("c_id").as("cluster"))
-
-    // search only the probed buckets
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    assign.join(broadcast(probes), "cluster")
+    val cents = centroidList(e)
+    val assign = e
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), 1))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        (-col("__c.negid")).as("bkt"))
+    val probes = e.where(col("vec_id") < NumQueries)
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), NProbe))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        (-col("__c.negid")).as("bkt"))
+    val scored = assign.join(broadcast(probes), "bkt")
       .where(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-      .withColumn("rn", row_number().over(wTop))
-      .where(col("rn") <= TopK)
-      .select(col("q_id"), col("n_id"), col("rn").cast("long").as("rn"),
-        round(col("cos"), 6).as("sim"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    topK(scored, TopK)
   }
 
   val ivfAnnSql: String =
@@ -108,45 +142,76 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS arn
        |  FROM e CROSS JOIN cent),
-       |assign AS (SELECT vec_id AS n_id, v AS nv, c_id AS cluster FROM ac WHERE arn = 1),
+       |assign AS (SELECT vec_id AS n_id, v AS nv, c_id AS bkt FROM ac WHERE arn = 1),
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
        |qp AS (SELECT q_id, qv, c_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY
        |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS prn
        |  FROM q CROSS JOIN cent),
-       |probes AS (SELECT q_id, qv, c_id AS cluster FROM qp WHERE prn <= $NProbe),
+       |probes AS (SELECT q_id, qv, c_id AS bkt FROM qp WHERE prn <= $NProbe),
        |p AS (SELECT q_id, n_id,
        |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS c
-       |  FROM probes JOIN assign USING (cluster) WHERE q_id != n_id),
+       |  FROM probes JOIN assign USING (bkt) WHERE q_id != n_id),
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM p)
        |SELECT q_id, n_id, rn, round(c, 6) AS sim FROM r WHERE rn <= $TopK""".stripMargin
 
   // --------------------------------------------------- cosine near-dup
-  /** Embedding-cosine near-duplicate pairs above a threshold. Brute-force
-    * pair enumeration here is the verification baseline; at scale the
-    * candidate set would come from the IVF buckets above. */
-  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // Normalize once (N norms, not N² — the norm is the expensive half of
-    // pairwise cosine) and repartition the streamed side: a single-file
-    // corpus otherwise drives the nested-loop join on ONE task.
-    val nParts = spark.sessionState.conf.numShufflePartitions
-    val normed = VectorExprs.normalized(
-      emb(spark, dir), "embedding", "nv", Seq("vec_id"))
-    val a = normed.select(col("vec_id").as("id1"), col("nv").as("nv1")).repartition(nParts)
-    val b = normed.select(col("vec_id").as("id2"), col("nv").as("nv2"))
-    a.join(broadcast(b), col("id1") < col("id2"))
+  /** IVF-bucketed near-duplicate pairs over any (vec_id, embedding)
+    * relation: each vector is multi-assigned to its `probes` nearest
+    * centroids, candidates are pairs sharing a bucket (equi-join on
+    * bucket id — candidate volume ∝ Σ bucket², never N²), and every
+    * candidate is exactly verified with a pre-normalized dot product.
+    * Multi-assignment is what buys recall: two near-dups whose argmax
+    * centroids differ still meet in a shared second-choice bucket when
+    * the corpus is cluster-structured (true duplicate embeddings are). */
+  def nearDupBucketed(e: DataFrame, threshold: Double,
+      probes: Int = NearDupProbes): DataFrame = {
+    val cents = centroidList(e)
+    val assign = e
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), probes))
+      .select(col("vec_id"), (-col("__c.negid")).as("bkt"))
+    val cands = assign.select(col("vec_id").as("id1"), col("bkt"))
+      .join(assign.select(col("vec_id").as("id2"), col("bkt")), "bkt")
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val normed = VectorExprs.normalized(e, "embedding", "nv", Seq("vec_id"))
+    cands
+      .join(normed.select(col("vec_id").as("id1"), col("nv").as("nv1")), "id1")
+      .join(normed.select(col("vec_id").as("id2"), col("nv").as("nv2")), "id2")
       .withColumn("cos", VectorExprs.dot(col("nv1"), col("nv2")))
-      .where(col("cos") >= NearDupThreshold)
+      .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("sim"))
   }
 
+  /** All-pairs exact near-dup — the recall oracle for
+    * [[nearDupBucketed]] in tests ONLY. O(N²); never the shipped path. */
+  def nearDupBrute(e: DataFrame, threshold: Double): DataFrame = {
+    val normed = VectorExprs.normalized(e, "embedding", "nv", Seq("vec_id"))
+    val a = normed.select(col("vec_id").as("id1"), col("nv").as("nv1"))
+    val b = normed.select(col("vec_id").as("id2"), col("nv").as("nv2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .withColumn("cos", VectorExprs.dot(col("nv1"), col("nv2")))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("sim"))
+  }
+
+  /** Q26: bucketed near-dup on the embeddings table. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupBucketed(emb(spark, dir), NearDupThreshold)
+
   val cosineNearDupSql: String =
-    s"""WITH e AS (SELECT vec_id,
-       |    list_transform(CAST(embedding AS DOUBLE[]),
-       |      x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS nv
-       |  FROM embeddings),
-       |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, list_dot_product(a.nv, b.nv) AS c
-       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       |ac AS (SELECT e.vec_id, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id, c_id AS bkt FROM ac WHERE arn <= $NearDupProbes),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM assign a JOIN assign b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+       |p AS (SELECT id1, id2, list_dot_product(a.nv, b.nv) AS c
+       |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
        |SELECT id1, id2, round(c, 6) AS sim FROM p WHERE c >= $NearDupThreshold""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -43,9 +43,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-N must not global-sort:\n$p")
   }
 
-  test("q26: the native vector_dot expression is in the join, not zip_with") {
+  test("q26: the native vector_dot verifies IVF-bucket candidates — no all-pairs NLJ") {
     val p = plan(SimilarityQueries.cosineNearDup(spark, Dir))
     assert(p.contains("vector_dot"), s"custom expression missing from plan:\n$p")
     assert(!p.contains("zip_with"), "pairwise path must use the native dot")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup must not enumerate the full cross product:\n$p")
+  }
+
+  test("q20/q21: top-k is a bounded partial aggregation, not a window sort") {
+    for (df <- Seq(SimilarityQueries.cosineTopK(spark, Dir),
+        SimilarityQueries.ivfAnn(spark, Dir))) {
+      val p = plan(df)
+      assert(p.contains("ObjectHashAggregate"),
+        s"expected partial top-k aggregation:\n$p")
+      assert(!p.contains("Window"),
+        s"top-k must not shuffle all scored rows into a window sort:\n$p")
+    }
   }
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Semantics of the IVF-bucketed near-dup against the brute-force
+  * oracle on data shaped like real duplicate embeddings: tight clusters,
+  * where a near-dup operator must find every pair. (The shipped
+  * testdata's embeddings are near-uniform — bucketing is exercised for
+  * oracle parity there, but only cluster-structured data can pin
+  * recall.)
+  */
+class SimilaritySpec extends SparkSpec {
+
+  /** 16 tight clusters in 16-dim, one codebook-eligible member per
+    * cluster among vec_id < 16 (cluster = id % 16) — every member's
+    * nearest codebook entry is its own cluster's representative by a
+    * wide margin, so bucketed candidate generation must be exhaustive
+    * for same-cluster pairs. */
+  private lazy val clustered = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian()))
+    (0 until 128).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => (x + 0.02 * rnd.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bucketed near-dup finds exactly the brute-force pairs on clustered data") {
+    val got = pairs(SimilarityQueries.nearDupBucketed(clustered, 0.9))
+    val want = pairs(SimilarityQueries.nearDupBrute(clustered, 0.9))
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == want,
+      s"bucketed missed ${(want -- got).size} pairs, invented ${(got -- want).size}")
+  }
+}
