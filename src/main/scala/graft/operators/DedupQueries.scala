@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -9,12 +9,13 @@ import graft.functions.TextExprs
 /** Deduplication operators over the `documents` table — the LLM
   * training-data-pipeline surface (BASELINE.json north star): exact
   * hash dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup, SimHash
-  * fingerprints, and normalized content fingerprinting.
+  * fingerprints + Hamming pairing, and normalized content
+  * fingerprinting.
   *
   * Scale design: every per-document computation is a narrow map; the only
   * shuffles are (a) groupBy(hash) for exact dedup — uniformly distributed
   * keys, no skew — and (b) the shingle/band self-joins, whose fan-out is
-  * bounded by shingle selectivity (word 3-grams) and LSH band width
+  * bounded by the shingle document-frequency cap and LSH band width
   * rather than O(N²). Brute-force pair enumeration never happens outside
   * LSH candidate buckets, which is what makes the approach viable at
   * 100 TB: candidates ∝ Σ bucket², not N².
@@ -25,6 +26,16 @@ object DedupQueries {
   private val MinhashSeeds = 20
   private val BandRows = 2 // 10 bands × 2 rows — ~1.0 recall at J≥0.8
 
+  /** Document-frequency cap for shingles. One boilerplate n-gram ("all
+    * rights reserved") shared by d documents contributes d² rows to the
+    * inverted-index self-join — the single way these plans go quadratic
+    * on a real corpus. Shingles above the cap carry no discriminative
+    * signal for J ≥ 0.8 near-dup decisions, so they are dropped from the
+    * shingle SET itself (sizes, intersections, signatures — and both
+    * DuckDB oracles — all see the same capped sets), which bounds every
+    * posting list and hence every join fan-out at cap². */
+  private[operators] val MaxShingleDf = 128
+
   /** Kirsch–Mitzenmacher modulus (largest prime < 2^50). The mod is not
     * optional: without it, `h1 + i·h2` for growing i degrades into
     * ordering by h2 alone, so every signature picks the same min-h2
@@ -34,22 +45,41 @@ object DedupQueries {
   private val KmPrime = 1125899906842597L
   private val JaccardThreshold = 0.8
 
-  /** Distinct word-3-gram shingles per document: (doc_id, sh).
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Distinct word-3-gram shingles per document, document-frequency
+    * capped: (doc_id, sh).
     *
     * Persisted: every near-dup pipeline references this relation several
     * times (both sides of the self-join + per-doc sizes); without
     * materialization Spark re-runs the explode+distinct for each
     * reference — at 100 TB that's the difference between one corpus scan
     * and five. */
-  private def shingleSet(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def shinglesOf(docRel: DataFrame): DataFrame = {
     val toks = TextExprs.tokens(col("text"))
-    Tables(spark, dir, "documents")
+    val sh = docRel
       .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) >= ShingleN)
       .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
       .distinct()
-      .persist()
+    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= MaxShingleDf)
+      .select("sh")
+    sh.join(keep, "sh").persist()
   }
+
+  /** The capped-shingle relation as DuckDB SQL CTEs (`sh` = the capped
+    * set) — shared prefix of the q17/q18 oracles so both engines always
+    * agree on the exact shingle space. */
+  private val shingleCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM t),
+       |keep AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $MaxShingleDf),
+       |sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN keep USING (sh))""".stripMargin
 
   /** Exact Jaccard over shingle sets for a candidate pair set
     * (columns d1, d2) — integer set math, deterministic. */
@@ -71,11 +101,11 @@ object DedupQueries {
   /** Exact dedup by content hash: every doc annotated with its group's
     * canonical keeper (lowest doc_id) and duplicate count. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val d = docs(spark, dir)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    val groups = docs.groupBy("h")
+    val groups = d.groupBy("h")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_n"))
-    docs.join(groups, "h")
+    d.join(groups, "h")
       .select(col("doc_id"), col("h"), col("keeper"), col("group_n"),
         (col("doc_id") =!= col("keeper")).as("is_dup"))
   }
@@ -87,13 +117,13 @@ object DedupQueries {
       |FROM d JOIN g USING (h)""".stripMargin
 
   // ------------------------------------------------- n-gram Jaccard
-  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8, found via the
-    * shingle inverted index (pairs sharing ≥1 shingle — selective for
-    * 3-grams, unlike unigrams). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 over the capped
+    * shingle sets, found via the shingle inverted index (pairs sharing
+    * ≥1 surviving shingle). */
+  private[operators] def ngramJaccardOn(docRel: DataFrame): DataFrame = {
     // One self-join computes intersections directly — no separate
     // candidate pass (pairs sharing zero shingles never appear at all).
-    val sh = shingleSet(spark, dir)
+    val sh = shinglesOf(docRel)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("d1"), col("sh"))
       .join(sh.select(col("doc_id").as("d2"), col("sh")), "sh")
@@ -108,12 +138,11 @@ object DedupQueries {
       .where(col("jaccard") >= JaccardThreshold)
   }
 
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardOn(docs(spark, dir))
+
   val ngramJaccardSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |           WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (SELECT DISTINCT doc_id,
-       |  unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
-       |  FROM t),
+    s"""WITH $shingleCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -123,23 +152,38 @@ object DedupQueries {
        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
 
   // ----------------------------------------------------- MinHash+LSH
-  /** MinHash + LSH near-dup, banded 8×2; pairs colliding in any band are
-    * candidates, then verified by exact Jaccard ≥ 0.8. The scale path:
-    * candidate count is driven by band collisions, never N².
+  /** Per-shingle (h1, h2) hash pair for Kirsch–Mitzenmacher double
+    * hashing. Parity mode derives both halves from ONE md5 (portable to
+    * the DuckDB oracle, bit-for-bit); fast mode uses two xxhash64 calls
+    * — native 64-bit codegen'd hashing, ~an order of magnitude cheaper
+    * than the md5→hex→substring→conv chain, for production runs where
+    * no cross-engine parity is required. Both land in [0, KmPrime) so
+    * `h1 + i·h2` stays exact below 2^53. */
+  private def shingleHashes(sh: DataFrame, fastHash: Boolean): DataFrame =
+    if (fastHash)
+      sh.select(col("doc_id"),
+        pmod(xxhash64(col("sh")), lit(KmPrime)).as("h1"),
+        pmod(xxhash64(col("sh"), lit(1L)), lit(KmPrime)).as("h2"))
+    else {
+      val hex = md5(col("sh").cast("binary"))
+      sh.select(col("doc_id"),
+        conv(substring(hex, 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(hex, 17, 12), 16, 10).cast("long").as("h2"))
+    }
+
+  /** MinHash + LSH near-dup, banded 10×2; pairs colliding in any band
+    * are candidates, then verified by exact Jaccard ≥ 0.8. The scale
+    * path: candidate count is driven by band collisions, never N².
     *
-    * Signatures use Kirsch–Mitzenmacher double hashing: ONE md5 per
-    * shingle yields two 48-bit halves (h1, h2); the i-th hash is
-    * `h1 + i·h2` (overflow-free below 2^53). All 16 per-doc minima are
-    * computed as 16 aggregates of a single groupBy — one pass, one
-    * shuffle, versus the naive 16× row fan-out with 16 md5 calls per
-    * shingle. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(spark, dir)
-    val hex = md5(col("sh").cast("binary"))
-    val hashed = sh.select(
-      col("doc_id"),
-      conv(substring(hex, 1, 12), 16, 10).cast("long").as("h1"),
-      conv(substring(hex, 17, 12), 16, 10).cast("long").as("h2"))
+    * Signatures use Kirsch–Mitzenmacher double hashing: one base hash
+    * pair per shingle; the i-th hash is `(h1 + i·h2) mod p`. All 20
+    * per-doc minima are computed as 20 aggregates of a single groupBy —
+    * one pass, one shuffle, versus the naive 20× row fan-out with 20
+    * hash calls per shingle. */
+  private[operators] def minhashLshOn(docRel: DataFrame,
+      fastHash: Boolean = false): DataFrame = {
+    val sh = shinglesOf(docRel)
+    val hashed = shingleHashes(sh, fastHash)
     val sigAggs = (0 until MinhashSeeds)
       .map(i => min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(KmPrime))).as(s"s$i"))
     val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
@@ -157,6 +201,16 @@ object DedupQueries {
     verifyJaccard(cands, sh).where(col("jaccard") >= JaccardThreshold)
   }
 
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(docs(spark, dir), fastHash = false)
+
+  /** Production-path LSH (xxhash64 signatures) — same banding and exact
+    * verification, no DuckDB-portable hash, so it gets a rows-only
+    * driver check; cross-validated against the md5 path and the exact
+    * q17 pairs in DedupSpec. */
+  def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
+    minhashLshOn(docs(spark, dir), fastHash = true)
+
   val minhashLshSql: String = {
     val sigCols = (0 until MinhashSeeds)
       .map(i => s"min((h1 + $i * h2) % $KmPrime) AS s$i").mkString(", ")
@@ -164,11 +218,7 @@ object DedupQueries {
       val bk = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $bk AS bk FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |           WHERE len(string_split(text, ' ')) >= 3),
-       |sh AS (SELECT DISTINCT doc_id,
-       |  unnest(list_transform(range(len(w) - 2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
-       |  FROM t),
+    s"""WITH $shingleCtes,
        |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
        |             ('0x' || substr(md5(sh), 17, 12))::BIGINT AS h2 FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
@@ -189,8 +239,8 @@ object DedupQueries {
   /** 64-bit SimHash per document (hex string) over distinct tokens —
     * near-dup docs land within small Hamming distance; one narrow
     * aggregation, no joins. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(spark, dir, "documents")
+  private[operators] def simhashOn(docRel: DataFrame): DataFrame = {
+    val toks = docRel
       .select(col("doc_id"), explode(array_distinct(TextExprs.tokens(col("text")))).as("tok"))
     val digits = TextExprs.tokenHexDigits(col("tok"))
     val agged = toks.groupBy("doc_id").agg(
@@ -200,7 +250,12 @@ object DedupQueries {
     agged.select(col("doc_id"), TextExprs.simhashAssemble(votes).as("simhash"))
   }
 
-  val simhashSql: String =
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(docs(spark, dir))
+
+  /** The SimHash fingerprint relation as a DuckDB CTE body (doc_id,
+    * simhash) — shared by the q19 and q39 oracles. */
+  private val simhashBodySql: String =
     """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |d AS (SELECT doc_id, tok, md5(tok) AS hex FROM toks),
       |bits AS (SELECT doc_id, j.j, b.b,
@@ -214,15 +269,65 @@ object DedupQueries {
       |SELECT doc_id, string_agg(substr('0123456789abcdef', CAST(nibble AS INTEGER) + 1, 1), '' ORDER BY j) AS simhash
       |FROM nib GROUP BY doc_id""".stripMargin
 
+  val simhashSql: String = simhashBodySql
+
+  // ---------------------------------------- SimHash Hamming pairing
+  /** Hamming-distance bound for SimHash near-dup pairs. */
+  private val HammingMax = 3
+
+  /** Q39: the query q19's fingerprints exist FOR — near-dup pairs within
+    * Hamming distance ≤ [[HammingMax]]. The 64-bit fingerprint is banded
+    * into 4×16-bit keys; by pigeonhole, any pair within Hamming ≤ 3
+    * agrees exactly on ≥ 1 band, so banded candidate generation is EXACT
+    * (never all-pairs), and candidates are verified with
+    * popcount(band XOR band) summed across bands. */
+  private[operators] def simhashNearDupOn(fp: DataFrame): DataFrame = {
+    def bandKey(h: Column, b: Int): Column = substring(h, b * 4 + 1, 4)
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b => bandKey(col("simhash"), b)): _*)))
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bk"))
+    val cands = bands
+      .select(col("doc_id").as("d1"), col("simhash").as("f1"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("simhash").as("f2"),
+        col("band"), col("bk")), Seq("band", "bk"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2", "f1", "f2").distinct()
+    val hamming = (0 until 4).map { b =>
+      bit_count(conv(bandKey(col("f1"), b), 16, 10).cast("long")
+        .bitwiseXOR(conv(bandKey(col("f2"), b), 16, 10).cast("long")))
+    }.reduce(_ + _)
+    cands.withColumn("hamming", hamming.cast("long"))
+      .where(col("hamming") <= HammingMax)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupOn(simhash(spark, dir))
+
+  val simhashNearDupSql: String = {
+    def duckBand(h: String, b: Int) = s"('0x' || substr($h, ${b * 4 + 1}, 4))::BIGINT"
+    val hamming = (0 until 4)
+      .map(b => s"bit_count(xor(${duckBand("f1", b)}, ${duckBand("f2", b)}))")
+      .mkString(" + ")
+    s"""WITH fp AS ($simhashBodySql),
+       |bands AS (SELECT doc_id, simhash, b.b AS band, substr(simhash, b.b * 4 + 1, 4) AS bk
+       |  FROM fp, (SELECT unnest(range(4)) AS b) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |    a.simhash AS f1, b.simhash AS f2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |h AS (SELECT d1, d2, CAST($hamming AS BIGINT) AS hamming FROM cand)
+       |SELECT d1, d2, hamming FROM h WHERE hamming <= $HammingMax""".stripMargin
+  }
+
   // ------------------------------------------------- fingerprinting
   /** Normalized content fingerprint (lowercase, whitespace-collapsed,
     * md5) with canonical-keeper annotation — catches
     * formatting-only duplicates that exact hashing misses. */
   def fingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val d = docs(spark, dir)
       .select(col("doc_id"), TextExprs.fingerprint(col("text")).as("fp"))
-    val groups = docs.groupBy("fp").agg(min("doc_id").as("keeper"), count(lit(1)).as("group_n"))
-    docs.join(groups, "fp")
+    val groups = d.groupBy("fp").agg(min("doc_id").as("keeper"), count(lit(1)).as("group_n"))
+    d.join(groups, "fp")
       .select(col("doc_id"), col("fp"), (col("doc_id") === col("keeper")).as("is_canonical"))
   }
 
@@ -237,12 +342,18 @@ object DedupQueries {
     "q17_ngram_jaccard" -> ngramJaccard _,
     "q18_minhash_lsh" -> minhashLsh _,
     "q19_simhash" -> simhash _,
-    "q25_fingerprint" -> fingerprintDedup _)
+    "q25_fingerprint" -> fingerprintDedup _,
+    "q39_simhash_neardup" -> simhashNearDup _,
+    "q40_minhash_lsh_fast" -> minhashLshFast _)
 
   val oracles: Map[String, String] = Map(
     "q16_dedup_exact" -> dedupExactSql,
     "q17_ngram_jaccard" -> ngramJaccardSql,
     "q18_minhash_lsh" -> minhashLshSql,
     "q19_simhash" -> simhashSql,
-    "q25_fingerprint" -> fingerprintSql)
+    "q25_fingerprint" -> fingerprintSql,
+    "q39_simhash_neardup" -> simhashNearDupSql)
+    // q40 has no oracle by design: xxhash64 is not DuckDB-portable;
+    // the driver records a rows-only check and DedupSpec cross-validates
+    // it against the md5 path + exact pairs.
 }

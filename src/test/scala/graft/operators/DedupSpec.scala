@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup-suite semantics that the oracle rows can't pin: posting-list
+  * boundedness under a viral shingle, LSH recall against the exact
+  * pairs, fast-hash/parity-hash equivalence, and Hamming verification
+  * of SimHash candidates.
+  */
+class DedupSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.01"
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** 200 docs all opening with the same boilerplate 3-gram, otherwise
+    * unique — plus one genuine clone pair with distinctive text. */
+  private lazy val viralDocs = {
+    import spark.implicits._
+    val boiler = (0 until 200).map { i =>
+      (i.toLong, s"all rights reserved u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }
+    val cloneText = "the quick brown fox jumps over the lazy dog tonight"
+    (boiler :+ (1000L, cloneText) :+ (1001L, cloneText)).toDF("doc_id", "text")
+  }
+
+  test("shingle df cap bounds every posting list under a viral shingle") {
+    val sh = DedupQueries.shinglesOf(viralDocs)
+    val maxDf = sh.groupBy("sh").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= DedupQueries.MaxShingleDf,
+      s"a shingle survived with df=$maxDf > cap — self-join fan-out unbounded")
+  }
+
+  test("the cap drops boilerplate but still finds genuine clone pairs") {
+    assert(pairs(DedupQueries.ngramJaccardOn(viralDocs)) == Set((1000L, 1001L)))
+    assert(pairs(DedupQueries.minhashLshOn(viralDocs)) == Set((1000L, 1001L)))
+  }
+
+  test("LSH recall >= 95% of the exact n-gram Jaccard pairs at sf0.01") {
+    val exact = pairs(DedupQueries.ngramJaccard(spark, Dir))
+    val lsh = pairs(DedupQueries.minhashLsh(spark, Dir))
+    assert(exact.nonEmpty, "testdata must contain near-dup pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("fast xxhash64 LSH finds the same verified pairs as the md5 parity path") {
+    val md5Pairs = pairs(DedupQueries.minhashLsh(spark, Dir))
+    val fastPairs = pairs(DedupQueries.minhashLshFast(spark, Dir))
+    assert(fastPairs == md5Pairs,
+      s"fast-path missed ${(md5Pairs -- fastPairs).size}, invented ${(fastPairs -- md5Pairs).size}")
+  }
+
+  test("simhash Hamming pairing verifies candidates with popcount(xor)") {
+    import spark.implicits._
+    // fingerprints with known pairwise Hamming: (0,1)=1, (1,2)=3, (0,2)=4
+    val fp = Seq(
+      (0L, "0000000000000000"),
+      (1L, "0000000000000001"),
+      (2L, "000000000000000f")).toDF("doc_id", "simhash")
+    assert(pairs(DedupQueries.simhashNearDupOn(fp)) == Set((0L, 1L), (1L, 2L)))
+  }
+}
