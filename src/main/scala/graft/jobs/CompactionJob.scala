@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * files"): partitions accumulating one file per hourly batch are
   * rewritten to a handful of right-sized files.
   *
-  * Safety over the stub's design: instead of compact-then-delete (a
-  * window where both or neither copy exists), each partition is
-  * rewritten via dynamic partition overwrite (commit-protocol atomic),
-  * and the job verifies row counts before declaring success.
+  * Safety over the stub's design: each partition is compacted into a
+  * hidden temp sibling directory, row-count verified THERE, and only
+  * then swapped in via two renames — the original bytes are never
+  * touched until a complete, durable, verified replacement exists on
+  * the same filesystem. (Rename-swap is atomic on HDFS/local; on an
+  * object store without atomic rename this step would instead flip a
+  * metastore partition pointer.)
   *
   * Scale: file listing is driver-side metadata only; each partition's
   * rewrite is an independent narrow job reading only that partition
@@ -35,7 +38,12 @@ object CompactionJob {
     val rootPath = fs.makeQualified(new Path(root))
 
     def leaves(p: Path): Seq[Path] = {
-      val children = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      // Skip hidden dirs: a crash-leftover .compact_* staging dir must
+      // never be mistaken for a data partition.
+      val children = fs.listStatus(p)
+        .filter(f => f.isDirectory && !f.getPath.getName.startsWith(".")
+          && !f.getPath.getName.startsWith("_"))
+        .map(_.getPath)
       if (children.isEmpty) Seq(p) else children.toSeq.flatMap(leaves)
     }
 
@@ -63,26 +71,52 @@ object CompactionJob {
     * drift-heterogeneous schemas by design, and a footer-sampled schema
     * would silently drop late-drifted columns from the rewrite.
     *
+    * Crash safety, per partition: the compacted copy is written and
+    * count-verified in a hidden temp sibling BEFORE the original moves;
+    * a failure up to that point leaves the partition untouched (stale
+    * staging dirs are ignored by reads and re-overwritten next run). The
+    * only non-atomic window is between the two renames, where the
+    * verified replacement and the backup both exist on disk — data can
+    * need a manual rename after a crash there, but can never be lost. A
+    * count mismatch abandons the staging copy and keeps the original.
+    *
     * Returns before/after row counts for the no-data-loss check. */
   def run(spark: SparkSession, root: String, maxFiles: Int = 4): Result = {
     val fragmented = findFragmented(spark, root, maxFiles)
     if (fragmented.isEmpty) return Result(Nil, 0L, 0L)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     var rowsBefore = 0L
     var rowsAfter = 0L
+    val done = Seq.newBuilder[String]
     fragmented.foreach { p =>
-      val leaf = s"$root/${p.relPath}"
-      val df = spark.read.option("mergeSchema", "true").parquet(leaf)
+      val leaf = fs.makeQualified(new Path(s"$root/${p.relPath}"))
+      val tmp = new Path(leaf.getParent, s".compact_tmp_${leaf.getName}")
+      val bak = new Path(leaf.getParent, s".compact_old_${leaf.getName}")
+      fs.delete(bak, true) // stale leftovers from an earlier crash
+      val df = spark.read.option("mergeSchema", "true").parquet(leaf.toString)
       val n = df.count()
       rowsBefore += n
       val nFiles = math.max(1, math.ceil(p.bytes.toDouble / TargetFileBytes).toInt)
-      // Break lineage before overwriting the directory we just read.
-      df.repartition(nFiles).localCheckpoint(true)
+      df.repartition(nFiles)
         .write.mode("overwrite")
         .option("compression", "snappy")
-        .parquet(leaf)
-      rowsAfter += spark.read.parquet(leaf).count()
+        .parquet(tmp.toString)
+      val nTmp = spark.read.parquet(tmp.toString).count()
+      if (nTmp == n) {
+        fs.rename(leaf, bak)
+        fs.rename(tmp, leaf)
+        fs.delete(bak, true)
+        rowsAfter += nTmp
+        done += p.relPath
+      } else {
+        // Verification failed: abandon the staging copy, leave the
+        // original untouched (still fragmented); the count mismatch
+        // surfaces through Result.verified == false.
+        fs.delete(tmp, true)
+        rowsAfter += nTmp
+      }
     }
-    Result(fragmented.map(_.relPath), rowsBefore, rowsAfter)
+    Result(done.result(), rowsBefore, rowsAfter)
   }
 }

@@ -38,22 +38,34 @@ object CompactorJob {
 
     try {
       // Steady-state path: read with the registry's merged schema — no
-      // inference pass, but columns that drift in AFTER registration are
-      // invisible until a re-learn (schema-reads ignore unknown JSON
-      // fields). The reference re-infers every batch and never misses
-      // drift; the cost model here is: steady batches skip the extra
-      // scan, and the operator schedules periodic `relearnSchema = true`
-      // batches (e.g. daily) to pick up firmware rollouts.
+      // full inference pass. Schema-reads silently IGNORE unknown JSON
+      // fields, so drift arriving after registration would be dropped;
+      // the reference avoids that by re-inferring every batch
+      // (`sample_size=-1`), i.e. a second scan of every byte. Middle
+      // ground here: a per-batch WATCHDOG infers exactly ONE claimed
+      // file (the newest — claims are newest-first, and new firmware
+      // fields show up in new files) and diffs field names against the
+      // registry; only when a new field appears does the batch fall
+      // back to full inference + registry merge. Cost in steady state:
+      // one file, not the batch. A drifted field in a non-sampled file
+      // of the same batch is caught when a later batch samples it —
+      // the watchdog converges instead of silently losing the column
+      // until an operator-scheduled relearn.
+      def inferAndRegister(): org.apache.spark.sql.DataFrame = {
+        val inferred = BronzeReader.read(spark, keys)
+        store.mergeSchema(SchemaDataset,
+          org.apache.spark.sql.types.StructType(
+            inferred.schema.filterNot(f =>
+              f.name == BronzeReader.CorruptCol || f.name == "source_file")))
+        inferred
+      }
       val bronze = (store.loadSchema(SchemaDataset) match {
         case Some(schema) if !relearnSchema =>
-          BronzeReader.read(spark, keys, BronzeReader.withCorruptColumn(schema))
-        case _ =>
-          val inferred = BronzeReader.read(spark, keys)
-          store.mergeSchema(SchemaDataset,
-            org.apache.spark.sql.types.StructType(
-              inferred.schema.filterNot(f =>
-                f.name == BronzeReader.CorruptCol || f.name == "source_file")))
-          inferred
+          val known = schema.fieldNames.toSet + BronzeReader.CorruptCol + "source_file"
+          val sampled = BronzeReader.read(spark, Seq(keys.head)).schema.fieldNames
+          if (sampled.exists(!known.contains(_))) inferAndRegister()
+          else BronzeReader.read(spark, keys, BronzeReader.withCorruptColumn(schema))
+        case _ => inferAndRegister()
       }).cache()
       try {
         val (clean, corrupt) = BronzeReader.quarantine(bronze)

@@ -58,10 +58,18 @@ object RepairJob {
     val moved = silver.where(inAffected && col("hiveperiod") =!= derivedPeriod).count()
 
     // Materialize before writing: Spark (rightly) refuses a plan that
-    // overwrites a path it is still reading. localCheckpoint pins the
-    // corrected rows in executor storage, then the write is read-free.
-    val corrected = silver.where(inAffected).withColumn("hiveperiod", derivedPeriod)
-      .localCheckpoint(true)
+    // overwrites a path it is still reading. The corrected rows are
+    // staged as DURABLE parquet on the same filesystem — unlike a
+    // localCheckpoint (executor-local, non-fault-tolerant), the staged
+    // copy survives executor loss, so the overwrite below always reads
+    // from a re-readable source and a failed write can simply be rerun
+    // from the stage.
+    val stage = s"$silverPath/.repair_stage"
+    val fs = new org.apache.hadoop.fs.Path(silverPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    silver.where(inAffected).withColumn("hiveperiod", derivedPeriod)
+      .write.mode("overwrite").parquet(stage)
+    val corrected = spark.read.parquet(stage)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -70,9 +78,12 @@ object RepairJob {
         .write.mode("overwrite")
         .partitionBy("hiveperiod", "dstrct_code")
         .parquet(silverPath)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     }
     moved
   }

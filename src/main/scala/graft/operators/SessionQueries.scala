@@ -11,7 +11,12 @@ import graft.core.Tables
   * sessions per device — the IoT sessionization shape SURVEY §2.6 points
   * at); the oracle reproduces the same semantics in portable SQL via
   * gaps-and-islands (lag + cumulative flag sum), which is also the
-  * proof the two formulations agree.
+  * proof the two formulations agree. Boundary semantics: Spark merges
+  * sessions whose [ts, ts+gap] spans TOUCH — two events exactly 30:00
+  * apart are ONE session — so the oracle's island predicate is
+  * `<= INTERVAL 30 MINUTE`, inclusive (verified empirically and pinned
+  * by SessionSpec's boundary fixture; a strict `<` would be a latent
+  * parity break on boundary-aligned data).
   *
   * q29 exercises ROLLUP (multi-level grouped aggregation) — absent from
   * the reference but part of the standard relational surface the

@@ -65,6 +65,11 @@ class JdbcStateStore(url: String) extends AutoCloseable {
     * claimed keys. Re-claiming for the same runId returns its existing
     * claims (crash-retry safe). */
   def claim(runId: String, limit: Int, district: Option[String] = None): Seq[String] = {
+    // Crash-retry: a runId that already holds claims resumes exactly that
+    // batch — claiming MORE keys here would double a retried batch (the
+    // retry would process old + new claims under one run id).
+    val existing = claimedKeys(runId)
+    if (existing.nonEmpty) return existing
     val districtPred = district.map(_ => " AND distrik = ?").getOrElse("")
     val ps = conn.prepareStatement(
       s"""UPDATE $Table SET compression_run_id = ? WHERE file_path_s3 IN (

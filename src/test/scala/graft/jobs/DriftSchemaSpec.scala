@@ -60,6 +60,42 @@ class DriftSchemaSpec extends SparkSpec {
     assert(after.where("fuel_level IS NOT NULL").count() == 5)
   }
 
+  test("watchdog: a column drifting in mid-steady-state reaches silver without relearnSchema") {
+    import java.sql.Timestamp
+    import graft.Fixtures
+    import graft.state.JdbcStateStore
+    val dir = tmpDir("wd_bronze")
+    val target = tmpDir("wd_silver")
+    val store = new JdbcStateStore(
+      s"jdbc:derby:memory:wd${scala.util.Random.nextInt(1000000)};create=true")
+    store.ensureTable()
+    try {
+      // batch 1: registers the merged schema (no engine_temp anywhere)
+      val (keys, _, _) = Fixtures.bronzeBatch(dir)
+      keys.zipWithIndex.foreach { case (k, i) =>
+        store.register(k, "DISTRICTB", new Timestamp(1704067200000L + i))
+      }
+      CompactorJob.run(spark, store, "wd-r1", "DISTRICTB", target)
+      assert(!store.loadSchema(CompactorJob.SchemaDataset).get
+        .fieldNames.contains("engine_temp"))
+
+      // batch 2, steady state (relearnSchema stays false): a brand-new
+      // field drifts in — the one-file watchdog must catch it
+      val k2 = Fixtures.writeGz(s"$dir/site/dev9/2024010101/2024010101.txt.gz", Seq(
+        s"""{"heartbeat": ${Fixtures.Base + 3600}, "unitno": "NEW1", "deviceid": "X", "gpsspeed": 10.0, "engine_temp": 88.5}"""))
+      store.register(k2, "DISTRICTB", new Timestamp(1704070800000L))
+      val r2 = CompactorJob.run(spark, store, "wd-r2", "DISTRICTB", target)
+      assert(r2.rows == 1)
+
+      val silver = spark.read.option("mergeSchema", "true").parquet(target)
+      assert(silver.columns.contains("engine_temp"),
+        "drifted column silently dropped in steady state")
+      assert(silver.where("engine_temp IS NOT NULL").count() == 1)
+      assert(store.loadSchema(CompactorJob.SchemaDataset).get
+        .fieldNames.contains("engine_temp"), "registry not re-learned")
+    } finally store.close()
+  }
+
   test("compaction sizes output files from partition bytes, not one file per partition") {
     val path = tmpDir("compact_sizing")
     // many small files in one partition
