@@ -33,6 +33,22 @@ object RepairJob {
       .select("hiveperiod", "dstrct_code", "accurate_hiveperiod")
       .distinct()
 
+  /** Materialize the audit work list as a CSV report (SURVEY §2.2 K2) —
+    * the reference's repair loop writes CSV audit/work lists
+    * (`data-cleaner.py:117`, `data-cleaner.py:174`). `coalesce(1)` is
+    * deliberate: the list is a DISTINCT over (partition, district)
+    * pairs — operator-sized, not data-sized — and an audit report wants
+    * one file. Returns the number of disagreement rows reported. */
+  def writeAuditReport(spark: SparkSession, silverPath: String, reportDir: String): Long = {
+    val silver = spark.read.option("mergeSchema", "true").parquet(silverPath)
+    val audit = detectMispartitioned(silver).cache()
+    try {
+      val n = audit.count()
+      audit.coalesce(1).write.mode("overwrite").option("header", "true").csv(reportDir)
+      n
+    } finally { audit.unpersist(); () }
+  }
+
   /** Rewrite every partition touched by mispartitioned rows — sources
     * AND destinations, so dynamic overwrite never replaces a destination
     * partition with only its incoming rows. The set {stored ∪ derived}

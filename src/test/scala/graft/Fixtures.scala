@@ -11,7 +11,7 @@ object Fixtures {
 
   val Base = 1704067200L // 2024-01-01T00:00:00Z
 
-  private def row(hb: Long, unit: String, dev: String, gpsspeed: Double,
+  def row(hb: Long, unit: String, dev: String, gpsspeed: Double,
       extra: String = ""): String =
     s"""{"heartbeat": $hb, "unitno": "$unit", "deviceid": "$dev", "gpsspeed": $gpsspeed,
        | "VehicleSpeed": ${gpsspeed - 1.5}, "gpsnumsat": 11.0, "gpslat": -2.1,

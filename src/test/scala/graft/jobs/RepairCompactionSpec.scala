@@ -51,6 +51,22 @@ class RepairCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("audit report round-trips through CSV (K2 write, S5 read)") {
+    val path = tmpDir("repair_audit")
+    val report = tmpDir("repair_report")
+    writeSilver(path)
+
+    assert(RepairJob.writeAuditReport(spark, path, report) == 1L)
+
+    // read back with the CSV source (S5) — header + inferred types
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(report)
+    assert(back.columns.toSeq == Seq("hiveperiod", "dstrct_code", "accurate_hiveperiod"))
+    val r = back.collect().head
+    assert(r.getDate(0).toString == "2024-01-01")
+    assert(r.getString(1) == "D1")
+    assert(r.getDate(2).toString == "2024-01-02")
+  }
+
   test("compaction merges small files, preserves rows, skips healthy partitions") {
     val path = tmpDir("compact")
     // fragmented partition: 8 appends of one file each

@@ -31,6 +31,32 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == expectClean)
   }
 
+  test("ProcessingTime steady-state ingest picks up files arriving between polls") {
+    val dir = tmpDir("pbronze")
+    val target = tmpDir("psilver")
+    val ckpt = tmpDir("pckpt")
+    val (keys, expectClean, _) = Fixtures.bronzeBatch(dir)
+    val schema = BronzeReader.withCorruptColumn(
+      spark.read.option("samplingRatio", "1.0").json(keys: _*).schema)
+
+    // steady-state mode: the reference's hourly poll loop
+    // (`gzip-to-parquet-etl.py:345-347`), shrunk to 1 s for the test
+    val q = StreamingIngest.start(spark, s"$dir/site/*/*", schema, target, ckpt,
+      "DISTRICTB", availableNow = false, interval = "1 second")
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == expectClean)
+
+      // a new file lands mid-steady-state; the next poll must ingest it
+      Fixtures.writeGz(s"$dir/site/dev5/2024010101/2024010101.txt.gz",
+        Seq(Fixtures.row(1704070800L, "LD774", "SLS30I005", 47.5)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(target).count() == expectClean + 1)
+      assert(spark.read.parquet(target)
+        .where(col("unitno") === "LD774").count() == 1)
+    } finally q.stop()
+  }
+
   test("per-minute live aggregate matches the batch computation") {
     import spark.implicits._
     val events = Seq(
