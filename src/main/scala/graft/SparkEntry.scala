@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, CoreQueries, DedupQueries, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsOfJoin, CoreQueries, DedupQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,8 +15,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      TextQueries.all ++ AsOfJoin.all ++ SessionQueries.all ++ RelationalExtras.all ++
-      SamplingQueries.all ++
+      TextQueries.all ++ AsOfJoin.all ++ RangeJoin.all ++ SessionQueries.all ++
+      RelationalExtras.all ++ SamplingQueries.all ++
       Map("q38_quality_checks" ->
         ((s: SparkSession, d: String) => graft.analytics.DataQuality.q38QualityChecks(s, d)))
 
@@ -24,7 +24,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      TextQueries.oracles ++ AsOfJoin.oracles ++ SessionQueries.oracles ++
-      RelationalExtras.oracles ++ SamplingQueries.oracles ++
+      TextQueries.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
+      SessionQueries.oracles ++ RelationalExtras.oracles ++ SamplingQueries.oracles ++
       Map("q38_quality_checks" -> graft.analytics.DataQuality.q38Sql)
 }

@@ -319,6 +319,40 @@ object DedupQueries {
        |SELECT d1, d2, hamming FROM h WHERE hamming <= $HammingMax""".stripMargin
   }
 
+  // ------------------------------------------------- dedup clusters
+  /** Q42: transitive near-dup clusters — the step pairwise near-dup
+    * queries exist FOR. Pairs only say "A~B, B~C"; keep-one-per-cluster
+    * dedup needs the transitive closure {A,B,C} → one keeper. Edges are
+    * the exact-Jaccard pairs (q17), components come from
+    * [[GraphOps.connectedComponents]] (min-label propagation over edge
+    * vertices only), and every document — including the singleton
+    * majority, which never enters the iteration — gets
+    * (cluster_id, is_keeper). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val edges = ngramJaccardOn(d).select(col("d1").as("src"), col("d2").as("dst"))
+    val labels = GraphOps.connectedComponents(edges)
+    d.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pairs AS (SELECT d1, d2 FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.lbl FROM reach r JOIN e ON e.dst = r.id),
+       |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM cc""".stripMargin
+
   // ------------------------------------------------- fingerprinting
   /** Normalized content fingerprint (lowercase, whitespace-collapsed,
     * md5) with canonical-keeper annotation — catches
@@ -344,7 +378,8 @@ object DedupQueries {
     "q19_simhash" -> simhash _,
     "q25_fingerprint" -> fingerprintDedup _,
     "q39_simhash_neardup" -> simhashNearDup _,
-    "q40_minhash_lsh_fast" -> minhashLshFast _)
+    "q40_minhash_lsh_fast" -> minhashLshFast _,
+    "q42_dedup_clusters" -> dedupClusters _)
 
   val oracles: Map[String, String] = Map(
     "q16_dedup_exact" -> dedupExactSql,
@@ -352,7 +387,8 @@ object DedupQueries {
     "q18_minhash_lsh" -> minhashLshSql,
     "q19_simhash" -> simhashSql,
     "q25_fingerprint" -> fingerprintSql,
-    "q39_simhash_neardup" -> simhashNearDupSql)
+    "q39_simhash_neardup" -> simhashNearDupSql,
+    "q42_dedup_clusters" -> dedupClustersSql)
     // q40 has no oracle by design: xxhash64 is not DuckDB-portable;
     // the driver records a rows-only check and DedupSpec cross-validates
     // it against the md5 path + exact pairs.
