@@ -281,7 +281,12 @@ object DedupQueries {
     * agrees exactly on ≥ 1 band, so banded candidate generation is EXACT
     * (never all-pairs), and candidates are verified with
     * popcount(band XOR band) summed across bands. */
-  private[operators] def simhashNearDupOn(fp: DataFrame): DataFrame = {
+  private[operators] def simhashNearDupOn(fp0: DataFrame): DataFrame = {
+    // Persisted for the same reason as shinglesOf: the fingerprint
+    // relation feeds BOTH sides of the band self-join, and without
+    // materialization the whole tokenize+64-vote SimHash pipeline runs
+    // twice — at 100 TB, two corpus scans instead of one.
+    val fp = fp0.persist()
     def bandKey(h: Column, b: Int): Column = substring(h, b * 4 + 1, 4)
     val bands = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b => bandKey(col("simhash"), b)): _*)))

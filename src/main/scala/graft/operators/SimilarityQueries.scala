@@ -214,13 +214,83 @@ object SimilarityQueries {
        |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
        |SELECT id1, id2, round(c, 6) AS sim FROM p WHERE c >= $NearDupThreshold""".stripMargin
 
+  // ----------------------------------------------------- k-means trainer
+  private val KmeansK = 8
+  private val KmeansIters = 3
+
+  /** Distributed Lloyd's iterations (spherical: cosine assignment) — the
+    * training job the IVF codebook comments point at. Each round is one
+    * narrow literal-centroid assignment pass over the corpus plus ONE
+    * shuffle of (cluster, dim, value) rows for the per-dimension means;
+    * only the K×D codebook (never data) is collected per round, so the
+    * driver holds exactly what a Faiss quantizer holds. Means use the
+    * exact decimal-sum aggregation, which makes the trained codebook
+    * bit-identical across partition counts — and therefore across
+    * engines, which is what lets a fixed-iteration DuckDB oracle verify
+    * a distributed iterative trainer at all. Clusters that lose all
+    * members drop out of the codebook (both engines agree). */
+  private[operators] def kmeansCodebook(e: DataFrame, k: Int,
+      iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents = e.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = e
+        .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), 1))
+        .select((-col("__c.negid")).as("cluster"),
+          posexplode(col("embedding").cast("array<double>")))
+      val means = assigned.groupBy("cluster", "pos")
+        .agg(graft.functions.AggExprs.decAvg(col("col")).as("mv"))
+        .collect()
+      cents = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Q43: k-means cluster assignment after [[KmeansIters]] training
+    * rounds from deterministic seeds (the first [[KmeansK]] vectors). */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignOn(emb(spark, dir), KmeansK, KmeansIters)
+
+  /** Train on `e` (vec_id, embedding) and assign every vector to its
+    * trained cluster. */
+  def kmeansAssignOn(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCodebook(e, k, iters)
+    e.withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), 1))
+      .select(col("vec_id"), (-col("__c.negid")).as("cluster"))
+  }
+
+  val kmeansSql: String = {
+    val cos = (v: String, c: String) =>
+      s"list_dot_product($v, $c) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))"
+    def assignCte(i: Int, cents: String) =
+      s"""a$i AS (SELECT vec_id, v, c_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${cos("v", "cv")} DESC, c_id) AS rn FROM e CROSS JOIN $cents)""".stripMargin
+    def updateCtes(i: Int) =
+      s"""m$i AS (SELECT c_id, d.d AS dim,
+         |    CAST(sum(CAST(v[d.d + 1] AS DECIMAL(18, 6))) AS DOUBLE) / count(v[d.d + 1]) AS mv
+         |  FROM a$i, (SELECT unnest(range(64)) AS d) d WHERE rn = 1 GROUP BY 1, 2),
+         |c$i AS (SELECT c_id, list(mv ORDER BY dim) AS cv FROM m$i GROUP BY c_id)""".stripMargin
+    val rounds = (1 to KmeansIters)
+      .map(i => s"${assignCte(i, s"c${i - 1}")},\n${updateCtes(i)}").mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmeansK),
+       |$rounds,
+       |${assignCte(KmeansIters + 1, s"c$KmeansIters")}
+       |SELECT vec_id, c_id AS cluster FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_cosine_topk" -> cosineTopK _,
     "q21_ivf_ann" -> ivfAnn _,
-    "q26_cosine_neardup" -> cosineNearDup _)
+    "q26_cosine_neardup" -> cosineNearDup _,
+    "q43_kmeans" -> kmeansAssign _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
     "q21_ivf_ann" -> ivfAnnSql,
-    "q26_cosine_neardup" -> cosineNearDupSql)
+    "q26_cosine_neardup" -> cosineNearDupSql,
+    "q43_kmeans" -> kmeansSql)
 }

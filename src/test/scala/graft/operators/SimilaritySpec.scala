@@ -36,4 +36,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want,
       s"bucketed missed ${(want -- got).size} pairs, invented ${(got -- want).size}")
   }
+
+  /** The fixture seeds (vec_id < 16) hit each true cluster exactly once
+    * (cluster = id % 16), so a correct trainer must converge to a
+    * codebook where every true cluster maps wholly to one learned
+    * cluster and no two true clusters merge. */
+  test("k-means recovers the planted clusters from one-per-cluster seeds") {
+    val assigned = SimilarityQueries.kmeansAssignOn(clustered, 16, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(assigned.length == 128)
+    val byTrue = assigned.groupBy { case (id, _) => id % 16 }
+      .map { case (t, rows) => t -> rows.map(_._2).toSet }
+    assert(byTrue.values.forall(_.size == 1),
+      s"some true cluster split across learned clusters: $byTrue")
+    assert(byTrue.values.map(_.head).toSet.size == 16,
+      "two true clusters merged into one learned cluster")
+  }
 }
