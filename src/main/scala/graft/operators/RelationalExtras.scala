@@ -152,8 +152,43 @@ object RelationalExtras {
       |  iqr[1] AS p25, iqr[2] AS p75
       |FROM t""".stripMargin
 
+  // ---------------------------------------------------------- unpivot
+  /** Q44: wide→long reshape. Per-returnflag exact sums of the four
+    * lineitem measures, unpivoted to (flag, measure, value) — the
+    * inverse of q30's pivot, closing the reshape surface. `unpivot` is a
+    * zero-shuffle projection (each input row fans out to 4 output rows
+    * in place); the only exchange is the upstream groupBy. */
+  def q44Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AggExprs.decSum
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_price"),
+        decSum(col("l_discount")).as("sum_disc"),
+        decSum(col("l_tax")).as("sum_tax"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc"), col("sum_tax")),
+        "measure", "value")
+  }
+
+  val q44Sql: String = {
+    def m(src: String, name: String) =
+      s"CAST(sum(CAST($src AS DECIMAL(18,6))) AS DOUBLE) AS $name"
+    s"""WITH w AS (SELECT l_returnflag,
+       |    ${m("l_quantity", "sum_qty")}, ${m("l_extendedprice", "sum_price")},
+       |    ${m("l_discount", "sum_disc")}, ${m("l_tax", "sum_tax")}
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+       |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+       |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+       |UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM w""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_percentiles" -> q35Percentiles _,
+    "q44_unpivot" -> q44Unpivot _,
     "q30_pivot" -> q30Pivot _,
     "q31_scalar_subquery" -> q31ScalarSubquery _,
     "q32_set_ops" -> q32SetOps _,
@@ -162,6 +197,7 @@ object RelationalExtras {
 
   val oracles: Map[String, String] = Map(
     "q35_percentiles" -> q35Sql,
+    "q44_unpivot" -> q44Sql,
     "q30_pivot" -> q30Sql,
     "q31_scalar_subquery" -> q31Sql,
     "q32_set_ops" -> q32Sql,

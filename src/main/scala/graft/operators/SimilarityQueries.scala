@@ -214,6 +214,52 @@ object SimilarityQueries {
        |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
        |SELECT id1, id2, round(c, 6) AS sim FROM p WHERE c >= $NearDupThreshold""".stripMargin
 
+  // ------------------------------------------------ int8 quantization
+  /** Q47: symmetric int8 scalar quantization of each embedding — the
+    * standard 4× storage/bandwidth shrink before ANN serving. Per-vector
+    * scale = max|x|/127; codes are `floor(x/scale + 0.5)` (explicit
+    * half-up — identical IEEE ops in any engine, no reliance on a
+    * `round()` tie rule), reconstruction error is the mean |x − q·scale|.
+    * The error sum goes through DECIMAL(20,12) per element: exact,
+    * order-independent addition, so the mean is bit-identical in any
+    * engine regardless of its double-summation order. A pure narrow
+    * projection: no shuffle, no UDF, whole-stage codegen'd; at 100 TB
+    * this is a map-only pass. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val scale = (aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0).as("scale_raw")
+    // The raw scale keeps a name distinct from the rounded output column:
+    // a shared name would let the output alias capture the references
+    // inside q/mae (lateral alias resolution) and quantize against the
+    // 6-digit-rounded scale instead of the true one.
+    val errs = zip_with(col("v"), col("q"),
+      (x, q) => abs(x - q * col("scale_raw")).cast("decimal(20,12)"))
+    emb(spark, dir)
+      .select(col("vec_id"), v.as("v"), scale)
+      .withColumn("q", transform(col("v"), x => floor(x / col("scale_raw") + 0.5)))
+      .select(
+        col("vec_id"),
+        round(col("scale_raw"), 6).as("scale"),
+        to_json(col("q").cast("array<int>")).as("codes"),
+        round(
+          aggregate(errs, lit(0).cast("decimal(38,12)"),
+            (acc, e) => (acc + e).cast("decimal(38,12)")).cast("double")
+            / size(col("v")), 6).as("mae"))
+  }
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |    list_transform(v, x -> floor(x / scale + 0.5)) AS qc FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  CAST(to_json(CAST(qc AS INT[])) AS VARCHAR) AS codes,
+      |  round(CAST(list_sum(list_transform(range(len(v)),
+      |          i -> CAST(abs(v[i+1] - qc[i+1] * scale) AS DECIMAL(20,12)))) AS DOUBLE)
+      |        / len(v), 6) AS mae
+      |FROM q""".stripMargin
+
   // ----------------------------------------------------- k-means trainer
   private val KmeansK = 8
   private val KmeansIters = 3
@@ -286,11 +332,13 @@ object SimilarityQueries {
     "q20_cosine_topk" -> cosineTopK _,
     "q21_ivf_ann" -> ivfAnn _,
     "q26_cosine_neardup" -> cosineNearDup _,
-    "q43_kmeans" -> kmeansAssign _)
+    "q43_kmeans" -> kmeansAssign _,
+    "q47_quantize_int8" -> quantizeInt8 _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
     "q21_ivf_ann" -> ivfAnnSql,
     "q26_cosine_neardup" -> cosineNearDupSql,
-    "q43_kmeans" -> kmeansSql)
+    "q43_kmeans" -> kmeansSql,
+    "q47_quantize_int8" -> quantizeInt8Sql)
 }

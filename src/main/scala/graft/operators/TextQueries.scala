@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -101,13 +102,94 @@ object TextQueries {
       |  (n_chars + 3) // 4 AS est_tokens
       |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- TF-IDF
+  private val TfidfTopK = 3
+
+  /** Per-document term frequencies joined with corpus document
+    * frequencies: (doc_id, term, tf) plus per-term df — the shared
+    * relation under q45/q46. One explode + one uniform groupBy; term
+    * skew is pre-bounded because tf collapses repeats within a doc
+    * before any join. */
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Q45: top-[[TfidfTopK]] characteristic terms per document by
+    * smoothed TF-IDF (`tf · ln((N+1)/(df+1))`). The df side is a
+    * term-keyed aggregate of the tf relation (never re-scans the
+    * corpus); N arrives as a broadcast 1-row aggregate, not a driver
+    * collect. Ranking windows over doc_id — partition cardinality grows
+    * with the corpus, so the sort stays distributed at any scale (the
+    * q20-style bottleneck of windowing over a tiny fixed partition set
+    * does not apply). Ties break on the term for cross-engine
+    * determinism. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreqs(spark, dir)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+          .as("tfidf"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+      .where(col("rn") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  val tfidfSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |s AS (SELECT doc_id, tf.term, tf, df,
+       |    round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+       |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, term) AS rn FROM s)
+       |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
+       |FROM r WHERE rn <= $TfidfTopK""".stripMargin
+
+  // ------------------------------------------------- vocabulary stats
+  private val VocabTopN = 100
+
+  /** Q46: corpus vocabulary head — the [[VocabTopN]] most frequent
+    * tokens with total occurrences and document frequency. Two-phase by
+    * construction (map-side partial counts), and the global top-N plans
+    * as TakeOrderedAndProject: each partition ships only its local
+    * top-100, never the full vocabulary. */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreqs(spark, dir)
+    tf.groupBy("term")
+      .agg(sum(col("tf")).as("cnt"), count(lit(1)).as("n_docs"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(VocabTopN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+  }
+
+  val vocabSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |v AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt, count(*) AS n_docs FROM tf GROUP BY term)
+       |SELECT term, cnt, n_docs,
+       |  row_number() OVER (ORDER BY cnt DESC, term) AS rank
+       |FROM v ORDER BY cnt DESC, term LIMIT $VocabTopN""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q22_text_quality" -> textQuality _,
     "q23_lang_id" -> langId _,
-    "q24_token_count" -> tokenCount _)
+    "q24_token_count" -> tokenCount _,
+    "q45_tfidf" -> tfidf _,
+    "q46_vocab" -> vocab _)
 
   val oracles: Map[String, String] = Map(
     "q22_text_quality" -> textQualitySql,
     "q23_lang_id" -> langIdSql,
-    "q24_token_count" -> tokenCountSql)
+    "q24_token_count" -> tokenCountSql,
+    "q45_tfidf" -> tfidfSql,
+    "q46_vocab" -> vocabSql)
 }
