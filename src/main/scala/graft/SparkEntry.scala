@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, CoreQueries, DedupQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsOfJoin, CoreQueries, CorpusQueries, DedupQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ AsOfJoin.all ++ RangeJoin.all ++ SessionQueries.all ++
-      RelationalExtras.all ++ SamplingQueries.all ++
+      RelationalExtras.all ++ SamplingQueries.all ++ CorpusQueries.all ++
       Map("q38_quality_checks" ->
         ((s: SparkSession, d: String) => graft.analytics.DataQuality.q38QualityChecks(s, d)))
 
@@ -26,5 +26,6 @@ object SparkEntry {
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       SessionQueries.oracles ++ RelationalExtras.oracles ++ SamplingQueries.oracles ++
+      CorpusQueries.oracles ++
       Map("q38_quality_checks" -> graft.analytics.DataQuality.q38Sql)
 }

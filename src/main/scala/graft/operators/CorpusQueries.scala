@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextExprs
+
+/** Corpus-preparation operators — the steps between "deduped documents"
+  * and "training batches" in an LLM data pipeline: decontamination
+  * against an eval split, packing documents into fixed token budgets,
+  * PII/blocklist scrubbing, and intra-document repetition metrics.
+  *
+  * Everything is deterministic (content-hash splits, no `rand()`) and
+  * engine-portable, same contract as [[SamplingQueries]]. All joins are
+  * equi-joins on uniformly-distributed keys; all per-document work is a
+  * narrow codegen'd projection.
+  */
+object CorpusQueries {
+
+  private val ShingleN = 3
+  private val TestBucketFrom = 90 // hash buckets 90..99 → 10% eval split
+  private val PackGroups = 8 // packing parallelism (→ thousands on a cluster)
+  private val TokenBudget = 512 // tokens per packed sequence
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  // ------------------------------------------------- q48 contamination
+  /** Q48: train/eval contamination check (decontamination pass). The
+    * corpus is hash-split exactly like q36 (buckets ≥ [[TestBucketFrom]]
+    * are the eval side); each eval document reports how many of its
+    * distinct word-[[ShingleN]]-grams also occur anywhere in the train
+    * side.
+    *
+    * Scale shape: the train side collapses to a DISTINCT shingle set
+    * before the join, so the probe is one equi-join whose output is
+    * bounded by |eval shingles| — never a posting-list product. Both
+    * sides hash-partition on the shingle; no skew cap is needed because
+    * the train side carries one row per shingle by construction. */
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOn(docs(spark, dir))
+
+  private[operators] def contaminationOn(docRel: DataFrame): DataFrame = {
+    val d = docRel
+      .withColumn("bucket", SamplingQueries.hashBucket(col("doc_id")))
+    val sh = d.select(col("doc_id"), col("bucket"),
+      explode(array_distinct(
+        TextExprs.shingles(TextExprs.tokens(col("text")), ShingleN))).as("sh"))
+    val train = sh.where(col("bucket") < TestBucketFrom).select("sh").distinct()
+    sh.where(col("bucket") >= TestBucketFrom)
+      .join(train.withColumn("hit", lit(1)), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_shingles").cast("double"), 6))
+  }
+
+  val contaminationSql: String = {
+    val bucket = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+    s"""WITH d AS (SELECT doc_id, $bucket AS bucket,
+       |    string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, bucket,
+       |    unnest(list_distinct(list_transform(range(len(toks) - ${ShingleN - 1}),
+       |      i -> concat_ws(' ', ${(1 to ShingleN).map(k => s"toks[i+$k]").mkString(", ")})))) AS sh
+       |  FROM d),
+       |tr AS (SELECT DISTINCT sh FROM s WHERE bucket < $TestBucketFrom),
+       |te AS (SELECT doc_id, s.sh, tr.sh AS hit FROM s LEFT JOIN tr ON s.sh = tr.sh
+       |  WHERE bucket >= $TestBucketFrom)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  round(CAST(sum(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS contamination
+       |FROM te GROUP BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ q49 packing
+  /** Q49: sequence packing — documents are packed head-to-tail into
+    * fixed [[TokenBudget]]-token bins, the batch-shaping step before
+    * tokenized training shards are written. A document's bin is the one
+    * its *starting* offset falls in (straddle-allowed packing, the
+    * deterministic distributed variant).
+    *
+    * Scale shape: packing is sequential by nature, so parallelism comes
+    * from sharding — documents hash into [[PackGroups]] independent
+    * packing groups (thousands on a real cluster), and the running token
+    * offset is a window cumulative sum *within* a group. No global
+    * order, no single-partition window. */
+  def packing(spark: SparkSession, dir: String): DataFrame =
+    packingOn(docs(spark, dir))
+
+  private[operators] def packingOn(docRel: DataFrame): DataFrame = {
+    val ntok = size(TextExprs.tokens(col("text")))
+    val grp = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(PackGroups.toLong))
+    val w = Window.partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docRel
+      .select(col("doc_id"), ntok.as("ntok"), grp.as("grp"))
+      .withColumn("cum", sum(col("ntok")).over(w))
+      .withColumn("bin", call_function("div", col("cum") - col("ntok"), lit(TokenBudget.toLong)))
+      .groupBy("grp", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"))
+      .withColumn("fill",
+        round(col("n_tokens").cast("double") / lit(TokenBudget.toDouble), 6))
+  }
+
+  val packingSql: String =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS ntok,
+       |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $PackGroups) AS grp
+       |  FROM documents),
+       |c AS (SELECT doc_id, ntok, grp,
+       |    sum(ntok) OVER (PARTITION BY grp ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+       |SELECT grp, CAST((CAST(cum AS BIGINT) - ntok) // $TokenBudget AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(ntok) AS DOUBLE) / $TokenBudget.0, 6) AS fill
+       |FROM c GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------- q50 scrub
+  /** Blocklist terms + digit runs; stands in for the email/phone/ID
+    * regexes of a production scrubber (the testdata corpus has no real
+    * PII, the operator shape is identical). */
+  private val ScrubPattern = "\\b(customer|vector)\\b|[0-9]+"
+
+  /** Q50: PII / blocklist scrubbing — replace every match with a
+    * redaction token, report per-document match counts and the scrubbed
+    * content fingerprint (the value downstream exact-dedup keys on).
+    * Narrow map-only projection; regex runs inside whole-stage codegen. */
+  def scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubOn(docs(spark, dir))
+
+  private[operators] def scrubOn(docRel: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), ScrubPattern, "[PII]")
+    docRel.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(ScrubPattern)).cast("long").as("n_redacted"),
+      (length(col("text")) - length(scrubbed)).cast("long").as("chars_delta"),
+      md5(scrubbed.cast("binary")).as("scrubbed_fp"))
+  }
+
+  val scrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$ScrubPattern')) AS BIGINT) AS n_redacted,
+       |  CAST(length(text) - length(regexp_replace(text, '$ScrubPattern', '[PII]', 'g')) AS BIGINT)
+       |    AS chars_delta,
+       |  md5(regexp_replace(text, '$ScrubPattern', '[PII]', 'g')) AS scrubbed_fp
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------- q51 repetition
+  /** Q51: intra-document repetition — duplicate-token ratio per
+    * document (the Gopher-style "repetitious text" quality signal).
+    * Pure array math per row: no explode, no shuffle. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOn(docs(spark, dir))
+
+  private[operators] def repetitionOn(docRel: DataFrame): DataFrame = {
+    val toks = TextExprs.tokens(col("text"))
+    docRel
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6))
+      .withColumn("repetitious", (col("dup_ratio") > 0.5).cast("boolean"))
+  }
+
+  val repetitionSql: String =
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_distinct FROM documents)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio,
+      |  (round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) > 0.5) AS repetitious
+      |FROM d""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_contamination" -> contamination _,
+    "q49_packing" -> packing _,
+    "q50_scrub" -> scrub _,
+    "q51_repetition" -> repetition _)
+
+  val oracles: Map[String, String] = Map(
+    "q48_contamination" -> contaminationSql,
+    "q49_packing" -> packingSql,
+    "q50_scrub" -> scrubSql,
+    "q51_repetition" -> repetitionSql)
+}

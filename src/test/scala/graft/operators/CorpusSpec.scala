@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-preparation semantics the oracle rows can't pin: split-side
+  * membership of the contamination check, token conservation through
+  * packing, word-boundary scrubbing, and the repetition metric.
+  */
+class CorpusSpec extends SparkSpec {
+
+  /** doc_ids partitioned by the same md5 bucket the operators use. */
+  private lazy val (trainIds, evalIds) = {
+    import spark.implicits._
+    val buckets = spark.range(0, 200).toDF("doc_id")
+      .withColumn("bucket", SamplingQueries.hashBucket(col("doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    (buckets.filter(_._2 < 90).map(_._1), buckets.filter(_._2 >= 90).map(_._1))
+  }
+
+  test("contamination: verbatim eval copy of a train doc scores 1.0, fresh text 0.0") {
+    import spark.implicits._
+    val copied = "the quick brown fox jumps over the lazy dog"
+    val fresh = "entirely novel eval only words never seen in train side"
+    val docs = Seq(
+      (trainIds(0), copied),
+      (evalIds(0), copied),
+      (evalIds(1), fresh)).toDF("doc_id", "text")
+    val out = CorpusQueries.contaminationOn(docs)
+      .select("doc_id", "contamination").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(out.keySet == Set(evalIds(0), evalIds(1)), "only eval docs are reported")
+    assert(out(evalIds(0)) == 1.0, "verbatim copy must be fully contaminated")
+    assert(out(evalIds(1)) == 0.0, "unseen text must be clean")
+  }
+
+  test("packing conserves every token and opens bin 0 in every group") {
+    import spark.implicits._
+    val text100 = Seq.fill(100)("w").mkString(" ") // 100 tokens each
+    val docs = (0L until 300L).map(i => (i, text100)).toDF("doc_id", "text")
+    val out = CorpusQueries.packingOn(docs).collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == 300L * 100,
+      "token mass must be conserved through packing")
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 300L)
+    val groups = out.map(_.getAs[Long]("grp")).distinct
+    groups.foreach { g =>
+      assert(out.exists(r => r.getAs[Long]("grp") == g && r.getAs[Long]("bin") == 0L),
+        s"group $g must start packing at bin 0")
+    }
+  }
+
+  test("scrub matches whole words and digit runs only; fp ignores which term matched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "customer 123 vector data"), // 3 matches
+      (2L, "customers and vectors"), //     0 — boundary must hold
+      (3L, "customer data"), //              1
+      (4L, "vector data") //                 1, same scrubbed text as doc 3
+    ).toDF("doc_id", "text")
+    val out = CorpusQueries.scrubOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(out(1L)._1 == 3L && out(2L)._1 == 0L && out(3L)._1 == 1L && out(4L)._1 == 1L)
+    assert(out(3L)._2 == out(4L)._2,
+      "docs identical after scrubbing must share a fingerprint")
+    assert(out(2L)._2 != out(3L)._2)
+  }
+
+  test("repetition ratio is exact on a crafted document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b"), // 5 tokens, 2 distinct → 0.6, repetitious
+      (2L, "a b c d e") //  0.0, clean
+    ).toDF("doc_id", "text")
+    val out = CorpusQueries.repetitionOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((5L, 2L, 0.6, true)))
+    assert(out(2L) == ((5L, 5L, 0.0, false)))
+  }
+}
