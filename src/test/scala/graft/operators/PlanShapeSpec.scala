@@ -61,4 +61,28 @@ class PlanShapeSpec extends SparkSpec {
         s"top-k must not shuffle all scored rows into a window sort:\n$p")
     }
   }
+
+  test("q50/q51: narrow map-only corpus ops — scan + project, zero exchanges") {
+    for (df <- Seq(CorpusQueries.scrub(spark, Dir), CorpusQueries.repetition(spark, Dir))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"map-only operator must not shuffle:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        "scan must prune to the 2 used columns of 5")
+    }
+  }
+
+  test("q48: contamination probes with an equi hash join, never a nested loop") {
+    val df = CorpusQueries.contamination(spark, Dir)
+    df.count() // let AQE settle the join strategy
+    val p = plan(df)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"decontamination join must stay an equi join:\n$p")
+  }
+
+  test("q49: packing windows over hash groups, not a single global partition") {
+    val p = plan(CorpusQueries.packing(spark, Dir))
+    assert(p.contains("Window"), s"expected a window cumulative sum:\n$p")
+    assert(p.contains("hashpartitioning(grp"),
+      s"window must partition by packing group (no global order):\n$p")
+  }
 }
