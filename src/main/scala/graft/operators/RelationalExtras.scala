@@ -186,9 +186,68 @@ object RelationalExtras {
        |UNION ALL SELECT l_returnflag, 'sum_tax', sum_tax FROM w""".stripMargin
   }
 
+  // --------------------------------------------- range-frame moving avg
+  /** Q52: per-user trailing 1-hour moving average of event values — the
+    * RANGE-frame analytic (q14 covers only row-offset functions). The
+    * frame orders on the exact epoch-µs long, so tied timestamps land in
+    * the frame identically in any engine, and the windowed mean is a
+    * DECIMAL sum over the frame divided by the frame count — exact,
+    * order-independent. Partitions by user: cardinality grows with the
+    * corpus, so the window sort stays distributed at any scale. */
+  def q52MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val HourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("epoch_us")
+      .rangeBetween(-HourUs, 0)
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("epoch_us"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .select(col("event_id"), col("user_id"), col("epoch_us"),
+        round((sum(col("v")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")), 6).as("ma_1h"),
+        count(lit(1)).over(w).cast("long").as("n_window"))
+  }
+
+  val q52Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS epoch_us,
+      |    CAST(value AS DECIMAL(18,6)) AS v FROM events)
+      |SELECT event_id, user_id, epoch_us,
+      |  round(CAST(sum(v) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE), 6) AS ma_1h,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_window
+      |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ------------------------------------------------------------- cube
+  /** Q53: CUBE over (event_type, user bucket) — all four grouping sets
+    * in one pass, with `grouping()` flags disambiguating subtotal NULLs
+    * from data NULLs. Complements q29's ROLLUP. Spark expands the cube
+    * map-side, so it's still a single shuffle of 4× partial aggregates,
+    * never four scans. */
+  def q53Cube(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.AggExprs.decSum
+    Tables(spark, dir, "events")
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+      .cube("event_type", "user_bucket")
+      .agg(
+        grouping(col("event_type")).cast("long").as("g_type"),
+        grouping(col("user_bucket")).cast("long").as("g_bucket"),
+        count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+  }
+
+  val q53Sql: String =
+    """SELECT event_type, user_id % 10 AS user_bucket,
+      |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      |  CAST(GROUPING(user_id % 10) AS BIGINT) AS g_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY CUBE (event_type, user_id % 10)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_percentiles" -> q35Percentiles _,
     "q44_unpivot" -> q44Unpivot _,
+    "q52_moving_avg" -> q52MovingAvg _,
+    "q53_cube" -> q53Cube _,
     "q30_pivot" -> q30Pivot _,
     "q31_scalar_subquery" -> q31ScalarSubquery _,
     "q32_set_ops" -> q32SetOps _,
@@ -198,6 +257,8 @@ object RelationalExtras {
   val oracles: Map[String, String] = Map(
     "q35_percentiles" -> q35Sql,
     "q44_unpivot" -> q44Sql,
+    "q52_moving_avg" -> q52Sql,
+    "q53_cube" -> q53Sql,
     "q30_pivot" -> q30Sql,
     "q31_scalar_subquery" -> q31Sql,
     "q32_set_ops" -> q32Sql,

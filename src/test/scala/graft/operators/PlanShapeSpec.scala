@@ -85,4 +85,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(grp"),
       s"window must partition by packing group (no global order):\n$p")
   }
+
+  test("q52: range-frame window partitions by user, never a single global sort") {
+    val p = plan(RelationalExtras.q52MovingAvg(spark, Dir))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"moving average must distribute across users:\n$p")
+  }
+
+  test("q53: cube aggregates in one shuffle (expand + partial agg, no re-scan)") {
+    val p = plan(RelationalExtras.q53Cube(spark, Dir))
+    assert(p.contains("Expand"), s"cube must expand grouping sets map-side:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"cube must shuffle exactly once:\n$p")
+  }
 }
