@@ -376,7 +376,52 @@ object DedupQueries {
       |SELECT d.doc_id, d.fp, d.doc_id = g.keeper AS is_canonical
       |FROM d JOIN g USING (fp)""".stripMargin
 
+  // ------------------------------------------------------- winnowing
+  private[operators] val WinnowWindow = 4
+
+  /** Q54: winnowed rolling-hash fingerprints (the MOSS scheme): hash
+    * every word-3-gram shingle, then keep the minimum hash of each
+    * sliding [[WinnowWindow]]-shingle window. Guarantees any shared run
+    * of ≥ `ShingleN + WinnowWindow − 1` tokens contributes at least one
+    * common fingerprint, at ~1/[[WinnowWindow]] the density of the full
+    * shingle set — the partial-overlap detector q25's whole-document
+    * hash can't express.
+    *
+    * Per-document work is a narrow array pipeline (hash → windowed min →
+    * distinct) inside codegen; the output relation is what a plagiarism
+    * or near-dup join keys on, so its size — not the corpus — bounds any
+    * downstream self-join, and the winnowing density factor is the knob
+    * that keeps that join linear at 100 TB. */
+  private[operators] def winnowOn(docRel: DataFrame): DataFrame = {
+    val sh = TextExprs.shingles(TextExprs.tokens(col("text")), 3)
+    val hs = transform(sh,
+      s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+    val fps = array_distinct(transform(
+      sequence(lit(0), size(col("hs")) - WinnowWindow),
+      i => array_min(slice(col("hs"), i + 1, lit(WinnowWindow)))))
+    docRel
+      .select(col("doc_id"), hs.as("hs"))
+      .where(size(col("hs")) >= WinnowWindow)
+      .select(col("doc_id"), explode(fps).as("fp"))
+  }
+
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowOn(docs(spark, dir))
+
+  val winnowSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(len(toks) - 2),
+       |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])) AS sh FROM t),
+       |h AS (SELECT doc_id, list_transform(sh,
+       |    x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM s
+       |  WHERE len(sh) >= $WinnowWindow),
+       |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(hs) - ${WinnowWindow - 1}),
+       |    i -> list_min(hs[i+1:i+$WinnowWindow])))) AS fp FROM h)
+       |SELECT doc_id, fp FROM f""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_winnow" -> winnow _,
     "q16_dedup_exact" -> dedupExact _,
     "q17_ngram_jaccard" -> ngramJaccard _,
     "q18_minhash_lsh" -> minhashLsh _,
@@ -387,6 +432,7 @@ object DedupQueries {
     "q42_dedup_clusters" -> dedupClusters _)
 
   val oracles: Map[String, String] = Map(
+    "q54_winnow" -> winnowSql,
     "q16_dedup_exact" -> dedupExactSql,
     "q17_ngram_jaccard" -> ngramJaccardSql,
     "q18_minhash_lsh" -> minhashLshSql,

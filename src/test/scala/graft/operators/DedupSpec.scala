@@ -64,4 +64,19 @@ class DedupSpec extends SparkSpec {
       (2L, "000000000000000f")).toDF("doc_id", "simhash")
     assert(pairs(DedupQueries.simhashNearDupOn(fp)) == Set((0L, 1L), (1L, 2L)))
   }
+
+  test("winnowing guarantees a shared fingerprint for any 6-token overlap") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = ShingleN+W-1
+    val docs = Seq(
+      (1L, s"one two three four five $shared"),
+      (2L, s"$shared six seven eight nine ten"),
+      (3L, "completely different words with no run in common at all")).toDF("doc_id", "text")
+    val fps = DedupQueries.winnowOn(docs).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "the winnowing guarantee: a >= ShingleN+W-1 token overlap must share a fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint texts must not collide on 32-bit fingerprints")
+  }
 }
