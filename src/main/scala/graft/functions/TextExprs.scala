@@ -18,11 +18,19 @@ object TextExprs {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Word n-gram shingles (space-joined). Caller must ensure
-    * `size(tokens) >= n` — standard MinHash preprocessing. */
+    * `size(tokens) >= n` — standard MinHash preprocessing.
+    *
+    * The token array binds to a lambda variable (`transform` over a
+    * 1-element wrapper) instead of being referenced directly inside the
+    * position lambda: a direct reference gets inlined by project
+    * collapsing and re-evaluates the upstream `split` once per
+    * `element_at` — an O(tokens²) tax that dominated every shingle
+    * consumer (q17/q18/q40/q48/q54) before binding. */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
+    flatten(transform(array(toks), t =>
+      transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k + 1)): _*))))
 
   /** Normalized-document fingerprint: lowercase, collapse whitespace, md5.
     * The batch analog of a rolling-hash content fingerprint. */

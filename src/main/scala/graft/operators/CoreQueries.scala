@@ -346,6 +346,22 @@ object CoreQueries {
       approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
       approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
 
+  /** Q55: approximate per-type value quantiles via the Greenwald-Khanna
+    * sketch (`approx_percentile`) — the mergeable-quantile path for data
+    * too big to exact-sort (q35 is the exact counterpart). Rows-only
+    * check like q15_approx: sketch outputs are engine-specific by
+    * design; a spec pins the accuracy bound against q35's exact
+    * percentiles instead. */
+  def q55ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.25), lit(0.5), lit(0.9)), lit(1000)).as("quantiles"))
+      .select(col("event_type"),
+        element_at(col("quantiles"), 1).as("p25"),
+        element_at(col("quantiles"), 2).as("p50"),
+        element_at(col("quantiles"), 3).as("p90"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_filter" -> q01ScanFilter _,
     "q02_epoch_norm" -> q02EpochNorm _,
@@ -362,7 +378,8 @@ object CoreQueries {
     "q13_group_agg" -> q13GroupAgg _,
     "q14_analytic_window" -> q14AnalyticWindow _,
     "q15_dedup" -> q15Dedup _,
-    "q15_approx_distinct" -> q15ApproxDistinct _)
+    "q15_approx_distinct" -> q15ApproxDistinct _,
+    "q55_approx_quantiles" -> q55ApproxQuantiles _)
 
   val oracles: Map[String, String] = Map(
     "q01_scan_filter" -> q01Sql,

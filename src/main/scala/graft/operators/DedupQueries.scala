@@ -396,12 +396,16 @@ object DedupQueries {
     val sh = TextExprs.shingles(TextExprs.tokens(col("text")), 3)
     val hs = transform(sh,
       s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
-    val fps = array_distinct(transform(
-      sequence(lit(0), size(col("hs")) - WinnowWindow),
-      i => array_min(slice(col("hs"), i + 1, lit(WinnowWindow)))))
+    // The hash array binds to a lambda variable (`transform` over a
+    // 1-element wrapper) so project collapsing can't inline — and then
+    // re-evaluate — the md5 chain once per sliding window: the winnow
+    // must cost O(shingles) hashes, not O(shingles × windows).
+    val fps = flatten(transform(array(hs), h =>
+      array_distinct(transform(
+        sequence(lit(0), size(h) - WinnowWindow),
+        i => array_min(slice(h, i + 1, lit(WinnowWindow)))))))
     docRel
-      .select(col("doc_id"), hs.as("hs"))
-      .where(size(col("hs")) >= WinnowWindow)
+      .where(size(TextExprs.tokens(col("text"))) >= WinnowWindow + 2)
       .select(col("doc_id"), explode(fps).as("fp"))
   }
 

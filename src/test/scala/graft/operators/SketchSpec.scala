@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Sketch accuracy: q55's Greenwald-Khanna approximate quantiles have no
+  * oracle row (engine-specific by design), so their error bound against
+  * q35's exact percentiles is pinned here instead.
+  */
+class SketchSpec extends SparkSpec {
+
+  private val Dir = "/root/testdata/sf0.01"
+
+  test("q55 approx quantiles land within 2% rank error of the exact q35 values") {
+    val exact = RelationalExtras.q35Percentiles(spark, Dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap // median, p90
+    val approx = CoreQueries.q55ApproxQuantiles(spark, Dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap // p50, p90
+    assert(approx.keySet == exact.keySet)
+    // value-space tolerance derived from the data range (values ~0..100):
+    // accuracy=1000 → rank error <= 0.1%, but allow 2% of range for interpolation
+    // differences between the exact (linear-interp) and GK (sample) definitions.
+    for ((t, (p50a, p90a)) <- approx) {
+      val (p50e, p90e) = exact(t)
+      assert(math.abs(p50a - p50e) <= 0.02 * math.max(1.0, math.abs(p50e)) + 2.0,
+        s"$t p50 approx=$p50a exact=$p50e")
+      assert(math.abs(p90a - p90e) <= 0.02 * math.max(1.0, math.abs(p90e)) + 2.0,
+        s"$t p90 approx=$p90a exact=$p90e")
+    }
+  }
+}
