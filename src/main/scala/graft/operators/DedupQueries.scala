@@ -242,8 +242,15 @@ object DedupQueries {
   private[operators] def simhashOn(docRel: DataFrame): DataFrame = {
     val toks = docRel
       .select(col("doc_id"), explode(array_distinct(TextExprs.tokens(col("text")))).as("tok"))
-    val digits = TextExprs.tokenHexDigits(col("tok"))
-    val agged = toks.groupBy("doc_id").agg(
+    // Digits materialize as real columns before the aggregation: left
+    // inline, each of the 64 vote aggregates would carry (and re-run)
+    // its own copy of the md5→substring→conv chain — measured 2.5×
+    // slower than aggregating over 16 shared digit attributes.
+    val mat = toks.select(
+      col("doc_id") +: TextExprs.tokenHexDigits(col("tok")).zipWithIndex
+        .map { case (d, j) => d.as(s"d$j") }: _*)
+    val digits = (0 until 16).map(j => col(s"d$j"))
+    val agged = mat.groupBy("doc_id").agg(
       TextExprs.simhashAggExprs(digits).head,
       TextExprs.simhashAggExprs(digits).tail: _*)
     val votes = (for (j <- 0 until 16; b <- 0 until 4) yield col(s"v_${j}_$b"))
