@@ -431,8 +431,44 @@ object DedupQueries {
        |    i -> list_min(hs[i+1:i+$WinnowWindow])))) AS fp FROM h)
        |SELECT doc_id, fp FROM f""".stripMargin
 
+  // --------------------------------------------- fuzzy entity matching
+  /** Block prefix length (characters of the name's digit run). */
+  private val FuzzyBlockLen = 6
+
+  /** Q56: fuzzy duplicate-account detection — customer pairs whose
+    * names are within Levenshtein distance 1 (one typo apart). The
+    * standard entity-resolution shape: a cheap BLOCKING key (shared
+    * 6-digit prefix of the name's number run) turns the quadratic
+    * all-pairs comparison into an equi-join within blocks, and the
+    * expensive edit distance runs only inside a block. Block size — not
+    * corpus size — bounds the comparison count, which is the knob that
+    * survives a 100 TB contact list (swap the prefix for a phonetic or
+    * sorted-neighborhood key in production). */
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, FuzzyBlockLen).as("blk"))
+    val a = c.select(col("c_custkey").as("id1"), col("c_name").as("n1"), col("blk"))
+    val b = c.select(col("c_custkey").as("id2"), col("c_name").as("n2"), col("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .where(col("dist") <= 1)
+      .select("id1", "id2", "n1", "n2", "dist")
+  }
+
+  val fuzzyNameSql: String =
+    s"""WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, $FuzzyBlockLen) AS blk
+       |  FROM customer)
+       |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       |  a.c_name AS n1, b.c_name AS n2,
+       |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+       |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_winnow" -> winnow _,
+    "q56_fuzzy_match" -> fuzzyNameMatch _,
     "q16_dedup_exact" -> dedupExact _,
     "q17_ngram_jaccard" -> ngramJaccard _,
     "q18_minhash_lsh" -> minhashLsh _,
@@ -444,6 +480,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q54_winnow" -> winnowSql,
+    "q56_fuzzy_match" -> fuzzyNameSql,
     "q16_dedup_exact" -> dedupExactSql,
     "q17_ngram_jaccard" -> ngramJaccardSql,
     "q18_minhash_lsh" -> minhashLshSql,
