@@ -432,39 +432,47 @@ object DedupQueries {
        |SELECT doc_id, fp FROM f""".stripMargin
 
   // --------------------------------------------- fuzzy entity matching
-  /** Block prefix length (characters of the name's digit run). */
-  private val FuzzyBlockLen = 6
+  /** Customer names are `Customer#` + 9 digits → 18 chars; the digit
+    * run occupies 1-based positions 10..18. */
+  private val FuzzyNameLen = 18
+  private val FuzzyDigitFrom = 10
 
   /** Q56: fuzzy duplicate-account detection — customer pairs whose
-    * names are within Levenshtein distance 1 (one typo apart). The
-    * standard entity-resolution shape: a cheap BLOCKING key (shared
-    * 6-digit prefix of the name's number run) turns the quadratic
-    * all-pairs comparison into an equi-join within blocks, and the
-    * expensive edit distance runs only inside a block. Block size — not
-    * corpus size — bounds the comparison count, which is the knob that
-    * survives a 100 TB contact list (swap the prefix for a phonetic or
-    * sorted-neighborhood key in production). */
+    * names are within Levenshtein distance 1 (one typo apart), via
+    * WILDCARD-NEIGHBORHOOD blocking: each name emits one key per digit
+    * position with that position masked, and a pair differing in
+    * exactly one position collides on exactly one (position, masked)
+    * key. Candidate generation is therefore EXACT (equal-length strings
+    * at edit distance 1 differ by one substitution) and skew-free — the
+    * group behind each key is the ≤10 ids sharing the other 8 digits,
+    * so comparisons stay bounded per key no matter how the id space
+    * grows. (A naive shared-prefix block is quadratic-with-skew on
+    * sequential ids: 26 s vs ~1 s at sf0.1.) */
   def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_name"),
-        substring(col("c_name"), 10, FuzzyBlockLen).as("blk"))
-    val a = c.select(col("c_custkey").as("id1"), col("c_name").as("n1"), col("blk"))
-    val b = c.select(col("c_custkey").as("id2"), col("c_name").as("n2"), col("blk"))
-    a.join(b, Seq("blk"))
+    val maskKeys = (FuzzyDigitFrom to FuzzyNameLen).map { p =>
+      struct(lit(p).as("p"),
+        concat(substring(col("c_name"), 1, p - 1), lit("*"),
+          substring(col("c_name"), p + 1, FuzzyNameLen - p)).as("mk"))
+    }
+    val k = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), explode(array(maskKeys: _*)).as("x"))
+      .select(col("c_custkey"), col("c_name"), col("x.p").as("p"), col("x.mk").as("mk"))
+    k.select(col("c_custkey").as("id1"), col("c_name").as("n1"), col("p"), col("mk"))
+      .join(k.select(col("c_custkey").as("id2"), col("c_name").as("n2"),
+        col("p"), col("mk")), Seq("p", "mk"))
       .where(col("id1") < col("id2"))
-      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
-      .where(col("dist") <= 1)
-      .select("id1", "id2", "n1", "n2", "dist")
+      .select(col("id1"), col("id2"), col("n1"), col("n2"),
+        levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
   }
 
   val fuzzyNameSql: String =
-    s"""WITH c AS (SELECT c_custkey, c_name, substr(c_name, 10, $FuzzyBlockLen) AS blk
-       |  FROM customer)
+    s"""WITH k AS (SELECT c_custkey, c_name, p.p AS p,
+       |    substr(c_name, 1, p.p - 1) || '*' || substr(c_name, p.p + 1, $FuzzyNameLen - p.p) AS mk
+       |  FROM customer, (SELECT unnest(range($FuzzyDigitFrom, ${FuzzyNameLen + 1})) AS p) p)
        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
        |  a.c_name AS n1, b.c_name AS n2,
        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-       |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
-       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+       |FROM k a JOIN k b ON a.p = b.p AND a.mk = b.mk AND a.c_custkey < b.c_custkey""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_winnow" -> winnow _,
