@@ -104,8 +104,20 @@ object CompactionJob {
         .parquet(tmp.toString)
       val nTmp = spark.read.parquet(tmp.toString).count()
       if (nTmp == n) {
-        fs.rename(leaf, bak)
-        fs.rename(tmp, leaf)
+        // Hadoop FileSystem.rename reports most failures by returning
+        // false, not by throwing — each step must be checked, and the
+        // backup may only be deleted once the replacement is in place,
+        // or a failed publish would destroy the only visible copy.
+        if (!fs.rename(leaf, bak))
+          throw new java.io.IOException(
+            s"compaction: could not move $leaf aside; partition left untouched")
+        if (!fs.rename(tmp, leaf)) {
+          val restored = fs.rename(bak, leaf)
+          fs.delete(tmp, true)
+          throw new java.io.IOException(
+            if (restored) s"compaction: could not publish $tmp over $leaf; original restored"
+            else s"compaction: publish failed AND restore failed — recover $leaf manually from $bak")
+        }
         fs.delete(bak, true)
         rowsAfter += nTmp
         done += p.relPath

@@ -45,6 +45,10 @@ object CorpusQueries {
   private[operators] def contaminationOn(docRel: DataFrame): DataFrame = {
     val d = docRel
       .withColumn("bucket", SamplingQueries.hashBucket(col("doc_id")))
+      // shingles() requires >= ShingleN tokens (below that, Spark's
+      // sequence() walks backwards into element_at(toks, 0) and throws
+      // under ANSI; DuckDB's range() just yields nothing).
+      .where(size(TextExprs.tokens(col("text"))) >= ShingleN)
     val sh = d.select(col("doc_id"), col("bucket"),
       explode(array_distinct(
         TextExprs.shingles(TextExprs.tokens(col("text")), ShingleN))).as("sh"))
@@ -62,7 +66,8 @@ object CorpusQueries {
   val contaminationSql: String = {
     val bucket = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
     s"""WITH d AS (SELECT doc_id, $bucket AS bucket,
-       |    string_split(text, ' ') AS toks FROM documents),
+       |    string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleN),
        |s AS (SELECT doc_id, bucket,
        |    unnest(list_distinct(list_transform(range(len(toks) - ${ShingleN - 1}),
        |      i -> concat_ws(' ', ${(1 to ShingleN).map(k => s"toks[i+$k]").mkString(", ")})))) AS sh

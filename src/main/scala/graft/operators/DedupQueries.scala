@@ -58,11 +58,16 @@ object DedupQueries {
     * and five. */
   private[operators] def shinglesOf(docRel: DataFrame): DataFrame = {
     val toks = TextExprs.tokens(col("text"))
+    // The pre-cap relation persists too: it feeds BOTH the df-cap
+    // aggregate and the join probe, and without its own materialization
+    // the corpus-wide explode+distinct would run twice before the capped
+    // result's persist ever takes effect.
     val sh = docRel
       .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) >= ShingleN)
       .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
       .distinct()
+      .persist()
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= MaxShingleDf)
       .select("sh")
@@ -463,13 +468,17 @@ object DedupQueries {
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("n1"), col("n2"),
         levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+      // identical names (dist 0) collide on ALL mask positions — the
+      // exactly-one-collision argument only covers dist == 1, so the
+      // pair set must be deduplicated for the general case.
+      .distinct()
   }
 
   val fuzzyNameSql: String =
     s"""WITH k AS (SELECT c_custkey, c_name, p.p AS p,
        |    substr(c_name, 1, p.p - 1) || '*' || substr(c_name, p.p + 1, $FuzzyNameLen - p.p) AS mk
        |  FROM customer, (SELECT unnest(range($FuzzyDigitFrom, ${FuzzyNameLen + 1})) AS p) p)
-       |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       |SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
        |  a.c_name AS n1, b.c_name AS n2,
        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
        |FROM k a JOIN k b ON a.p = b.p AND a.mk = b.mk AND a.c_custkey < b.c_custkey""".stripMargin

@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Each vertex starts labeled with itself; every round each vertex takes
   * the min of its own label and its neighbors' labels; fixpoint = every
-  * vertex labeled with its component's minimum id. Rounds needed = the
-  * component diameter — near-dup clusters are shallow (duplicates of a
-  * common ancestor), so convergence is fast in practice, and the loop
-  * stops the first round nothing changes.
+  * vertex labeled with its component's minimum id. Each round combines
+  * the neighbor min with a pointer-jumping hop (adopt the label OF the
+  * current label), so convergence is O(log diameter) rather than
+  * diameter rounds, and the loop stops the first round nothing changes.
   *
   * Scale shape: the iteration runs ONLY over vertices that appear in an
   * edge — the corpus-sized set of singleton docs never enters the loop.
@@ -45,9 +45,21 @@ object GraphOps {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("id")).agg(min("lbl").as("nlbl"))
+      // Pointer-jumping hop: also adopt the label OF the current label
+      // (always a vertex in `labels` — labels are min ids of incident
+      // vertices). Neighbor propagation alone needs diameter rounds; the
+      // hop doubles the effective reach each round, so convergence is
+      // O(log diameter) and maxRounds=50 covers any real graph instead
+      // of failing on a 50+-long near-dup chain.
+      val hop = labels.select(col("id"), col("lbl").as("hid"))
+        .join(labels.select(col("id").as("hid"), col("lbl").as("hlbl")), "hid")
+        .select(col("id"), col("hlbl"))
       val next = labels.join(nbrMin, Seq("id"), "left")
+        .join(hop, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"),
+            coalesce(col("nlbl"), col("lbl")),
+            coalesce(col("hlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .where(col("lbl") =!= col("prev")).count()

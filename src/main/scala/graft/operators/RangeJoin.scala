@@ -35,6 +35,12 @@ object RangeJoin {
   def intervalJoin(left: DataFrame, lp: String, right: DataFrame, rp: String,
       radius: Long): DataFrame = {
     require(lp != rp, s"point columns must differ, got '$lp' twice")
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"left and right must not share column names (all columns survive the join); " +
+        s"rename ${overlap.mkString(", ")} on one side first")
+    val reserved = (left.columns ++ right.columns).toSet intersect Set("__bin", "__b")
+    require(reserved.isEmpty, s"column names ${reserved.mkString(", ")} are reserved")
     val l = left.withColumn("__bin", floor(col(lp) / radius))
     val r = right
       .withColumn("__b", floor(col(rp) / radius))
@@ -55,8 +61,12 @@ object RangeJoin {
     val ev = Tables(spark, dir, "events")
     // ts is timestamp_ntz; cast to instant under the UTC session tz so
     // unix_micros(ts) ≡ DuckDB epoch_us(ts) (parity playbook).
+    // Persisted: purchases feeds the interval join AND the final
+    // left join — without materialization the events scan + filter
+    // would run twice.
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id"), col("ts"), unix_micros(col("ts").cast("timestamp")).as("pus"))
+      .persist()
     val signups = ev.where(col("event_type") === "signup")
       .select(unix_micros(col("ts").cast("timestamp")).as("sus"))
     val counts = intervalJoin(purchases, "pus", signups, "sus", RadiusUs)

@@ -86,10 +86,12 @@ class JdbcStateStore(url: String) extends AutoCloseable {
   }
 
   /** The keys currently claimed by a run (reference
-    * `s3_datalog_processor.py:70-75`). */
+    * `s3_datalog_processor.py:70-75`), newest upload first — callers
+    * (the CompactorJob drift watchdog) rely on `head` being the newest
+    * file, and without ORDER BY the JDBC result order is arbitrary. */
   def claimedKeys(runId: String): Seq[String] = {
     val ps = conn.prepareStatement(
-      s"SELECT file_path_s3 FROM $Table WHERE compression_run_id = ? AND (compression_status IS NULL OR compression_status <> 'SUCCESS')")
+      s"SELECT file_path_s3 FROM $Table WHERE compression_run_id = ? AND (compression_status IS NULL OR compression_status <> 'SUCCESS') ORDER BY upload_s3_date DESC")
     ps.setString(1, runId)
     val rs = ps.executeQuery()
     val out = ArrayBuffer.empty[String]

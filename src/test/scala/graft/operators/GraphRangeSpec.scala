@@ -19,11 +19,25 @@ class GraphRangeSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
-  test("connectedComponents converges on a long path (diameter > 1 round)") {
-    val n = 12
+  test("connectedComponents converges on a path far longer than maxRounds") {
+    // 120-edge chain: one-hop propagation alone would need 120 rounds
+    // (> maxRounds = 50); the pointer-jumping hop converges in O(log n).
+    val n = 120
     val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
     val got = GraphOps.connectedComponents(edges).as[(Long, Long)].collect()
     assert(got.length == n + 1 && got.forall(_._2 == 0L))
+  }
+
+  test("intervalJoin rejects overlapping and reserved column names") {
+    val l = Seq((1L, 0L)).toDF("id", "lp")
+    val r1 = Seq((2L, 5L)).toDF("id", "rp") // shares "id"
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(l, "lp", r1, "rp", 10L)
+    }
+    val r2 = Seq((5L, 1L)).toDF("rp", "__bin") // reserved temp name
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(l, "lp", r2, "rp", 10L)
+    }
   }
 
   test("intervalJoin finds exactly the pairs within the radius, once each") {
