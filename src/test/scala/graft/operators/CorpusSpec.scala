@@ -35,6 +35,18 @@ class CorpusSpec extends SparkSpec {
     assert(out(evalIds(1)) == 0.0, "unseen text must be clean")
   }
 
+  test("contamination tolerates sub-shingle documents instead of throwing") {
+    import spark.implicits._
+    // 1-2 token docs must be filtered, not crash ANSI element_at (the
+    // backwards sequence() trap) — on either side of the split.
+    val docs = Seq(
+      (trainIds(0), "hi"),
+      (evalIds(0), "two words"),
+      (evalIds(1), "three tokens here now")).toDF("doc_id", "text")
+    val out = CorpusQueries.contaminationOn(docs).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(evalIds(1)))
+  }
+
   test("packing conserves every token and opens bin 0 in every group") {
     import spark.implicits._
     val text100 = Seq.fill(100)("w").mkString(" ") // 100 tokens each
