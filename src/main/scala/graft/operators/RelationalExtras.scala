@@ -58,6 +58,37 @@ object RelationalExtras {
       |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
       |  FROM orders)""".stripMargin
 
+  // ------------------------------------- correlated EXISTS subqueries
+  /** Q57: correlated EXISTS / NOT EXISTS through the SQL front door —
+    * per nation, customers holding at least one high-value order but no
+    * low-value one. Catalyst decorrelates both subqueries into a
+    * left-semi and a left-anti join on `o_custkey` (never a per-row
+    * re-execution), so the plan is two hash joins — the same shape q11
+    * builds explicitly with the DataFrame API, reached from declarative
+    * SQL. */
+  def q57Exists(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_v")
+    Tables(spark, dir, "orders").createOrReplaceTempView("orders_x")
+    spark.sql(
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_x o
+        |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_x o
+        |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 5000)
+        |GROUP BY c_nationkey""".stripMargin)
+      .select(col("c_nationkey").cast("long").as("c_nationkey"), col("n_customers"))
+  }
+
+  val q57Sql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_customers
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 5000)
+      |GROUP BY c_nationkey""".stripMargin
+
   // -------------------------------------------------- set operators
   /** Q32: INTERSECT / EXCEPT over user activity sets: users who both
     * purchased and errored, minus users with a high-value signup (the
@@ -248,6 +279,7 @@ object RelationalExtras {
     "q44_unpivot" -> q44Unpivot _,
     "q52_moving_avg" -> q52MovingAvg _,
     "q53_cube" -> q53Cube _,
+    "q57_exists" -> q57Exists _,
     "q30_pivot" -> q30Pivot _,
     "q31_scalar_subquery" -> q31ScalarSubquery _,
     "q32_set_ops" -> q32SetOps _,
@@ -259,6 +291,7 @@ object RelationalExtras {
     "q44_unpivot" -> q44Sql,
     "q52_moving_avg" -> q52Sql,
     "q53_cube" -> q53Sql,
+    "q57_exists" -> q57Sql,
     "q30_pivot" -> q30Sql,
     "q31_scalar_subquery" -> q31Sql,
     "q32_set_ops" -> q32Sql,

@@ -97,4 +97,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Expand"), s"cube must expand grouping sets map-side:\n$p")
     assert("Exchange".r.findAllIn(p).size == 1, s"cube must shuffle exactly once:\n$p")
   }
+
+  test("q57: correlated EXISTS decorrelates to semi/anti joins, no per-row subquery") {
+    val df = RelationalExtras.q57Exists(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as a left-anti join:\n$p")
+  }
 }
