@@ -89,6 +89,42 @@ object RelationalExtras {
       |        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 5000)
       |GROUP BY c_nationkey""".stripMargin
 
+  // ------------------------------------------- statistical aggregates
+  /** Q58: per-type distribution stats — mean and sample stddev derived
+    * in closed form from exact DECIMAL moments (Σx, Σx²). Spark's
+    * `stddev_samp` streams Welford-style over doubles, so its low bits
+    * depend on partition order; the moment form keeps the aggregation
+    * exact (decimal addition commutes) and does the floating-point math
+    * once per group at the end — bit-identical on any cluster size and
+    * in any engine. Still one shuffle, still map-side partial sums. */
+  def q58Stats(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value").cast("decimal(18,6)")
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"),
+        sum((x * x).cast("decimal(38,12)")).as("sx2"))
+      .select(col("event_type"), col("n"),
+        round((col("sx").cast("double") / col("n")), 6).as("mean"),
+        round(sqrt(
+          (col("sx2").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n"))
+            / (col("n") - 1)), 6).as("stddev"))
+  }
+
+  val q58Sql: String =
+    """WITH m AS (SELECT event_type, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,6))) AS sx,
+      |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+      |        AS DECIMAL(38,12))) AS sx2
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n,
+      |  round(CAST(sx AS DOUBLE) / n, 6) AS mean,
+      |  round(sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |    / (n - 1)), 6) AS stddev
+      |FROM m""".stripMargin
+
   // -------------------------------------------------- set operators
   /** Q32: INTERSECT / EXCEPT over user activity sets: users who both
     * purchased and errored, minus users with a high-value signup (the
@@ -280,6 +316,7 @@ object RelationalExtras {
     "q52_moving_avg" -> q52MovingAvg _,
     "q53_cube" -> q53Cube _,
     "q57_exists" -> q57Exists _,
+    "q58_stats" -> q58Stats _,
     "q30_pivot" -> q30Pivot _,
     "q31_scalar_subquery" -> q31ScalarSubquery _,
     "q32_set_ops" -> q32SetOps _,
@@ -292,6 +329,7 @@ object RelationalExtras {
     "q52_moving_avg" -> q52Sql,
     "q53_cube" -> q53Sql,
     "q57_exists" -> q57Sql,
+    "q58_stats" -> q58Sql,
     "q30_pivot" -> q30Sql,
     "q31_scalar_subquery" -> q31Sql,
     "q32_set_ops" -> q32Sql,

@@ -27,4 +27,19 @@ class SketchSpec extends SparkSpec {
         s"$t p90 approx=$p90a exact=$p90e")
     }
   }
+
+  test("q58 closed-form moments agree with Spark's streaming stddev_samp") {
+    import org.apache.spark.sql.functions._
+    val ours = RelationalExtras.q58Stats(spark, Dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val ref = graft.core.Tables(spark, Dir, "events")
+      .groupBy("event_type")
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(ours.keySet == ref.keySet)
+    for ((t, (m, s)) <- ours) {
+      assert(math.abs(m - ref(t)._1) < 1e-4, s"$t mean $m vs ${ref(t)._1}")
+      assert(math.abs(s - ref(t)._2) < 1e-4, s"$t stddev $s vs ${ref(t)._2}")
+    }
+  }
 }
