@@ -99,30 +99,38 @@ object RelationalExtras {
     * in any engine. Still one shuffle, still map-side partial sums. */
   def q58Stats(spark: SparkSession, dir: String): DataFrame = {
     val x = col("value").cast("decimal(18,6)")
+    // n counts non-null values (count(*) would skew both stats under
+    // NULLs); the variance numerator is clamped at 0 because the exact
+    // decimal moments can round to a tiny negative once cast to double
+    // (a constant-valued group gives ~-1e-19 → NaN in Spark, a hard
+    // sqrt error in DuckDB); n = 1 yields NULL, matching stddev_samp.
+    val varNum = greatest(lit(0.0),
+      col("sx2").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n"))
     Tables(spark, dir, "events")
       .groupBy("event_type")
       .agg(
-        count(lit(1)).as("n"),
+        count(x).as("n"),
         sum(x).as("sx"),
         sum((x * x).cast("decimal(38,12)")).as("sx2"))
       .select(col("event_type"), col("n"),
         round((col("sx").cast("double") / col("n")), 6).as("mean"),
-        round(sqrt(
-          (col("sx2").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double") / col("n"))
-            / (col("n") - 1)), 6).as("stddev"))
+        when(col("n") > 1, round(sqrt(varNum / (col("n") - 1)), 6)).as("stddev"))
   }
 
   val q58Sql: String =
-    """WITH m AS (SELECT event_type, count(*) AS n,
+    """WITH m AS (SELECT event_type, count(value) AS n,
       |    sum(CAST(value AS DECIMAL(18,6))) AS sx,
       |    sum(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
       |        AS DECIMAL(38,12))) AS sx2
       |  FROM events GROUP BY 1)
       |SELECT event_type, n,
       |  round(CAST(sx AS DOUBLE) / n, 6) AS mean,
-      |  round(sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-      |    / (n - 1)), 6) AS stddev
+      |  CASE WHEN n > 1 THEN
+      |    round(sqrt(greatest(0.0,
+      |      CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |      / (n - 1)), 6)
+      |  END AS stddev
       |FROM m""".stripMargin
 
   // -------------------------------------------------- set operators
