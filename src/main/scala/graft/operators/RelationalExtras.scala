@@ -133,6 +133,35 @@ object RelationalExtras {
       |  END AS stddev
       |FROM m""".stripMargin
 
+  // --------------------------------------------------- full outer join
+  /** Q59: daily order activity FULL OUTER JOIN daily event activity —
+    * completes the join-type matrix (inner/left/semi/anti are
+    * q10–q12/q11). The two tables' date ranges barely overlap, so both
+    * null sides are exercised at every scale factor. Aggregating to
+    * per-day counts BEFORE the join means the outer join itself moves
+    * |days|, not |rows|. */
+  def q59FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val od = Tables(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ed = Tables(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    od.join(ed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  val q59Sql: String =
+    """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+      |    FROM orders GROUP BY 1),
+      |ed AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      |    FROM events GROUP BY 1)
+      |SELECT COALESCE(od.day, ed.day) AS day,
+      |  COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events
+      |FROM od FULL OUTER JOIN ed ON od.day = ed.day""".stripMargin
+
   // -------------------------------------------------- set operators
   /** Q32: INTERSECT / EXCEPT over user activity sets: users who both
     * purchased and errored, minus users with a high-value signup (the
@@ -325,6 +354,7 @@ object RelationalExtras {
     "q53_cube" -> q53Cube _,
     "q57_exists" -> q57Exists _,
     "q58_stats" -> q58Stats _,
+    "q59_full_outer" -> q59FullOuter _,
     "q30_pivot" -> q30Pivot _,
     "q31_scalar_subquery" -> q31ScalarSubquery _,
     "q32_set_ops" -> q32SetOps _,
@@ -338,6 +368,7 @@ object RelationalExtras {
     "q53_cube" -> q53Sql,
     "q57_exists" -> q57Sql,
     "q58_stats" -> q58Sql,
+    "q59_full_outer" -> q59Sql,
     "q30_pivot" -> q30Sql,
     "q31_scalar_subquery" -> q31Sql,
     "q32_set_ops" -> q32Sql,
