@@ -62,6 +62,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("packing conserves tokens for arbitrary document lengths (property)") {
+    import spark.implicits._
+    // deterministic pseudo-random lengths, including budget-straddling docs
+    val docs = (0L until 200L).map { i =>
+      val ntok = 1 + ((i * 2654435761L) % 900L).toInt // 1..900 tokens
+      (i, Seq.fill(ntok)("w").mkString(" "))
+    }
+    val total = docs.map(_._2.count(_ == ' ') + 1).sum
+    val out = CorpusQueries.packingOn(docs.toDF("doc_id", "text")).collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == total)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 200L)
+    assert(out.forall(_.getAs[Long]("bin") >= 0L))
+  }
+
   test("scrub matches whole words and digit runs only; fp ignores which term matched") {
     import spark.implicits._
     val docs = Seq(
