@@ -53,4 +53,26 @@ class DeviceStateTrackerSpec extends SparkSpec {
       == Seq(1L, 2L, 3L))
     q.stop()
   }
+
+  test("streaming content-fingerprint dedup drops formatting-only re-deliveries") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextExprs
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+      .withColumn("fp", TextExprs.fingerprint(col("text")))
+    val deduped = dedupWithinWatermark(df, "fp", "ts")
+    val q = deduped.writeStream.format("memory").queryName("fp_dedup")
+      .outputMode("append").start()
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, "Hello  World", t0), (2L, "unrelated text", t0))
+    q.processAllAvailable()
+    // batch 2: doc 3 is doc 1 with normalized-away formatting differences
+    input.addData((3L, "  hello world ", t0))
+    q.processAllAvailable()
+    assert(spark.table("fp_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "a formatting-only duplicate must be dropped by its content fingerprint")
+    q.stop()
+  }
 }
