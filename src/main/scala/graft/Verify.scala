@@ -24,7 +24,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // free per-query persisted relations
+      // Release exactly what the query builders pinned (tracked handles),
+      // then clear anything else cached — per-query isolation.
+      graft.core.Caches.releaseAll()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

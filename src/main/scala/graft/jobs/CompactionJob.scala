@@ -32,6 +32,37 @@ object CompactionJob {
 
   val TargetFileBytes: Long = 200L * 1024 * 1024 // reference's 150–250 MB target
 
+  /** Crash recovery for the publish window: a failure between the two
+    * swap renames leaves a partition's only copy in the hidden
+    * `.compact_old_<name>` backup with NO visible sibling — and since
+    * [[findFragmented]] skips hidden dirs, no later run would ever see
+    * that partition again. Relist such orphans and rename the backup
+    * back into place (checked rename) before doing anything else, so the
+    * "restored next run" guarantee covers the rename window too.
+    * Backups whose visible sibling exists are left alone: they are
+    * stale-but-harmless (hidden to reads) and the next compaction of
+    * that partition deletes them. */
+  def restoreOrphanBackups(spark: SparkSession, root: String): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = fs.makeQualified(new Path(root))
+    def dirs(p: Path): Seq[Path] = {
+      val children = fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+      children ++ children
+        .filter(d => !d.getName.startsWith(".") && !d.getName.startsWith("_"))
+        .flatMap(dirs)
+    }
+    if (!fs.exists(rootPath)) return Nil
+    dirs(rootPath)
+      .filter(_.getName.startsWith(".compact_old_"))
+      .flatMap { bak =>
+        val visible = new Path(bak.getParent, bak.getName.stripPrefix(".compact_old_"))
+        if (fs.exists(visible)) None
+        else if (fs.rename(bak, visible)) Some(rootPath.toUri.relativize(visible.toUri).getPath)
+        else throw new java.io.IOException(
+          s"compaction recovery: could not restore $bak to $visible — recover manually")
+      }
+  }
+
   /** Leaf partition directories with more than `maxFiles` data files. */
   def findFragmented(spark: SparkSession, root: String, maxFiles: Int): Seq[PartitionStats] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,13 +106,15 @@ object CompactionJob {
     * count-verified in a hidden temp sibling BEFORE the original moves;
     * a failure up to that point leaves the partition untouched (stale
     * staging dirs are ignored by reads and re-overwritten next run). The
-    * only non-atomic window is between the two renames, where the
-    * verified replacement and the backup both exist on disk — data can
-    * need a manual rename after a crash there, but can never be lost. A
+    * only non-atomic window is between the two renames, where the data
+    * lives in the hidden backup; [[restoreOrphanBackups]] (run first,
+    * every run) renames such orphans back automatically, so every crash
+    * point self-heals on the next run and data can never be lost. A
     * count mismatch abandons the staging copy and keeps the original.
     *
     * Returns before/after row counts for the no-data-loss check. */
   def run(spark: SparkSession, root: String, maxFiles: Int = 4): Result = {
+    restoreOrphanBackups(spark, root)
     val fragmented = findFragmented(spark, root, maxFiles)
     if (fragmented.isEmpty) return Result(Nil, 0L, 0L)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)

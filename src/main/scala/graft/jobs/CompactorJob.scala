@@ -20,7 +20,14 @@ import graft.state.JdbcStateStore
   */
 object CompactorJob {
 
-  case class Result(runId: String, claimed: Int, rows: Long, quarantined: Long)
+  /** `newFields`: field names first seen by THIS run's inference (empty
+    * in steady state). Non-empty means earlier batches may have been
+    * written while the field was already arriving — the orchestration
+    * signal to re-ingest the recent bronze window (bronze is immutable
+    * and retained, so nothing is unrecoverable; silver appends are not
+    * idempotent, so the backfill is an operator decision, not automatic). */
+  case class Result(runId: String, claimed: Int, rows: Long, quarantined: Long,
+      newFields: Seq[String] = Nil)
 
   /** Registry key for the telemetry bronze schema. */
   val SchemaDataset = "datalog_bronze"
@@ -47,16 +54,25 @@ object CompactorJob {
       // fields show up in new files) and diffs field names against the
       // registry; only when a new field appears does the batch fall
       // back to full inference + registry merge. Cost in steady state:
-      // one file, not the batch. A drifted field in a non-sampled file
-      // of the same batch is caught when a later batch samples it —
-      // the watchdog converges instead of silently losing the column
-      // until an operator-scheduled relearn.
+      // one file, not the batch. LIMIT of the one-file sample: a field
+      // drifting in only a NON-sampled file of a batch is dropped from
+      // that batch's silver rows, and those files are acked and never
+      // re-read — the registry converges when a later batch samples the
+      // field, but only FUTURE files carry the column. That is why
+      // inference runs surface `Result.newFields`: a non-empty value is
+      // the signal that a blind window may precede this run, and the
+      // bronze retention window is what makes the re-ingest decision
+      // cheap to take. (The reference closes the window by re-inferring
+      // every batch — a second scan of every byte, every hour.)
+      var newFields: Seq[String] = Nil
       def inferAndRegister(): org.apache.spark.sql.DataFrame = {
         val inferred = BronzeReader.read(spark, keys)
-        store.mergeSchema(SchemaDataset,
+        val before = store.loadSchema(SchemaDataset).map(_.fieldNames.toSet).getOrElse(Set.empty)
+        val merged = store.mergeSchema(SchemaDataset,
           org.apache.spark.sql.types.StructType(
             inferred.schema.filterNot(f =>
               f.name == BronzeReader.CorruptCol || f.name == "source_file")))
+        newFields = merged.fieldNames.filterNot(before.contains).toSeq
         inferred
       }
       val bronze = (store.loadSchema(SchemaDataset) match {
@@ -73,7 +89,7 @@ object CompactorJob {
         val enriched = SilverWriter.enrich(clean, district)
         val rows = SilverWriter.write(enriched, target)
         store.ack(runId)
-        Result(runId, keys.size, rows, nCorrupt)
+        Result(runId, keys.size, rows, nCorrupt, newFields)
       } finally bronze.unpersist()
     } catch {
       case e: Throwable =>

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Caches, Tables}
 import graft.functions.TextExprs
 
 /** Deduplication operators over the `documents` table — the LLM
@@ -62,16 +62,15 @@ object DedupQueries {
     // aggregate and the join probe, and without its own materialization
     // the corpus-wide explode+distinct would run twice before the capped
     // result's persist ever takes effect.
-    val sh = docRel
+    val sh = Caches.persistTracked(docRel
       .select(col("doc_id"), toks.as("w"))
       .where(size(col("w")) >= ShingleN)
       .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
-      .distinct()
-      .persist()
+      .distinct())
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .where(col("df") <= MaxShingleDf)
       .select("sh")
-    sh.join(keep, "sh").persist()
+    Caches.persistTracked(sh.join(keep, "sh"))
   }
 
   /** The capped-shingle relation as DuckDB SQL CTEs (`sh` = the capped
@@ -298,7 +297,7 @@ object DedupQueries {
     // relation feeds BOTH sides of the band self-join, and without
     // materialization the whole tokenize+64-vote SimHash pipeline runs
     // twice — at 100 TB, two corpus scans instead of one.
-    val fp = fp0.persist()
+    val fp = Caches.persistTracked(fp0)
     def bandKey(h: Column, b: Int): Column = substring(h, b * 4 + 1, 4)
     val bands = fp.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b => bandKey(col("simhash"), b)): _*)))
@@ -437,51 +436,58 @@ object DedupQueries {
        |SELECT doc_id, fp FROM f""".stripMargin
 
   // --------------------------------------------- fuzzy entity matching
-  /** Customer names are `Customer#` + 9 digits → 18 chars; the digit
-    * run occupies 1-based positions 10..18. */
-  private val FuzzyNameLen = 18
-  private val FuzzyDigitFrom = 10
-
   /** Q56: fuzzy duplicate-account detection — customer pairs whose
-    * names are within Levenshtein distance 1 (one typo apart), via
-    * WILDCARD-NEIGHBORHOOD blocking: each name emits one key per digit
-    * position with that position masked, and a pair differing in
-    * exactly one position collides on exactly one (position, masked)
-    * key. Candidate generation is therefore EXACT (equal-length strings
-    * at edit distance 1 differ by one substitution) and skew-free — the
-    * group behind each key is the ≤10 ids sharing the other 8 digits,
-    * so comparisons stay bounded per key no matter how the id space
-    * grows. (A naive shared-prefix block is quadratic-with-skew on
-    * sequential ids: 26 s vs ~1 s at sf0.1.) */
-  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame = {
-    val maskKeys = (FuzzyDigitFrom to FuzzyNameLen).map { p =>
-      struct(lit(p).as("p"),
-        concat(substring(col("c_name"), 1, p - 1), lit("*"),
-          substring(col("c_name"), p + 1, FuzzyNameLen - p)).as("mk"))
-    }
-    val k = Tables(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_name"), explode(array(maskKeys: _*)).as("x"))
-      .select(col("c_custkey"), col("c_name"), col("x.p").as("p"), col("x.mk").as("mk"))
-    k.select(col("c_custkey").as("id1"), col("c_name").as("n1"), col("p"), col("mk"))
-      .join(k.select(col("c_custkey").as("id2"), col("c_name").as("n2"),
-        col("p"), col("mk")), Seq("p", "mk"))
+    * names are within Levenshtein distance ≤ 1 (one typo apart), via
+    * DELETION-NEIGHBORHOOD blocking (FastSS): each name emits itself
+    * plus every delete-one-character variant; any pair within edit
+    * distance 1 — substitution, insert, OR delete, any name length, no
+    * assumed shape — shares at least one key (substitution: both delete
+    * the differing position; insert/delete: the shorter name IS a
+    * deletion of the longer). Collisions are a superset (distance ≤ 2
+    * can collide), so candidates are verified with an explicit
+    * `levenshtein ≤ 1`. Skew-free: the group behind each key is the
+    * handful of names agreeing on every other character, so comparisons
+    * stay bounded per key no matter how the id space grows. (A naive
+    * shared-prefix block is quadratic-with-skew on sequential ids: 26 s
+    * vs ~1 s at sf0.1.) */
+  def fuzzyNameMatch(spark: SparkSession, dir: String): DataFrame =
+    fuzzyNameMatchOn(Tables(spark, dir, "customer"))
+
+  private[operators] def fuzzyNameMatchOn(customers: DataFrame): DataFrame = {
+    val n = col("c_name")
+    // greatest(len, 1): sequence(1, 0) would DESCEND for an empty name;
+    // the lone i=1 it yields instead contributes one harmless "" key.
+    val delKeys = concat(array(n), transform(
+      sequence(lit(1), greatest(length(n), lit(1))), i =>
+        concat(n.substr(lit(1), i - lit(1)), n.substr(i + lit(1), length(n) - i))))
+    val k = customers
+      .select(col("c_custkey"), col("c_name"), explode(delKeys).as("mk"))
+      // a delete variant can coincide with the name itself (repeated
+      // chars, e.g. "aab" minus either 'a') — one key per (id, key)
+      .distinct()
+    k.select(col("c_custkey").as("id1"), col("c_name").as("n1"), col("mk"))
+      .join(k.select(col("c_custkey").as("id2"), col("c_name").as("n2"), col("mk")), Seq("mk"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("n1"), col("n2"),
         levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
-      // identical names (dist 0) collide on ALL mask positions — the
-      // exactly-one-collision argument only covers dist == 1, so the
-      // pair set must be deduplicated for the general case.
+      // a pair can collide on several deletion keys (identical names
+      // collide on all of them), so the pair set must be deduplicated;
+      // the ≤ 1 verify discards the distance-2 collision tail.
       .distinct()
+      .where(col("dist") <= 1)
   }
 
   val fuzzyNameSql: String =
-    s"""WITH k AS (SELECT c_custkey, c_name, p.p AS p,
-       |    substr(c_name, 1, p.p - 1) || '*' || substr(c_name, p.p + 1, $FuzzyNameLen - p.p) AS mk
-       |  FROM customer, (SELECT unnest(range($FuzzyDigitFrom, ${FuzzyNameLen + 1})) AS p) p)
+    s"""WITH k AS (SELECT DISTINCT c_custkey, c_name, mk FROM (
+       |    SELECT c_custkey, c_name,
+       |      unnest(list_prepend(c_name, list_transform(range(1, len(c_name) + 1),
+       |        i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)))) AS mk
+       |    FROM customer))
        |SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
        |  a.c_name AS n1, b.c_name AS n2,
        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-       |FROM k a JOIN k b ON a.p = b.p AND a.mk = b.mk AND a.c_custkey < b.c_custkey""".stripMargin
+       |FROM k a JOIN k b ON a.mk = b.mk AND a.c_custkey < b.c_custkey
+       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_winnow" -> winnow _,

@@ -64,9 +64,9 @@ object RangeJoin {
     // Persisted: purchases feeds the interval join AND the final
     // left join — without materialization the events scan + filter
     // would run twice.
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("ts"), unix_micros(col("ts").cast("timestamp")).as("pus"))
-      .persist()
+    val purchases = graft.core.Caches.persistTracked(
+      ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"), unix_micros(col("ts").cast("timestamp")).as("pus")))
     val signups = ev.where(col("event_type") === "signup")
       .select(unix_micros(col("ts").cast("timestamp")).as("sus"))
     val counts = intervalJoin(purchases, "pus", signups, "sus", RadiusUs)

@@ -225,7 +225,10 @@ object SimilarityQueries {
     * engine regardless of its double-summation order. A pure narrow
     * projection: no shuffle, no UDF, whole-stage codegen'd; at 100 TB
     * this is a map-only pass. */
-  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    quantizeInt8On(emb(spark, dir))
+
+  private[operators] def quantizeInt8On(e: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
     val scale = (aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0).as("scale_raw")
     // The raw scale keeps a name distinct from the rounded output column:
@@ -234,9 +237,13 @@ object SimilarityQueries {
     // 6-digit-rounded scale instead of the true one.
     val errs = zip_with(col("v"), col("q"),
       (x, q) => abs(x - q * col("scale_raw")).cast("decimal(20,12)"))
-    emb(spark, dir)
-      .select(col("vec_id"), v.as("v"), scale)
-      .withColumn("q", transform(col("v"), x => floor(x / col("scale_raw") + 0.5)))
+    e.select(col("vec_id"), v.as("v"), scale)
+      // Degenerate all-zero vector → scale_raw = 0; dividing would yield
+      // 0.0/0.0 = NaN and the ANSI cast of codes to array<int> throws.
+      // Zero codes are the correct quantization of a zero vector.
+      .withColumn("q", transform(col("v"), x =>
+        when(col("scale_raw") === 0d, lit(0.0))
+          .otherwise(floor(x / col("scale_raw") + 0.5))))
       .select(
         col("vec_id"),
         round(col("scale_raw"), 6).as("scale"),
@@ -252,7 +259,8 @@ object SimilarityQueries {
       |s AS (SELECT vec_id, v,
       |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
       |q AS (SELECT vec_id, v, scale,
-      |    list_transform(v, x -> floor(x / scale + 0.5)) AS qc FROM s)
+      |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+      |                           ELSE floor(x / scale + 0.5) END) AS qc FROM s)
       |SELECT vec_id, round(scale, 6) AS scale,
       |  CAST(to_json(CAST(qc AS INT[])) AS VARCHAR) AS codes,
       |  round(CAST(list_sum(list_transform(range(len(v)),

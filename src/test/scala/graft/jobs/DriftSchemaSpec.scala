@@ -86,6 +86,8 @@ class DriftSchemaSpec extends SparkSpec {
       store.register(k2, "DISTRICTB", new Timestamp(1704070800000L))
       val r2 = CompactorJob.run(spark, store, "wd-r2", "DISTRICTB", target)
       assert(r2.rows == 1)
+      assert(r2.newFields == Seq("engine_temp"),
+        "drift-triggered inference must surface the new fields (re-ingest signal)")
 
       val silver = spark.read.option("mergeSchema", "true").parquet(target)
       assert(silver.columns.contains("engine_temp"),

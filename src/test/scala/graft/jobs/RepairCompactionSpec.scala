@@ -93,4 +93,31 @@ class RepairCompactionSpec extends SparkSpec {
     assert(CompactionJob.findFragmented(spark, path, maxFiles = 4).isEmpty)
     assert(spark.read.parquet(path).count() == 9) // healthy partition intact
   }
+
+  test("a crash between the publish renames self-heals on the next run") {
+    val path = tmpDir("compact_crash")
+    (0 until 8).foreach { i =>
+      Seq((Base + i, s"u$i", "2024-01-01", "D1"))
+        .toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+        .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+        .repartition(1)
+        .write.mode("append").partitionBy("hiveperiod", "dstrct_code").parquet(path)
+    }
+    // Simulate the worst crash point: the leaf was moved aside to the
+    // hidden backup but the verified staging copy never published — the
+    // partition's only copy is invisible to reads and to findFragmented.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = new org.apache.hadoop.fs.Path(s"$path/hiveperiod=2024-01-01/dstrct_code=D1")
+    val bak = new org.apache.hadoop.fs.Path(leaf.getParent, s".compact_old_${leaf.getName}")
+    assert(fs.rename(leaf, bak))
+    assert(CompactionJob.findFragmented(spark, path, maxFiles = 4).isEmpty,
+      "precondition: the orphaned partition is invisible")
+
+    val res = CompactionJob.run(spark, path, maxFiles = 4)
+    assert(res.verified && res.rowsBefore == 8 && res.rowsAfter == 8,
+      "next run must restore the backup and compact it")
+    assert(!fs.exists(bak))
+    assert(spark.read.parquet(path).count() == 8)
+  }
 }

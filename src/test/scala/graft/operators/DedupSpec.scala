@@ -65,6 +65,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs(DedupQueries.simhashNearDupOn(fp)) == Set((0L, 1L), (1L, 2L)))
   }
 
+  /** The deletion-neighborhood block must catch every edit KIND at
+    * distance 1 — substitution, insert, delete — on names of any shape
+    * and length (the old digit-mask block silently missed
+    * length-changing edits and 10+-digit names). */
+  test("fuzzy match finds substitution, insert, and delete typos on any name shape") {
+    import spark.implicits._
+    val customers = Seq(
+      (1L, "Customer#000000001"),  // base
+      (2L, "Customer#000000002"),  // substitution of 1 (dist 1)
+      (3L, "Customer#0000000011"), // digit INSERTED vs 1 (dist 1, longer)
+      (4L, "Customer#00000001"),   // digit DELETED vs 1 (dist 1, shorter)
+      (5L, "Customer#9999999999"), // 10-digit name, no partner
+      (6L, "alice"),               // arbitrary shape
+      (7L, "alice"),               // identical (dist 0)
+      (8L, "alicia"),              // dist 2 from alice — must NOT match
+      (9L, "malice")               // insert at front of alice (dist 1)
+    ).toDF("c_custkey", "c_name")
+    val got = DedupQueries.fuzzyNameMatchOn(customers)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (6L, 7L), (6L, 9L), (7L, 9L)),
+      s"got $got")
+  }
+
   test("winnowing guarantees a shared fingerprint for any 6-token overlap") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = ShingleN+W-1

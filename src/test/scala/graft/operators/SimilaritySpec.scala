@@ -37,6 +37,22 @@ class SimilaritySpec extends SparkSpec {
       s"bucketed missed ${(want -- got).size} pairs, invented ${(got -- want).size}")
   }
 
+  /** An all-zero embedding has scale 0; quantization must emit zero codes
+    * (not divide 0/0 into NaN and crash the ANSI cast to array<int>). */
+  test("int8 quantization survives a degenerate all-zero vector") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(0f, 0f, 0f, 0f)),
+      (1L, Seq(1f, -2f, 0.5f, 0f))).toDF("vec_id", "embedding")
+    val rows = SimilarityQueries.quantizeInt8On(e)
+      .orderBy("vec_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getDouble(1) == 0.0, "zero vector must report scale 0")
+    assert(rows(0).getString(2) == "[0,0,0,0]", "zero vector must quantize to zero codes")
+    assert(rows(0).getDouble(3) == 0.0, "zero vector reconstructs exactly")
+    assert(rows(1).getString(2) == "[64,-127,32,0]")
+  }
+
   /** The fixture seeds (vec_id < 16) hit each true cluster exactly once
     * (cluster = id % 16), so a correct trainer must converge to a
     * codebook where every true cluster maps wholly to one learned
