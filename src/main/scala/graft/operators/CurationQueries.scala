@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextExprs
+
+/** The curation layer of a training-data pipeline — the queries that
+  * turn per-document SIGNALS (quality, language, repetition, duplicate
+  * cluster) into per-document DECISIONS, and documents into
+  * training-shaped units (chunks, histograms for mixture dashboards).
+  *
+  * Everything is deterministic and engine-portable (same contract as
+  * [[CorpusQueries]]): content-hash splits, no `rand()`, exact integer /
+  * decimal arithmetic where results feed comparisons.
+  *
+  * Scale shapes: q60 is narrow per-row signal computation plus ONE
+  * fingerprint groupBy (uniform md5 keys — no skew); q61 is a
+  * bounded-key aggregation (≤ [[HistBuckets]] groups); q63 is a pure
+  * explode of per-row windows — map-only, no shuffle at all.
+  */
+object CurationQueries {
+
+  private val Stopwords = Seq("the", "a")
+  private val EvalBucketFrom = 90 // hash buckets 90..99 → 10% eval split
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  // ----------------------------------------------------- q60 curation
+  /** Q60: the end-to-end curation decision record — one row per
+    * document: every rejection signal, the FIRST failing filter as the
+    * reject reason (filter order: quality → language → repetition →
+    * duplicate, the order a production pipeline applies them in, cheap
+    * narrow signals before the dedup join), the keep verdict, and the
+    * train/eval split + token budget for kept documents.
+    *
+    * Signals reuse the exact definitions of q22 (quality score), q23
+    * (language heuristic), q51 (duplicate-token ratio) and q25
+    * (normalized fingerprint keeper) — this query is their composition,
+    * which is precisely what "a curation pipeline" is. Duplicate
+    * clusters are computed over the WHOLE corpus (not post-filter), so
+    * the keeper of a cluster is stable under filter-threshold changes. */
+  def curation(spark: SparkSession, dir: String): DataFrame =
+    curationOn(docs(spark, dir))
+
+  private[operators] def curationOn(docRel: DataFrame): DataFrame = {
+    val w = TextExprs.tokens(col("text"))
+    val base = docRel.select(
+      col("doc_id"), col("lang"), col("text"), col("n_chars"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_types"),
+      TextExprs.markerCount(w, Stopwords).cast("long").as("n_stop"),
+      TextExprs.fingerprint(col("text")).as("fp"))
+    val quality = (when(col("n_tokens").between(20, 400), 1).otherwise(0) +
+      when(col("n_types") * lit(1.0) / col("n_tokens") >= 0.3, 1).otherwise(0) +
+      when((col("n_stop") * lit(1.0) / col("n_tokens")).between(0.01, 0.3), 1).otherwise(0))
+      .cast("long")
+    val markerRate = col("n_stop") * lit(1.0) / col("n_tokens")
+    val thRate = (length(col("text")) - length(regexp_replace(col("text"), " th", ""))) *
+      lit(1.0) / length(col("text"))
+    val langPred = when(markerRate >= 0.05 && thRate >= 0.01, lit("en")).otherwise(lit("other"))
+    val dupRatio = round(lit(1.0) - col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+    val keepers = base.groupBy("fp").agg(min("doc_id").as("keeper"))
+    base.join(keepers, "fp")
+      .select(col("doc_id"), quality.as("quality_score"), langPred.as("lang_pred"),
+        dupRatio.as("dup_ratio"), col("keeper"), col("n_chars"))
+      .withColumn("reason",
+        when(col("quality_score") < 2, "low_quality")
+          .when(col("lang_pred") =!= "en", "non_english")
+          .when(col("dup_ratio") > 0.5, "repetitious")
+          .when(col("doc_id") =!= col("keeper"), "duplicate")
+          .otherwise("keep"))
+      .withColumn("keep", col("reason") === "keep")
+      .withColumn("split",
+        when(!col("keep"), lit("none"))
+          .when(SamplingQueries.hashBucket(col("doc_id")) >= EvalBucketFrom, lit("eval"))
+          .otherwise(lit("train")))
+      .select(col("doc_id"), col("quality_score"), col("lang_pred"), col("dup_ratio"),
+        col("reason"), col("keep"), col("split"),
+        call_function("div", col("n_chars") + 3, lit(4L)).as("est_tokens"))
+  }
+
+  val curationSql: String = {
+    val bucket = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+    s"""WITH b AS (SELECT doc_id, lang, text, n_chars, string_split(text, ' ') AS w,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+       |m AS (SELECT doc_id, lang, text, n_chars, fp, len(w) AS n_tokens,
+       |    len(list_distinct(w)) AS n_types,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop FROM b),
+       |k AS (SELECT fp, min(doc_id) AS keeper FROM m GROUP BY fp),
+       |s AS (SELECT m.doc_id, m.n_chars, keeper,
+       |    CAST((CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END +
+       |          CASE WHEN n_types * 1.0 / n_tokens >= 0.3 THEN 1 ELSE 0 END +
+       |          CASE WHEN n_stop * 1.0 / n_tokens BETWEEN 0.01 AND 0.3 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS quality_score,
+       |    CASE WHEN n_stop * 1.0 / n_tokens >= 0.05
+       |           AND (len(text) - len(replace(text, ' th', ''))) * 1.0 / len(text) >= 0.01
+       |         THEN 'en' ELSE 'other' END AS lang_pred,
+       |    round(1.0 - CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio
+       |  FROM m JOIN k USING (fp)),
+       |r AS (SELECT doc_id, quality_score, lang_pred, dup_ratio, n_chars,
+       |    CASE WHEN quality_score < 2 THEN 'low_quality'
+       |         WHEN lang_pred <> 'en' THEN 'non_english'
+       |         WHEN dup_ratio > 0.5 THEN 'repetitious'
+       |         WHEN doc_id <> keeper THEN 'duplicate'
+       |         ELSE 'keep' END AS reason FROM s)
+       |SELECT doc_id, quality_score, lang_pred, dup_ratio, reason,
+       |  reason = 'keep' AS keep,
+       |  CASE WHEN reason <> 'keep' THEN 'none'
+       |       WHEN $bucket >= $EvalBucketFrom THEN 'eval' ELSE 'train' END AS split,
+       |  (n_chars + 3) // 4 AS est_tokens
+       |FROM r""".stripMargin
+  }
+
+  // ---------------------------------------------------- q61 histogram
+  private val HistWidth = 16
+  private val HistBuckets = 32 // top bucket is open-ended
+
+  /** Q61: token-count histogram — the length-distribution panel of every
+    * corpus dashboard, and the input to choosing packing budgets.
+    * Fixed-width buckets (top bucket open-ended), each with doc count,
+    * min/max, total tokens, and corpus share. One aggregation over a
+    * key space bounded by [[HistBuckets]]; the share is a window over
+    * ≤ 32 rows — nothing here grows with the corpus except the single
+    * map-side-combined pass. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val agg = docs(spark, dir)
+      .select(size(TextExprs.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        least(call_function("div", col("n_tokens"), lit(HistWidth.toLong)),
+          lit(HistBuckets - 1L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("total_tokens"))
+    agg
+      .withColumn("lo", col("bucket") * HistWidth)
+      .withColumn("share", round(col("n_docs") * lit(1.0) /
+        sum("n_docs").over(org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+      .select("bucket", "lo", "n_docs", "min_tokens", "max_tokens", "total_tokens", "share")
+  }
+
+  val tokenHistogramSql: String =
+    s"""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+       |b AS (SELECT least(n_tokens // $HistWidth, ${HistBuckets - 1}) AS bucket, n_tokens FROM d),
+       |g AS (SELECT bucket, count(*) AS n_docs, min(n_tokens) AS min_tokens,
+       |    max(n_tokens) AS max_tokens, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, bucket * $HistWidth AS lo, n_docs, min_tokens, max_tokens, total_tokens,
+       |  round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS share
+       |FROM g""".stripMargin
+
+  // ----------------------------------------------------- q63 chunking
+  private val ChunkTokens = 128
+  private val ChunkStride = 96 // 32-token overlap between neighbors
+
+  /** Q63: overlapping token-window chunking — long documents become
+    * [[ChunkTokens]]-token training units with [[ChunkStride]] stride
+    * (32-token overlap keeps context across boundaries), each with a
+    * content fingerprint for downstream chunk-level dedup. A pure
+    * per-row explode — zero shuffle, fully codegen'd; chunk boundaries
+    * depend only on the document itself, so the operator is
+    * embarrassingly parallel at any corpus size. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    chunkOn(docs(spark, dir))
+
+  private[operators] def chunkOn(docRel: DataFrame): DataFrame = {
+    val starts = sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(ChunkStride))
+    val piece = slice(col("w"), col("start") + 1,
+      least(lit(ChunkTokens), size(col("w")) - col("start")))
+    docRel
+      .select(col("doc_id"), TextExprs.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        size(piece).cast("long").as("chunk_tokens"),
+        md5(concat_ws(" ", piece).cast("binary")).as("chunk_fp"))
+  }
+
+  val chunkSql: String =
+    s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS start FROM b)
+       |SELECT doc_id, start // $ChunkStride AS chunk_idx, start,
+       |  CAST(len(list_slice(w, start + 1, least(start + $ChunkTokens, len(w)))) AS BIGINT)
+       |    AS chunk_tokens,
+       |  md5(array_to_string(list_slice(w, start + 1, least(start + $ChunkTokens, len(w))), ' '))
+       |    AS chunk_fp
+       |FROM s""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_curation" -> curation _,
+    "q61_token_histogram" -> tokenHistogram _,
+    "q63_chunks" -> chunk _)
+
+  val oracles: Map[String, String] = Map(
+    "q60_curation" -> curationSql,
+    "q61_token_histogram" -> tokenHistogramSql,
+    "q63_chunks" -> chunkSql)
+}

@@ -54,16 +54,18 @@ object GraphOps {
       val hop = labels.select(col("id"), col("lbl").as("hid"))
         .join(labels.select(col("id").as("hid"), col("lbl").as("hlbl")), "hid")
         .select(col("id"), col("hlbl"))
+      // The previous label rides along into the checkpointed output, so
+      // the convergence check is a filter over materialized data — not
+      // another join that re-shuffles the labels relation every round.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .join(hop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("prev"),
           least(col("lbl"),
             coalesce(col("nlbl"), col("lbl")),
             coalesce(col("hlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .where(col("lbl") =!= col("prev")).count()
-      labels = next
+      changed = next.where(col("lbl") =!= col("prev")).count()
+      labels = next.select("id", "lbl")
       round += 1
     }
     sym.unpersist()

@@ -347,7 +347,41 @@ object RelationalExtras {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY CUBE (event_type, user_id % 10)""".stripMargin
 
+  // ------------------------------------------------ decile assignment
+  /** Q64: customer-spend deciles — the two-pass BOUNDARY method, not an
+    * `ntile` window: a global ntile would shuffle every customer row
+    * into ONE partition for a total sort, the exact bottleneck q20's
+    * top-k avoids. Instead: (1) one uniform groupBy for per-customer
+    * spend (decimal-exact: `o_totalprice` is stored as double, summing
+    * doubles is partition-order dependent), (2) one aggregate computes
+    * the 9 exact interpolated decile boundaries, (3) a broadcast of
+    * that 1-row boundary array and a narrow map assigns each customer
+    * `1 + |{b : spend > b}|`. Stage 2's exact `percentile` buffers the
+    * per-customer spends; at billions of customers swap it for
+    * `approx_percentile` — stages 1 and 3 are already at-scale shapes.
+    * Ties sit on the lower side of a boundary in both engines. */
+  def q64Deciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    val bounds = spend.agg(expr(
+      "percentile(spend, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("b"))
+    spend.crossJoin(broadcast(bounds))
+      .select(col("custkey"), round(col("spend"), 2).as("spend"),
+        (lit(1) + size(filter(col("b"), x => col("spend") > x))).cast("long").as("decile"))
+  }
+
+  val q64Sql: String =
+    """WITH s AS (SELECT o_custkey AS custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY 1),
+      |q AS (SELECT quantile_cont(spend, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS b FROM s)
+      |SELECT custkey, round(spend, 2) AS spend,
+      |  CAST(1 + len(list_filter(b, x -> spend > x)) AS BIGINT) AS decile
+      |FROM s CROSS JOIN q""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_deciles" -> q64Deciles _,
     "q35_percentiles" -> q35Percentiles _,
     "q44_unpivot" -> q44Unpivot _,
     "q52_moving_avg" -> q52MovingAvg _,
@@ -362,6 +396,7 @@ object RelationalExtras {
     "q34_arrays" -> q34Arrays _)
 
   val oracles: Map[String, String] = Map(
+    "q64_deciles" -> q64Sql,
     "q35_percentiles" -> q35Sql,
     "q44_unpivot" -> q44Sql,
     "q52_moving_avg" -> q52Sql,

@@ -86,6 +86,22 @@ class PlanShapeSpec extends SparkSpec {
       s"window must partition by packing group (no global order):\n$p")
   }
 
+  test("q63: chunking is map-only — explode + project, zero exchanges") {
+    val p = plan(CurationQueries.chunk(spark, Dir))
+    assert(!p.contains("Exchange"), s"per-row chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected an explode of chunk starts:\n$p")
+  }
+
+  test("q64: deciles assign via broadcast boundaries, not a global ntile window") {
+    val df = RelationalExtras.q64Deciles(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      s"decile assignment must not sort all customers in one window partition:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row boundary array must broadcast:\n$p")
+  }
+
   test("q52: range-frame window partitions by user, never a single global sort") {
     val p = plan(RelationalExtras.q52MovingAvg(spark, Dir))
     assert(p.contains("hashpartitioning(user_id"),
