@@ -28,16 +28,23 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "vector_dot"
 
-  // Note: element nulls are not expected (embedding vectors are dense);
-  // a null element reads as 0.0, matching zip_with's null→null product
-  // only when absent — callers must not pass arrays with null entries.
+  // Exactly the semantics of `aggregate(zip_with(a,b,(x,y)=>x*y), 0d,
+  // (acc,e)=>acc+e)`: a length mismatch or a null element yields NULL
+  // (zip_with pads the shorter side with nulls; null poisons the sum).
+  // That equivalence is what licenses [[VectorDotRewrite]] to substitute
+  // this kernel for the composed form anywhere in a plan. Dense
+  // equal-length embeddings never hit either branch.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -50,12 +57,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 
