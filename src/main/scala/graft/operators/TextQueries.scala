@@ -179,7 +179,38 @@ object TextQueries {
        |  row_number() OVER (ORDER BY cnt DESC, term) AS rank
        |FROM v ORDER BY cnt DESC, term LIMIT $VocabTopN""".stripMargin
 
+  // ------------------------------------------------- heavy hitters
+  private val HhCapacity = 4096
+  private val HhK = 5
+
+  /** Q65: per-language frequent tokens via the native SpaceSaving
+    * aggregate ([[graft.plans.HeavyHittersAgg]]). The exact q46 path
+    * shuffles the whole (term, df) vocabulary; this carries at most
+    * [[HhCapacity]] counters per group per partition through the
+    * partial/final aggregation — the fixed-memory shape that survives
+    * an unbounded vocabulary. On the test corpus the capacity exceeds
+    * the vocabulary, so the sketch degenerates to exact counts (every
+    * err = 0) and the DuckDB oracle can pin it exactly; at real scale
+    * the same query is the ε-approximate heavy hitters. */
+  def heavyTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), explode(TextExprs.tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(graft.plans.HeavyHitters.heavyHitters(col("tok"), HhCapacity, HhK).as("hh"))
+      .select(col("lang"), posexplode(col("hh")).as(Seq("pos", "x")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("x.token").as("token"), col("x.cnt").as("cnt"), col("x.err").as("err"))
+
+  val heavyTokensSql: String =
+    s"""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+       |r AS (SELECT lang, token, cnt,
+       |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rank FROM c)
+       |SELECT lang, CAST(rank AS BIGINT) AS rank, token, cnt, CAST(0 AS BIGINT) AS err
+       |FROM r WHERE rank <= $HhK""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_heavy_hitters" -> heavyTokens _,
     "q22_text_quality" -> textQuality _,
     "q23_lang_id" -> langId _,
     "q24_token_count" -> tokenCount _,
@@ -187,6 +218,7 @@ object TextQueries {
     "q46_vocab" -> vocab _)
 
   val oracles: Map[String, String] = Map(
+    "q65_heavy_hitters" -> heavyTokensSql,
     "q22_text_quality" -> textQualitySql,
     "q23_lang_id" -> langIdSql,
     "q24_token_count" -> tokenCountSql,

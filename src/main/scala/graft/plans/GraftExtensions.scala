@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SQL front door for graft's native expressions — plug in with
   *
@@ -36,5 +36,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => VectorDotRewrite)
+    // heavy_hitters(col, capacity, k) — the SpaceSaving aggregate as a
+    // SQL function; capacity/k must be integer literals (they size the
+    // aggregation buffer, which cannot vary per row).
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"heavy_hitters takes (col, capacity, k), got ${children.length} arguments")
+        def intLit(e: Expression, name: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters $name must be an integer literal, got $other")
+        }
+        HeavyHittersAgg(children.head,
+          intLit(children(1), "capacity"), intLit(children(2), "k"))
+      }))
   }
 }

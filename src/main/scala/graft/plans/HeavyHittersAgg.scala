@@ -1,0 +1,158 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SpaceSaving (Metwally et al.) heavy-hitters sketch as a native
+  * Catalyst aggregate — the frequent-items capability Spark lacks as a
+  * COMPOSABLE aggregate (`df.stat.freqItems` is a whole-DataFrame
+  * action: not usable per group, not mergeable, not part of a plan).
+  *
+  * Per aggregation buffer at most [[capacity]] counters are kept; an
+  * unseen item evicts the minimum counter and inherits its count as its
+  * error bound (classic single-stream guarantees: estimate ≥ true
+  * count, overestimate ≤ `err`, any item with frequency > n/capacity
+  * present) — with memory FIXED at the capacity regardless of how many
+  * distinct items stream past. That bounded-memory property is the
+  * 100 TB point: exact per-group top-k (q46-style) shuffles the whole
+  * vocabulary; this shuffles at most `capacity` counters per group per
+  * partition.
+  *
+  * When capacity exceeds the distinct-item count seen by every buffer,
+  * no eviction ever happens and the sketch IS the exact counts — the
+  * regime the q65 oracle pins (err = 0 proves it on the test corpus).
+  *
+  * Merge sums shared counters (counts and error bounds add) and evicts
+  * back down to capacity, folding each victim's count into the
+  * surviving minimum's error — deterministic under (count, token)
+  * ordering. Under eviction this is the pragmatic merge: items evicted
+  * from SOME buffers can be under-estimated; the full cross-buffer
+  * bound (Agarwal et al., "Mergeable Summaries", PODS'12 — charge each
+  * absent side's minimum counter) is the upgrade when worst-case
+  * guarantees must survive merging at extreme skew.
+  */
+case class HeavyHittersAgg(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
+
+  require(capacity > 0 && k > 0 && k <= capacity,
+    s"need 0 < k <= capacity, got k=$k capacity=$capacity")
+
+  override def prettyName: String = "heavy_hitters"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("token", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, (Long, Long)] =
+    mutable.HashMap.empty
+
+  private def evictMin(buf: mutable.HashMap[String, (Long, Long)]): (String, Long) = {
+    // deterministic victim: smallest count, then smallest token
+    val (vk, (vc, _)) = buf.minBy { case (t, (c, _)) => (c, t) }
+    buf -= vk
+    (vk, vc)
+  }
+
+  override def update(
+      buf: mutable.HashMap[String, (Long, Long)],
+      input: InternalRow): mutable.HashMap[String, (Long, Long)] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = v.asInstanceOf[UTF8String].toString
+      buf.get(key) match {
+        case Some((c, e)) => buf.update(key, (c + 1, e))
+        case None if buf.size < capacity => buf.update(key, (1L, 0L))
+        case None =>
+          val (_, minCount) = evictMin(buf)
+          buf.update(key, (minCount + 1, minCount))
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[String, (Long, Long)],
+      other: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
+    other.foreach { case (t, (c, e)) =>
+      buf.get(t) match {
+        case Some((c0, e0)) => buf.update(t, (c0 + c, e0 + e))
+        case None => buf.update(t, (c, e))
+      }
+    }
+    while (buf.size > capacity) {
+      val (_, minCount) = evictMin(buf)
+      // fold the victim's mass into the new minimum's error bound so
+      // the ≥-true-count guarantee survives the merge
+      val (mk, (mc, me)) = buf.minBy { case (t, (c, _)) => (c, t) }
+      buf.update(mk, (mc, math.max(me, minCount)))
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, (Long, Long)]): Any = {
+    val top = buf.toSeq
+      .sortBy { case (t, (c, _)) => (-c, t) }
+      .take(k)
+      .map { case (t, (c, e)) =>
+        InternalRow(UTF8String.fromString(t), c, e) }
+    new GenericArrayData(top)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, (Long, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (t, (c, e)) =>
+      out.writeUTF(t); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, (Long, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, (Long, Long)]
+    var i = 0
+    while (i < n) {
+      val t = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      buf.update(t, (c, e))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object HeavyHitters {
+  import org.apache.spark.sql.{Column, GraftColumnBridge}
+
+  /** Column API: `heavyHitters(col, capacity, k)` → sorted
+    * `array<struct<token,cnt,err>>` of the k most frequent values. */
+  def heavyHitters(c: Column, capacity: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      HeavyHittersAgg(GraftColumnBridge.expression(c), capacity, k)
+        .toAggregateExpression())
+}

@@ -83,6 +83,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.isNullAt(0))
   }
 
+  test("heavy_hitters resolves from plain SQL with literal capacity/k") {
+    import spark.implicits._
+    Seq("a", "a", "a", "b", "b", "c").toDF("w").createOrReplaceTempView("words_ext")
+    val rows = spark.sql(
+      "SELECT inline(heavy_hitters(w, 16, 2)) FROM words_ext")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("a", 3L), ("b", 2L)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT heavy_hitters(w, w, 2) FROM words_ext").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("the rewrite leaves non-dot aggregate(zip_with) shapes untouched") {
     // max-combine instead of a sum — must NOT become vector_dot
     // (parquet-backed for the same constant-folding reason as above)

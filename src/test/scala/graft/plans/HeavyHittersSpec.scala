@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.plans.HeavyHitters.heavyHitters
+
+/** SpaceSaving aggregate semantics the q65 oracle can't pin: exactness
+  * in the no-eviction regime across arbitrary partitionings, the
+  * ≥-true-count presence guarantee under eviction pressure, and
+  * partial/final merge through a real shuffle.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def top(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+    df.select(explode(col("hh")).as("x"))
+      .select("x.token", "x.cnt", "x.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("exact regime: capacity over vocabulary reproduces exact counts on any partitioning") {
+    val words = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(20)("gamma") ++ Seq.fill(5)("delta")
+    for (parts <- Seq(1, 7)) {
+      val df = words.toDF("w").repartition(parts)
+        .agg(heavyHitters(col("w"), capacity = 16, k = 3).as("hh"))
+      assert(top(df) == Seq(("alpha", 50L, 0L), ("beta", 30L, 0L), ("gamma", 20L, 0L)),
+        s"at $parts partitions")
+    }
+  }
+
+  test("eviction pressure: the dominant item survives with cnt >= true count") {
+    // 1000 'hot' + 200 distinct one-off items through capacity 8: the
+    // SpaceSaving guarantee (freq > n/capacity present, estimate >= true)
+    val words = Seq.fill(1000)("hot") ++ (0 until 200).map(i => s"rare$i")
+    val df = words.toDF("w").repartition(1) // single stream: classic bounds apply
+      .agg(heavyHitters(col("w"), capacity = 8, k = 8).as("hh"))
+    val rows = top(df)
+    val hot = rows.find(_._1 == "hot").get
+    assert(hot._2 >= 1000L, s"estimate must never undercount: $hot")
+    assert(hot._2 - hot._3 <= 1000L, "cnt - err is a lower bound on the true count")
+  }
+
+  test("null inputs are ignored; groups keep independent sketches") {
+    val df = Seq(("en", "a"), ("en", "a"), ("en", null), ("fr", "b"))
+      .toDF("g", "w")
+      .groupBy("g").agg(heavyHitters(col("w"), 4, 2).as("hh"))
+    val byG = df.collect().map(r => r.getString(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getString(0), x.getLong(1)))).toMap
+    assert(byG("en") == Seq(("a", 2L)))
+    assert(byG("fr") == Seq(("b", 1L)))
+  }
+}
