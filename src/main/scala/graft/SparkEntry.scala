@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, CoreQueries, CorpusQueries, CurationQueries, DedupQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TextQueries}
+import graft.operators.{AsOfJoin, CoreQueries, CorpusQueries, CurationQueries, DedupQueries, FunnelQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ AsOfJoin.all ++ RangeJoin.all ++ SessionQueries.all ++
       RelationalExtras.all ++ SamplingQueries.all ++ CorpusQueries.all ++
-      CurationQueries.all ++
+      CurationQueries.all ++ FunnelQueries.all ++
       Map("q38_quality_checks" ->
         ((s: SparkSession, d: String) => graft.analytics.DataQuality.q38QualityChecks(s, d)))
 
@@ -27,6 +27,6 @@ object SparkEntry {
     CoreQueries.oracles ++ DedupQueries.oracles ++ SimilarityQueries.oracles ++
       TextQueries.oracles ++ AsOfJoin.oracles ++ RangeJoin.oracles ++
       SessionQueries.oracles ++ RelationalExtras.oracles ++ SamplingQueries.oracles ++
-      CorpusQueries.oracles ++ CurationQueries.oracles ++
+      CorpusQueries.oracles ++ CurationQueries.oracles ++ FunnelQueries.oracles ++
       Map("q38_quality_checks" -> graft.analytics.DataQuality.q38Sql)
 }
