@@ -39,9 +39,12 @@ object CompactionJob {
     * that partition again. Relist such orphans and rename the backup
     * back into place (checked rename) before doing anything else, so the
     * "restored next run" guarantee covers the rename window too.
-    * Backups whose visible sibling exists are left alone: they are
-    * stale-but-harmless (hidden to reads) and the next compaction of
-    * that partition deletes them. */
+    * A backup whose visible sibling EXISTS means the publish completed
+    * and only the final cleanup was lost — that backup is a full hidden
+    * duplicate of the partition's data, and since the freshly-compacted
+    * sibling may never refragment, no later compaction would reclaim it.
+    * Delete it here so a crash in the cleanup window cannot permanently
+    * double a cold partition's storage. */
   def restoreOrphanBackups(spark: SparkSession, root: String): Seq[String] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootPath = fs.makeQualified(new Path(root))
@@ -56,7 +59,7 @@ object CompactionJob {
       .filter(_.getName.startsWith(".compact_old_"))
       .flatMap { bak =>
         val visible = new Path(bak.getParent, bak.getName.stripPrefix(".compact_old_"))
-        if (fs.exists(visible)) None
+        if (fs.exists(visible)) { fs.delete(bak, true); None }
         else if (fs.rename(bak, visible)) Some(rootPath.toUri.relativize(visible.toUri).getPath)
         else throw new java.io.IOException(
           s"compaction recovery: could not restore $bak to $visible — recover manually")

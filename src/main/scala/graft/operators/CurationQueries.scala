@@ -39,9 +39,14 @@ object CurationQueries {
     * Signals reuse the exact definitions of q22 (quality score), q23
     * (language heuristic), q51 (duplicate-token ratio) and q25
     * (normalized fingerprint keeper) — this query is their composition,
-    * which is precisely what "a curation pipeline" is. Duplicate
-    * clusters are computed over the WHOLE corpus (not post-filter), so
-    * the keeper of a cluster is stable under filter-threshold changes. */
+    * which is precisely what "a curation pipeline" is. Duplicate keepers
+    * are chosen among the documents that SURVIVE the narrow filters
+    * (min doc_id of the cluster's surviving members): fingerprinting
+    * normalizes case/whitespace but the quality signals see the raw
+    * text, so the corpus-wide min-id copy of a cluster can fail quality
+    * while a sibling passes — a corpus-wide keeper would then reject
+    * every copy and silently delete the content. Filter-then-dedup (the
+    * production order) keeps exactly one surviving copy instead. */
   def curation(spark: SparkSession, dir: String): DataFrame =
     curationOn(docs(spark, dir))
 
@@ -62,10 +67,19 @@ object CurationQueries {
       lit(1.0) / length(col("text"))
     val langPred = when(markerRate >= 0.05 && thRate >= 0.01, lit("en")).otherwise(lit("other"))
     val dupRatio = round(lit(1.0) - col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
-    val keepers = base.groupBy("fp").agg(min("doc_id").as("keeper"))
-    base.join(keepers, "fp")
-      .select(col("doc_id"), quality.as("quality_score"), langPred.as("lang_pred"),
-        dupRatio.as("dup_ratio"), col("keeper"), col("n_chars"))
+    // One scan computes every narrow signal; the persisted signal
+    // relation then feeds both the keeper aggregation and the join probe
+    // (without it Catalyst plans two independent corpus scans, each
+    // re-fingerprinting — the pattern core/Caches exists to kill).
+    val signals = graft.core.Caches.persistTracked(
+      base.select(col("doc_id"), col("fp"), col("n_chars"),
+        quality.as("quality_score"), langPred.as("lang_pred"), dupRatio.as("dup_ratio")))
+    val pass = col("quality_score") >= 2 && col("lang_pred") === "en" && col("dup_ratio") <= 0.5
+    val keepers = signals.where(pass).groupBy("fp").agg(min("doc_id").as("keeper"))
+    // left join: a cluster with no surviving member has no keeper row,
+    // but all its docs were already rejected by a narrow filter, so the
+    // duplicate branch (null-safe: null keeper never matches) is moot.
+    signals.join(keepers, Seq("fp"), "left")
       .withColumn("reason",
         when(col("quality_score") < 2, "low_quality")
           .when(col("lang_pred") =!= "en", "non_english")
@@ -89,8 +103,7 @@ object CurationQueries {
        |m AS (SELECT doc_id, lang, text, n_chars, fp, len(w) AS n_tokens,
        |    len(list_distinct(w)) AS n_types,
        |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop FROM b),
-       |k AS (SELECT fp, min(doc_id) AS keeper FROM m GROUP BY fp),
-       |s AS (SELECT m.doc_id, m.n_chars, keeper,
+       |s AS (SELECT doc_id, fp, n_chars,
        |    CAST((CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END +
        |          CASE WHEN n_types * 1.0 / n_tokens >= 0.3 THEN 1 ELSE 0 END +
        |          CASE WHEN n_stop * 1.0 / n_tokens BETWEEN 0.01 AND 0.3 THEN 1 ELSE 0 END)
@@ -99,13 +112,15 @@ object CurationQueries {
        |           AND (len(text) - len(replace(text, ' th', ''))) * 1.0 / len(text) >= 0.01
        |         THEN 'en' ELSE 'other' END AS lang_pred,
        |    round(1.0 - CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio
-       |  FROM m JOIN k USING (fp)),
+       |  FROM m),
+       |k AS (SELECT fp, min(doc_id) AS keeper FROM s
+       |  WHERE quality_score >= 2 AND lang_pred = 'en' AND dup_ratio <= 0.5 GROUP BY fp),
        |r AS (SELECT doc_id, quality_score, lang_pred, dup_ratio, n_chars,
        |    CASE WHEN quality_score < 2 THEN 'low_quality'
        |         WHEN lang_pred <> 'en' THEN 'non_english'
        |         WHEN dup_ratio > 0.5 THEN 'repetitious'
        |         WHEN doc_id <> keeper THEN 'duplicate'
-       |         ELSE 'keep' END AS reason FROM s)
+       |         ELSE 'keep' END AS reason FROM s LEFT JOIN k USING (fp))
        |SELECT doc_id, quality_score, lang_pred, dup_ratio, reason,
        |  reason = 'keep' AS keep,
        |  CASE WHEN reason <> 'keep' THEN 'none'

@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -45,13 +45,18 @@ case class HeavyHittersAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]]
+  with ImplicitCastInputTypes {
 
   require(capacity > 0 && k > 0 && k <= capacity,
     s"need 0 < k <= capacity, got k=$k capacity=$capacity")
 
   override def prettyName: String = "heavy_hitters"
   override def children: Seq[Expression] = Seq(child)
+  // Declares the string contract so a non-string column is implicitly
+  // cast at analysis time (or rejected there) instead of surfacing as an
+  // executor ClassCastException mid-job.
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("token", StringType, nullable = false),
@@ -118,7 +123,11 @@ case class HeavyHittersAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (t, (c, e)) =>
-      out.writeUTF(t); out.writeLong(c); out.writeLong(e)
+      // length-prefixed raw UTF-8, not writeUTF: writeUTF caps tokens at
+      // 65535 encoded bytes and an unbroken >64 KB run (base64 blob,
+      // minified payload) is a routine "token" in a raw corpus
+      val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(tb.length); out.write(tb); out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -130,7 +139,9 @@ case class HeavyHittersAgg(
     val buf = mutable.HashMap.empty[String, (Long, Long)]
     var i = 0
     while (i < n) {
-      val t = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val tb = new Array[Byte](in.readInt()); in.readFully(tb)
+      val t = new String(tb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.update(t, (c, e))
       i += 1
     }

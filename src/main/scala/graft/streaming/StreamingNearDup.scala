@@ -45,12 +45,21 @@ object StreamingNearDup {
   val BandRows = 2 // 10 bands × 2 rows
   val ShingleN = 3
   val MaxBucketMembers = 64
+  /** Rejected-arrival ids remembered per full bucket (newest first), so
+    * an at-least-once redelivery of an overflow doc does not re-emit its
+    * candidate pairs — admitted docs get that idempotency from the
+    * member list for free; without this, every replay of a hot-bucket
+    * doc duplicates up to [[MaxBucketMembers]] rows in the append-mode
+    * output. Bounded: a redelivery arriving after `cap` newer rejects
+    * (restart replay windows are far shorter) re-emits once. */
+  val MaxRejectedTracked = 1024
   val DefaultMinEstJaccard = 0.5
 
   private val KmPrime = 1125899906842597L
 
   case class BandedDoc(band: Int, bk: String, doc_id: Long, sig: Seq[Long])
-  case class BucketState(members: List[(Long, Seq[Long])], full: Boolean)
+  case class BucketState(
+      members: List[(Long, Seq[Long])], full: Boolean, rejected: List[Long] = Nil)
   case class Candidate(d1: Long, d2: Long, band: Int, est_jaccard: Double, bucket_full: Boolean)
 
   /** The 20-minimum MinHash signature as one per-row expression. The
@@ -102,7 +111,7 @@ object StreamingNearDup {
           var st = state.getOption.getOrElse(BucketState(Nil, full = false))
           val out = Seq.newBuilder[Candidate]
           batch.toSeq.sortBy(_.doc_id).foreach { d =>
-            if (!st.members.exists(_._1 == d.doc_id)) {
+            if (!st.members.exists(_._1 == d.doc_id) && !st.rejected.contains(d.doc_id)) {
               // saturation is decided BEFORE this arrival is admitted, so
               // its own candidates already carry the flag
               val full = st.members.sizeIs >= MaxBucketMembers
@@ -113,7 +122,8 @@ object StreamingNearDup {
                   out += Candidate(math.min(mid, d.doc_id), math.max(mid, d.doc_id),
                     band, est, full)
               }
-              st = if (full) st.copy(full = true)
+              st = if (full) st.copy(full = true,
+                     rejected = (d.doc_id :: st.rejected).take(MaxRejectedTracked))
                    else st.copy(members = (d.doc_id, d.sig) :: st.members)
             }
           }

@@ -120,4 +120,26 @@ class RepairCompactionSpec extends SparkSpec {
     assert(!fs.exists(bak))
     assert(spark.read.parquet(path).count() == 8)
   }
+
+  test("a backup orphaned after a completed publish is reclaimed, not leaked") {
+    val path = tmpDir("compact_bak_leak")
+    Seq((Base, "u0", "2024-01-01", "D1"))
+      .toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+      .write.mode("append").partitionBy("hiveperiod", "dstrct_code").parquet(path)
+    // Simulate a crash between the publish rename and the backup delete:
+    // the compacted partition is visible AND its full pre-compaction copy
+    // sits in the hidden backup. The partition is healthy (never selected
+    // by findFragmented again), so without reclamation the duplicate data
+    // persists forever.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = new org.apache.hadoop.fs.Path(s"$path/hiveperiod=2024-01-01/dstrct_code=D1")
+    val bak = new org.apache.hadoop.fs.Path(leaf.getParent, s".compact_old_${leaf.getName}")
+    assert(org.apache.hadoop.fs.FileUtil.copy(fs, leaf, fs, bak, false,
+      spark.sparkContext.hadoopConfiguration))
+
+    CompactionJob.restoreOrphanBackups(spark, path)
+    assert(!fs.exists(bak), "publish-complete backup must be deleted")
+    assert(spark.read.parquet(path).count() == 1, "visible data untouched")
+  }
 }

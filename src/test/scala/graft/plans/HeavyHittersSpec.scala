@@ -41,6 +41,23 @@ class HeavyHittersSpec extends SparkSpec {
     assert(hot._2 - hot._3 <= 1000L, "cnt - err is a lower bound on the true count")
   }
 
+  test("tokens beyond writeUTF's 64 KB cap survive the partial-aggregate shuffle") {
+    // serialize() is length-prefixed raw UTF-8, not writeUTF — a single
+    // unbroken >64 KB 'token' (base64 blob, minified payload) must not
+    // kill the aggregation at shuffle time
+    val blob = "x" * 70000
+    val df = (Seq.fill(3)(blob) ++ Seq.fill(2)("small")).toDF("w")
+      .repartition(4) // forces partial buffers through serialize/merge
+      .agg(heavyHitters(col("w"), 8, 2).as("hh"))
+    assert(top(df) == Seq((blob, 3L, 0L), ("small", 2L, 0L)))
+  }
+
+  test("non-string input is implicitly cast at analysis, not a runtime ClassCastException") {
+    val df = Seq(101L, 101L, 202L).toDF("n")
+      .agg(heavyHitters(col("n"), 4, 1).as("hh"))
+    assert(top(df) == Seq(("101", 2L, 0L)))
+  }
+
   test("null inputs are ignored; groups keep independent sketches") {
     val df = Seq(("en", "a"), ("en", "a"), ("en", null), ("fr", "b"))
       .toDF("g", "w")

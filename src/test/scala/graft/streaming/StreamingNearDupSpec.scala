@@ -99,6 +99,15 @@ class StreamingNearDupSpec extends SparkSpec {
     val overflowPairs = got.filter(c => c.d2 >= MaxBucketMembers)
     assert(overflowPairs.nonEmpty && overflowPairs.forall(_.bucket_full),
       "members beyond the cap must flag bucket_full")
+
+    // Redelivery of a rejected overflow doc (at-least-once source) must
+    // NOT re-emit its candidate pairs: the rejected-id memory gives
+    // overflow arrivals the same idempotency members get for free.
+    val before = spark.table("full_bucket").count()
+    input.addData((MaxBucketMembers + 1L, CloneText))
+    q.processAllAvailable()
+    assert(spark.table("full_bucket").count() == before,
+      "replayed overflow doc must not duplicate its candidate pairs")
     q.stop()
   }
 }
