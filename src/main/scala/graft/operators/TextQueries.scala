@@ -153,6 +153,64 @@ object TextQueries {
        |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS BIGINT) AS rn
        |FROM r WHERE rn <= $TfidfTopK""".stripMargin
 
+  // -------------------------------------------------------- q70 BM25
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("vector", "stream", "hash")
+
+  /** Q70: BM25 keyword relevance (Robertson/Spärck Jones) for a fixed
+    * query — TF-IDF's production successor: term-frequency saturation
+    * (k1) and document-length normalization (b) on top of the q45
+    * machinery. Matching postings are filtered BEFORE any join (the
+    * inverted-index access pattern: work ∝ postings of the query terms,
+    * not corpus size); corpus stats (N, Σdl) arrive as a broadcast
+    * 1-row aggregate. The per-document total sums one per-term score
+    * per fixed query slot in expression order — no float-associativity
+    * wobble for the oracle to trip on. */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(TextExprs.tokens(col("text"))).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("sum_dl")))
+    val qtf = termFreqs(spark, dir).where(col("term").isin(Bm25Query: _*))
+    val df_ = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = lit(1.0) - lit(Bm25B) + lit(Bm25B) * (col("dl") * col("n_docs") / col("sum_dl"))
+    val scored = qtf.join(df_, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("score",
+        idf * (col("tf") * lit(Bm25K1 + 1.0)) / (col("tf") + lit(Bm25K1) * norm))
+    val slots = Bm25Query.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("score"))).as(s"s_$i") }
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), slots: _*)
+      .select(col("doc_id"), col("n_terms"),
+        round(Bm25Query.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+          .reduce(_ + _), 6).as("bm25"))
+  }
+
+  val bm25Sql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    val slots = Bm25Query.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN score END) AS s_$i" }.mkString(",\n       |    ")
+    val total = Bm25Query.indices.map(i => s"coalesce(s_$i, 0.0)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |qt AS (SELECT * FROM tf WHERE term IN ($terms)),
+       |df AS (SELECT term, count(*) AS df FROM qt GROUP BY term),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+       |       (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS sum_dl),
+       |s AS (SELECT doc_id, term,
+       |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * ${Bm25K1 + 1.0})
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * (dl * n_docs / sum_dl))) AS score
+       |  FROM qt JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |g AS (SELECT doc_id, count(*) AS n_terms,
+       |    $slots
+       |  FROM s GROUP BY doc_id)
+       |SELECT doc_id, n_terms, round($total, 6) AS bm25 FROM g""".stripMargin
+  }
+
   // ------------------------------------------------- vocabulary stats
   private val VocabTopN = 100
 
@@ -215,9 +273,11 @@ object TextQueries {
     "q23_lang_id" -> langId _,
     "q24_token_count" -> tokenCount _,
     "q45_tfidf" -> tfidf _,
-    "q46_vocab" -> vocab _)
+    "q46_vocab" -> vocab _,
+    "q70_bm25" -> bm25 _)
 
   val oracles: Map[String, String] = Map(
+    "q70_bm25" -> bm25Sql,
     "q65_heavy_hitters" -> heavyTokensSql,
     "q22_text_quality" -> textQualitySql,
     "q23_lang_id" -> langIdSql,
