@@ -89,11 +89,20 @@ object Bench {
       System.err.println(s"[bench] transform benchmark failed: ${e.getMessage}")
       (0L, -1.0)
     }
-    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + v } ++
-      Seq(s""""x_transform_${ingest._1}_rows":${ingest._2}"""))
+    // Millisecond precision keeps the whole JSON line under ~1.7 KB for 70+
+    // queries: the driver records only the LAST 2000 chars of stdout, and at
+    // full nanosecond precision the line overflowed that window and the
+    // driver recorded parsed:null (rounds 2-3). Locale.ROOT: a comma decimal
+    // separator would corrupt the JSON.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) } ++
+      Seq(s""""x_transform_${ingest._1}_rows":${fmt(ingest._2)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail")
+    println(line)
     spark.stop()
   }
 }
