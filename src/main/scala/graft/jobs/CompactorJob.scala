@@ -22,12 +22,13 @@ object CompactorJob {
 
   /** `newFields`: field names first seen by THIS run's inference (empty
     * in steady state). Non-empty means earlier batches may have been
-    * written while the field was already arriving — the orchestration
-    * signal to re-ingest the recent bronze window (bronze is immutable
-    * and retained, so nothing is unrecoverable; silver appends are not
-    * idempotent, so the backfill is an operator decision, not automatic). */
+    * written while the field was already arriving; this run responds by
+    * RE-QUEUING every key acked since the registry last learned
+    * (`requeued` = how many) — bronze is immutable and retained, and the
+    * silver write is idempotent per source file, so the re-ingest both
+    * recovers the dropped column and cannot duplicate rows. */
   case class Result(runId: String, claimed: Int, rows: Long, quarantined: Long,
-      newFields: Seq[String] = Nil)
+      newFields: Seq[String] = Nil, requeued: Int = 0)
 
   /** Registry key for the telemetry bronze schema. */
   val SchemaDataset = "datalog_bronze"
@@ -54,25 +55,35 @@ object CompactorJob {
       // fields show up in new files) and diffs field names against the
       // registry; only when a new field appears does the batch fall
       // back to full inference + registry merge. Cost in steady state:
-      // one file, not the batch. LIMIT of the one-file sample: a field
-      // drifting in only a NON-sampled file of a batch is dropped from
-      // that batch's silver rows, and those files are acked and never
-      // re-read — the registry converges when a later batch samples the
-      // field, but only FUTURE files carry the column. That is why
-      // inference runs surface `Result.newFields`: a non-empty value is
-      // the signal that a blind window may precede this run, and the
-      // bronze retention window is what makes the re-ingest decision
-      // cheap to take. (The reference closes the window by re-inferring
-      // every batch — a second scan of every byte, every hour.)
+      // one file, not the batch. BLIND-WINDOW RECOVERY: a field drifting
+      // in only a NON-sampled file of a batch is dropped from that
+      // batch's silver rows. When a LATER inference discovers the field,
+      // the fix is automatic: every key acked since the registry last
+      // changed is re-queued (claimable again), and because the silver
+      // write is idempotent per source file, the re-ingest replaces the
+      // column-less rows instead of duplicating them. The window bound
+      // is exact for a single blind stretch — every batch between two
+      // inference passes was a schema-read, and the earlier inference
+      // read its whole batch, so nothing before it can have missed this
+      // field's FIRST appearance... unless the field lurked unsampled
+      // across several inference cycles; `Result.newFields` stays the
+      // surfaced signal for an operator-initiated wider backfill in that
+      // pathological case. (The reference closes the window by
+      // re-inferring every batch — a second scan of every byte, every
+      // hour.)
       var newFields: Seq[String] = Nil
+      var requeued = 0
       def inferAndRegister(): org.apache.spark.sql.DataFrame = {
         val inferred = BronzeReader.read(spark, keys)
         val before = store.loadSchema(SchemaDataset).map(_.fieldNames.toSet).getOrElse(Set.empty)
+        val prevLearn = store.schemaUpdatedAt(SchemaDataset)
         val merged = store.mergeSchema(SchemaDataset,
           org.apache.spark.sql.types.StructType(
             inferred.schema.filterNot(f =>
               f.name == BronzeReader.CorruptCol || f.name == "source_file")))
         newFields = merged.fieldNames.filterNot(before.contains).toSeq
+        if (newFields.nonEmpty)
+          requeued = prevLearn.map(store.requeueSuccessSince).getOrElse(0)
         inferred
       }
       val bronze = (store.loadSchema(SchemaDataset) match {
@@ -87,9 +98,9 @@ object CompactorJob {
         val (clean, corrupt) = BronzeReader.quarantine(bronze)
         val nCorrupt = corrupt.count()
         val enriched = SilverWriter.enrich(clean, district)
-        val rows = SilverWriter.write(enriched, target)
+        val rows = SilverWriter.writeIdempotent(spark, enriched, target)
         store.ack(runId)
-        Result(runId, keys.size, rows, nCorrupt, newFields)
+        Result(runId, keys.size, rows, nCorrupt, newFields, requeued)
       } finally bronze.unpersist()
     } catch {
       case e: Throwable =>

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TimeExprs
@@ -48,5 +49,72 @@ object SilverWriter {
       .partitionBy(PartitionCols: _*)
       .parquet(target)
     obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Idempotent per-source-file write: any silver rows that came from
+    * this batch's files on an EARLIER attempt are replaced, not
+    * duplicated. This is what makes a compactor retry (crash after
+    * write, before ack) and a drift re-queue (same file deliberately
+    * re-ingested with a fuller schema) both safe — plain `append` is
+    * neither.
+    *
+    * Steady state costs one extra pruned read: the batch's partitions
+    * (typically the current day × one district) are scanned for
+    * `source_file` overlap, and when none exists — every first attempt —
+    * the write degenerates to the plain append above. Only an actual
+    * replay pays the rewrite, which is scoped to the affected partitions
+    * via dynamic partition overwrite (the RepairJob pattern: stage the
+    * combined rows durably first, because Spark refuses a plan that
+    * overwrites a path it is still reading).
+    *
+    * `enriched` should be backed by a cached bronze batch (CompactorJob
+    * caches it) — the partition/file-list probes re-read the batch. */
+  def writeIdempotent(spark: SparkSession, enriched: DataFrame, target: String): Long = {
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(target))) return write(enriched, target)
+
+    val affected = enriched.select(PartitionCols.map(col): _*).distinct()
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1)))
+    if (affected.isEmpty) return write(enriched, target) // zero-row gate
+    val inAffected = affected
+      .map { case (hp, dc) => col("hiveperiod") === hp && col("dstrct_code") === dc }
+      .reduce(_ || _)
+    val batchFiles = enriched.select("source_file").distinct()
+      .collect().map(_.getString(0))
+
+    // mergeSchema: silver files carry drift-heterogeneous schemas by
+    // design; a footer-sampled schema would silently drop late-drifted
+    // columns from the rewrite.
+    val existingTry = scala.util.Try(
+      spark.read.option("mergeSchema", "true").parquet(target))
+    if (existingTry.isFailure) return write(enriched, target) // bare skeleton dir
+    val existing = existingTry.get.where(inAffected)
+    val replayed = existing.where(col("source_file").isin(batchFiles: _*))
+      .limit(1).count() > 0
+    if (!replayed) return write(enriched, target)
+
+    val keep = existing.where(!col("source_file").isin(batchFiles: _*))
+    val combined = keep.unionByName(enriched, allowMissingColumns = true)
+    val stage = new Path(target, ".ingest_stage")
+    combined.write.mode("overwrite").parquet(stage.toString)
+    val batchRows = enriched.count() // cheap: bronze batch is cached
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.parquet(stage.toString)
+        .repartition(PartitionCols.map(col): _*)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy(PartitionCols: _*)
+        .parquet(target)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      fs.delete(stage, true)
+    }
+    batchRows
   }
 }

@@ -105,6 +105,25 @@ class JdbcStateStore(url: String) extends AutoCloseable {
   def ack(runId: String): Int =
     updateStatus(runId, "SUCCESS")
 
+  /** Drift-recovery re-queue: put already-SUCCESSful keys acked at or
+    * after `since` back into the claimable pool (status
+    * `REQUEUED_DRIFT`, run id cleared). Called when schema inference
+    * discovers a field the registry lacked: every schema-read batch
+    * acked since the registry last learned may have silently dropped
+    * that field from its silver rows, and bronze is retained, so the
+    * cheap fix is to re-ingest the window. Safe because the silver
+    * write is idempotent per source file (`SilverWriter.writeIdempotent`
+    * replaces, never duplicates). Returns the number of keys re-queued. */
+  def requeueSuccessSince(since: Timestamp): Int = {
+    val ps = conn.prepareStatement(
+      s"""UPDATE $Table SET compression_run_id = NULL,
+         |  compression_status = 'REQUEUED_DRIFT'
+         |  WHERE compression_status = 'SUCCESS'
+         |    AND compression_timestamp >= ?""".stripMargin)
+    ps.setTimestamp(1, since)
+    val n = ps.executeUpdate(); ps.close(); n
+  }
+
   /** Release a failed run's claims so a later run re-claims them —
     * the retry path of the claim pattern. */
   def release(runId: String): Int = {
@@ -155,6 +174,18 @@ class JdbcStateStore(url: String) extends AutoCloseable {
       Some(org.apache.spark.sql.types.DataType.fromJson(rs.getString(1))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     else None
+    rs.close(); ps.close()
+    out
+  }
+
+  /** When the registry last changed (i.e. when the last full inference
+    * pass ran) — the lower bound of a drift blind window. */
+  def schemaUpdatedAt(dataset: String): Option[Timestamp] = {
+    val ps = conn.prepareStatement(
+      s"SELECT updated_at FROM $SchemaTable WHERE dataset = ?")
+    ps.setString(1, dataset)
+    val rs = ps.executeQuery()
+    val out = if (rs.next()) Option(rs.getTimestamp(1)) else None
     rs.close(); ps.close()
     out
   }
