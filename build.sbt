@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNWRAPPED: the driver tails
+// stdout for Bench's one-line JSON, and sbt's default LoggedOutput
+// prefixes every line with "[info] ", which is what kept BENCH_r*.json
+// at parsed:null even once the line itself was valid JSON.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,9 +48,13 @@ object Bench {
     // queries instead of a random expensive one. SPARK_GRAFT_ONLY
     // (comma-separated substrings) narrows the suite for iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .map { case (name, fn) =>
+    // Median-of-N (default 3, SPARK_GRAFT_REPEATS overrides): single-shot
+    // timings swing up to 5× between identical-code runs (GC, JIT, page
+    // cache), which made a real 2× regression indistinguishable from
+    // noise. The median of three is stable enough to act on; a failed
+    // first attempt is not retried (its negative duration is the signal).
+    val repeats = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt)
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -62,8 +66,16 @@ object Bench {
       spark.catalog.clearCache()
       // Failures are reported as negative durations — a silent
       // plausible-looking timing would corrupt baseline comparisons.
-      name -> (if (ok) dt else -dt)
+      if (ok) dt else -dt
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) =>
+        val first = timeOnce(name, fn)
+        val times = if (first < 0) Seq(first)
+          else first +: (2 to repeats).map(_ => timeOnce(name, fn))
+        name -> times.sorted.apply((times.size - 1) / 2)
+      }
     // Transform-class benchmark vs BASELINE.md "3M rows < 3 min": the
     // reference enrichment (epoch normalization + partition keys) over a
     // 3M-row batch, written as hive-partitioned snappy parquet.
@@ -99,7 +111,7 @@ object Bench {
       Seq(s""""x_transform_${ingest._1}_rows":${fmt(ingest._2)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"sf":"$sfDir"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail")
     println(line)

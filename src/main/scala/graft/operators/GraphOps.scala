@@ -36,6 +36,7 @@ object GraphOps {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    try {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
@@ -68,8 +69,10 @@ object GraphOps {
       labels = next.select("id", "lbl")
       round += 1
     }
-    sym.unpersist()
     require(changed == 0, s"components did not converge in $maxRounds rounds")
     labels
+    // finally, not happy-path only: a mid-loop failure (or the
+    // non-convergence require) must still release the edge cache.
+    } finally sym.unpersist()
   }
 }

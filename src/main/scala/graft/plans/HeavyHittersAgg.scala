@@ -30,14 +30,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * no eviction ever happens and the sketch IS the exact counts — the
   * regime the q65 oracle pins (err = 0 proves it on the test corpus).
   *
-  * Merge sums shared counters (counts and error bounds add) and evicts
-  * back down to capacity, folding each victim's count into the
-  * surviving minimum's error — deterministic under (count, token)
-  * ordering. Under eviction this is the pragmatic merge: items evicted
-  * from SOME buffers can be under-estimated; the full cross-buffer
-  * bound (Agarwal et al., "Mergeable Summaries", PODS'12 — charge each
-  * absent side's minimum counter) is the upgrade when worst-case
-  * guarantees must survive merging at extreme skew.
+  * Merge implements the mergeable-summaries bound (Agarwal et al.,
+  * "Mergeable Summaries", PODS'12): a FULL SpaceSaving buffer is
+  * equivalent to one whose absent items all carry estimate = its
+  * minimum counter, so an item present in only one side is charged the
+  * other side's minimum (count AND error) before the combined counters
+  * are truncated back to the top `capacity` by count. Every kept
+  * estimate stays ≥ the true count, `estimate − err` stays ≤ it, and a
+  * truncated item's estimate is ≤ the new minimum counter — exactly the
+  * floor later merges charge for it — so the single-stream guarantees
+  * survive any merge tree at any skew, which is what makes the sketch
+  * safe as a partial aggregate at 1000-executor scale.
   */
 case class HeavyHittersAgg(
     child: Expression,
@@ -93,18 +96,32 @@ case class HeavyHittersAgg(
   override def merge(
       buf: mutable.HashMap[String, (Long, Long)],
       other: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
+    // The charge a side levies on items it does not hold: its minimum
+    // counter when FULL (eviction may have absorbed the item), zero when
+    // not full (not full ⟹ never evicted ⟹ absent means count 0 there).
+    def floor(m: mutable.HashMap[String, (Long, Long)]): Long =
+      if (m.size < capacity) 0L else m.valuesIterator.map(_._1).min
+    val floorBuf = floor(buf)
+    val floorOther = floor(other)
     other.foreach { case (t, (c, e)) =>
       buf.get(t) match {
         case Some((c0, e0)) => buf.update(t, (c0 + c, e0 + e))
-        case None => buf.update(t, (c, e))
+        case None => buf.update(t, (c + floorBuf, e + floorBuf))
       }
     }
-    while (buf.size > capacity) {
-      val (_, minCount) = evictMin(buf)
-      // fold the victim's mass into the new minimum's error bound so
-      // the ≥-true-count guarantee survives the merge
-      val (mk, (mc, me)) = buf.minBy { case (t, (c, _)) => (c, t) }
-      buf.update(mk, (mc, math.max(me, minCount)))
+    if (floorOther > 0) buf.keysIterator.filterNot(other.contains).toSeq
+      .foreach { t =>
+        val (c, e) = buf(t)
+        buf.update(t, (c + floorOther, e + floorOther))
+      }
+    // Truncate to the top `capacity` counters (count desc, token asc for
+    // determinism). A truncated item's estimate is ≤ every kept count,
+    // i.e. ≤ the floor the NEXT merge will charge for it, so truncation
+    // never breaks the ≥-true-count invariant downstream.
+    if (buf.size > capacity) {
+      val drop = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+        .drop(capacity)
+      drop.foreach { case (t, _) => buf -= t }
     }
     buf
   }

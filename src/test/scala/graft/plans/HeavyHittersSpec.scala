@@ -41,6 +41,35 @@ class HeavyHittersSpec extends SparkSpec {
     assert(hot._2 - hot._3 <= 1000L, "cnt - err is a lower bound on the true count")
   }
 
+  test("mergeable-summaries bound: an item evicted from one buffer is never undercounted") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val agg = HeavyHittersAgg(BoundReference(0, StringType, nullable = true),
+      capacity = 2, k = 2)
+    def stream(words: Seq[String]) = {
+      val buf = agg.createAggregationBuffer()
+      words.foreach(w => agg.update(buf, InternalRow(UTF8String.fromString(w))))
+      buf
+    }
+    // Stream A holds 'a' comfortably; stream B sees 'a' first, then
+    // evicts it under pressure from 'c'/'d'. A merge that charges absent
+    // items zero (the pre-PODS'12 shortcut) reports a=5 < true 7.
+    val bufA = stream(Seq.fill(5)("a") ++ Seq.fill(3)("b"))
+    val bufB = stream(Seq.fill(2)("a") ++ Seq.fill(3)("c") ++ Seq.fill(4)("d"))
+    val truth = Map("a" -> 7L, "b" -> 3L, "c" -> 3L, "d" -> 4L)
+
+    val merged = agg.merge(bufA, bufB)
+    assert(merged.size <= 2, "merge must truncate back to capacity")
+    merged.foreach { case (t, (cnt, err)) =>
+      assert(cnt >= truth(t), s"$t: estimate $cnt must be >= true ${truth(t)}")
+      assert(cnt - err <= truth(t), s"$t: cnt-err ${cnt - err} must be <= true ${truth(t)}")
+    }
+    assert(merged.contains("a"), "the globally-dominant item must survive the merge")
+  }
+
   test("tokens beyond writeUTF's 64 KB cap survive the partial-aggregate shuffle") {
     // serialize() is length-prefixed raw UTF-8, not writeUTF — a single
     // unbroken >64 KB 'token' (base64 blob, minified payload) must not
