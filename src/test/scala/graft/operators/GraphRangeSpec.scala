@@ -12,20 +12,36 @@ class GraphRangeSpec extends SparkSpec {
 
   test("connectedComponents labels a chain, a pair, and leaves singletons out") {
     // chain 1-2-3 (transitive), pair 10-11, isolated vertex 99 not in edges
+    // — both the union-find fast path and the distributed loop must agree
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L))
       .toDF("src", "dst")
-    val got = GraphOps.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    for (driverMax <- Seq(5000000L, 0L)) {
+      val got = GraphOps.connectedComponents(edges, maxDriverEdges = driverMax)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+        s"maxDriverEdges=$driverMax")
+    }
   }
 
   test("connectedComponents converges on a path far longer than maxRounds") {
-    // 120-edge chain: one-hop propagation alone would need 120 rounds
+    // 120-edge chain through the DISTRIBUTED loop (driver path gated
+    // off): one-hop propagation alone would need 120 rounds
     // (> maxRounds = 50); the pointer-jumping hop converges in O(log n).
     val n = 120
     val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
-    val got = GraphOps.connectedComponents(edges).as[(Long, Long)].collect()
+    val got = GraphOps.connectedComponents(edges, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect()
     assert(got.length == n + 1 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents union-find handles merging two grown components") {
+    // two chains built apart, then bridged by a later edge — exercises
+    // the union-by-min root bookkeeping (larger root absorbed)
+    val edges = Seq((5L, 6L), (6L, 7L), (1L, 2L), (2L, 3L), (7L, 3L))
+      .toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L))
   }
 
   test("intervalJoin rejects overlapping and reserved column names") {
