@@ -43,6 +43,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-N must not global-sort:\n$p")
   }
 
+  test("q17: the shingle df-cap is a map-side broadcast anti join, not a re-shuffle by shingle") {
+    val df = DedupQueries.ngramJaccard(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"viral-shingle exclusion must broadcast, keeping the big relation un-shuffled:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
   test("q26: the native vector_dot verifies IVF-bucket candidates — no all-pairs NLJ") {
     val p = plan(SimilarityQueries.cosineNearDup(spark, Dir))
     assert(p.contains("vector_dot"), s"custom expression missing from plan:\n$p")
