@@ -500,7 +500,59 @@ object DedupQueries {
        |FROM k a JOIN k b ON a.mk = b.mk AND a.c_custkey < b.c_custkey
        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  // ------------------------------------------- bloom-pruned anti join
+  /** Q72: new-content detection — fresh docs (doc_id ≡ 0 mod 5, the
+    * "today's batch" slice) whose text never appeared in the corpus
+    * slice (the other 80%) — via [[graft.plans.BloomIndex]] rather than
+    * a corpus-wide anti join.
+    *
+    * Scale shape (the reason this operator exists): the corpus is
+    * touched ONCE to build a fixed-size bloom index (distributed
+    * mergeable aggregation; only the bitmap reaches the driver); the
+    * fresh batch is probed map-side. No-false-negatives splits it
+    * exactly: `!mightContain` rows are surely new and never join;
+    * `mightContain` rows (true dups + ~3% fp tail) are verified by an
+    * exact anti join whose CORPUS side is itself bloom-pruned by a
+    * sketch of the candidates — so neither side of the exact join is
+    * ever corpus-sized, and a 100 TB corpus is scanned but never
+    * shuffled. Day over day the index is maintained by OR-ing in the
+    * new batch's sketch ([[graft.plans.BloomIndex.union]]), not
+    * rebuilt. */
+  def bloomNewContent(spark: SparkSession, dir: String): DataFrame =
+    bloomNewContentOn(docs(spark, dir))
+
+  private[graft] def bloomNewContentOn(d: DataFrame): DataFrame = {
+    import graft.plans.BloomIndex
+    val corpus = d.where(pmod(col("doc_id"), lit(5)) =!= 0)
+    val fresh = d.where(pmod(col("doc_id"), lit(5)) === 0)
+    def h: Column = xxhash64(col("text"))
+    val expected = math.max(1L, d.count()) // metadata-cheap upper bound
+    val index = corpus.select(BloomIndex.bloomAgg(h, expected).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    if (index == null) return fresh.select(col("doc_id")) // empty corpus
+    val sure = fresh.where(!BloomIndex.mightContain(index, h))
+    val maybe = Caches.persistTracked(
+      fresh.where(BloomIndex.mightContain(index, h)))
+    val nMaybe = maybe.count()
+    val verifiedNew =
+      if (nMaybe == 0) maybe.select(col("doc_id"))
+      else {
+        val probe = maybe.select(BloomIndex.bloomAgg(h, nMaybe).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        val sliver = corpus.where(BloomIndex.mightContain(probe, h))
+          .select(col("text")).distinct()
+        maybe.join(sliver, Seq("text"), "left_anti").select(col("doc_id"))
+      }
+    sure.select(col("doc_id")).unionByName(verifiedNew)
+  }
+
+  val bloomNewContentSql: String =
+    """SELECT doc_id FROM documents d
+      |WHERE doc_id % 5 = 0 AND NOT EXISTS (
+      |  SELECT 1 FROM documents c WHERE c.doc_id % 5 <> 0 AND c.text = d.text)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_bloom_prune" -> bloomNewContent _,
     "q54_winnow" -> winnow _,
     "q56_fuzzy_match" -> fuzzyNameMatch _,
     "q16_dedup_exact" -> dedupExact _,
@@ -513,6 +565,7 @@ object DedupQueries {
     "q42_dedup_clusters" -> dedupClusters _)
 
   val oracles: Map[String, String] = Map(
+    "q72_bloom_prune" -> bloomNewContentSql,
     "q54_winnow" -> winnowSql,
     "q56_fuzzy_match" -> fuzzyNameSql,
     "q16_dedup_exact" -> dedupExactSql,
