@@ -195,9 +195,10 @@ object DedupQueries {
     * per-doc minima are computed as 20 aggregates of a single groupBy —
     * one pass, one shuffle, versus the naive 20× row fan-out with 20
     * hash calls per shingle. */
-  private[operators] def minhashLshOn(docRel: DataFrame,
-      fastHash: Boolean = false): DataFrame = {
-    val sh = shinglesOf(docRel)
+  /** LSH band keys for every document of a (capped) shingle relation:
+    * (doc_id, band, bk). This relation IS the near-dup index a pipeline
+    * persists between runs — see [[incrementalNearDupOn]]. */
+  private[graft] def bandsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
     val hashed = shingleHashes(sh, fastHash)
     val sigAggs = (0 until MinhashSeeds)
       .map(i => min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(KmPrime))).as(s"s$i"))
@@ -206,9 +207,15 @@ object DedupQueries {
       struct(lit(b).as("band"),
         concat_ws("|", (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*).as("bk"))
     }
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
       .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
+  }
+
+  private[operators] def minhashLshOn(docRel: DataFrame,
+      fastHash: Boolean = false): DataFrame = {
+    val sh = shinglesOf(docRel)
+    val bands = bandsOf(sh, fastHash)
     val cands = bands.select(col("doc_id").as("d1"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
       .where(col("d1") < col("d2"))
@@ -500,6 +507,97 @@ object DedupQueries {
        |FROM k a JOIN k b ON a.mk = b.mk AND a.c_custkey < b.c_custkey
        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  // -------------------------------------- incremental near-dup probe
+  /** Q73: incremental near-dup — the daily-ingest shape of q18. A fresh
+    * batch (doc_id ≡ 0 mod 5) is probed against the corpus slice's LSH
+    * band INDEX; collisions become (fresh, corpus) candidates, verified
+    * by exact Jaccard ≥ 0.8 over the candidates' RAW shingle sets.
+    *
+    * Why it exists next to q18: self-dedup recomputes everything every
+    * run, but a growing corpus wants its signatures computed ONCE. The
+    * band relation ([[bandsOf]]) is persistable — (doc_id, band, bk)
+    * parquet, bucketable on the band key for a zero-exchange probe
+    * (IncrementalDedupSpec round-trips it through storage) — so the
+    * per-day cost is shingling the BATCH, one index join, and exact
+    * verification of the candidate sliver, whose shingle sets are
+    * computed for candidate docs only — the 100 TB corpus is never
+    * re-shingled, never re-signed, never self-joined.
+    *
+    * Verification deliberately uses RAW (uncapped) shingle sets: the
+    * df-cap exists to bound the CANDIDATE-generation joins, and the
+    * candidate sliver needs no bounding — so the reported Jaccard is
+    * the true one, not the capped approximation. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupOn(docs(spark, dir))
+
+  private[graft] def incrementalNearDupOn(d: DataFrame): DataFrame = {
+    val bands = bandsOf(shinglesOf(d), fastHash = false)
+    probeIndex(d,
+      bands.where(pmod(col("doc_id"), lit(5)) === 0),
+      bands.where(pmod(col("doc_id"), lit(5)) =!= 0))
+  }
+
+  /** Probe a fresh batch's band keys against a corpus band index (both
+    * shaped (doc_id, band, bk) — the index side typically READ from
+    * storage, not recomputed) and exact-verify the collisions. */
+  private[graft] def probeIndex(d: DataFrame, freshBands: DataFrame,
+      idxBands: DataFrame): DataFrame = {
+    val cands = freshBands.select(col("doc_id").as("d1"), col("band"), col("bk"))
+      .join(idxBands.select(col("doc_id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
+      .select("d1", "d2").distinct()
+    probeVerify(d, cands)
+  }
+
+  /** Exact raw-shingle Jaccard for an asymmetric candidate pair set,
+    * shingling ONLY the docs that appear in a candidate. */
+  private def probeVerify(d: DataFrame, cands: DataFrame): DataFrame = {
+    val candIds = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id"))).distinct()
+    val raw = Caches.persistTracked(d
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextExprs.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= ShingleN)
+      .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
+      .distinct())
+    val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(raw.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(raw.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("n1") + col("n2") - col("inter")).as("un"),
+        (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= JaccardThreshold)
+  }
+
+  val incrementalNearDupSql: String = {
+    val sigCols = (0 until MinhashSeeds)
+      .map(i => s"min((h1 + $i * h2) % $KmPrime) AS s$i").mkString(", ")
+    val bandSelects = (0 until MinhashSeeds / BandRows).map { b =>
+      val bk = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $bk AS bk FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleCtes,
+       |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+       |             ('0x' || substr(md5(sh), 17, 12))::BIGINT AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS inter
+       |  FROM cand c JOIN sh0 a ON a.doc_id = c.d1 JOIN sh0 b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, inter, s1.n + s2.n - inter AS un,
+       |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+       |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
+  }
+
   // ------------------------------------------- bloom-pruned anti join
   /** Q72: new-content detection — fresh docs (doc_id ≡ 0 mod 5, the
     * "today's batch" slice) whose text never appeared in the corpus
@@ -553,6 +651,7 @@ object DedupQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_bloom_prune" -> bloomNewContent _,
+    "q73_incremental_neardup" -> incrementalNearDup _,
     "q54_winnow" -> winnow _,
     "q56_fuzzy_match" -> fuzzyNameMatch _,
     "q16_dedup_exact" -> dedupExact _,
@@ -566,6 +665,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
+    "q73_incremental_neardup" -> incrementalNearDupSql,
     "q54_winnow" -> winnowSql,
     "q56_fuzzy_match" -> fuzzyNameSql,
     "q16_dedup_exact" -> dedupExactSql,
