@@ -74,7 +74,11 @@ object Bench {
         val first = timeOnce(name, fn)
         val times = if (first < 0) Seq(first)
           else first +: (2 to repeats).map(_ => timeOnce(name, fn))
-        name -> times.sorted.apply((times.size - 1) / 2)
+        // ANY failed repeat fails the query (negative duration) — a
+        // median over mixed signs would silently mask an intermittent
+        // failure behind a plausible-looking timing.
+        name -> (if (times.exists(_ < 0)) times.min
+          else times.sorted.apply((times.size - 1) / 2))
       }
     // Transform-class benchmark vs BASELINE.md "3M rows < 3 min": the
     // reference enrichment (epoch normalization + partition keys) over a

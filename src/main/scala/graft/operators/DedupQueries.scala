@@ -549,8 +549,13 @@ object DedupQueries {
   }
 
   /** Exact raw-shingle Jaccard for an asymmetric candidate pair set,
-    * shingling ONLY the docs that appear in a candidate. */
-  private def probeVerify(d: DataFrame, cands: DataFrame): DataFrame = {
+    * shingling ONLY the docs that appear in a candidate. Both the pair
+    * set (referenced three times: two id projections + the intersection
+    * join) and the raw shingle relation persist — otherwise every
+    * reference re-runs the band-index join and the 20-aggregate
+    * signature pipeline upstream of it. */
+  private def probeVerify(d: DataFrame, cands0: DataFrame): DataFrame = {
+    val cands = Caches.persistTracked(cands0)
     val candIds = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2").as("doc_id"))).distinct()
     val raw = Caches.persistTracked(d
@@ -559,18 +564,7 @@ object DedupQueries {
       .where(size(col("w")) >= ShingleN)
       .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
       .distinct())
-    val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(raw.select(col("doc_id").as("d1"), col("sh")), "d1")
-      .join(raw.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .select(col("d1"), col("d2"), col("inter"),
-        (col("n1") + col("n2") - col("inter")).as("un"),
-        (col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
-      .where(col("jaccard") >= JaccardThreshold)
+    verifyJaccard(cands, raw).where(col("jaccard") >= JaccardThreshold)
   }
 
   val incrementalNearDupSql: String = {

@@ -73,11 +73,18 @@ object SilverWriter {
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(target))) return write(enriched, target)
 
+    // hiveperiod may be NULL (a clean row missing its heartbeat lands in
+    // __HIVE_DEFAULT_PARTITION__): the predicate must use an explicit
+    // isNull arm — `=== "null"` matches nothing, which would both hide
+    // replays there and drop other files' rows from the rewrite.
     val affected = enriched.select(PartitionCols.map(col): _*).distinct()
-      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1)))
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getString(1)))
     if (affected.isEmpty) return write(enriched, target) // zero-row gate
     val inAffected = affected
-      .map { case (hp, dc) => col("hiveperiod") === hp && col("dstrct_code") === dc }
+      .map { case (hpOpt, dc) =>
+        hpOpt.map(col("hiveperiod") === _).getOrElse(col("hiveperiod").isNull) &&
+          col("dstrct_code") === dc
+      }
       .reduce(_ || _)
     val batchFiles = enriched.select("source_file").distinct()
       .collect().map(_.getString(0))
@@ -113,8 +120,17 @@ object SilverWriter {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
-      fs.delete(stage, true)
     }
+    // Deleted only AFTER a successful overwrite. A publish that fails
+    // mid-commit may have already cleared some affected partitions, and
+    // then the stage is the only complete copy of their kept rows —
+    // deleting it in a finally would turn a failed publish into silent
+    // data loss. The failed run releases its claims, so the batch
+    // retries; if the retry's silver read predates the partial commit
+    // damage it rebuilds equivalently, and otherwise the surviving
+    // stage (dot-prefixed, invisible to readers, re-overwritten by the
+    // next rewrite of the same target) is the recovery artifact.
+    fs.delete(stage, true)
     batchRows
   }
 }

@@ -101,4 +101,31 @@ class DriftRequeueSpec extends SparkSpec {
     assert(SilverWriter.writeIdempotent(spark, enriched(Seq(f3)), target) == 1L)
     assert(spark.read.parquet(target).count() == 4)
   }
+
+  test("writeIdempotent: null-heartbeat rows (default partition) replace, not duplicate") {
+    val dir = tmpDir("bronze_nullhb")
+    val target = tmpDir("silver_nullhb")
+    // valid JSON, no heartbeat → hiveperiod NULL → __HIVE_DEFAULT_PARTITION__
+    val fNull = Fixtures.writeGz(s"$dir/n/1.txt.gz", Seq(
+      """{"unitno": "LD9", "deviceid": "DEVN", "gpsspeed": 1.0}""",
+      Fixtures.row(B, "LD9", "DEVN", 2.0)))
+    val fOther = Fixtures.writeGz(s"$dir/o/1.txt.gz",
+      Seq("""{"unitno": "LD8", "deviceid": "DEVO", "gpsspeed": 3.0}"""))
+
+    def enriched(paths: Seq[String]) = {
+      val bronze = graft.sources.BronzeReader.read(spark, paths).cache()
+      SilverWriter.enrich(bronze, "D")
+    }
+    assert(SilverWriter.writeIdempotent(spark, enriched(Seq(fNull, fOther)), target) == 3L)
+    val silver = spark.read.parquet(target)
+    assert(silver.count() == 3 && silver.where("hiveperiod IS NULL").count() == 2)
+    // Replaying only fNull must replace its rows — including the one in
+    // the default partition — and must NOT touch fOther's row there.
+    assert(SilverWriter.writeIdempotent(spark, enriched(Seq(fNull)), target) == 2L)
+    val after = spark.read.parquet(target)
+    assert(after.count() == 3, "null-partition replay must neither drop nor duplicate")
+    assert(after.where("hiveperiod IS NULL").count() == 2)
+    assert(after.where("source_file LIKE '%/o/%'").count() == 1,
+      "the other file's default-partition row must survive the rewrite")
+  }
 }

@@ -50,15 +50,23 @@ class IncrementalDedupSpec extends SparkSpec {
   }
 
   test("verification Jaccard is the raw-set value, not the capped approximation") {
-    val r = DedupQueries.incrementalNearDupOn(docsDf)
+    // The planted pair shares a VIRAL shingle ("all rights reserved",
+    // df = 142 > MaxShingleDf): candidate generation drops it from the
+    // capped sets, but verification must still count it — capped
+    // verification would report 40/41, raw reports 41/42.
+    val viral = (1 to 200).filter(_ % 5 != 0).take(140)
+      .map(i => (1000L + i, s"u${i}a u${i}b all rights reserved"))
+    val fixture = (viral ++ Seq(
+      (1L, base + " all rights reserved"),
+      (10L, base + " all rights reserved x")))
+      .toDF("doc_id", "text")
+    val r = DedupQueries.incrementalNearDupOn(fixture)
       .where(col("d1") === 10L && col("d2") === 1L)
       .select("inter", "un", "jaccard").collect()
     graft.core.Caches.releaseAll()
-    assert(r.length == 1)
-    // doc 1 is "base + tail one" (42 tokens → 40 shingles) and doc 10
-    // extends it by one token (43 → 41 shingles): doc 1's shingles are
-    // exactly the shared prefix, so inter = 40 and union = 41
+    assert(r.length == 1, "the planted pair must band-collide via its unique overlap")
     val (inter, un) = (r(0).getLong(0), r(0).getLong(1))
-    assert(inter == 40L && un == 41L, s"expected 40/41, got $inter/$un")
+    assert(inter == 41L && un == 42L,
+      s"expected raw 41/42 (capped verification would give 40/41), got $inter/$un")
   }
 }
