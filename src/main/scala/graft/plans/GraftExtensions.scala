@@ -53,5 +53,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HeavyHittersAgg(children.head,
           intLit(children(1), "capacity"), intLit(children(2), "k"))
       }))
+    // bloom_build(longCol, expectedItems[, fpp]) — the un-clamped bloom
+    // index build (see BloomIndex); sizing must be literal (it shapes
+    // the aggregation buffer). Probe via Spark's own `might_contain`.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          s"bloom_build takes (col, expectedItems[, fpp]), got ${children.length} arguments")
+        val items = children(1) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"bloom_build expectedItems must be an integer literal, got $other")
+        }
+        val fpp = children.lift(2).map {
+          case Literal(v: Double, _) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_build fpp must be a double literal, got $other")
+        }.getOrElse(0.03)
+        BloomBuildAgg(children.head, items, fpp)
+      }))
+    // might_contain(bloomBinary, longCol) — Spark ships this expression
+    // for its internal runtime join filters but does NOT register it as
+    // a SQL function; expose it so the bloom loop closes in plain SQL.
+    // The bloom argument must be foldable or a scalar subquery (the
+    // expression enforces it) — exactly how a stored index is used.
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"might_contain takes (bloom, value), got ${children.length} arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

@@ -96,6 +96,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("bloom_build resolves from plain SQL and probes with built-in might_contain") {
+    import spark.implicits._
+    (1L to 100L).toDF("v").createOrReplaceTempView("bloom_src")
+    // build in SQL, probe in SQL — the full loop without the Scala API
+    val hits = spark.sql(
+      """WITH idx AS (SELECT bloom_build(v, 100) AS bf FROM bloom_src)
+        |SELECT sum(CASE WHEN might_contain((SELECT bf FROM idx), p.v) THEN 1 ELSE 0 END) AS seen,
+        |       sum(CASE WHEN might_contain((SELECT bf FROM idx), p.v + 100000) THEN 1 ELSE 0 END) AS unseen_hits
+        |FROM bloom_src p""".stripMargin).head()
+    assert(hits.getLong(0) == 100L, "no false negatives via SQL")
+    assert(hits.getLong(1) < 50L, "unseen values must mostly miss")
+    val err = intercept[Exception] {
+      spark.sql("SELECT bloom_build(v, v) FROM bloom_src").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("the rewrite leaves non-dot aggregate(zip_with) shapes untouched") {
     // max-combine instead of a sum — must NOT become vector_dot
     // (parquet-backed for the same constant-folding reason as above)
