@@ -105,13 +105,14 @@ object Bench {
       System.err.println(s"[bench] transform benchmark failed: ${e.getMessage}")
       (0L, -1.0)
     }
-    // Millisecond precision keeps the whole JSON line under ~1.7 KB for 70+
-    // queries: the driver records only the LAST 2000 chars of stdout, and at
-    // full nanosecond precision the line overflowed that window and the
-    // driver recorded parsed:null (rounds 2-3). Locale.ROOT: a comma decimal
-    // separator would corrupt the JSON.
+    // Compact numbers keep the whole JSON line well under the driver's
+    // 2000-char stdout tail for 74+ queries (full nanosecond precision
+    // overflowed it in rounds 2-3 → parsed:null): 10 ms resolution per
+    // query, ms for the totals. Locale.ROOT: a comma decimal separator
+    // would corrupt the JSON.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) } ++
+    def fmtQ(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) } ++
       Seq(s""""x_transform_${ingest._1}_rows":${fmt(ingest._2)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
