@@ -36,22 +36,29 @@ object DataQuality {
         countDistinct(cols.head, cols.tail: _*)
   }
 
-  /** Rows whose column value is outside the accepted set. */
+  /** Rows whose column value is outside the accepted set. The name
+    * carries the set, both to make reports self-describing and so two
+    * different accepted-value checks on one column don't collide on
+    * their aggregate alias. */
   case class AcceptedValues(c: String, values: Seq[String]) extends Check {
-    val name = s"accepted_values($c)"
+    val name = s"accepted_values($c:${values.mkString("|")})"
     def violations: Column =
       sum(when(!col(c).isin(values.map(lit): _*) || col(c).isNull, 1L).otherwise(0L))
   }
 
-  /** Rows whose numeric column is outside [lo, hi]. */
+  /** Rows whose numeric column is outside [lo, hi] (bounds in the name
+    * for the same alias-uniqueness reason as AcceptedValues). */
   case class InRange(c: String, lo: Double, hi: Double) extends Check {
-    val name = s"in_range($c)"
+    val name = s"in_range($c,$lo,$hi)"
     def violations: Column =
       sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L))
   }
 
   /** One scan, all checks: returns (check, violations, pass). */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "data-quality run needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name).diff(checks.map(_.name).distinct).distinct.mkString(", ")}")
     val aggs = checks.map(c => coalesce(c.violations, lit(0L)).as(c.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // unpivot to one row per check
@@ -61,10 +68,14 @@ object DataQuality {
       .withColumn("pass", col("violations") === 0L)
   }
 
-  /** Referential integrity: child keys with no parent (anti-join count). */
+  /** Referential integrity: child keys with no parent (anti-join count).
+    * Sides are renamed before the join — with the common FK convention
+    * of identically-named key columns, `col(childKey) === col(parentKey)`
+    * would be an ambiguous reference and fail analysis. */
   def orphans(child: DataFrame, childKey: String, parent: DataFrame, parentKey: String): Long =
-    child.select(col(childKey))
-      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey), "left_anti")
+    child.select(col(childKey).as("__child_key"))
+      .join(parent.select(col(parentKey).as("__parent_key")),
+        col("__child_key") === col("__parent_key"), "left_anti")
       .count()
 
   /** Q38: the quality suite over the testdata star schema — column
@@ -96,12 +107,12 @@ object DataQuality {
       |SELECT 'unique(event_id)', count(event_id) - count(DISTINCT event_id),
       |  count(event_id) - count(DISTINCT event_id) = 0 FROM events
       |UNION ALL
-      |SELECT 'accepted_values(event_type)',
+      |SELECT 'accepted_values(event_type:click|error|purchase|signup|view)',
       |  CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) AS BIGINT),
       |  sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','error','purchase','signup','view') THEN 1 ELSE 0 END) = 0
       |FROM events
       |UNION ALL
-      |SELECT 'in_range(value)',
+      |SELECT 'in_range(value,0.0,1000.0)',
       |  CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT),
       |  sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) = 0
       |FROM events

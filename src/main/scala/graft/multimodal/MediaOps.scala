@@ -48,17 +48,24 @@ object MediaOps {
     * a feature extractor; this derives a deterministic pseudo-feature
     * vector from the content digest so plumbing, schema, batch shape and
     * partitioning are all testable without media libraries. */
-  private[multimodal] def decodeStub(content: Array[Byte]): Array[Float] = {
-    val d = MessageDigest.getInstance("MD5").digest(content)
+  private[multimodal] def decodeStub(content: Array[Byte]): Array[Float] =
+    decodeWith(MessageDigest.getInstance("MD5"), content)
+
+  private def decodeWith(md: MessageDigest, content: Array[Byte]): Array[Float] = {
+    val d = md.digest(content) // digest() resets the instance for reuse
     Array.tabulate(FeatureDim)(i => ((d(i) & 0xff) / 255.0f) * 2f - 1f)
   }
 
-  /** Per-partition feature extraction over the binary column. */
+  /** Per-partition feature extraction over the binary column. One
+    * MessageDigest per PARTITION (this is the point of mapPartitions):
+    * per-row `getInstance` would do a JCA provider lookup per blob. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
+      val md = MessageDigest.getInstance("MD5")
       rows.map { r =>
-        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong, decodeStub(r.content))
+        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
+          decodeWith(md, r.content))
       }
     }
   }
@@ -97,5 +104,7 @@ object MediaOps {
     media.groupBy("media_type").agg(
       count(lit(1)).as("n"),
       sum(length(col("content"))).as("total_bytes"),
-      avg(col("width") * col("height")).as("avg_pixels"))
+      // long math: a gigapixel row overflows Int×Int, which THROWS under
+      // Spark 4's default ANSI mode and would kill the whole stats query
+      avg(col("width").cast("long") * col("height")).as("avg_pixels"))
 }

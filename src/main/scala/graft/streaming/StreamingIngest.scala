@@ -15,7 +15,11 @@ import graft.sources.SilverWriter
   *  - hourly poll        → `Trigger.ProcessingTime("1 hour")`
   *  - backfill-to-drain  → `Trigger.AvailableNow`
   *  - file-level exactly-once (the MSSQL claim pattern) → the file
-  *    source's checkpoint; a processed file is never re-read.
+  *    source's checkpoint; a processed file is never re-read. The sink
+  *    side of that guarantee is the IDEMPOTENT silver write: a batch
+  *    replayed after a crash between the parquet append and the
+  *    checkpoint commit replaces its earlier rows (keyed on
+  *    `source_file`) instead of appending them twice.
   *
   * The write stays `foreachBatch` + the batch SilverWriter: the
   * reference never drops late data (device clocks can be days off —
@@ -48,12 +52,19 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(interval))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val clean =
-          if (batch.columns.contains("_corrupt_record"))
-            batch.where(col("_corrupt_record").isNull).drop("_corrupt_record")
-          else batch
-        SilverWriter.write(SilverWriter.enrich(clean, district), target)
-        () // zero-row batches write nothing (SilverWriter gate)
+        // cached: writeIdempotent probes the batch (partitions, files,
+        // count) before writing — uncached, each probe re-reads the
+        // batch's source files.
+        val cached = batch.cache()
+        try {
+          val clean =
+            if (cached.columns.contains("_corrupt_record"))
+              cached.where(col("_corrupt_record").isNull).drop("_corrupt_record")
+            else cached
+          SilverWriter.writeIdempotent(batch.sparkSession,
+            SilverWriter.enrich(clean, district), target)
+          () // zero-row batches write nothing (SilverWriter gate)
+        } finally { cached.unpersist(); () }
       }
       .start()
   }
@@ -61,21 +72,33 @@ object StreamingIngest {
   /** The dashboard's per-minute tumbling aggregation (reference A3,
     * `streamlit-app.py:155-169`) as a live streaming aggregate:
     * identical groupBy(window, keys) shape, plus a watermark — the one
-    * place late-data dropping is acceptable (display only). */
-  def perMinuteLive(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
-    events
+    * place late-data dropping is acceptable (display only).
+    *
+    * Applies the SAME cleaning layer as the batch dashboard
+    * (sentinel replacement, gpslat-derived gpsstatus, the shared
+    * error-rate expression) — without it, one −9999 sentinel row makes
+    * the live minute contradict `Dashboard.perMinuteDeviation` for the
+    * same data. */
+  def perMinuteLive(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.{AggExprs, CleanExprs}
+    val cleaned = Seq("gpsspeed", "VehicleSpeed", "gpsnumsat")
+      .foldLeft(events) { (d, c) => d.withColumn(c, CleanExprs.replaceSentinel(col(c))) }
+      .withColumn("gpsstatus", CleanExprs.gpsStatus(col("gpslat")))
+      .withColumn("error_rate", CleanExprs.errorRate(col("gpsspeed"), col("VehicleSpeed")))
+    cleaned
       .withWatermark("datetime_wita", watermark)
       .groupBy(
         window(col("datetime_wita"), "1 minute"),
         col("unitno"), col("dstrct_code"))
       .agg(
-        graft.functions.AggExprs.decAvg(col("gpsspeed")).as("avg_gpsspeed"),
-        graft.functions.AggExprs.decAvg(col("VehicleSpeed")).as("avg_vehiclespeed"),
-        graft.functions.AggExprs.decAvg(abs(col("gpsspeed") - col("VehicleSpeed"))).as("avg_error_rate"),
-        graft.functions.AggExprs.decAvg(col("gpsnumsat")).as("avg_gpsnumsat"),
+        AggExprs.decAvg(col("gpsspeed")).as("avg_gpsspeed"),
+        AggExprs.decAvg(col("VehicleSpeed")).as("avg_vehiclespeed"),
+        AggExprs.decAvg(col("error_rate")).as("avg_error_rate"),
+        AggExprs.decAvg(col("gpsnumsat")).as("avg_gpsnumsat"),
         min(col("gpsstatus")).as("gpsstatus"),
         min(col("camfrontstatus")).as("camfrontstatus"),
         min(col("camcabinstatus")).as("camcabinstatus"),
         min(col("speedsource")).as("speedsource"))
       .select(col("window.start").as("minute"), col("*")).drop("window")
+  }
 }

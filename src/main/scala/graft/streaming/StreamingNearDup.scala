@@ -67,8 +67,14 @@ object StreamingNearDup {
     * [[TextExprs.shingles]] trick): referenced directly, project
     * collapsing would inline and re-hash every shingle once per seed —
     * 20× the hashing cost. */
-  def signature(text: Column): Column = {
-    val sh = TextExprs.shingles(TextExprs.tokens(text), ShingleN)
+  def signature(text: Column): Column =
+    signatureFromTokens(TextExprs.tokens(text))
+
+  /** Signature over a pre-tokenized column — [[banded]] projects tokens
+    * ONCE and feeds both the length gate and the signature, instead of
+    * re-splitting the full document for each. */
+  def signatureFromTokens(toks: Column): Column = {
+    val sh = TextExprs.shingles(toks, ShingleN)
     val hs = struct(
       transform(sh, s => pmod(xxhash64(s), lit(KmPrime))).as("h1"),
       transform(sh, s => pmod(xxhash64(s, lit(1L)), lit(KmPrime))).as("h2"))
@@ -90,8 +96,10 @@ object StreamingNearDup {
           (0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*).as("bk"))
     }
     docs
-      .where(size(TextExprs.tokens(col("text"))) >= ShingleN)
-      .select(col("doc_id").cast("long").as("doc_id"), signature(col("text")).as("sig"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextExprs.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"), signatureFromTokens(col("toks")).as("sig"))
       .select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("x"))
       .select(col("x.band").as("band"), col("x.bk").as("bk"), col("doc_id"), col("sig"))
       .as[BandedDoc]

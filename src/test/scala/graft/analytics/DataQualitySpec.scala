@@ -25,13 +25,27 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(res("not_null(event_id)") == ((1L, false)))
     assert(res("unique(event_id)") == ((1L, false))) // 4 rows, 3 distinct (null counts once)
-    assert(res("accepted_values(event_type)") == ((2L, false))) // 'bogus' + null
-    assert(res("in_range(value)") == ((2L, false)))
+    assert(res("accepted_values(event_type:click|view)") == ((2L, false))) // 'bogus' + null
+    assert(res("in_range(value,0.0,1000.0)") == ((2L, false)))
+  }
+
+  test("parameterized names keep two checks on one column distinct") {
+    val res = DataQuality.run(dirty, Seq(
+      InRange("value", 0.0, 1000.0), InRange("value", 0.0, 40.0)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res("in_range(value,0.0,1000.0)") == 2L) // -5.0, 2000.0
+    assert(res("in_range(value,0.0,40.0)") == 3L) // -5.0, 2000.0, 50.0
   }
 
   test("orphans counts children without parents") {
     val child = Seq(1L, 2L, 9L).toDF("k")
     val parent = Seq(1L, 2L, 3L).toDF("p")
     assert(orphans(child, "k", parent, "p") == 1L)
+  }
+
+  test("orphans works when child and parent key columns share a name") {
+    val child = Seq(1L, 2L, 9L).toDF("user_id")
+    val parent = Seq(1L, 2L, 3L).toDF("user_id")
+    assert(orphans(child, "user_id", parent, "user_id") == 1L)
   }
 }

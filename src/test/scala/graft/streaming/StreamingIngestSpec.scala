@@ -59,12 +59,15 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("per-minute live aggregate matches the batch computation") {
     import spark.implicits._
+    // gpslat included: the live aggregate derives gpsstatus from it with
+    // the same cleaning layer as the batch dashboard (no-fix sentinel
+    // -8881.0 on the third row → "false")
     val events = Seq(
-      (1704067200L, "LD772", "D1", 40.0, 39.0, 11.0, "true", "OK", "OK", "GPS"),
-      (1704067210L, "LD772", "D1", 42.0, 40.0, 11.0, "true", "OK", "BAD", "GPS"),
-      (1704067265L, "LD772", "D1", 44.0, 44.0, 10.0, "false", "OK", "OK", "GPS"))
+      (1704067200L, "LD772", "D1", 40.0, 39.0, 11.0, -2.1, "OK", "OK", "GPS"),
+      (1704067210L, "LD772", "D1", 42.0, 40.0, 11.0, -2.1, "OK", "BAD", "GPS"),
+      (1704067265L, "LD772", "D1", 44.0, 44.0, 10.0, -8881.0, "OK", "OK", "GPS"))
       .toDF("epoch", "unitno", "dstrct_code", "gpsspeed", "VehicleSpeed",
-        "gpsnumsat", "gpsstatus", "camfrontstatus", "camcabinstatus", "speedsource")
+        "gpsnumsat", "gpslat", "camfrontstatus", "camcabinstatus", "speedsource")
       .withColumn("datetime_wita", timestamp_seconds(col("epoch")))
 
     val src = tmpDir("evsrc")
@@ -79,12 +82,14 @@ class StreamingIngestSpec extends SparkSpec {
 
     val got = spark.table("per_minute")
       .orderBy("minute")
-      .select("minute", "avg_gpsspeed", "avg_error_rate", "camcabinstatus")
+      .select("minute", "avg_gpsspeed", "avg_error_rate", "camcabinstatus", "gpsstatus")
       .collect()
     assert(got.length == 2) // two 1-minute buckets
     assert(got(0).getDouble(1) == 41.0) // avg(40, 42)
     assert(got(0).getDouble(2) == 1.5) // avg(|40-39|, |42-40|)
     assert(got(0).getString(3) == "BAD") // string-min: any-bad-wins (A5)
+    assert(got(0).getString(4) == "true") // gpslat-derived, like the batch path
     assert(got(1).getDouble(1) == 44.0)
+    assert(got(1).getString(4) == "false") // -8881.0 no-fix sentinel
   }
 }
