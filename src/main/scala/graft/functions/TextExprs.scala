@@ -61,6 +61,33 @@ object TextExprs {
     (0 until 16).map(j => conv(substring(hex, j + 1, 1), 16, 10).cast("int"))
   }
 
+  // ---- shared curation signals ------------------------------------
+  // q60 is BY CONTRACT the composition of q22/q23/q51; these single
+  // definitions are what keeps that claim true — a threshold change
+  // here changes the standalone signal query and the curation verdict
+  // together, instead of drifting silently in per-file copies.
+
+  /** Integer quality score (q22/q60): +1 per passing heuristic —
+    * 20–400 tokens, type-token ratio ≥ 0.3, stopword rate in
+    * [0.01, 0.3]. */
+  def qualityScore(nTokens: Column, nTypes: Column, nStop: Column): Column =
+    (when(nTokens.between(20, 400), 1).otherwise(0) +
+      when(nTypes * lit(1.0) / nTokens >= 0.3, 1).otherwise(0) +
+      when((nStop * lit(1.0) / nTokens).between(0.01, 0.3), 1).otherwise(0))
+      .cast("long")
+
+  /** ' th' character-trigram rate (q23/q60's English signal). */
+  def thRate(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " th", ""))) * lit(1.0) / length(text)
+
+  /** Language heuristic (q23/q60): marker-word density + trigram rate. */
+  def langPred(markerRate: Column, thRate: Column): Column =
+    when(markerRate >= 0.05 && thRate >= 0.01, lit("en")).otherwise(lit("other"))
+
+  /** Duplicate-token ratio (q51/q60, the Gopher repetition signal). */
+  def dupRatio(nTokens: Column, nDistinct: Column): Column =
+    round(lit(1.0) - nDistinct.cast("double") / nTokens.cast("double"), 6)
+
   /** 64 per-bit vote aggregates (+1 if bit set, -1 otherwise) over a
     * document's tokens; index jb = nibble*4 + bitInNibble (MSB first). */
   def simhashAggExprs(digits: Seq[Column]): Seq[Column] =

@@ -17,14 +17,25 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
+  // score DESC with NaN ranked GREATEST — java.lang.Double.compare, the
+  // ordering SQL engines use for ORDER BY (Spark and DuckDB both sort
+  // NaN above +Inf). A plain `>` comparison silently drops NaN scores
+  // (NaN > x is always false) and diverges from the row_number oracle
+  // whenever a degenerate (zero-norm) vector makes cosine NaN.
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   private def prune(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    xs.sortBy { case (score, id) => (-score, id) }.take(k)
+    xs.sorted(ord).take(k)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
 
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    if (buf.size < k || in._1 > buf.last._1 ||
-      (in._1 == buf.last._1 && in._2 < buf.last._2)) prune(buf :+ in)
+    if (buf.size < k || ord.compare(in, buf.last) < 0) prune(buf :+ in)
     else buf
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =

@@ -47,7 +47,15 @@ object AsOfJoin {
       .withColumn("__tag", lit(1))
       .withColumn("__r", lit(null).cast(right.select(rightVals.map(col): _*).schema))
     val taggedRight = leftCols.foldLeft(
-      right.withColumn("__r", rightStruct)
+      right
+        // A null-TIME right row can never satisfy `right.time <= left.time`
+        // (SQL: NULL <= x is never true), but unfiltered it would sort
+        // nulls-first and donate its values to EVERY left row of its key.
+        // Null-time LEFT rows need no special arm: with these rows gone,
+        // nothing precedes them in the nulls-first order, so they keep
+        // nulls — exactly the oracle's no-match result.
+        .where(col(time).isNotNull)
+        .withColumn("__r", rightStruct)
         .select(col(key), col(time), col("__r"))
         .withColumn("__tag", lit(0))) {
       (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null))

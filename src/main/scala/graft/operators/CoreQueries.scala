@@ -184,7 +184,11 @@ object CoreQueries {
     * with partition discovery, aggregate per partition. Verifies the
     * write path preserves content and partition values exactly. */
   def q09PartitionRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_q09_${math.abs(dir.hashCode)}"
+    // Per-call unique dir: a path keyed on dir.hashCode collides across
+    // concurrent runs (one run would aggregate another's half-written
+    // files) — and math.abs(Int.MinValue) is still negative.
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_q09_").resolve("out").toString
     Tables(spark, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .repartition(col("event_date"))

@@ -49,9 +49,13 @@ object CorpusQueries {
       // sequence() walks backwards into element_at(toks, 0) and throws
       // under ANSI; DuckDB's range() just yields nothing).
       .where(size(TextExprs.tokens(col("text"))) >= ShingleN)
-    val sh = d.select(col("doc_id"), col("bucket"),
-      explode(array_distinct(
-        TextExprs.shingles(TextExprs.tokens(col("text")), ShingleN))).as("sh"))
+    // Persisted: the shingle relation feeds BOTH the train-side distinct
+    // and the eval-side probe — unmaterialized, the corpus-wide
+    // tokenize+shingle+explode would run twice (the shinglesOf lesson).
+    val sh = graft.core.Caches.persistTracked(
+      d.select(col("doc_id"), col("bucket"),
+        explode(array_distinct(
+          TextExprs.shingles(TextExprs.tokens(col("text")), ShingleN))).as("sh")))
     val train = sh.where(col("bucket") < TestBucketFrom).select("sh").distinct()
     sh.where(col("bucket") >= TestBucketFrom)
       .join(train.withColumn("hit", lit(1)), Seq("sh"), "left")
@@ -99,10 +103,10 @@ object CorpusQueries {
 
   private[operators] def packingOn(docRel: DataFrame): DataFrame = {
     val ntok = size(TextExprs.tokens(col("text")))
-    val grp = pmod(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-        .cast("long"),
-      lit(PackGroups.toLong))
+    // The shared deterministic hash-split primitive, just with a
+    // different modulus — not a private re-implementation that could
+    // drift from the q36 split.
+    val grp = SamplingQueries.hashBucket(col("doc_id"), PackGroups)
     val w = Window.partitionBy("grp").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docRel
@@ -172,7 +176,7 @@ object CorpusQueries {
       .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"))
       .withColumn("dup_ratio",
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double"), 6))
+        TextExprs.dupRatio(col("n_tokens"), col("n_distinct")))
       .withColumn("repetitious", (col("dup_ratio") > 0.5).cast("boolean"))
   }
 

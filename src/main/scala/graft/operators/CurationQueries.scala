@@ -58,15 +58,13 @@ object CurationQueries {
       size(array_distinct(w)).cast("long").as("n_types"),
       TextExprs.markerCount(w, Stopwords).cast("long").as("n_stop"),
       TextExprs.fingerprint(col("text")).as("fp"))
-    val quality = (when(col("n_tokens").between(20, 400), 1).otherwise(0) +
-      when(col("n_types") * lit(1.0) / col("n_tokens") >= 0.3, 1).otherwise(0) +
-      when((col("n_stop") * lit(1.0) / col("n_tokens")).between(0.01, 0.3), 1).otherwise(0))
-      .cast("long")
+    // The one-definition signal expressions (TextExprs) — q60 IS the
+    // composition of q22/q23/q51, so it must share their code, not
+    // paraphrase it.
+    val quality = TextExprs.qualityScore(col("n_tokens"), col("n_types"), col("n_stop"))
     val markerRate = col("n_stop") * lit(1.0) / col("n_tokens")
-    val thRate = (length(col("text")) - length(regexp_replace(col("text"), " th", ""))) *
-      lit(1.0) / length(col("text"))
-    val langPred = when(markerRate >= 0.05 && thRate >= 0.01, lit("en")).otherwise(lit("other"))
-    val dupRatio = round(lit(1.0) - col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+    val langPred = TextExprs.langPred(markerRate, TextExprs.thRate(col("text")))
+    val dupRatio = TextExprs.dupRatio(col("n_tokens"), col("n_types"))
     // One scan computes every narrow signal; the persisted signal
     // relation then feeds both the keeper aggregation and the join probe
     // (without it Catalyst plans two independent corpus scans, each

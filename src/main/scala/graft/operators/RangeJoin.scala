@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -41,9 +41,15 @@ object RangeJoin {
         s"rename ${overlap.mkString(", ")} on one side first")
     val reserved = (left.columns ++ right.columns).toSet intersect Set("__bin", "__b")
     require(reserved.isEmpty, s"column names ${reserved.mkString(", ")} are reserved")
-    val l = left.withColumn("__bin", floor(col(lp) / radius))
+    // Exact floor division in integer arithmetic: `floor(col / radius)`
+    // is DOUBLE division, which loses precision past 2^53 — nanosecond
+    // epochs are in-domain for a generic long-point interval join, and a
+    // rounded bin silently drops in-radius pairs at the bin edge.
+    def floorDiv(c: Column, d: Long): Column =
+      call_function("div", c - pmod(c, lit(d)), lit(d))
+    val l = left.withColumn("__bin", floorDiv(col(lp), radius))
     val r = right
-      .withColumn("__b", floor(col(rp) / radius))
+      .withColumn("__b", floorDiv(col(rp), radius))
       .withColumn("__bin", explode(array(col("__b") - 1, col("__b"), col("__b") + 1)))
       .drop("__b")
     l.join(r, "__bin")

@@ -16,10 +16,12 @@ import graft.core.Tables
   */
 object SamplingQueries {
 
-  /** Uniform 0..99 hash percentile of an id column. */
-  def hashBucket(id: Column): Column =
+  /** Uniform hash bucket of an id column (default 0..99 percentile) —
+    * the one deterministic split primitive every consumer shares
+    * (q36/q37 sampling, q48 contamination split, q49 packing groups). */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
     pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long"), lit(100L))
+      .cast("long"), lit(buckets.toLong))
 
   private def duckBucket(idExpr: String): String =
     s"(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8))::BIGINT % 100)"

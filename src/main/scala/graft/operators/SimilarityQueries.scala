@@ -325,11 +325,12 @@ object SimilarityQueries {
     def updateCtes(i: Int) =
       s"""m$i AS (SELECT c_id, d.d AS dim,
          |    CAST(sum(CAST(v[d.d + 1] AS DECIMAL(18, 6))) AS DOUBLE) / count(v[d.d + 1]) AS mv
-         |  FROM a$i, (SELECT unnest(range(64)) AS d) d WHERE rn = 1 GROUP BY 1, 2),
+         |  FROM a$i, dims d WHERE rn = 1 GROUP BY 1, 2),
          |c$i AS (SELECT c_id, list(mv ORDER BY dim) AS cv FROM m$i GROUP BY c_id)""".stripMargin
     val rounds = (1 to KmeansIters)
       .map(i => s"${assignCte(i, s"c${i - 1}")},\n${updateCtes(i)}").mkString(",\n")
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (SELECT unnest(range((SELECT CAST(max(len(v)) AS INT) FROM e))) AS d),
        |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmeansK),
        |$rounds,
        |${assignCte(KmeansIters + 1, s"c$KmeansIters")}

@@ -35,10 +35,8 @@ object TextQueries {
       (col("n_types") * lit(1.0) / col("n_tokens")).as("ttr"),
       (col("n_stop") * lit(1.0) / col("n_tokens")).as("stopword_ratio"),
       (col("tok_chars") * lit(1.0) / col("n_tokens")).as("avg_token_len"),
-      (when(col("n_tokens").between(20, 400), 1).otherwise(0) +
-        when(col("n_types") * lit(1.0) / col("n_tokens") >= 0.3, 1).otherwise(0) +
-        when((col("n_stop") * lit(1.0) / col("n_tokens")).between(0.01, 0.3), 1).otherwise(0))
-        .cast("long").as("quality_score"))
+      TextExprs.qualityScore(col("n_tokens"), col("n_types"), col("n_stop"))
+        .as("quality_score"))
   }
 
   val textQualitySql: String =
@@ -66,11 +64,9 @@ object TextQueries {
     Tables(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         (TextExprs.markerCount(w, Stopwords) * lit(1.0) / size(w)).as("marker_rate"),
-        ((length(col("text")) - length(regexp_replace(col("text"), " th", ""))) * lit(1.0)
-          / length(col("text"))).as("th_rate"))
+        TextExprs.thRate(col("text")).as("th_rate"))
       .withColumn("lang_pred",
-        when(col("marker_rate") >= 0.05 && col("th_rate") >= 0.01, lit("en"))
-          .otherwise(lit("other")))
+        TextExprs.langPred(col("marker_rate"), col("th_rate")))
       .withColumn("is_match", col("lang_pred") === col("lang"))
   }
 
@@ -125,7 +121,9 @@ object TextQueries {
     * does not apply). Ties break on the term for cross-engine
     * determinism. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
-    val tf = termFreqs(spark, dir)
+    // Persisted: tf feeds BOTH the df aggregate and the scored join —
+    // unmaterialized, the corpus explode+groupBy runs twice.
+    val tf = graft.core.Caches.persistTracked(termFreqs(spark, dir))
     val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df_, "term").crossJoin(broadcast(n))
@@ -173,7 +171,11 @@ object TextQueries {
       size(TextExprs.tokens(col("text"))).cast("long").as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("sum_dl")))
-    val qtf = termFreqs(spark, dir).where(col("term").isin(Bm25Query: _*))
+    // Persisted: the filtered postings feed the df aggregate AND the
+    // scored join; each reference would otherwise re-run the corpus
+    // explode behind termFreqs.
+    val qtf = graft.core.Caches.persistTracked(
+      termFreqs(spark, dir).where(col("term").isin(Bm25Query: _*)))
     val df_ = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = lit(1.0) - lit(Bm25B) + lit(Bm25B) * (col("dl") * col("n_docs") / col("sum_dl"))
