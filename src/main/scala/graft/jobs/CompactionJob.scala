@@ -116,55 +116,72 @@ object CompactionJob {
     * count mismatch abandons the staging copy and keeps the original.
     *
     * Returns before/after row counts for the no-data-loss check. */
-  def run(spark: SparkSession, root: String, maxFiles: Int = 4): Result = {
+  def run(spark: SparkSession, root: String, maxFiles: Int = 4,
+      parallelism: Int = 4): Result = {
     restoreOrphanBackups(spark, root)
     val fragmented = findFragmented(spark, root, maxFiles)
     if (fragmented.isEmpty) return Result(Nil, 0L, 0L)
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    var rowsBefore = 0L
-    var rowsAfter = 0L
-    val done = Seq.newBuilder[String]
-    fragmented.foreach { p =>
-      val leaf = fs.makeQualified(new Path(s"$root/${p.relPath}"))
-      val tmp = new Path(leaf.getParent, s".compact_tmp_${leaf.getName}")
-      val bak = new Path(leaf.getParent, s".compact_old_${leaf.getName}")
-      fs.delete(bak, true) // stale leftovers from an earlier crash
-      val df = spark.read.option("mergeSchema", "true").parquet(leaf.toString)
-      val n = df.count()
-      rowsBefore += n
-      val nFiles = math.max(1, math.ceil(p.bytes.toDouble / TargetFileBytes).toInt)
-      df.repartition(nFiles)
-        .write.mode("overwrite")
-        .option("compression", "snappy")
-        .parquet(tmp.toString)
-      val nTmp = spark.read.parquet(tmp.toString).count()
-      if (nTmp == n) {
-        // Hadoop FileSystem.rename reports most failures by returning
-        // false, not by throwing — each step must be checked, and the
-        // backup may only be deleted once the replacement is in place,
-        // or a failed publish would destroy the only visible copy.
-        if (!fs.rename(leaf, bak))
-          throw new java.io.IOException(
-            s"compaction: could not move $leaf aside; partition left untouched")
-        if (!fs.rename(tmp, leaf)) {
-          val restored = fs.rename(bak, leaf)
-          fs.delete(tmp, true)
-          throw new java.io.IOException(
-            if (restored) s"compaction: could not publish $tmp over $leaf; original restored"
-            else s"compaction: publish failed AND restore failed — recover $leaf manually from $bak")
-        }
-        fs.delete(bak, true)
-        rowsAfter += nTmp
-        done += p.relPath
-      } else {
-        // Verification failed: abandon the staging copy, leave the
-        // original untouched (still fragmented); the count mismatch
-        // surfaces through Result.verified == false.
+    // Partitions compact CONCURRENTLY (Spark's scheduler is
+    // thread-safe): each rewrite touches only its own leaf, so a
+    // backlog of fragmented partitions is bounded by cluster capacity,
+    // not by the sum of sequential per-partition latencies.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, fragmented.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val results = Await.result(
+        Future.sequence(fragmented.map(p => Future(compactOne(spark, fs, root, p)))),
+        Duration.Inf)
+      Result(
+        results.flatMap(_._1),
+        results.map(_._2).sum,
+        results.map(_._3).sum)
+    } finally pool.shutdown()
+  }
+
+  /** Compact one leaf: returns (published relPath if swapped, rows
+    * before, rows after). */
+  private def compactOne(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      root: String, p: PartitionStats): (Option[String], Long, Long) = {
+    val leaf = fs.makeQualified(new Path(s"$root/${p.relPath}"))
+    val tmp = new Path(leaf.getParent, s".compact_tmp_${leaf.getName}")
+    val bak = new Path(leaf.getParent, s".compact_old_${leaf.getName}")
+    fs.delete(bak, true) // stale leftovers from an earlier crash
+    val df = spark.read.option("mergeSchema", "true").parquet(leaf.toString)
+    val n = df.count()
+    val nFiles = math.max(1, math.ceil(p.bytes.toDouble / TargetFileBytes).toInt)
+    df.repartition(nFiles)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(tmp.toString)
+    val nTmp = spark.read.parquet(tmp.toString).count()
+    if (nTmp == n) {
+      // Hadoop FileSystem.rename reports most failures by returning
+      // false, not by throwing — each step must be checked, and the
+      // backup may only be deleted once the replacement is in place,
+      // or a failed publish would destroy the only visible copy.
+      if (!fs.rename(leaf, bak))
+        throw new java.io.IOException(
+          s"compaction: could not move $leaf aside; partition left untouched")
+      if (!fs.rename(tmp, leaf)) {
+        val restored = fs.rename(bak, leaf)
         fs.delete(tmp, true)
-        rowsAfter += nTmp
+        throw new java.io.IOException(
+          if (restored) s"compaction: could not publish $tmp over $leaf; original restored"
+          else s"compaction: publish failed AND restore failed — recover $leaf manually from $bak")
       }
+      fs.delete(bak, true)
+      (Some(p.relPath), n, nTmp)
+    } else {
+      // Verification failed: abandon the staging copy, leave the
+      // original untouched (still fragmented); the count mismatch
+      // surfaces through Result.verified == false.
+      fs.delete(tmp, true)
+      (None, n, nTmp)
     }
-    Result(done.result(), rowsBefore, rowsAfter)
   }
 }

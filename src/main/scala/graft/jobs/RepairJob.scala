@@ -73,34 +73,19 @@ object RepairJob {
 
     val moved = silver.where(inAffected && col("hiveperiod") =!= derivedPeriod).count()
 
-    // Materialize before writing: Spark (rightly) refuses a plan that
-    // overwrites a path it is still reading. The corrected rows are
-    // staged as DURABLE parquet on the same filesystem — unlike a
-    // localCheckpoint (executor-local, non-fault-tolerant), the staged
-    // copy survives executor loss, so the overwrite below always reads
-    // from a re-readable source and a failed write can simply be rerun
-    // from the stage.
-    val stage = s"$silverPath/.repair_stage"
-    val fs = new org.apache.hadoop.fs.Path(silverPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    silver.where(inAffected).withColumn("hiveperiod", derivedPeriod)
-      .write.mode("overwrite").parquet(stage)
-    val corrected = spark.read.parquet(stage)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      corrected
-        .repartition(col("hiveperiod"), col("dstrct_code"))
-        .write.mode("overwrite")
-        .partitionBy("hiveperiod", "dstrct_code")
-        .parquet(silverPath)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    }
+    // Published through the shared PartitionPublish: durable stage (the
+    // overwrite must not read the path it rewrites), stage deleted only
+    // after success (a mid-commit failure may leave the stage as the
+    // only copy), and — load-bearing for idempotency — affected
+    // partitions that end up with NO corrected rows are deleted: a
+    // fully-mispartitioned partition contributes nothing to the rewrite
+    // output, so dynamic overwrite alone would leave its stale rows in
+    // place and every re-run would re-move (and duplicate) them.
+    val affectedLeaves: Seq[graft.sources.PartitionPublish.Leaf] =
+      affected.toSeq.map { case (hp, dc) => Seq(Some(hp), Some(dc)) }
+    graft.sources.PartitionPublish.publish(spark, silverPath,
+      silver.where(inAffected).withColumn("hiveperiod", derivedPeriod),
+      Seq("hiveperiod", "dstrct_code"), affectedLeaves)
     moved
   }
 }

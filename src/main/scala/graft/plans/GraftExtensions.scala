@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"heavy_hitters takes (col, capacity, k), got ${children.length} arguments")
         def intLit(e: Expression, name: String): Int = e match {
           case Literal(v: Int, _) => v
+          // SQL integer literals wide enough to parse as BIGINT arrive
+          // as Long — accept them when they fit
+          case Literal(v: Long, _) if v.isValidInt => v.toInt
           case other => throw new IllegalArgumentException(
             s"heavy_hitters $name must be an integer literal, got $other")
         }
@@ -70,8 +73,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         val fpp = children.lift(2).map {
           case Literal(v: Double, _) => v
+          // SQL fractional literals parse as DECIMAL, not DOUBLE — the
+          // documented `bloom_build(c, n, 0.03)` spelling must work
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
           case other => throw new IllegalArgumentException(
-            s"bloom_build fpp must be a double literal, got $other")
+            s"bloom_build fpp must be a numeric literal, got $other")
         }.getOrElse(0.03)
         BloomBuildAgg(children.head, items, fpp)
       }))

@@ -20,10 +20,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * parity is unaffected.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
-  // Callers (VectorExprs.dot) cast both sides to array<double>; no
-  // implicit-coercion contract needed here.
+  // Declared contract, not caller convention: the Scala API casts both
+  // sides, but the SQL registration (GraftExtensions) passes children
+  // through raw — without this, `vector_dot(int_arr, int_arr)` passes
+  // analysis and then misreads 4-byte int slots as doubles (silently
+  // wrong numbers on UnsafeArrayData, ClassCastException otherwise).
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType),
+      org.apache.spark.sql.types.ArrayType(DoubleType))
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "vector_dot"

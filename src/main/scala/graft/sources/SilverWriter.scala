@@ -63,9 +63,8 @@ object SilverWriter {
     * `source_file` overlap, and when none exists — every first attempt —
     * the write degenerates to the plain append above. Only an actual
     * replay pays the rewrite, which is scoped to the affected partitions
-    * via dynamic partition overwrite (the RepairJob pattern: stage the
-    * combined rows durably first, because Spark refuses a plan that
-    * overwrites a path it is still reading).
+    * and published through [[PartitionPublish]] (durable stage, dynamic
+    * overwrite, emptied-partition cleanup, stage kept on failure).
     *
     * `enriched` should be backed by a cached bronze batch (CompactorJob
     * caches it) — the partition/file-list probes re-read the batch. */
@@ -73,64 +72,46 @@ object SilverWriter {
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(target))) return write(enriched, target)
 
-    // hiveperiod may be NULL (a clean row missing its heartbeat lands in
-    // __HIVE_DEFAULT_PARTITION__): the predicate must use an explicit
-    // isNull arm — `=== "null"` matches nothing, which would both hide
-    // replays there and drop other files' rows from the rewrite.
-    val affected = enriched.select(PartitionCols.map(col): _*).distinct()
-      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getString(1)))
-    if (affected.isEmpty) return write(enriched, target) // zero-row gate
-    val inAffected = affected
-      .map { case (hpOpt, dc) =>
-        hpOpt.map(col("hiveperiod") === _).getOrElse(col("hiveperiod").isNull) &&
-          col("dstrct_code") === dc
-      }
-      .reduce(_ || _)
+    val batchParts: Seq[PartitionPublish.Leaf] =
+      enriched.select(PartitionCols.map(col): _*).distinct()
+        .collect().map(r => PartitionCols.indices
+          .map(i => Option(r.get(i)).map(_.toString)): PartitionPublish.Leaf)
+    if (batchParts.isEmpty) return write(enriched, target) // zero-row gate
+    // The null-hiveperiod catch-all joins the affected set for each
+    // district in the batch: a replayed file's rows can land in a
+    // DIFFERENT partition than its earlier attempt when the earlier
+    // read ran under a drift-degraded schema that failed to parse the
+    // partition-deriving field — those earlier rows sit in
+    // __HIVE_DEFAULT_PARTITION__, and a probe scoped only to the new
+    // partitions would never see (or replace) them.
+    val districts = batchParts.map(_.last).distinct
+    val affected = (batchParts ++ districts.map(d => Seq(None, d): PartitionPublish.Leaf)).distinct
+    val dirs = affected.map(PartitionPublish.leafDir(target, PartitionCols, _))
+      .filter(fs.exists)
+    if (dirs.isEmpty) return write(enriched, target)
     val batchFiles = enriched.select("source_file").distinct()
       .collect().map(_.getString(0))
 
-    // mergeSchema: silver files carry drift-heterogeneous schemas by
-    // design; a footer-sampled schema would silently drop late-drifted
-    // columns from the rewrite.
+    // The replay probe reads ONLY the affected leaf directories
+    // (basePath keeps the partition columns): a whole-table mergeSchema
+    // read would run footer inference over every silver file on every
+    // batch — table-wide cost in steady state. mergeSchema within the
+    // affected leaves still matters: their files carry
+    // drift-heterogeneous schemas by design, and a footer-sampled
+    // schema would silently drop late-drifted columns from the rewrite.
     val existingTry = scala.util.Try(
-      spark.read.option("mergeSchema", "true").parquet(target))
-    if (existingTry.isFailure) return write(enriched, target) // bare skeleton dir
-    val existing = existingTry.get.where(inAffected)
+      spark.read.option("mergeSchema", "true").option("basePath", target)
+        .parquet(dirs.map(_.toString): _*))
+    if (existingTry.isFailure) return write(enriched, target) // bare skeleton dirs
+    val existing = existingTry.get
     val replayed = existing.where(col("source_file").isin(batchFiles: _*))
       .limit(1).count() > 0
     if (!replayed) return write(enriched, target)
 
     val keep = existing.where(!col("source_file").isin(batchFiles: _*))
     val combined = keep.unionByName(enriched, allowMissingColumns = true)
-    val stage = new Path(target, ".ingest_stage")
-    combined.write.mode("overwrite").parquet(stage.toString)
     val batchRows = enriched.count() // cheap: bronze batch is cached
-
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      spark.read.parquet(stage.toString)
-        .repartition(PartitionCols.map(col): _*)
-        .write.mode("overwrite")
-        .option("compression", "snappy")
-        .partitionBy(PartitionCols: _*)
-        .parquet(target)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-    // Deleted only AFTER a successful overwrite. A publish that fails
-    // mid-commit may have already cleared some affected partitions, and
-    // then the stage is the only complete copy of their kept rows —
-    // deleting it in a finally would turn a failed publish into silent
-    // data loss. The failed run releases its claims, so the batch
-    // retries; if the retry's silver read predates the partial commit
-    // damage it rebuilds equivalently, and otherwise the surviving
-    // stage (dot-prefixed, invisible to readers, re-overwritten by the
-    // next rewrite of the same target) is the recovery artifact.
-    fs.delete(stage, true)
+    PartitionPublish.publish(spark, target, combined, PartitionCols, affected)
     batchRows
   }
 }

@@ -46,6 +46,7 @@ class JdbcStateStore(url: String) extends AutoCloseable {
            |  compression_status VARCHAR(32),
            |  compression_timestamp TIMESTAMP,
            |  compression_run_id VARCHAR(64),
+           |  claimed_at TIMESTAMP,
            |  upload_s3_date TIMESTAMP)""".stripMargin)
       st.close()
     }
@@ -71,18 +72,42 @@ class JdbcStateStore(url: String) extends AutoCloseable {
     val existing = claimedKeys(runId)
     if (existing.nonEmpty) return existing
     val districtPred = district.map(_ => " AND distrik = ?").getOrElse("")
+    // The OUTER predicate re-checks `compression_run_id IS NULL`: under
+    // READ COMMITTED a concurrent claimer's subquery can select the same
+    // keys before either UPDATE lands, and without the re-check the
+    // second writer would silently overwrite the first's claim — both
+    // runs would then process the same files.
     val ps = conn.prepareStatement(
-      s"""UPDATE $Table SET compression_run_id = ? WHERE file_path_s3 IN (
+      s"""UPDATE $Table SET compression_run_id = ?, claimed_at = ?
+         |  WHERE compression_run_id IS NULL AND file_path_s3 IN (
          |  SELECT file_path_s3 FROM $Table
          |  WHERE is_upload_s3 = 'true' AND compression_run_id IS NULL
          |    AND (compression_status IS NULL OR compression_status <> 'SUCCESS')$districtPred
          |  ORDER BY upload_s3_date DESC
          |  FETCH FIRST ? ROWS ONLY)""".stripMargin)
     ps.setString(1, runId)
-    district.foreach(ps.setString(2, _))
-    ps.setInt(if (district.isDefined) 3 else 2, limit)
+    ps.setTimestamp(2, new Timestamp(System.currentTimeMillis()))
+    district.foreach(ps.setString(3, _))
+    ps.setInt(if (district.isDefined) 4 else 3, limit)
     ps.executeUpdate(); ps.close()
     claimedKeys(runId)
+  }
+
+  /** Reap claims stranded by a hard-killed run (OOM between claim and
+    * ack/release — the catch block never runs, and a fresh runId per
+    * attempt means nothing ever resumes them): claims older than
+    * `olderThan` that never reached SUCCESS go back to the claimable
+    * pool. Run it at the top of any scheduled cycle with a bound
+    * comfortably above the longest healthy batch. */
+  def releaseAbandoned(olderThan: Timestamp): Int = {
+    val ps = conn.prepareStatement(
+      s"""UPDATE $Table SET compression_run_id = NULL,
+         |  compression_status = 'ABANDONED'
+         |  WHERE compression_run_id IS NOT NULL
+         |    AND (compression_status IS NULL OR compression_status <> 'SUCCESS')
+         |    AND claimed_at < ?""".stripMargin)
+    ps.setTimestamp(1, olderThan)
+    val n = ps.executeUpdate(); ps.close(); n
   }
 
   /** The keys currently claimed by a run (reference

@@ -95,6 +95,22 @@ class CompactorJobSpec extends SparkSpec {
     store.close()
   }
 
+  test("releaseAbandoned reaps stale claims back into the pool") {
+    val store = newStore()
+    (1 to 3).foreach(i => store.register(s"file:/ab$i", "D", new Timestamp(i * 1000L)))
+    val claimed = store.claim("run-dead", 2, None)
+    assert(claimed.size == 2 && store.pendingCount() == 1)
+    // the claiming run is hard-killed: no ack, no release, runId never reused
+    val reaped = store.releaseAbandoned(new Timestamp(System.currentTimeMillis() + 1))
+    assert(reaped == 2)
+    assert(store.pendingCount() == 3, "abandoned keys must be claimable again")
+    val c2 = store.claim("run-new", 10, None)
+    assert(c2.size == 3)
+    // a LIVE claim (claimed_at after the cutoff) must not be reaped
+    assert(store.releaseAbandoned(new Timestamp(0L)) == 0)
+    store.close()
+  }
+
   test("claims are newest-first and bounded by the limit") {
     val store = newStore()
     (1 to 5).foreach(i => store.register(s"file:/k$i", "D", new Timestamp(i * 1000L)))

@@ -41,6 +41,31 @@ class RepairCompactionSpec extends SparkSpec {
     assert(p2 == Set("u3", "u4")) // mover arrived, resident survived
   }
 
+  test("repair clears a fully-mispartitioned partition and is idempotent") {
+    val path = tmpDir("repair_full")
+    // partition 2035-01-01 holds ONLY mispartitioned rows (a badly
+    // clock-drifted device): dynamic overwrite alone would never touch
+    // it (no corrected rows land there), leaving duplicates that every
+    // re-run would multiply.
+    Seq(
+      (Base, "u1", "2035-01-01", "D1"),
+      (Base + 60, "u2", "2035-01-01", "D1"),
+      (Base + 120, "u3", "2024-01-01", "D1"))
+      .toDF("heartbeat", "unitno", "hiveperiod", "dstrct_code")
+      .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+      .write.partitionBy("hiveperiod", "dstrct_code").parquet(path)
+
+    assert(RepairJob.repair(spark, path) == 2L)
+    val after = spark.read.parquet(path)
+    assert(after.count() == 3, "no duplicates from the emptied source partition")
+    assert(after.where("hiveperiod = '2035-01-01'").isEmpty,
+      "the fully-mispartitioned partition must be cleared")
+    assert(RepairJob.detectMispartitioned(after).count() == 0)
+    // idempotency: a second repair finds nothing to move
+    assert(RepairJob.repair(spark, path) == 0L)
+    assert(spark.read.parquet(path).count() == 3)
+  }
+
   test("repair is a no-op on a healthy table") {
     val path = tmpDir("repair_ok")
     Seq((Base, "u1", "2024-01-01", "D1"))

@@ -100,8 +100,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     import spark.implicits._
     (1L to 100L).toDF("v").createOrReplaceTempView("bloom_src")
     // build in SQL, probe in SQL — the full loop without the Scala API
+    // 0.03 parses as a DECIMAL literal — the registration must accept it
     val hits = spark.sql(
-      """WITH idx AS (SELECT bloom_build(v, 100) AS bf FROM bloom_src)
+      """WITH idx AS (SELECT bloom_build(v, 100, 0.03) AS bf FROM bloom_src)
         |SELECT sum(CASE WHEN might_contain((SELECT bf FROM idx), p.v) THEN 1 ELSE 0 END) AS seen,
         |       sum(CASE WHEN might_contain((SELECT bf FROM idx), p.v + 100000) THEN 1 ELSE 0 END) AS unseen_hits
         |FROM bloom_src p""".stripMargin).head()
