@@ -102,6 +102,30 @@ class DriftRequeueSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 4)
   }
 
+  test("PartitionPublish clears an affected partition that receives no output rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val target = tmpDir("publish_clear")
+    // partitions A (2 rows) and B (1 row)
+    Seq(("2024-01-01", "D", 1L), ("2024-01-01", "D", 2L), ("2024-01-02", "D", 3L))
+      .toDF("hiveperiod", "dstrct_code", "v")
+      .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+      .write.partitionBy("hiveperiod", "dstrct_code").parquet(target)
+    // publish replaces BOTH partitions, but the output lands only in B:
+    // dynamic overwrite alone cannot clear A — the helper must.
+    val rows = Seq(("2024-01-02", "D", 10L), ("2024-01-02", "D", 11L))
+      .toDF("hiveperiod", "dstrct_code", "v")
+      .withColumn("hiveperiod", col("hiveperiod").cast("date"))
+    graft.sources.PartitionPublish.publish(spark, target, rows,
+      Seq("hiveperiod", "dstrct_code"),
+      Seq(Seq(Some("2024-01-01"), Some("D")), Seq(Some("2024-01-02"), Some("D"))))
+    val after = spark.read.parquet(target)
+    assert(after.count() == 2)
+    assert(after.where("hiveperiod = '2024-01-01'").isEmpty,
+      "the emptied affected partition must be cleared")
+    assert(after.select("v").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
   test("writeIdempotent: null-heartbeat rows (default partition) replace, not duplicate") {
     val dir = tmpDir("bronze_nullhb")
     val target = tmpDir("silver_nullhb")
