@@ -69,11 +69,57 @@ object SamplingQueries {
        |  CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 20 END
        |GROUP BY lang""".stripMargin
 
+  // --------------------------------------------- q74 reservoir sample
+  private val ReservoirK = 5
+
+  /** Q74: exact-k deterministic reservoir sample per group — "exactly k
+    * uniformly-chosen events per type, reproducibly". Hash-threshold
+    * sampling (q36) keeps a ~p% slice whose SIZE varies with the data;
+    * a reservoir returns exactly k, which is what mixture recipes and
+    * eval-set carving actually specify.
+    *
+    * The uniform key is the full md5-derived 32-bit value (the
+    * continuum behind [[hashBucket]]'s percentile), and selection is
+    * the bounded-buffer [[graft.functions.TopKAggregator]]: ≤ k
+    * candidates per group per partition travel through the shuffle —
+    * the classic distributed-reservoir shape — while the oracle's
+    * row_number window sorts EVERY row of every group. Determinism
+    * makes the sample identical across engines, reruns, and cluster
+    * sizes, which is exactly the property `rand()`-based reservoirs
+    * lose. */
+  def q74ReservoirSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val u = conv(substring(md5(col("event_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val topk = udaf(new graft.functions.TopKAggregator(ReservoirK),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    Tables(spark, dir, "events")
+      .select(col("event_type"), u.cast("double").as("u"), col("event_id"))
+      .groupBy("event_type")
+      .agg(topk(col("u"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), col("col._2").as("event_id"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col._1").cast("long").as("u"))
+  }
+
+  val q74Sql: String =
+    s"""WITH s AS (SELECT event_type, event_id,
+       |    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS u
+       |  FROM events),
+       |r AS (SELECT event_type, event_id, u,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY u DESC, event_id) AS rn
+       |  FROM s)
+       |SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn, u
+       |FROM r WHERE rn <= $ReservoirK""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_hash_sample" -> q36HashSample _,
-    "q37_mixture_sample" -> q37MixtureSample _)
+    "q37_mixture_sample" -> q37MixtureSample _,
+    "q74_reservoir_sample" -> q74ReservoirSample _)
 
   val oracles: Map[String, String] = Map(
     "q36_hash_sample" -> q36Sql,
-    "q37_mixture_sample" -> q37Sql)
+    "q37_mixture_sample" -> q37Sql,
+    "q74_reservoir_sample" -> q74Sql)
 }

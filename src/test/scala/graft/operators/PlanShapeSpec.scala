@@ -71,6 +71,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q74: reservoir sampling is a bounded partial aggregation, not a window sort") {
+    val df = SamplingQueries.q74ReservoirSample(spark, Dir)
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k buffer through partial aggregation:\n$p")
+    assert(!p.contains("Window"),
+      s"exact-k sampling must not rank every row in a window sort:\n$p")
+    // exact-k: every group returns exactly k rows (sf0.001 has >k rows per type)
+    val sizes = df.groupBy("event_type").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(sizes == Set(5L), s"every group must yield exactly k rows, got $sizes")
+  }
+
   test("q50/q51: narrow map-only corpus ops — scan + project, zero exchanges") {
     for (df <- Seq(CorpusQueries.scrub(spark, Dir), CorpusQueries.repetition(spark, Dir))) {
       val p = plan(df)
