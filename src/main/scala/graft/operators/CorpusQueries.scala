@@ -21,8 +21,10 @@ object CorpusQueries {
 
   private val ShingleN = 3
   private val TestBucketFrom = 90 // hash buckets 90..99 → 10% eval split
-  private val PackGroups = 8 // packing parallelism (→ thousands on a cluster)
-  private val TokenBudget = 512 // tokens per packed sequence
+  // Shared with q75's composed packing stage — one definition of the
+  // packing geometry, so the composition can't drift from q49.
+  private[operators] val PackGroups = 8 // packing parallelism (→ thousands on a cluster)
+  private[operators] val TokenBudget = 512 // tokens per packed sequence
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")

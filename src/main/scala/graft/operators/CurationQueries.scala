@@ -180,17 +180,24 @@ object CurationQueries {
   def chunk(spark: SparkSession, dir: String): DataFrame =
     chunkOn(docs(spark, dir))
 
-  private[operators] def chunkOn(docRel: DataFrame): DataFrame = {
+  /** `carry` threads extra per-document columns (provenance: lang,
+    * split, …) through the explode unchanged — q75 uses this instead of
+    * re-joining chunks back to documents, keeping the whole chunking
+    * stage map-only even inside the composition. */
+  private[operators] def chunkOn(docRel: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val cc = carry.map(col)
     val starts = sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(ChunkStride))
     val piece = slice(col("w"), col("start") + 1,
       least(lit(ChunkTokens), size(col("w")) - col("start")))
     docRel
-      .select(col("doc_id"), TextExprs.tokens(col("text")).as("w"))
-      .select(col("doc_id"), col("w"), posexplode(starts).as(Seq("chunk_idx", "start")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+      .select((col("doc_id") +: cc) :+ TextExprs.tokens(col("text")).as("w"): _*)
+      .select((col("doc_id") +: cc) ++ Seq(col("w"),
+        posexplode(starts).as(Seq("chunk_idx", "start"))): _*)
+      .select((col("doc_id") +: cc) ++ Seq(
+        col("chunk_idx").cast("long").as("chunk_idx"),
         col("start").cast("long").as("start"),
         size(piece).cast("long").as("chunk_tokens"),
-        md5(concat_ws(" ", piece).cast("binary")).as("chunk_fp"))
+        md5(concat_ws(" ", piece).cast("binary")).as("chunk_fp")): _*)
   }
 
   val chunkSql: String =
@@ -203,13 +210,126 @@ object CurationQueries {
        |    AS chunk_fp
        |FROM s""".stripMargin
 
+  // ------------------------------------------- q75 training units
+  /** Salt for the mixture-acceptance hash. The mixture decision MUST be
+    * hash-independent of the eval-split decision: both are percentiles
+    * of a doc_id hash, and with the SAME hash the eval split lives in
+    * buckets 90..99 while every mixture rate is ≤ 80 — the mixture
+    * would silently delete the entire eval split. Salting the id gives
+    * an independent uniform draw (the standard fix for correlated
+    * hash-based decisions in a pipeline). */
+  private val MixSalt = "|mix"
+
+  /** Q75: the end-to-end training-units artifact — the query a
+    * training-data pipeline actually ships, composing the green stages
+    * end to end: q60 curation decisions → keep survivors → q37-style
+    * per-language mixture acceptance (salted hash, see [[MixSalt]]) →
+    * q63 overlapping chunking (provenance carried through the explode,
+    * no re-join) → q49-style sequence packing of chunks into
+    * [[CorpusQueries.TokenBudget]]-token bins, partitioned so a pack
+    * never mixes train and eval chunks.
+    *
+    * One row per packed training chunk: provenance (doc_id, chunk_idx,
+    * lang, split), content (chunk_tokens, chunk_fp), and pack
+    * coordinates (grp, pack_bin, pack_offset). This is where
+    * column-contract drift between the stages would surface — the
+    * composition is the test.
+    *
+    * Scale shape: curation is one corpus scan + one fingerprint groupBy
+    * (q60's shape); mixture is a map-side filter; chunking is a pure
+    * explode; packing is a window cumulative sum within
+    * (split, grp) shards — [[CorpusQueries.PackGroups]] independent
+    * groups locally, thousands on a cluster. The only joins are the
+    * curation keeper join (uniform fp keys) and the decisions join
+    * (uniform doc_id keys); nothing is all-pairs, nothing collects. */
+  def trainingUnits(spark: SparkSession, dir: String): DataFrame =
+    trainingUnitsOn(docs(spark, dir))
+
+  private[operators] def trainingUnitsOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mixRate = when(col("lang") === "en", 80)
+      .when(col("lang") === "de", 50)
+      .otherwise(20)
+    val decisions = curationOn(docRel).where(col("keep")).select("doc_id", "split")
+    // Mixture filters the raw relation BEFORE the decisions join — the
+    // acceptance test only needs (doc_id, lang), so applying it first
+    // shrinks the join's probe side for free.
+    val kept = docRel
+      .where(SamplingQueries.hashBucket(
+        concat(col("doc_id").cast("string"), lit(MixSalt))) < mixRate)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .join(decisions, Seq("doc_id"))
+    val chunks = chunkOn(kept, carry = Seq("lang", "split"))
+    val w = Window.partitionBy("split", "grp").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("grp", SamplingQueries.hashBucket(col("doc_id"), CorpusQueries.PackGroups))
+      .withColumn("cum", sum(col("chunk_tokens")).over(w))
+      .select(col("doc_id"), col("chunk_idx"), col("lang"), col("split"),
+        col("chunk_tokens"), col("chunk_fp"), col("grp"),
+        call_function("div", col("cum") - col("chunk_tokens"),
+          lit(CorpusQueries.TokenBudget.toLong)).as("pack_bin"),
+        (col("cum") - col("chunk_tokens")).as("pack_offset"))
+  }
+
+  val trainingUnitsSql: String = {
+    val bucket = "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100)"
+    val mixBucket =
+      s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$MixSalt'), 1, 8))::BIGINT % 100)"
+    val grpBucket =
+      s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % ${CorpusQueries.PackGroups})"
+    s"""WITH b AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
+       |m AS (SELECT doc_id, lang, text, fp, w, len(w) AS n_tokens,
+       |    len(list_distinct(w)) AS n_types,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS n_stop FROM b),
+       |s AS (SELECT doc_id, lang, w, fp,
+       |    CAST((CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 1 ELSE 0 END +
+       |          CASE WHEN n_types * 1.0 / n_tokens >= 0.3 THEN 1 ELSE 0 END +
+       |          CASE WHEN n_stop * 1.0 / n_tokens BETWEEN 0.01 AND 0.3 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS quality_score,
+       |    CASE WHEN n_stop * 1.0 / n_tokens >= 0.05
+       |           AND (len(text) - len(replace(text, ' th', ''))) * 1.0 / len(text) >= 0.01
+       |         THEN 'en' ELSE 'other' END AS lang_pred,
+       |    round(1.0 - CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS dup_ratio
+       |  FROM m),
+       |k AS (SELECT fp, min(doc_id) AS keeper FROM s
+       |  WHERE quality_score >= 2 AND lang_pred = 'en' AND dup_ratio <= 0.5 GROUP BY fp),
+       |kept AS (SELECT s.doc_id, lang, w,
+       |    CASE WHEN $bucket >= $EvalBucketFrom THEN 'eval' ELSE 'train' END AS split
+       |  FROM s JOIN k USING (fp)
+       |  WHERE quality_score >= 2 AND lang_pred = 'en' AND dup_ratio <= 0.5
+       |    AND s.doc_id = k.keeper
+       |    AND $mixBucket <
+       |      CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 50 ELSE 20 END),
+       |c AS (SELECT doc_id, lang, split, w,
+       |    unnest(range(0, len(w), $ChunkStride)) AS start FROM kept),
+       |ch AS (SELECT doc_id, lang, split,
+       |    CAST(start // $ChunkStride AS BIGINT) AS chunk_idx,
+       |    CAST(len(list_slice(w, start + 1, least(start + $ChunkTokens, len(w)))) AS BIGINT)
+       |      AS chunk_tokens,
+       |    md5(array_to_string(list_slice(w, start + 1, least(start + $ChunkTokens, len(w))), ' '))
+       |      AS chunk_fp,
+       |    $grpBucket AS grp
+       |  FROM c),
+       |p AS (SELECT *, CAST(sum(chunk_tokens) OVER (PARTITION BY split, grp
+       |    ORDER BY doc_id, chunk_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM ch)
+       |SELECT doc_id, chunk_idx, lang, split, chunk_tokens, chunk_fp, grp,
+       |  (cum - chunk_tokens) // ${CorpusQueries.TokenBudget} AS pack_bin,
+       |  cum - chunk_tokens AS pack_offset
+       |FROM p""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_curation" -> curation _,
     "q61_token_histogram" -> tokenHistogram _,
-    "q63_chunks" -> chunk _)
+    "q63_chunks" -> chunk _,
+    "q75_training_units" -> trainingUnits _)
 
   val oracles: Map[String, String] = Map(
     "q60_curation" -> curationSql,
     "q61_token_histogram" -> tokenHistogramSql,
-    "q63_chunks" -> chunkSql)
+    "q63_chunks" -> chunkSql,
+    "q75_training_units" -> trainingUnitsSql)
 }

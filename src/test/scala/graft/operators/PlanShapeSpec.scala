@@ -136,6 +136,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, s"cube must shuffle exactly once:\n$p")
   }
 
+  test("q75: composed packing windows over (split, grp) shards, chunking stays map-only") {
+    val df = CurationQueries.trainingUnits(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(p.contains("hashpartitioning(split"),
+      s"pack window must shard by (split, grp), never one global partition:\n$p")
+    assert(p.contains("Generate"), s"expected the chunk-start explode inline:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composition must stay equi-join only:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
   test("q57: correlated EXISTS decorrelates to semi/anti joins, no per-row subquery") {
     val df = RelationalExtras.q57Exists(spark, Dir)
     df.count() // settle AQE
