@@ -20,7 +20,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated query filter for local iteration
     // (driver never sets it → full dump).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] unknown query name(s) in SPARK_GRAFT_ONLY: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_(n)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -220,6 +220,13 @@ object CurationQueries {
     * hash-based decisions in a pipeline). */
   private val MixSalt = "|mix"
 
+  /** Salt for the pack-group shard hash. grp = hash(doc_id) % 8 and
+    * split = hash(doc_id) % 100 share gcd(8, 100) = 4 when drawn from
+    * the same unsalted hash, so a doc's split bucket fixes grp mod 4 —
+    * within the eval split (buckets 90..99) pack groups would skew
+    * ~1.5x. Same correlated-hash issue [[MixSalt]] fixes; same fix. */
+  private val GrpSalt = "|grp"
+
   /** Q75: the end-to-end training-units artifact — the query a
     * training-data pipeline actually ships, composing the green stages
     * end to end: q60 curation decisions → keep survivors → q37-style
@@ -263,7 +270,8 @@ object CurationQueries {
     val w = Window.partitionBy("split", "grp").orderBy("doc_id", "chunk_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
-      .withColumn("grp", SamplingQueries.hashBucket(col("doc_id"), CorpusQueries.PackGroups))
+      .withColumn("grp", SamplingQueries.hashBucket(
+        concat(col("doc_id").cast("string"), lit(GrpSalt)), CorpusQueries.PackGroups))
       .withColumn("cum", sum(col("chunk_tokens")).over(w))
       .select(col("doc_id"), col("chunk_idx"), col("lang"), col("split"),
         col("chunk_tokens"), col("chunk_fp"), col("grp"),
@@ -277,7 +285,7 @@ object CurationQueries {
     val mixBucket =
       s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$MixSalt'), 1, 8))::BIGINT % 100)"
     val grpBucket =
-      s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % ${CorpusQueries.PackGroups})"
+      s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$GrpSalt'), 1, 8))::BIGINT % ${CorpusQueries.PackGroups})"
     s"""WITH b AS (SELECT doc_id, lang, text, string_split(text, ' ') AS w,
        |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM documents),
        |m AS (SELECT doc_id, lang, text, fp, w, len(w) AS n_tokens,

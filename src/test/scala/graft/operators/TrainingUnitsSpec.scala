@@ -62,6 +62,7 @@ class TrainingUnitsSpec extends SparkSpec {
     // One 512-token doc emits 672 cumulative chunk tokens (overlap), so
     // even a singleton group crosses the 512 budget — rollover must occur.
     assert(rows.map(_.getLong(6)).max >= 1L, "no pack ever left bin 0")
+    graft.core.Caches.releaseAll()
   }
 
   test("q75: eval-split docs survive the mixture (salted hash is independent)") {
@@ -83,5 +84,6 @@ class TrainingUnitsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(ids.forall(bySplit.get(_).contains("eval")),
       s"eval-bucket docs must survive mixture and land in eval: $bySplit")
+    graft.core.Caches.releaseAll()
   }
 }
