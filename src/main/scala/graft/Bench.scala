@@ -105,15 +105,51 @@ object Bench {
       System.err.println(s"[bench] transform benchmark failed: ${e.getMessage}")
       (0L, -1.0)
     }
+    // Incremental near-dup probe vs rebuild (q73's value claim): q73's
+    // benched number times a full self-contained rebuild because its
+    // oracle must be deterministic; the operator's point is the daily
+    // path. Build the corpus band index ONCE and write it to parquet
+    // (untimed — that cost amortizes over every later day), then time
+    // only what a day actually runs: read the stored index, shingle and
+    // sign the fresh batch, band-join, exact-verify the candidates.
+    // Median-of-`repeats` like every query entry.
+    val probe = if (only.nonEmpty) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val d = graft.core.Tables(spark, sfDir, "documents")
+      val idxPath = s"${System.getProperty("java.io.tmpdir")}/graft_bench_bandidx"
+      graft.operators.DedupQueries.bandIndexOf(d.where(pmod(col("doc_id"), lit(5)) =!= 0))
+        .write.mode("overwrite").parquet(idxPath)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val idx = spark.read.parquet(idxPath)
+        val fresh = graft.operators.DedupQueries.bandIndexOf(
+          d.where(pmod(col("doc_id"), lit(5)) === 0))
+        graft.operators.DedupQueries.probeIndex(d, fresh, idx).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+        dt
+      }
+      times.sorted.apply((times.size - 1) / 2)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] incremental probe failed: ${e.getMessage}")
+      -1.0
+    }
     // Compact numbers keep the whole JSON line well under the driver's
     // 2000-char stdout tail for 74+ queries (full nanosecond precision
     // overflowed it in rounds 2-3 → parsed:null): 10 ms resolution per
     // query, ms for the totals. Locale.ROOT: a comma decimal separator
     // would corrupt the JSON.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def fmtQ(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // Trailing zeros dropped ("0.30" → "0.3") — worth ~60 chars across
+    // 78+ entries, the difference between fitting the tail and not.
+    def fmtQ(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) } ++
-      Seq(s""""x_transform_${ingest._1}_rows":${fmt(ingest._2)}"""))
+      Seq(s""""x_transform_${ingest._1}_rows":${fmt(ingest._2)}""",
+        s""""x_incremental_probe":${fmt(probe)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"sf":"$sfDir"}"""

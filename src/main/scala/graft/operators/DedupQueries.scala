@@ -338,6 +338,59 @@ object DedupQueries {
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupOn(simhash(spark, dir))
 
+  // ------------------------------ SimHash fast path (production hash)
+  /** 64-bit SimHash per document as a LONG, hashed with codegen'd
+    * xxhash64 — ONE hash call per token where the parity path
+    * ([[simhashOn]]) pays md5 → 16 × (substring + base-16 conv). The
+    * vote aggregates read bits of the shared long directly; same
+    * one-aggregation plan shape. */
+  private[operators] def simhashFastOn(docRel: DataFrame): DataFrame = {
+    val hs = docRel
+      .select(col("doc_id"), explode(array_distinct(TextExprs.tokens(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val voteAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), 63 - i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"v$i")
+    }
+    val agged = hs.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+    // Bits are disjoint, so OR-assembly is a chain of selects on the
+    // vote columns; bit 0 is 1L << 63 = Long.MinValue — fine, the
+    // fingerprint is an opaque 64-bit pattern, not an ordinal.
+    val fp = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << (63 - i))).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    agged.select(col("doc_id"), fp.as("simhash64"))
+  }
+
+  /** Q76: production-path SimHash near-dup — q39's exact plan (4×16-bit
+    * pigeonhole bands → candidate join → Hamming verify) over
+    * [[simhashFastOn]] long fingerprints. Verification is a single
+    * `bit_count(f1 ^ f2)` on longs instead of q39's 4 × (substring +
+    * conv + xor) hex-band chain. xxhash64 is not DuckDB-portable →
+    * rows-only driver check; DedupSpec pins recall behavior against
+    * the md5 parity path on crafted near-dup corpora. */
+  private[graft] def simhashNearDupFastOn(docRel: DataFrame): DataFrame = {
+    val fp = Caches.persistTracked(simhashFastOn(docRel))
+    def bandKey(f: Column, b: Int): Column =
+      shiftrightunsigned(f, 48 - 16 * b).bitwiseAND(lit(0xFFFFL))
+    val bands = fp.select(col("doc_id"), col("simhash64"),
+        posexplode(array((0 until 4).map(b => bandKey(col("simhash64"), b)): _*)))
+      .select(col("doc_id"), col("simhash64"), col("pos").as("band"), col("col").as("bk"))
+    val cands = bands
+      .select(col("doc_id").as("d1"), col("simhash64").as("f1"), col("band"), col("bk"))
+      .join(bands.select(col("doc_id").as("d2"), col("simhash64").as("f2"),
+        col("band"), col("bk")), Seq("band", "bk"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2", "f1", "f2").distinct()
+    cands
+      .withColumn("hamming", bit_count(col("f1").bitwiseXOR(col("f2"))).cast("long"))
+      .where(col("hamming") <= HammingMax)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  def simhashNearDupFast(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupFastOn(docs(spark, dir))
+
   val simhashNearDupSql: String = {
     def duckBand(h: String, b: Int) = s"('0x' || substr($h, ${b * 4 + 1}, 4))::BIGINT"
     val hamming = (0 until 4)
@@ -537,6 +590,14 @@ object DedupQueries {
       bands.where(pmod(col("doc_id"), lit(5)) =!= 0))
   }
 
+  /** The persistable corpus band index for [[probeIndex]]: one row per
+    * (doc_id, band, bk). Bench and pipeline callers build this ONCE
+    * (write to parquet), then probe each day's batch against the stored
+    * relation — [[Bench]]'s `x_incremental_probe` times exactly that
+    * split, and IncrementalDedupSpec pins the storage round-trip. */
+  private[graft] def bandIndexOf(docRel: DataFrame): DataFrame =
+    bandsOf(shinglesOf(docRel), fastHash = false)
+
   /** Probe a fresh batch's band keys against a corpus band index (both
     * shaped (doc_id, band, bk) — the index side typically READ from
     * storage, not recomputed) and exact-verify the collisions. */
@@ -655,6 +716,7 @@ object DedupQueries {
     "q25_fingerprint" -> fingerprintDedup _,
     "q39_simhash_neardup" -> simhashNearDup _,
     "q40_minhash_lsh_fast" -> minhashLshFast _,
+    "q76_simhash_fast" -> simhashNearDupFast _,
     "q42_dedup_clusters" -> dedupClusters _)
 
   val oracles: Map[String, String] = Map(
@@ -669,7 +731,7 @@ object DedupQueries {
     "q25_fingerprint" -> fingerprintSql,
     "q39_simhash_neardup" -> simhashNearDupSql,
     "q42_dedup_clusters" -> dedupClustersSql)
-    // q40 has no oracle by design: xxhash64 is not DuckDB-portable;
-    // the driver records a rows-only check and DedupSpec cross-validates
-    // it against the md5 path + exact pairs.
+    // q40 and q76 have no oracle by design: xxhash64 is not
+    // DuckDB-portable; the driver records rows-only checks and DedupSpec
+    // cross-validates them against the md5 parity paths + exact pairs.
 }

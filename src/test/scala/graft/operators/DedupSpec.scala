@@ -55,6 +55,46 @@ class DedupSpec extends SparkSpec {
       s"fast-path missed ${(md5Pairs -- fastPairs).size}, invented ${(fastPairs -- md5Pairs).size}")
   }
 
+  test("q76 fast simhash: clones pair at hamming 0, unique-token docs never pair") {
+    import spark.implicits._
+    val cloneText = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, (0 until 12).map(j => s"tok${i}x$j").mkString(" "))
+    } :+ (1000L, cloneText) :+ (1001L, cloneText)).toDF("doc_id", "text")
+    val got = DedupQueries.simhashNearDupFastOn(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.get((1000L, 1001L)).contains(0L),
+      s"identical docs must pair with hamming 0: $got")
+    assert(got.keySet == Set((1000L, 1001L)),
+      s"docs with disjoint token sets must not survive the hamming verify: $got")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("both simhash paths find every identical-token-set pair with hamming 0 at sf0.01") {
+    import graft.functions.TextExprs
+    // Ground truth: docs whose DISTINCT token sets are identical have
+    // identical fingerprints under ANY per-token hash — both paths must
+    // report them at hamming 0 (all four bands collide by construction).
+    val truth = graft.core.Tables(spark, Dir, "documents")
+      .select(col("doc_id"),
+        array_sort(array_distinct(TextExprs.tokens(col("text")))).as("s"))
+      .groupBy("s").agg(collect_list("doc_id").as("ids"))
+      .where(size(col("ids")) > 1)
+      .select("ids").collect()
+      .flatMap { r =>
+        val ids = r.getSeq[Long](0).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+      }.toSet
+    assert(truth.nonEmpty, "sf0.01 documents must contain exact duplicates")
+    val parityZero = pairs(DedupQueries.simhashNearDup(spark, Dir).where(col("hamming") === 0))
+    val fastZero = pairs(DedupQueries.simhashNearDupFast(spark, Dir).where(col("hamming") === 0))
+    assert(truth.subsetOf(parityZero),
+      s"parity path missed ${(truth -- parityZero).size} identical-set pairs")
+    assert(truth.subsetOf(fastZero),
+      s"fast path missed ${(truth -- fastZero).size} identical-set pairs")
+    graft.core.Caches.releaseAll()
+  }
+
   test("simhash Hamming pairing verifies candidates with popcount(xor)") {
     import spark.implicits._
     // fingerprints with known pairwise Hamming: (0,1)=1, (1,2)=3, (0,2)=4
