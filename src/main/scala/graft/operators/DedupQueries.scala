@@ -699,6 +699,35 @@ object DedupQueries {
     sure.select(col("doc_id")).unionByName(verifiedNew)
   }
 
+  /** Day-over-day bloom maintenance — the pipeline claim behind
+    * [[bloomNewContentOn]] made literal: one ingest day probes the
+    * CARRIED index, sketches ONLY its own batch, and ORs that day
+    * sketch in. Prior days' corpora are never re-read — by
+    * construction: they are not parameters; the whole history arrives
+    * as the few-MB carried bitmap (BloomIndexSpec deletes day 0's
+    * files after its sketch and days 1–2 still run).
+    *
+    * Returns (definitelyNew, maybeSeen, updatedIndex): `definitelyNew`
+    * is safe to ingest with no further check (no false negatives);
+    * `maybeSeen` is the sliver the caller exact-verifies against its
+    * store, exactly as q72 does. `expectedPerDay` must stay constant
+    * across days — union requires identically-sized bit arrays. */
+  private[graft] def bloomAdvanceDay(batch: DataFrame, h: Column,
+      carried: Option[Array[Byte]], expectedPerDay: Long)
+      : (DataFrame, DataFrame, Array[Byte]) = {
+    import graft.plans.BloomIndex
+    val daySketch = batch.select(BloomIndex.bloomAgg(h, expectedPerDay).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val updated = carried.fold(daySketch)(c => BloomIndex.union(c, daySketch))
+    carried match {
+      case None => (batch, batch.limit(0), updated)
+      case Some(idx) =>
+        (batch.where(!BloomIndex.mightContain(idx, h)),
+          batch.where(BloomIndex.mightContain(idx, h)),
+          updated)
+    }
+  }
+
   val bloomNewContentSql: String =
     """SELECT doc_id FROM documents d
       |WHERE doc_id % 5 = 0 AND NOT EXISTS (

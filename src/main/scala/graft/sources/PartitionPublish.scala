@@ -49,10 +49,26 @@ object PartitionPublish {
       target: String,
       rows: DataFrame,
       partitionCols: Seq[String],
-      affected: Seq[Leaf]): Unit = {
+      affected: Seq[Leaf]): Unit =
+    publishWithHooks(spark, target, rows, partitionCols, affected)
+
+  /** [[publish]] with crash-injection points for tests: the hooks run
+    * after the stage write and after the overwrite commit respectively
+    * — a hook that throws models a process death at exactly the
+    * boundary the hazard analysis names. Production callers use
+    * [[publish]]; semantics are identical with no-op hooks. */
+  private[graft] def publishWithHooks(
+      spark: SparkSession,
+      target: String,
+      rows: DataFrame,
+      partitionCols: Seq[String],
+      affected: Seq[Leaf],
+      afterStage: () => Unit = () => (),
+      afterOverwrite: () => Unit = () => ()): Unit = {
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new Path(target, StageDirName)
     rows.write.mode("overwrite").parquet(stage.toString)
+    afterStage()
 
     val staged = spark.read.parquet(stage.toString)
     val written: Set[Leaf] = staged
@@ -75,6 +91,7 @@ object PartitionPublish {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
     }
+    afterOverwrite()
     // Affected partitions that received no rows: everything they held
     // was replaced away, so clear them (delete tolerates absent dirs).
     affected.filterNot(written.contains)

@@ -37,6 +37,45 @@ class BloomIndexSpec extends SparkSpec {
     assert(hits == 5, "the merged index must cover both input sketches")
   }
 
+  test("day-over-day: carried index maintained by union; prior days are never re-read") {
+    import graft.operators.DedupQueries.bloomAdvanceDay
+    def h = xxhash64(col("text"))
+    // Day 0 lives in parquet; after its sketch is taken the FILES ARE
+    // DELETED — if any later day's plan touched the day-0 relation, the
+    // scan would fail loudly. Days 1 and 2 must run purely off the
+    // carried few-MB bitmap.
+    val day0Path = tmpDir("bloom_day0")
+    Seq((1L, "alpha"), (2L, "bravo")).toDF("doc_id", "text")
+      .write.parquet(day0Path)
+    val day0 = spark.read.parquet(day0Path)
+    val (new0, maybe0, idx0) = bloomAdvanceDay(day0, h, None, 100L)
+    assert(new0.count() == 2 && maybe0.count() == 0,
+      "first day: everything is new, nothing to verify")
+
+    import scala.reflect.io.Directory
+    assert(new Directory(new java.io.File(day0Path)).deleteRecursively(),
+      "test setup: day-0 files must be deletable")
+
+    val day1 = Seq((3L, "alpha"), (4L, "charlie")).toDF("doc_id", "text")
+    val (new1, maybe1, idx1) = bloomAdvanceDay(day1, h, Some(idx0), 100L)
+    assert(new1.select("doc_id").as[Long].collect().toSet == Set(4L))
+    assert(maybe1.select("doc_id").as[Long].collect().toSet == Set(3L),
+      "the day-0 duplicate must be routed to exact verification")
+
+    // Day 2 duplicates content from day 0 AND day 1 — the carried index
+    // must answer for both generations even though neither batch still
+    // exists anywhere but inside the bitmap.
+    val day2 = Seq((5L, "bravo"), (6L, "charlie"), (7L, "delta")).toDF("doc_id", "text")
+    val (new2, maybe2, idx2) = bloomAdvanceDay(day2, h, Some(idx1), 100L)
+    assert(new2.select("doc_id").as[Long].collect().toSet == Set(7L))
+    assert(maybe2.select("doc_id").as[Long].collect().toSet == Set(5L, 6L))
+
+    // The final index remembers every generation (no false negatives
+    // survive any number of unions).
+    val all = Seq("alpha", "bravo", "charlie", "delta").toDF("text")
+    assert(all.where(BloomIndex.mightContain(idx2, h)).count() == 4)
+  }
+
   test("q72 engine: bloom-pruned new-content detection equals the exact anti join") {
     // doc_ids ≡ 0 mod 5 are "fresh"; duplicates planted both ways:
     // fresh 10 duplicates corpus 3's text, fresh 20 is genuinely new,
