@@ -113,13 +113,78 @@ object SamplingQueries {
        |SELECT event_type, event_id, CAST(rn AS BIGINT) AS rn, u
        |FROM r WHERE rn <= $ReservoirK""".stripMargin
 
+  // ---------------------------------------------- q78 weighted sample
+  private val WeightedK = 5
+  private val MaxWeight = 8
+
+  /** Q78: weighted sampling per language — longer documents should win
+    * a slot proportionally more often (the importance-weighting move
+    * when carving eval slices or re-balancing a mixture), but the draw
+    * must stay deterministic and engine-portable: no `rand()`, and no
+    * Efraimidis–Spirakis `ln(u)/w` keys either — libm `ln` is not
+    * bit-portable across engines. Instead the priority is **max of w
+    * salted hashes**: a document of integer weight w gets w independent
+    * uniform draws `hash(doc_id || '#' || i)`, i < w, and keeps the
+    * max. All Σw draws across the group are iid uniform, so the
+    * group's argmax lands on document i with probability exactly
+    * wᵢ/Σw — the weighted-sampling guarantee in pure integer
+    * arithmetic.
+    *
+    * Scale shape: the ≤[[MaxWeight]]× draw explode is map-side and
+    * bounded; the per-doc max is a partial-aggregating groupBy on
+    * doc_id (uniform keys); selection reuses q74's bounded-buffer
+    * top-k aggregate, so ≤ k rows per (lang, partition) cross the
+    * final shuffle while the oracle's row_number window sorts every
+    * row. */
+  def q78WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    q78WeightedSampleOn(Tables(spark, dir, "documents"))
+
+  private[operators] def q78WeightedSampleOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val d = docRel
+      .select(col("lang"), col("doc_id"),
+        least(floor(col("n_chars") / 100) + 1, lit(MaxWeight)).cast("int").as("w"))
+    val u = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#"), col("i").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long")
+    val prio = d
+      .select(col("lang"), col("doc_id"), explode(sequence(lit(0), col("w") - 1)).as("i"))
+      .select(col("lang"), col("doc_id"), u.as("u"))
+      .groupBy("lang", "doc_id").agg(max("u").as("prio"))
+    val topk = udaf(new graft.functions.TopKAggregator(WeightedK),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    prio
+      .groupBy("lang")
+      .agg(topk(col("prio").cast("double"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), col("col._2").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col._1").cast("long").as("prio"))
+  }
+
+  val q78Sql: String =
+    s"""WITH d AS (SELECT lang, doc_id,
+       |    least(n_chars // 100 + 1, $MaxWeight) AS w FROM documents),
+       |dr AS (SELECT lang, doc_id, unnest(range(w)) AS i FROM d),
+       |u AS (SELECT lang, doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT AS u
+       |  FROM dr),
+       |p AS (SELECT lang, doc_id, max(u) AS prio FROM u GROUP BY 1, 2),
+       |r AS (SELECT lang, doc_id, prio,
+       |    row_number() OVER (PARTITION BY lang ORDER BY prio DESC, doc_id) AS rn
+       |  FROM p)
+       |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn, prio
+       |FROM r WHERE rn <= $WeightedK""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_hash_sample" -> q36HashSample _,
     "q37_mixture_sample" -> q37MixtureSample _,
-    "q74_reservoir_sample" -> q74ReservoirSample _)
+    "q74_reservoir_sample" -> q74ReservoirSample _,
+    "q78_weighted_sample" -> q78WeightedSample _)
 
   val oracles: Map[String, String] = Map(
     "q36_hash_sample" -> q36Sql,
     "q37_mixture_sample" -> q37Sql,
-    "q74_reservoir_sample" -> q74Sql)
+    "q74_reservoir_sample" -> q74Sql,
+    "q78_weighted_sample" -> q78Sql)
 }

@@ -107,7 +107,10 @@ object TextQueries {
     * skew is pre-bounded because tf collapses repeats within a doc
     * before any join. */
   private def termFreqs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    termFreqsOn(Tables(spark, dir, "documents"))
+
+  private[operators] def termFreqsOn(docRel: DataFrame): DataFrame =
+    docRel
       .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
@@ -269,6 +272,67 @@ object TextQueries {
        |SELECT lang, CAST(rank AS BIGINT) AS rank, token, cnt, CAST(0 AS BIGINT) AS err
        |FROM r WHERE rank <= $HhK""".stripMargin
 
+  // ------------------------------------------ corpus commonness score
+  /** A term is "rare" when its corpus probability is at most
+    * 1/[[RareDenom]] — tested as `f * RareDenom <= total`, an integer
+    * compare: no division, no float, no threshold drift between
+    * engines. */
+  private val RareDenom = 200L
+
+  /** Q77: corpus-frequency commonness — the CCNet-style "does this
+    * document look like the corpus?" quality signal, in exact
+    * arithmetic. Each document scores the mean corpus probability of
+    * its token occurrences plus a rare-token occurrence count.
+    *
+    * Deliberately NOT log-perplexity: libm `ln` differs by last-ulp
+    * between engines, which is fatal to a hash-checked oracle and
+    * irrelevant to the signal's discriminative power (mean probability
+    * ranks documents the same direction). Everything stays in exact
+    * integers — Σtf, Σ(tf·f), the rare predicate — until two pinned
+    * IEEE divisions at the very end, so the rounded score is
+    * engine-identical.
+    *
+    * Scale shape: one corpus explode (shared [[termFreqs]] relation,
+    * persisted — it feeds the frequency aggregate AND the scoring
+    * join), a term-keyed aggregate whose cardinality is the VOCABULARY
+    * (≪ corpus), a uniform term-keyed join back, and a doc-keyed
+    * aggregate. The global total is a broadcast 1-row cross join, not
+    * a driver collect. */
+  def commonness(spark: SparkSession, dir: String): DataFrame =
+    commonnessOn(Tables(spark, dir, "documents"))
+
+  private[operators] def commonnessOn(docRel: DataFrame): DataFrame = {
+    val tf = graft.core.Caches.persistTracked(termFreqsOn(docRel))
+    val freq = tf.groupBy("term").agg(sum("tf").cast("long").as("f"))
+    val total = freq.agg(sum("f").cast("long").as("total"))
+    tf.join(freq, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").cast("long").as("n_tokens"),
+        sum(when(col("f") * RareDenom <= col("total"), col("tf")).otherwise(0L))
+          .cast("long").as("rare_tokens"),
+        sum(col("tf") * col("f")).cast("long").as("sum_f"),
+        max("total").as("total"))
+      .select(col("doc_id"), col("n_tokens"), col("rare_tokens"),
+        round(col("sum_f").cast("double") / col("n_tokens").cast("double")
+          / col("total").cast("double"), 6).as("commonness"))
+  }
+
+  val commonnessSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM f),
+       |g AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN f * $RareDenom <= total THEN tf ELSE 0 END) AS BIGINT)
+       |      AS rare_tokens,
+       |    CAST(sum(tf * f) AS BIGINT) AS sum_f, max(total) AS total
+       |  FROM tf JOIN f USING (term) CROSS JOIN st GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, rare_tokens,
+       |  round(CAST(sum_f AS DOUBLE) / CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       |    AS commonness
+       |FROM g""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_heavy_hitters" -> heavyTokens _,
     "q22_text_quality" -> textQuality _,
@@ -276,7 +340,8 @@ object TextQueries {
     "q24_token_count" -> tokenCount _,
     "q45_tfidf" -> tfidf _,
     "q46_vocab" -> vocab _,
-    "q70_bm25" -> bm25 _)
+    "q70_bm25" -> bm25 _,
+    "q77_commonness" -> commonness _)
 
   val oracles: Map[String, String] = Map(
     "q70_bm25" -> bm25Sql,
@@ -285,5 +350,6 @@ object TextQueries {
     "q23_lang_id" -> langIdSql,
     "q24_token_count" -> tokenCountSql,
     "q45_tfidf" -> tfidfSql,
-    "q46_vocab" -> vocabSql)
+    "q46_vocab" -> vocabSql,
+    "q77_commonness" -> commonnessSql)
 }

@@ -155,4 +155,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"EXISTS must plan as a left-semi join:\n$p")
     assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as a left-anti join:\n$p")
   }
+
+  test("q77: the global total is a broadcast 1-row join; scan prunes to (doc_id, text)") {
+    val df = TextQueries.commonness(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast, not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to the 2 used columns of 5")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q78: weighted selection is the bounded top-k aggregate, not a window sort") {
+    val df = SamplingQueries.q78WeightedSample(spark, Dir)
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected the bounded top-k buffer through partial aggregation:\n$p")
+    assert(!p.contains("Window"),
+      s"weighted sampling must not rank every row in a window sort:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      "scan must prune to the 3 used columns of 5")
+  }
 }
