@@ -337,11 +337,139 @@ object SimilarityQueries {
        |SELECT vec_id, c_id AS cluster FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
   }
 
+  // --------------------------------------------- product quantization
+  private val PqSubspaces = 4
+  private val PqCodebook = 8
+  private val PqIters = 1
+
+  /** Squared L2 expanded to dot products — the same portable primitive
+    * the cosine tier uses. The literal-side `dot(c, c)` constant-folds;
+    * evaluation order (a − b) + c is pinned to match the oracle. */
+  private def sqDist(sv: Column, cv: Seq[Double]): Column = {
+    val c = typedlit(cv)
+    VectorExprs.dot(sv, sv) - lit(2.0) * VectorExprs.dot(sv, c) +
+      VectorExprs.dot(c, c)
+  }
+
+  /** Nearest-centroid code for a subvector, per subspace: min over the
+    * subspace's codebook of (dist, cid) — ascending struct sort, ties
+    * on centroid id, mirroring the oracle's `ORDER BY dist, c_id`. */
+  private def pqCode(sv: Column, sub: Column,
+      bySub: Map[Int, Seq[(Long, Seq[Double])]]): Column =
+    (0 until PqSubspaces).foldLeft(lit(null).cast("long")) { (acc, si) =>
+      val scores = array(bySub(si).map { case (cid, cv) =>
+        struct(sqDist(sv, cv).as("dist"), lit(cid).as("cid"))
+      }: _*)
+      when(sub === si, element_at(array_sort(scores), 1).getField("cid"))
+        .otherwise(acc)
+    }
+
+  /** Q79: product-quantization encoding — the compression step that
+    * makes billion-vector ANN storable (IVF-PQ): each vector splits
+    * into [[PqSubspaces]] contiguous subvectors, each subspace trains
+    * its own [[PqCodebook]]-centroid codebook (Lloyd's from
+    * deterministic seeds, decimal-exact means), and a vector's code is
+    * its per-subspace nearest centroid — 64 floats become
+    * m·log₂k' = 12 bits here.
+    *
+    * Scale shape: codebooks are m × k' × (d/m) literals — the classic
+    * memory-resident quantizer — so both assignment passes are narrow
+    * codegen'd projections with ZERO shuffle; the one training shuffle
+    * per round is a (sub, cluster, dim)-keyed decimal mean whose
+    * output cardinality is k'·d, independent of corpus size. The
+    * subvector relation persists: it feeds seeding, training, and the
+    * final encode — one corpus scan, not three. */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame =
+    pqEncodeOn(emb(spark, dir))
+
+  /** (vec_id, sub, sv): the exploded subvector relation both training
+    * and encoding run over. Callers persist it. */
+  private[operators] def pqSubvectors(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val d = e.select(size(col("v"))).head.getInt(0) // schema-fixed dim, 1-row probe
+    val w = d / PqSubspaces
+    e.select(col("vec_id"), posexplode(
+        array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
+      .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
+  }
+
+  /** Per-subspace codebooks: deterministic seeds (the first
+    * [[PqCodebook]] vectors' subvectors), then `iters` Lloyd rounds of
+    * decimal-exact means. Only k'·d values ever reach the driver. */
+  private[operators] def pqTrain(subs: DataFrame, iters: Int): Map[Int, Seq[(Long, Seq[Double])]] = {
+    var cents = subs.where(col("vec_id") < PqCodebook)
+      .select(col("sub"), col("vec_id"), col("sv")).collect()
+      .groupBy(_.getInt(0)).map { case (sub, rs) =>
+        sub -> rs.map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq
+      }
+    for (_ <- 0 until iters) {
+      val means = subs
+        .withColumn("cluster", pqCode(col("sv"), col("sub"), cents))
+        .select(col("sub"), col("cluster"), posexplode(col("sv")))
+        .groupBy("sub", "cluster", "pos")
+        .agg(graft.functions.AggExprs.decAvg(col("col")).as("mv"))
+        .collect()
+      cents = means.groupBy(r => (r.getInt(0), r.getLong(1))).toSeq
+        .map { case ((sub, cid), rs) =>
+          (sub, cid, rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }
+        .groupBy(_._1).map { case (sub, rs) =>
+          sub -> rs.sortBy(_._2).map(t => (t._2, t._3))
+        }
+    }
+    cents
+  }
+
+  private[operators] def pqEncodeOn(e0: DataFrame): DataFrame = {
+    val subs = graft.core.Caches.persistTracked(pqSubvectors(e0))
+    val cents = pqTrain(subs, PqIters)
+    subs
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        pqCode(col("sv"), col("sub"), cents).as("code"))
+  }
+
+  /** The quantization error of the nearest centroid — [[pqCode]]'s
+    * companion for measuring codebook quality (spec use). */
+  private[operators] def pqMinDist(sv: Column, sub: Column,
+      bySub: Map[Int, Seq[(Long, Seq[Double])]]): Column =
+    (0 until PqSubspaces).foldLeft(lit(null).cast("double")) { (acc, si) =>
+      val scores = array(bySub(si).map { case (cid, cv) =>
+        struct(sqDist(sv, cv).as("dist"), lit(cid).as("cid"))
+      }: _*)
+      when(sub === si, element_at(array_sort(scores), 1).getField("dist"))
+        .otherwise(acc)
+    }
+
+  val pqEncodeSql: String = {
+    val dist =
+      "list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv)"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |p AS (SELECT CAST(len(v) // $PqSubspaces AS INT) AS w FROM e LIMIT 1),
+       |s AS (SELECT vec_id, b.sub AS sub,
+       |    list_slice(v, b.sub * w + 1, b.sub * w + w) AS sv
+       |  FROM e, p, (SELECT unnest(range($PqSubspaces)) AS sub) b),
+       |c0 AS (SELECT sub, vec_id AS c_id, sv AS cv FROM s WHERE vec_id < $PqCodebook),
+       |a1 AS (SELECT s.vec_id, s.sub, s.sv, c.c_id, row_number() OVER (
+       |    PARTITION BY s.vec_id, s.sub ORDER BY $dist, c.c_id) AS rn
+       |  FROM s JOIN c0 c ON s.sub = c.sub),
+       |m1 AS (SELECT sub, c_id, d.d AS dim,
+       |    CAST(sum(CAST(sv[d.d + 1] AS DECIMAL(18, 6))) AS DOUBLE) / count(sv[d.d + 1]) AS mv
+       |  FROM a1, (SELECT unnest(range((SELECT w FROM p))) AS d) d
+       |  WHERE rn = 1 GROUP BY 1, 2, 3),
+       |c1 AS (SELECT sub, c_id, list(mv ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
+       |a2 AS (SELECT s.vec_id, s.sub, c.c_id, row_number() OVER (
+       |    PARTITION BY s.vec_id, s.sub ORDER BY $dist, c.c_id) AS rn
+       |  FROM s JOIN c1 c ON s.sub = c.sub)
+       |SELECT vec_id, CAST(sub AS BIGINT) AS sub, c_id AS code
+       |FROM a2 WHERE rn = 1""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_cosine_topk" -> cosineTopK _,
     "q21_ivf_ann" -> ivfAnn _,
     "q26_cosine_neardup" -> cosineNearDup _,
     "q43_kmeans" -> kmeansAssign _,
+    "q79_pq_encode" -> pqEncode _,
     "q47_quantize_int8" -> quantizeInt8 _)
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +477,6 @@ object SimilarityQueries {
     "q21_ivf_ann" -> ivfAnnSql,
     "q26_cosine_neardup" -> cosineNearDupSql,
     "q43_kmeans" -> kmeansSql,
+    "q79_pq_encode" -> pqEncodeSql,
     "q47_quantize_int8" -> quantizeInt8Sql)
 }

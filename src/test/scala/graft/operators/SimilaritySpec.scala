@@ -68,4 +68,26 @@ class SimilaritySpec extends SparkSpec {
     assert(byTrue.values.map(_.head).toSet.size == 16,
       "two true clusters merged into one learned cluster")
   }
+
+  test("q79 PQ: a Lloyd round never worsens quantization error; codes are well-formed") {
+    import org.apache.spark.sql.functions._
+    val subs = graft.core.Caches.persistTracked(
+      SimilarityQueries.pqSubvectors(clustered))
+    val seeds = SimilarityQueries.pqTrain(subs, 0)
+    val trained = SimilarityQueries.pqTrain(subs, 1)
+    def mse(cents: Map[Int, Seq[(Long, Seq[Double])]]): Double =
+      subs.select(avg(SimilarityQueries.pqMinDist(col("sv"), col("sub"), cents)))
+        .head.getDouble(0)
+    val (e0, e1) = (mse(seeds), mse(trained))
+    assert(e1 <= e0 + 1e-9,
+      s"Lloyd's descent must not increase reconstruction error: seed=$e0 trained=$e1")
+
+    val codes = SimilarityQueries.pqEncodeOn(clustered).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(codes.groupBy(_._1).forall(_._2.length == 4),
+      "every vector must emit exactly one code per subspace")
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 8),
+      "codes must stay within the seeded centroid id range")
+    graft.core.Caches.releaseAll()
+  }
 }
