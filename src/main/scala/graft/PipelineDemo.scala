@@ -143,7 +143,21 @@ object PipelineDemo {
       .map { case (u, xs) => s"$u=[${xs.map(_._1).mkString(",")}]" }.sorted.mkString(" ")
     println(s"[demo] top-2 speeds per unit: $topSpeeds")
 
-    // -- 7. multimodal plumbing
+    // -- 7. day-over-day dedup maintenance: the carried bloom index —
+    //       each day sketches only its own batch and ORs it in; the
+    //       whole history travels as the bitmap, never as re-read files
+    val day1 = Seq((1L, "alpha bravo charlie"), (2L, "delta echo foxtrot"))
+      .toDF("doc_id", "text")
+    val (_, _, idx1) = graft.operators.DedupQueries.bloomAdvanceDay(
+      day1, xxhash64(col("text")), None, 1000L)
+    val day2 = Seq((3L, "alpha bravo charlie"), (4L, "golf hotel india"))
+      .toDF("doc_id", "text")
+    val (dNew, dMaybe, idx2) = graft.operators.DedupQueries.bloomAdvanceDay(
+      day2, xxhash64(col("text")), Some(idx1), 1000L)
+    println(s"[demo] bloom day-2: definitely_new=${dNew.count()} " +
+      s"maybe_seen=${dMaybe.count()} carried_index_bytes=${idx2.length}")
+
+    // -- 8. multimodal plumbing
     val media = Seq(
       MediaOps.MediaRow(1L, "image", Array.tabulate(64)(_.toByte), 8, 8, 0L),
       MediaOps.MediaRow(2L, "video", Array.tabulate(900)(_.toByte), 640, 480, 3000L)).toDS()

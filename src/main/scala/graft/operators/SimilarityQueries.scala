@@ -428,6 +428,79 @@ object SimilarityQueries {
         pqCode(col("sv"), col("sub"), cents).as("code"))
   }
 
+  /** Q80: ADC (asymmetric distance computation) top-k — the search half
+    * of IVF-PQ (q79 is the compression half). A query keeps its RAW
+    * subvectors; every database vector is represented only by its m
+    * codes, so the per-(query, vector) distance is the sum of m
+    * query-to-centroid distances — at scale, m table lookups instead of
+    * d multiplications, expressed here as a join of the code relation
+    * against the broadcast k'·m centroid relation (the executor-local
+    * lookup-table idiom in DataFrame form).
+    *
+    * The per-pair total sums one slot per subspace in fixed expression
+    * order (the bm25 move — no float-associativity wobble); selection
+    * is the bounded top-k aggregate on negated distance, ties on n_id.
+    * The corpus never appears raw on either side of the scoring join —
+    * only codes travel. */
+  def adcTopK(spark: SparkSession, dir: String): DataFrame =
+    adcTopKOn(emb(spark, dir))
+
+  private[operators] def adcTopKOn(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val subs = graft.core.Caches.persistTracked(pqSubvectors(e0))
+    val cents = pqTrain(subs, PqIters)
+    val codes = subs.select(col("vec_id"), col("sub"),
+      pqCode(col("sv"), col("sub"), cents).as("code"))
+    val centDf = cents.toSeq
+      .flatMap { case (sub, cs) => cs.map { case (cid, cv) => (sub, cid, cv) } }
+      .toDF("csub", "cid", "cv")
+    val qsubs = subs.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("sub").as("qsub"), col("sv").as("qv"))
+    val d = codes
+      .join(broadcast(centDf), col("sub") === col("csub") && col("code") === col("cid"))
+      .join(broadcast(qsubs), col("sub") === col("qsub") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sub"),
+        (VectorExprs.dot(col("qv"), col("qv"))
+          - lit(2.0) * VectorExprs.dot(col("qv"), col("cv"))
+          + VectorExprs.dot(col("cv"), col("cv"))).as("d"))
+    val slots = (0 until PqSubspaces)
+      .map(s => sum(when(col("sub") === s, col("d"))).as(s"s_$s"))
+    val adc = d.groupBy("q_id", "n_id")
+      .agg(slots.head, slots.tail: _*)
+      .select(col("q_id"), col("n_id"),
+        (0 until PqSubspaces).map(s => coalesce(col(s"s_$s"), lit(0.0)))
+          .reduce(_ + _).as("adc"))
+    val topk = udaf(new TopKAggregator(TopK),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    adc.groupBy("q_id")
+      .agg(topk(-col("adc"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("n_id"),
+        (col("pos") + 1).cast("long").as("rn"),
+        round(-col("col._1"), 6).as("adc"))
+  }
+
+  val adcTopKSql: String = {
+    val slots = (0 until PqSubspaces)
+      .map(s => s"sum(CASE WHEN sub = $s THEN d END) AS s_$s").mkString(", ")
+    val total = (0 until PqSubspaces).map(s => s"coalesce(s_$s, 0.0)").mkString(" + ")
+    s"""WITH $pqCtes,
+       |codes AS (SELECT vec_id, sub, c_id AS code FROM a2 WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM s WHERE vec_id < $NumQueries),
+       |d AS (SELECT q.q_id, codes.vec_id AS n_id, codes.sub,
+       |    list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS d
+       |  FROM codes JOIN c1 c ON codes.sub = c.sub AND codes.code = c.c_id
+       |  JOIN q ON q.sub = codes.sub AND q.q_id != codes.vec_id),
+       |g AS (SELECT q_id, n_id, $slots FROM d GROUP BY 1, 2),
+       |t AS (SELECT q_id, n_id, $total AS adc FROM g),
+       |r AS (SELECT q_id, n_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM t)
+       |SELECT q_id, n_id, CAST(rn AS BIGINT) AS rn, round(adc, 6) AS adc
+       |FROM r WHERE rn <= $TopK""".stripMargin
+  }
+
   /** The quantization error of the nearest centroid — [[pqCode]]'s
     * companion for measuring codebook quality (spec use). */
   private[operators] def pqMinDist(sv: Column, sub: Column,
@@ -440,10 +513,15 @@ object SimilarityQueries {
         .otherwise(acc)
     }
 
-  val pqEncodeSql: String = {
+  /** Shared oracle CTE chain up to the trained codebook (`c1`) and the
+    * final assignment (`a2`) — q79 selects the codes, q80 scores ADC
+    * distances against them. */
+  // a def, not a val: adcTopKSql initializes earlier in the object —
+  // a val here would interpolate as "null" into it
+  private def pqCtes: String = {
     val dist =
       "list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.cv) + list_dot_product(c.cv, c.cv)"
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |p AS (SELECT CAST(len(v) // $PqSubspaces AS INT) AS w FROM e LIMIT 1),
        |s AS (SELECT vec_id, b.sub AS sub,
        |    list_slice(v, b.sub * w + 1, b.sub * w + w) AS sv
@@ -459,10 +537,13 @@ object SimilarityQueries {
        |c1 AS (SELECT sub, c_id, list(mv ORDER BY dim) AS cv FROM m1 GROUP BY 1, 2),
        |a2 AS (SELECT s.vec_id, s.sub, c.c_id, row_number() OVER (
        |    PARTITION BY s.vec_id, s.sub ORDER BY $dist, c.c_id) AS rn
-       |  FROM s JOIN c1 c ON s.sub = c.sub)
+       |  FROM s JOIN c1 c ON s.sub = c.sub)""".stripMargin
+  }
+
+  val pqEncodeSql: String =
+    s"""WITH $pqCtes
        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, c_id AS code
        |FROM a2 WHERE rn = 1""".stripMargin
-  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_cosine_topk" -> cosineTopK _,
@@ -470,6 +551,7 @@ object SimilarityQueries {
     "q26_cosine_neardup" -> cosineNearDup _,
     "q43_kmeans" -> kmeansAssign _,
     "q79_pq_encode" -> pqEncode _,
+    "q80_adc_topk" -> adcTopK _,
     "q47_quantize_int8" -> quantizeInt8 _)
 
   val oracles: Map[String, String] = Map(
@@ -478,5 +560,6 @@ object SimilarityQueries {
     "q26_cosine_neardup" -> cosineNearDupSql,
     "q43_kmeans" -> kmeansSql,
     "q79_pq_encode" -> pqEncodeSql,
+    "q80_adc_topk" -> adcTopKSql,
     "q47_quantize_int8" -> quantizeInt8Sql)
 }

@@ -90,4 +90,18 @@ class SimilaritySpec extends SparkSpec {
       "codes must stay within the seeded centroid id range")
     graft.core.Caches.releaseAll()
   }
+
+  test("q80 ADC search: codes alone recover every same-cluster neighbor") {
+    // The lossy-compression claim: after vectors collapse to 4 codes,
+    // ADC distance must still rank the 7 same-cluster members of each
+    // query above all 120 strangers — top-5 purely same-cluster for
+    // every query (deterministic fixture; measured 50/50 slots).
+    val rows = SimilarityQueries.adcTopKOn(clustered).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 50, "10 queries x top-5")
+    val impure = rows.filterNot { case (q, n) => n % 16 == q % 16 }
+    assert(impure.isEmpty,
+      s"ADC ranked a different-cluster vector into a top-5: $impure")
+    graft.core.Caches.releaseAll()
+  }
 }
