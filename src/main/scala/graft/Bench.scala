@@ -147,13 +147,18 @@ object Bench {
       val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
+    // "repeats" is deliberately NOT in the line (it's documented here:
+    // median-of-SPARK_GRAFT_REPEATS, default 3) — every non-contract
+    // field costs chars against the driver's 2000-char stdout tail,
+    // which at 80+ queries is nearly full (the sbt "[success]" trailer
+    // eats ~75 of it too).
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) } ++
-      Seq(s""""x_transform_${ingest._1}_rows":${fmt(ingest._2)}""",
-        s""""x_incremental_probe":${fmt(probe)}"""))
+      Seq(s""""x_transform_${ingest._1}_rows":${fmtQ(ingest._2)}""",
+        s""""x_incr_probe":${fmtQ(probe)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":$repeats,"queries":$qs,"sf":"$sfDir"}"""
-    if (line.length > 1800)
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail")
     println(line)
     spark.stop()
