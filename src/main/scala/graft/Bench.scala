@@ -152,12 +152,17 @@ object Bench {
     // field costs chars against the driver's 2000-char stdout tail,
     // which at 80+ queries is nearly full (the sbt "[success]" trailer
     // eats ~75 of it too).
+    // Row count in the transform entry name is stated in millions
+    // ("x_transform_3m_rows"), and sf is the directory basename — same
+    // information, ~26 fewer chars of tail budget.
+    val mRows = s"${ingest._1 / 1000000}m"
     val qs = (results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) } ++
-      Seq(s""""x_transform_${ingest._1}_rows":${fmtQ(ingest._2)}""",
+      Seq(s""""x_transform_${mRows}_rows":${fmtQ(ingest._2)}""",
         s""""x_incr_probe":${fmtQ(probe)}"""))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail")
     println(line)

@@ -106,11 +106,74 @@ object ChangeDataQueries {
       |  FROM customer FULL OUTER JOIN changes ON c_custkey = key)
       |SELECT cust_key, name, balance, op FROM m WHERE op <> 'delete'""".stripMargin
 
+  // ----------------------------------------------- q81 snapshot diff
+  /** Q81: snapshot diff — the inverse of q71's merge: given two
+    * versions of a table, emit the change set (insert / update /
+    * delete + before/after values) that transforms one into the other.
+    * This is how a lakehouse without a table format derives a CDC feed
+    * (e.g. to re-sync a downstream index or feature store) from plain
+    * partitioned parquet: one full-outer join on the key, keep only
+    * rows that changed. The two "versions" are carved deterministically
+    * from `customer` (every 10th key missing from A, every 9th from B,
+    * every 7th re-balanced in B) so the oracle sees identical inputs.
+    *
+    * Scale shape: a single partition-wise shuffle join on the uniform
+    * primary key — the one join both snapshots would be bucketed on in
+    * a real lake ([[graft.sources.Bucketing]] gives the zero-exchange
+    * variant); output is changed rows only, which is what bounds the
+    * downstream feed regardless of snapshot size. */
+  def q81SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    snapshotDiffOn(
+      c.where(pmod(col("c_custkey"), lit(10)) =!= 0)
+        .select(col("c_custkey"), col("c_acctbal").as("old_bal")),
+      c.where(pmod(col("c_custkey"), lit(9)) =!= 0)
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 10)
+            .otherwise(col("c_acctbal")).as("new_bal")))
+  }
+
+  /** The diff core: `a` is (c_custkey, old_bal), `b` is (c_custkey,
+    * new_bal); emits changed keys only, classified. NULL-valued
+    * balances classify by key presence, not value (a key present in
+    * both snapshots with one NULL side is an update only under
+    * null-safe inequality). */
+  private[operators] def snapshotDiffOn(a: DataFrame, b: DataFrame): DataFrame = {
+    val inA = a.select(col("c_custkey"), lit(true).as("in_a"), col("old_bal"))
+    val inB = b.select(col("c_custkey"), lit(true).as("in_b"), col("new_bal"))
+    inA.join(inB, Seq("c_custkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("in_a").isNull, "insert")
+          .when(col("in_b").isNull, "delete")
+          .when(!(col("old_bal") <=> col("new_bal")), "update"))
+      .where(col("change_type").isNotNull)
+      .select(col("c_custkey"), col("change_type"),
+        round(col("old_bal"), 6).as("old_bal"),
+        round(col("new_bal"), 6).as("new_bal"))
+  }
+
+  val q81Sql: String =
+    """WITH a AS (SELECT c_custkey, c_acctbal AS old_bal
+      |    FROM customer WHERE c_custkey % 10 <> 0),
+      |b AS (SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS new_bal
+      |    FROM customer WHERE c_custkey % 9 <> 0),
+      |j AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey, old_bal, new_bal,
+      |    CASE WHEN a.c_custkey IS NULL THEN 'insert'
+      |         WHEN b.c_custkey IS NULL THEN 'delete'
+      |         WHEN old_bal IS DISTINCT FROM new_bal THEN 'update' END AS change_type
+      |  FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey)
+      |SELECT c_custkey, change_type, round(old_bal, 6) AS old_bal,
+      |  round(new_bal, 6) AS new_bal
+      |FROM j WHERE change_type IS NOT NULL""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_scd2" -> q68Scd2 _,
-    "q71_merge" -> q71Merge _)
+    "q71_merge" -> q71Merge _,
+    "q81_snapshot_diff" -> q81SnapshotDiff _)
 
   val oracles: Map[String, String] = Map(
     "q68_scd2" -> q68Sql,
-    "q71_merge" -> q71Sql)
+    "q71_merge" -> q71Sql,
+    "q81_snapshot_diff" -> q81Sql)
 }
