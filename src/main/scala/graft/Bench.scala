@@ -156,7 +156,18 @@ object Bench {
     // ("x_transform_3m_rows"), and sf is the directory basename — same
     // information, ~26 fewer chars of tail budget.
     val mRows = s"${ingest._1 / 1000000}m"
-    val qs = (results.map { case (k, v) => s"\"" + k + "\":" + fmtQ(v) } ++
+    // Query keys compact to their qNN prefix: at 85+ entries the full
+    // names alone (~1 kB) blew the 2000-char tail. The number is the
+    // stable cross-reference (CORRECTNESS and SparkEntry keep full
+    // names); only q15 needs a disambiguating letter (q15a =
+    // q15_approx_distinct, q15d = q15_dedup).
+    def short(name: String): String = {
+      val p = name.split("_")
+      if (p.head == "q15") "q15" + p(1).head
+      else if (p.head.startsWith("q")) p.head
+      else name
+    }
+    val qs = (results.map { case (k, v) => s"\"" + short(k) + "\":" + fmtQ(v) } ++
       Seq(s""""x_transform_${mRows}_rows":${fmtQ(ingest._2)}""",
         s""""x_incr_probe":${fmtQ(probe)}"""))
       .mkString("{", ",", "}")

@@ -210,6 +210,62 @@ object CurationQueries {
        |    AS chunk_fp
        |FROM s""".stripMargin
 
+  // -------------------------------------- q85 content-defined chunks
+  /** Boundary modulus: a token starts a new chunk when its 32-bit
+    * md5-derived hash ≡ 0 (mod [[CdcMod]]) → expected chunk length
+    * [[CdcMod]] tokens. */
+  private val CdcMod = 16
+
+  /** Q85: content-defined chunking — the dedup-stable alternative to
+    * q63's fixed windows. Boundaries are decided by the CONTENT (a
+    * token whose hash hits the modulus opens a chunk), not by offsets,
+    * so inserting a paragraph into a document only re-chunks the
+    * region around the edit: every chunk outside it keeps its exact
+    * fingerprint, which is what lets chunk-level dedup (q63's `chunk_fp`
+    * consumers) recognize shared content ACROSS revisions — the
+    * rolling-hash trick storage dedup and CDC-for-text both rely on.
+    *
+    * Scale: one explode, then per-document windows (cumulative
+    * boundary count) and a per-(doc, chunk) aggregation — all
+    * partitioned by doc_id, uniform keys, one shuffle reused by window
+    * and groupBy; chunk text reassembles via an order-pinned
+    * collect_list inside bounded per-chunk groups, never corpus-wide. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunksOn(docs(spark, dir))
+
+  private[operators] def cdcChunksOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("word").cast("binary")), 1, 8), 16, 10).cast("long")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val ordered = transform(
+      array_sort(collect_list(struct(col("pos"), col("word")))),
+      s => s.getField("word"))
+    docRel
+      .select(col("doc_id"), posexplode(TextExprs.tokens(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("word"))
+      .withColumn("b", when(pmod(h, lit(CdcMod.toLong)) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk",
+        sum(col("b")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "chunk")
+      .agg(count(lit(1)).as("n_tokens"), min(col("pos")).as("start_pos"),
+        md5(concat_ws(" ", ordered).cast("binary")).as("chunk_fp"))
+  }
+
+  val cdcChunksSql: String =
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos,
+       |    unnest(ws) AS word FROM w0),
+       |b AS (SELECT doc_id, pos, word,
+       |    CASE WHEN ('0x' || substr(md5(word), 1, 8))::BIGINT % $CdcMod = 0
+       |      THEN 1 ELSE 0 END AS bf FROM w),
+       |c AS (SELECT doc_id, pos, word,
+       |    sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk FROM b)
+       |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk, count(*) AS n_tokens,
+       |  min(pos) AS start_pos,
+       |  md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------- q75 training units
   /** Salt for the mixture-acceptance hash. The mixture decision MUST be
     * hash-independent of the eval-split decision: both are percentiles
@@ -333,11 +389,13 @@ object CurationQueries {
     "q60_curation" -> curation _,
     "q61_token_histogram" -> tokenHistogram _,
     "q63_chunks" -> chunk _,
-    "q75_training_units" -> trainingUnits _)
+    "q75_training_units" -> trainingUnits _,
+    "q85_cdc_chunks" -> cdcChunks _)
 
   val oracles: Map[String, String] = Map(
     "q60_curation" -> curationSql,
     "q61_token_histogram" -> tokenHistogramSql,
     "q63_chunks" -> chunkSql,
-    "q75_training_units" -> trainingUnitsSql)
+    "q75_training_units" -> trainingUnitsSql,
+    "q85_cdc_chunks" -> cdcChunksSql)
 }

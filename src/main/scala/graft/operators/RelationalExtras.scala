@@ -380,7 +380,38 @@ object RelationalExtras {
       |  CAST(1 + len(list_filter(b, x -> spend > x)) AS BIGINT) AS decile
       |FROM s CROSS JOIN q""".stripMargin
 
+  // ------------------------------------------------------- q87 mode
+  /** Q87: per-group mode (most frequent value) with a deterministic
+    * tie-break — the categorical summarizer behind "dominant event
+    * type per user" features. Two hash aggregations, zero windows: the
+    * (user, type) counts collapse to one row per user via
+    * `min(struct(-n, type))` — struct ordering makes that "highest
+    * count, then lexicographically-first type" in a single partial-agg
+    * friendly pass, so no per-user sort and no row_number shuffle; at
+    * scale this is two map-side-combining aggs on uniform keys. */
+  def q87Mode(spark: SparkSession, dir: String): DataFrame =
+    q87ModeOn(Tables(spark, dir, "events"))
+
+  private[operators] def q87ModeOn(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("user_id")
+      .agg(min(struct((-col("n")).as("neg"), col("event_type").as("t"))).as("m"))
+      .select(col("user_id"), col("m.t").as("mode_type"), (-col("m.neg")).as("n_events"))
+  }
+
+  val q87Sql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT user_id, event_type, n,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      |  FROM c)
+      |SELECT user_id, event_type AS mode_type, n AS n_events
+      |FROM r WHERE rn = 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_mode" -> q87Mode _,
     "q64_deciles" -> q64Deciles _,
     "q35_percentiles" -> q35Percentiles _,
     "q44_unpivot" -> q44Unpivot _,
@@ -396,6 +427,7 @@ object RelationalExtras {
     "q34_arrays" -> q34Arrays _)
 
   val oracles: Map[String, String] = Map(
+    "q87_mode" -> q87Sql,
     "q64_deciles" -> q64Sql,
     "q35_percentiles" -> q35Sql,
     "q44_unpivot" -> q44Sql,

@@ -176,15 +176,63 @@ object SamplingQueries {
        |SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn, prio
        |FROM r WHERE rn <= $WeightedK""".stripMargin
 
+  // ------------------------------------------- q86 epoch shuffle order
+  /** Shard count for the epoch shuffle. At corpus scale this is set so
+    * one shard's rows fit an executor's sort buffer (e.g. thousands of
+    * shards for 100 TB); 16 keeps the testdata shape realistic. */
+  val ShuffleShards = 16
+
+  /** Q86: deterministic epoch shuffle — the training-order assignment a
+    * data loader consumes. Every doc gets an epoch-salted hash
+    * priority; shard = priority mod [[ShuffleShards]], and the order
+    * WITHIN a shard is the priority order. Together (shard, ord) is a
+    * reproducible global permutation: same corpus + same epoch salt →
+    * byte-identical order on any cluster, any partition count — and a
+    * different salt (epoch number) gives an independent permutation,
+    * which is exactly how you reshuffle between epochs without a
+    * stateful shuffle service.
+    *
+    * Scale: the only heavy op is the per-shard `row_number` sort —
+    * corpus/shards rows each, embarrassingly parallel across shards;
+    * no global sort ever happens, and shard count is the knob that
+    * bounds per-task memory. */
+  def q86EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    q86EpochShuffleOn(Tables(spark, dir, "documents"))
+
+  private[operators] def q86EpochShuffleOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#ep0")).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    docRel
+      .select(col("doc_id"), u.as("u"))
+      .withColumn("shard", pmod(col("u"), lit(ShuffleShards.toLong)))
+      .withColumn("ord", row_number()
+        .over(Window.partitionBy("shard").orderBy(col("u"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("ord"))
+  }
+
+  val q86Sql: String =
+    s"""WITH u AS (SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ep0'), 1, 8))::BIGINT AS u
+       |  FROM documents),
+       |s AS (SELECT doc_id, u, u % $ShuffleShards AS shard FROM u)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS BIGINT) AS ord
+       |FROM s""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_hash_sample" -> q36HashSample _,
     "q37_mixture_sample" -> q37MixtureSample _,
     "q74_reservoir_sample" -> q74ReservoirSample _,
-    "q78_weighted_sample" -> q78WeightedSample _)
+    "q78_weighted_sample" -> q78WeightedSample _,
+    "q86_epoch_shuffle" -> q86EpochShuffle _)
 
   val oracles: Map[String, String] = Map(
     "q36_hash_sample" -> q36Sql,
     "q37_mixture_sample" -> q37Sql,
     "q74_reservoir_sample" -> q74Sql,
-    "q78_weighted_sample" -> q78Sql)
+    "q78_weighted_sample" -> q78Sql,
+    "q86_epoch_shuffle" -> q86Sql)
 }

@@ -501,6 +501,108 @@ object SimilarityQueries {
        |FROM r WHERE rn <= $TopK""".stripMargin
   }
 
+  // ------------------------------------------------ IVF-PQ combined
+  /** Q82: the IVF-PQ capstone — the full billion-scale ANN serving
+    * shape, composing the two halves already verified separately:
+    * coarse inverted-file pruning (q21) decides WHICH vectors a query
+    * scores, PQ codes + ADC (q79/q80) decide HOW each candidate is
+    * scored. Every vector is assigned to its nearest coarse centroid
+    * (bucket) in the SAME single-pass projection that explodes its PQ
+    * subvectors — the bucket tag rides through the explode, so the
+    * compressed index (vec_id, bkt, sub, code) is built in one corpus
+    * scan with zero shuffle and no vec_id re-join. A query probes its
+    * [[NProbe]] nearest buckets and ADC-scores only the codes stored
+    * there: per-query work is (|corpus|/C)·nprobe·m lookups, and the
+    * raw corpus never appears on either side of the scoring join —
+    * only codes travel, exactly what survives when vectors outgrow
+    * memory. Probes, the k'·m centroid table, and the query
+    * subvectors all broadcast. */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKOn(emb(spark, dir))
+
+  private[operators] def ivfPqTopKOn(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val coarse = centroidList(e0)
+    // (vec_id, bkt, sub, sv): coarse bucket + PQ subvectors from one
+    // corpus scan — the generator carries the bucket column through.
+    val e = e0
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), coarse), 1))
+      .select(col("vec_id"), (-col("__c.negid")).as("bkt"),
+        col("embedding").cast("array<double>").as("v"))
+    val d0 = e.select(size(col("v"))).head.getInt(0)
+    val w = d0 / PqSubspaces
+    val subs = graft.core.Caches.persistTracked(
+      e.select(col("vec_id"), col("bkt"), posexplode(
+          array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
+        .select(col("vec_id"), col("bkt"), col("pos").as("sub"), col("col").as("sv")))
+    val cents = pqTrain(subs, PqIters)
+    val codes = subs.select(col("vec_id"), col("bkt"), col("sub"),
+      pqCode(col("sv"), col("sub"), cents).as("code"))
+    val centDf = cents.toSeq
+      .flatMap { case (sub, cs) => cs.map { case (cid, cv) => (sub, cid, cv) } }
+      .toDF("csub", "cid", "cv")
+    val probes = e0.where(col("vec_id") < NumQueries)
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), coarse), NProbe))
+      .select(col("vec_id").as("q_id"), (-col("__c.negid")).as("pbkt"))
+    val qsubs = subs.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qq_id"), col("sub").as("qsub"), col("sv").as("qv"))
+    val d = codes
+      .join(broadcast(probes), col("pbkt") === col("bkt") && col("q_id") =!= col("vec_id"))
+      .join(broadcast(centDf), col("sub") === col("csub") && col("code") === col("cid"))
+      .join(broadcast(qsubs), col("qq_id") === col("q_id") && col("qsub") === col("sub"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("sub"),
+        (VectorExprs.dot(col("qv"), col("qv"))
+          - lit(2.0) * VectorExprs.dot(col("qv"), col("cv"))
+          + VectorExprs.dot(col("cv"), col("cv"))).as("d"))
+    val slots = (0 until PqSubspaces)
+      .map(s => sum(when(col("sub") === s, col("d"))).as(s"s_$s"))
+    val adc = d.groupBy("q_id", "n_id")
+      .agg(slots.head, slots.tail: _*)
+      .select(col("q_id"), col("n_id"),
+        (0 until PqSubspaces).map(s => coalesce(col(s"s_$s"), lit(0.0)))
+          .reduce(_ + _).as("adc"))
+    val topk = udaf(new TopKAggregator(TopK),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    adc.groupBy("q_id")
+      .agg(topk(-col("adc"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("n_id"),
+        (col("pos") + 1).cast("long").as("rn"),
+        round(-col("col._1"), 6).as("adc"))
+  }
+
+  val ivfPqTopKSql: String = {
+    val cos =
+      "list_dot_product(e.v, cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))"
+    val slots = (0 until PqSubspaces)
+      .map(s => s"sum(CASE WHEN sub = $s THEN d END) AS s_$s").mkString(", ")
+    val total = (0 until PqSubspaces).map(s => s"coalesce(s_$s, 0.0)").mkString(" + ")
+    s"""WITH $pqCtes,
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       |ac AS (SELECT e.vec_id, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c_id) AS crn
+       |  FROM e CROSS JOIN cent),
+       |bkt AS (SELECT vec_id, c_id AS bkt FROM ac WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, c_id AS bkt FROM ac
+       |  WHERE crn <= $NProbe AND vec_id < $NumQueries),
+       |codes AS (SELECT a2.vec_id, a2.sub, a2.c_id AS code, b.bkt
+       |  FROM a2 JOIN bkt b USING (vec_id) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, sub, sv AS qv FROM s WHERE vec_id < $NumQueries),
+       |d AS (SELECT p2.q_id, codes.vec_id AS n_id, codes.sub,
+       |    list_dot_product(q.qv, q.qv) - 2 * list_dot_product(q.qv, c.cv)
+       |      + list_dot_product(c.cv, c.cv) AS d
+       |  FROM codes JOIN probes p2 ON codes.bkt = p2.bkt AND p2.q_id != codes.vec_id
+       |  JOIN c1 c ON codes.sub = c.sub AND codes.code = c.c_id
+       |  JOIN q ON q.q_id = p2.q_id AND q.sub = codes.sub),
+       |g AS (SELECT q_id, n_id, $slots FROM d GROUP BY 1, 2),
+       |t AS (SELECT q_id, n_id, $total AS adc FROM g),
+       |r AS (SELECT q_id, n_id, adc,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM t)
+       |SELECT q_id, n_id, CAST(rn AS BIGINT) AS rn, round(adc, 6) AS adc
+       |FROM r WHERE rn <= $TopK""".stripMargin
+  }
+
   /** The quantization error of the nearest centroid — [[pqCode]]'s
     * companion for measuring codebook quality (spec use). */
   private[operators] def pqMinDist(sv: Column, sub: Column,
@@ -552,6 +654,7 @@ object SimilarityQueries {
     "q43_kmeans" -> kmeansAssign _,
     "q79_pq_encode" -> pqEncode _,
     "q80_adc_topk" -> adcTopK _,
+    "q82_ivfpq_topk" -> ivfPqTopK _,
     "q47_quantize_int8" -> quantizeInt8 _)
 
   val oracles: Map[String, String] = Map(
@@ -561,5 +664,6 @@ object SimilarityQueries {
     "q43_kmeans" -> kmeansSql,
     "q79_pq_encode" -> pqEncodeSql,
     "q80_adc_topk" -> adcTopKSql,
+    "q82_ivfpq_topk" -> ivfPqTopKSql,
     "q47_quantize_int8" -> quantizeInt8Sql)
 }

@@ -64,9 +64,73 @@ object TemporalQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf
        |FROM spine s LEFT JOIN daily d ON s.series_id = d.series_id AND s.day = d.day""".stripMargin
 
+  // -------------------------------------------- q83 interval coalesce
+  /** Interval length in seconds derived deterministically from the
+    * event id: 60..299 s — long enough that per-user intervals overlap
+    * at every scale factor, short enough that distinct islands exist. */
+  val MaxExtraSecs = 240
+  val MinSecs = 60
+
+  /** Q83: coalesce overlapping intervals into islands — the
+    * sessionize-by-overlap operator (device uptime windows, lease
+    * ranges, validity periods). Each event opens an interval
+    * [ts, ts + dur); intervals of the same user that overlap or touch
+    * merge transitively. The classic island trick makes this one
+    * window pass instead of an iterative self-join: a row starts a new
+    * island iff its start strictly exceeds the running max of all
+    * PRIOR ends (frame ... AND 1 PRECEDING), and the island id is the
+    * running sum of those start flags.
+    *
+    * Scale: both windows and the final aggregation partition by
+    * user_id — uniform keys, one shuffle reused across all three (same
+    * partitioning → Catalyst reuses the exchange); per-user row counts
+    * are bounded, and nothing ever sorts or joins corpus-wide. */
+  def q83Intervals(spark: SparkSession, dir: String): DataFrame =
+    q83IntervalsOn(Tables(spark, dir, "events"))
+
+  private[operators] def q83IntervalsOn(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("ts") + make_dt_interval(lit(0), lit(0), lit(0),
+          (pmod(col("event_id"), lit(MaxExtraSecs.toLong)) + MinSecs)
+            .cast("double"))).as("end_ts"))
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevMax = max(col("end_ts"))
+      .over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = e.withColumn("new_island",
+      when(prevMax.isNull || col("ts") > prevMax, 1L).otherwise(0L))
+    flagged
+      .withColumn("island",
+        sum(col("new_island")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "island")
+      .agg(min(col("ts")).as("start_ts"), max(col("end_ts")).as("last_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q83Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, ts,
+       |    ts + INTERVAL ((event_id % $MaxExtraSecs) + $MinSecs) SECOND AS end_ts
+       |  FROM events),
+       |f AS (SELECT user_id, event_id, ts, end_ts,
+       |    CASE WHEN ts > max(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      OR max(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      THEN 1 ELSE 0 END AS new_island
+       |  FROM e),
+       |i AS (SELECT user_id, ts, end_ts,
+       |    sum(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM f)
+       |SELECT user_id, CAST(island AS BIGINT) AS island,
+       |  min(ts) AS start_ts, max(end_ts) AS last_end, count(*) AS n_events
+       |FROM i GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q69_gapfill" -> q69GapFill _)
+    "q69_gapfill" -> q69GapFill _,
+    "q83_intervals" -> q83Intervals _)
 
   val oracles: Map[String, String] = Map(
-    "q69_gapfill" -> q69Sql)
+    "q69_gapfill" -> q69Sql,
+    "q83_intervals" -> q83Sql)
 }

@@ -98,6 +98,37 @@ object TextQueries {
       |  (n_chars + 3) // 4 AS est_tokens
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------- q84 token pairs
+  private val PairTopN = 40
+
+  /** Q84: adjacent-token-pair (bigram) frequencies — the counting pass
+    * a BPE-style tokenizer trainer runs every merge round, and the raw
+    * signal behind collocation mining. Pairs reuse the 2-gram shingle
+    * expression (codegen'd per-row transform), so the corpus cost is
+    * one explode into a uniform-keyed count; the final top-N of the
+    * VOCAB-sized count relation goes through TakeOrderedAndProject
+    * (partial per-partition top-N, never a full sort of the counts —
+    * and never anything corpus-sized). Ties break on the pair string,
+    * making the cut deterministic across engines. */
+  def pairStats(spark: SparkSession, dir: String): DataFrame =
+    pairStatsOn(Tables(spark, dir, "documents"))
+
+  private[operators] def pairStatsOn(docRel: DataFrame): DataFrame =
+    docRel
+      .select(TextExprs.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(TextExprs.shingles(col("w"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(PairTopN)
+
+  val pairStatsSql: String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |x AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM w WHERE len(ws) >= 2),
+       |p AS (SELECT ws[i + 1] || ' ' || ws[i + 2] AS pair FROM x),
+       |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1)
+       |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT $PairTopN""".stripMargin
+
   // ----------------------------------------------------------- TF-IDF
   private val TfidfTopK = 3
 
@@ -341,7 +372,8 @@ object TextQueries {
     "q45_tfidf" -> tfidf _,
     "q46_vocab" -> vocab _,
     "q70_bm25" -> bm25 _,
-    "q77_commonness" -> commonness _)
+    "q77_commonness" -> commonness _,
+    "q84_pair_stats" -> pairStats _)
 
   val oracles: Map[String, String] = Map(
     "q70_bm25" -> bm25Sql,
@@ -351,5 +383,6 @@ object TextQueries {
     "q24_token_count" -> tokenCountSql,
     "q45_tfidf" -> tfidfSql,
     "q46_vocab" -> vocabSql,
-    "q77_commonness" -> commonnessSql)
+    "q77_commonness" -> commonnessSql,
+    "q84_pair_stats" -> pairStatsSql)
 }

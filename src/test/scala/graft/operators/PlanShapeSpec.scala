@@ -177,4 +177,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
       "scan must prune to the 3 used columns of 5")
   }
+
+  test("q82: IVF-PQ scoring joins are all broadcast — codes never shuffle for them") {
+    val df = SimilarityQueries.ivfPqTopK(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"probe/centroid/query joins must broadcast against the code relation:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"final top-k must be the bounded partial aggregation:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q83/q85: island + chunk windows reuse ONE exchange with the final groupBy") {
+    // Running-max window, cumulative-sum window, and the per-key
+    // aggregation all partition on the same key — a plan that
+    // re-exchanges between them would triple the shuffle at scale.
+    for (df <- Seq(TemporalQueries.q83Intervals(spark, Dir),
+        CurationQueries.cdcChunks(spark, Dir))) {
+      val p = plan(df)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"expected exactly one hash exchange shared by windows and groupBy:\n$p")
+    }
+  }
+
+  test("q84: pair top-N is TakeOrderedAndProject over the counts, never a global sort") {
+    val p = plan(TextQueries.pairStats(spark, Dir))
+    assert(p.contains("TakeOrderedAndProject"), s"top-N must not global-sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair counting must partial-aggregate map-side:\n$p")
+  }
+
+  test("q87: mode is two aggregations with map-side combine — no window rank") {
+    val p = plan(RelationalExtras.q87Mode(spark, Dir))
+    assert(!p.contains("Window"), s"mode must not rank rows in a window:\n$p")
+    // struct-min isn't hash-aggregable, so stage 2 is a SortAggregate —
+    // what matters for shuffle volume is the partial_min BEFORE the
+    // exchange (≤ |types| rows per user per partition travel).
+    assert(p.contains("partial_min"),
+      s"struct-min must combine map-side ahead of the exchange:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counting must combine map-side:\n$p")
+  }
 }

@@ -77,4 +77,27 @@ class SamplingSpec extends SparkSpec {
       s"heavy docs (expected ~2/3 of slots) won only $heavy of 5 slots")
     graft.core.Caches.releaseAll()
   }
+
+  test("q86 epoch shuffle: matches a driver-side md5 reference permutation exactly") {
+    // Replicate the salted-hash priority in plain Scala and derive the
+    // expected (shard, ord) for every doc — the distributed row_number
+    // over per-shard priority order must reproduce it bit-for-bit
+    // (pins both the md5 portability and the window ordering).
+    def u(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#ep0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(8), 16)
+    }
+    val ids = (1L to 200L).toSeq
+    val expected = ids.map(i => (i, u(i)))
+      .groupBy(_._2 % SamplingQueries.ShuffleShards)
+      .flatMap { case (shard, rows) =>
+        rows.sortBy { case (id, pri) => (pri, id) }.zipWithIndex
+          .map { case ((id, _), k) => id -> ((shard, k + 1L)) }
+      }
+    val docRel = ids.map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = SamplingQueries.q86EpochShuffleOn(docRel).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
 }

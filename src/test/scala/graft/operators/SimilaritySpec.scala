@@ -104,4 +104,22 @@ class SimilaritySpec extends SparkSpec {
       s"ADC ranked a different-cluster vector into a top-5: $impure")
     graft.core.Caches.releaseAll()
   }
+
+  test("q82 IVF-PQ: coarse pruning loses nothing when buckets align with clusters") {
+    // The composition claim: restricting ADC scoring to the probed
+    // coarse buckets must return EXACTLY what unpruned ADC returns on
+    // cluster-structured data — every query's own-cluster bucket is
+    // among its probes, and q80's winners are all same-cluster, so
+    // pruning may only discard losers. Set equality (ids, ranks, and
+    // rounded distances) pins both halves of the composition.
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = rows(SimilarityQueries.adcTopKOn(clustered))
+    graft.core.Caches.releaseAll()
+    val pruned = rows(SimilarityQueries.ivfPqTopKOn(clustered))
+    graft.core.Caches.releaseAll()
+    assert(pruned.size == 50, "10 queries x top-5")
+    assert(pruned == full,
+      s"IVF pruning changed the ADC result: missing=${full -- pruned} extra=${pruned -- full}")
+  }
 }
