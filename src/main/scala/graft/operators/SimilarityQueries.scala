@@ -521,6 +521,21 @@ object SimilarityQueries {
     ivfPqTopKOn(emb(spark, dir))
 
   private[operators] def ivfPqTopKOn(e0: DataFrame): DataFrame = {
+    val adc = ivfPqAdc(e0)
+    val topk = udaf(new TopKAggregator(TopK),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    adc.groupBy("q_id")
+      .agg(topk(-col("adc"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._2").as("n_id"),
+        (col("pos") + 1).cast("long").as("rn"),
+        round(-col("col._1"), 6).as("adc"))
+  }
+
+  /** The shared IVF-PQ candidate-scoring stage: (q_id, n_id, adc) for
+    * every code stored in a probed bucket — q82 ranks it directly, q88
+    * shortlists then exactly re-ranks. */
+  private def ivfPqAdc(e0: DataFrame): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     val coarse = centroidList(e0)
@@ -557,28 +572,22 @@ object SimilarityQueries {
           + VectorExprs.dot(col("cv"), col("cv"))).as("d"))
     val slots = (0 until PqSubspaces)
       .map(s => sum(when(col("sub") === s, col("d"))).as(s"s_$s"))
-    val adc = d.groupBy("q_id", "n_id")
+    d.groupBy("q_id", "n_id")
       .agg(slots.head, slots.tail: _*)
       .select(col("q_id"), col("n_id"),
         (0 until PqSubspaces).map(s => coalesce(col(s"s_$s"), lit(0.0)))
           .reduce(_ + _).as("adc"))
-    val topk = udaf(new TopKAggregator(TopK),
-      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-    adc.groupBy("q_id")
-      .agg(topk(-col("adc"), col("n_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col._2").as("n_id"),
-        (col("pos") + 1).cast("long").as("rn"),
-        round(-col("col._1"), 6).as("adc"))
   }
 
-  val ivfPqTopKSql: String = {
+  /** Shared oracle CTE chain ending at `t` = (q_id, n_id, adc) — the
+    * SQL mirror of [[ivfPqAdc]]. */
+  private def ivfPqCtes: String = {
     val cos =
       "list_dot_product(e.v, cv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv)))"
     val slots = (0 until PqSubspaces)
       .map(s => s"sum(CASE WHEN sub = $s THEN d END) AS s_$s").mkString(", ")
     val total = (0 until PqSubspaces).map(s => s"coalesce(s_$s, 0.0)").mkString(" + ")
-    s"""WITH $pqCtes,
+    s"""$pqCtes,
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
        |ac AS (SELECT e.vec_id, c_id,
        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $cos DESC, c_id) AS crn
@@ -596,12 +605,65 @@ object SimilarityQueries {
        |  JOIN c1 c ON codes.sub = c.sub AND codes.code = c.c_id
        |  JOIN q ON q.q_id = p2.q_id AND q.sub = codes.sub),
        |g AS (SELECT q_id, n_id, $slots FROM d GROUP BY 1, 2),
-       |t AS (SELECT q_id, n_id, $total AS adc FROM g),
+       |t AS (SELECT q_id, n_id, $total AS adc FROM g)""".stripMargin
+  }
+
+  val ivfPqTopKSql: String =
+    s"""WITH $ivfPqCtes,
        |r AS (SELECT q_id, n_id, adc,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rn FROM t)
        |SELECT q_id, n_id, CAST(rn AS BIGINT) AS rn, round(adc, 6) AS adc
        |FROM r WHERE rn <= $TopK""".stripMargin
+
+  // ------------------------------------------------- q88 PQ refine
+  /** ADC shortlist size ahead of exact re-ranking. */
+  private val RefineShortlist = 20
+
+  /** Q88: the refine stage that completes production IVF-PQ serving —
+    * ADC distances are quantized, so the top-k they imply can misorder
+    * true neighbors; the standard fix is a two-stage search: ADC
+    * shortlists [[RefineShortlist]] candidates per query (cheap, codes
+    * only), then ONLY those rows fetch their raw vectors for an exact
+    * cosine re-rank to the final [[TopK]].
+    *
+    * Scale shape: the expensive exact math runs on |queries|·R rows —
+    * independent of corpus size; the shortlist (a bounded top-k
+    * aggregate output) broadcasts into the corpus scan, so fetching
+    * raw candidate vectors is one map-side semi-join pass, never a
+    * corpus shuffle. */
+  def pqRefine(spark: SparkSession, dir: String): DataFrame =
+    pqRefineOn(emb(spark, dir))
+
+  private[operators] def pqRefineOn(e0: DataFrame): DataFrame = {
+    val adc = ivfPqAdc(e0)
+    val short = udaf(new TopKAggregator(RefineShortlist),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val shortlist = adc.groupBy("q_id")
+      .agg(short(-col("adc"), col("n_id")).as("top"))
+      .select(col("q_id"), explode(col("top._2")).as("n_id"))
+    val normed = VectorExprs.normalized(e0, "embedding", "nv", Seq("vec_id"))
+    val scored = normed
+      .join(broadcast(shortlist), col("vec_id") === col("n_id"))
+      .select(col("q_id"), col("n_id"), col("nv").as("n_nv"))
+      .join(broadcast(normed.where(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("nv").as("q_nv"))), "q_id")
+      .select(col("q_id"), col("n_id"),
+        VectorExprs.dot(col("q_nv"), col("n_nv")).as("cos"))
+    topK(scored, TopK)
   }
+
+  val pqRefineSql: String =
+    s"""WITH $ivfPqCtes,
+       |sr AS (SELECT q_id, n_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY adc, n_id) AS srn FROM t),
+       |sl AS (SELECT q_id, n_id FROM sr WHERE srn <= $RefineShortlist),
+       |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+       |x AS (SELECT sl.q_id, sl.n_id, list_dot_product(qn.nv, nn.nv) AS c
+       |  FROM sl JOIN n nn ON nn.vec_id = sl.n_id
+       |  JOIN n qn ON qn.vec_id = sl.q_id),
+       |r AS (SELECT q_id, n_id, c,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM x)
+       |SELECT q_id, n_id, rn, round(c, 6) AS sim FROM r WHERE rn <= $TopK""".stripMargin
 
   /** The quantization error of the nearest centroid — [[pqCode]]'s
     * companion for measuring codebook quality (spec use). */
@@ -655,6 +717,7 @@ object SimilarityQueries {
     "q79_pq_encode" -> pqEncode _,
     "q80_adc_topk" -> adcTopK _,
     "q82_ivfpq_topk" -> ivfPqTopK _,
+    "q88_pq_refine" -> pqRefine _,
     "q47_quantize_int8" -> quantizeInt8 _)
 
   val oracles: Map[String, String] = Map(
@@ -665,5 +728,6 @@ object SimilarityQueries {
     "q79_pq_encode" -> pqEncodeSql,
     "q80_adc_topk" -> adcTopKSql,
     "q82_ivfpq_topk" -> ivfPqTopKSql,
+    "q88_pq_refine" -> pqRefineSql,
     "q47_quantize_int8" -> quantizeInt8Sql)
 }

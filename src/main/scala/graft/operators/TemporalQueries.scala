@@ -126,11 +126,51 @@ object TemporalQueries {
        |  min(ts) AS start_ts, max(end_ts) AS last_end, count(*) AS n_events
        |FROM i GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------- q89 sliding distinct users
+  /** Trailing window width in days. */
+  val SlideDays = 7
+
+  /** Q89: trailing 7-day distinct users per day — the rolling-actives
+    * metric (WAU) that naive plans compute as a per-day set union over
+    * a sliding window (quadratic in window width, unmergeable state).
+    * The scalable shape inverts it: collapse events to DISTINCT
+    * (user, day) pairs first (the corpus-sized shrink), then each pair
+    * CONTRIBUTES itself to the [[SlideDays]] window-end days it falls
+    * inside — a bounded 7× explode of the already-collapsed relation —
+    * and a plain count-distinct per day finishes it. Every stage is a
+    * uniform-key hash aggregation; the 1-row corpus max-day bound
+    * broadcasts. Days before the first full window keep their partial
+    * (growing) window — the convention dashboards expect. */
+  def q89SlidingDistinct(spark: SparkSession, dir: String): DataFrame =
+    q89SlidingDistinctOn(Tables(spark, dir, "events"))
+
+  private[operators] def q89SlidingDistinctOn(events: DataFrame): DataFrame = {
+    val du = events
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val mx = du.agg(max("day").as("d1"))
+    du.select(explode(sequence(col("day"), date_add(col("day"), SlideDays - 1)))
+        .as("wday"), col("user_id"))
+      .join(broadcast(mx), col("wday") <= col("d1"))
+      .groupBy("wday")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .withColumnRenamed("wday", "day")
+  }
+
+  val q89Sql: String =
+    s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |r AS (SELECT max(day) AS d1 FROM du),
+       |x AS (SELECT CAST(unnest(generate_series(day, day + INTERVAL ${SlideDays - 1} DAY,
+       |    INTERVAL 1 DAY)) AS DATE) AS wday, user_id FROM du)
+       |SELECT wday AS day, count(DISTINCT user_id) AS users_7d
+       |FROM x, r WHERE wday <= d1 GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_gapfill" -> q69GapFill _,
-    "q83_intervals" -> q83Intervals _)
+    "q83_intervals" -> q83Intervals _,
+    "q89_sliding_distinct" -> q89SlidingDistinct _)
 
   val oracles: Map[String, String] = Map(
     "q69_gapfill" -> q69Sql,
-    "q83_intervals" -> q83Sql)
+    "q83_intervals" -> q83Sql,
+    "q89_sliding_distinct" -> q89Sql)
 }

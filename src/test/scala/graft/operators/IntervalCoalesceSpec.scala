@@ -56,6 +56,27 @@ class IntervalCoalesceSpec extends SparkSpec {
     assert(got == Seq((3L, 1L, "00:00:00", "00:04:00", 3L)), got.mkString(", "))
   }
 
+  test("q89: trailing 7-day distinct users, hand-computed, partial windows included") {
+    import spark.implicits._
+    // activity: day0 u1; day3 u1,u2; day9 u3. Window-end days carry the
+    // users active in (end-6 .. end]; day 10+ sees only day9's user.
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-04 10:00:00"),
+      (2L, "2024-01-04 11:00:00"), (3L, "2024-01-10 09:00:00"),
+      (3L, "2024-01-10 12:00:00")) // same user+day twice → one contribution
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    val got = TemporalQueries.q89SlidingDistinctOn(events).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).sortBy(_._1).toSeq
+    // contributions: day1→days1..7(u1), day4→4..10(u1,u2), day10→10..16
+    // clipped at max day 10.
+    assert(got == Seq(
+      "2024-01-01" -> 1L, "2024-01-02" -> 1L, "2024-01-03" -> 1L,
+      "2024-01-04" -> 2L, "2024-01-05" -> 2L, "2024-01-06" -> 2L,
+      "2024-01-07" -> 2L, "2024-01-08" -> 2L, "2024-01-09" -> 2L,
+      "2024-01-10" -> 3L), got.mkString(", "))
+  }
+
   test("q87: mode picks the highest count, ties break lexicographically") {
     import spark.implicits._
     val events = Seq(

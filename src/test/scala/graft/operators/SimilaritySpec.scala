@@ -122,4 +122,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pruned == full,
       s"IVF pruning changed the ADC result: missing=${full -- pruned} extra=${pruned -- full}")
   }
+
+  test("q88 refine: shortlist + exact re-rank recovers the true cosine top-5") {
+    // The whole point of the refine stage: ADC distances are lossy, but
+    // after re-ranking the shortlist with raw vectors the result must
+    // equal the EXACT brute-force top-5 — computed here independently,
+    // driver-side, from the fixture itself.
+    val vecs = clustered.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (0L until 10L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).zipWithIndex
+        .map { case ((n, _), i) => (q, n, i + 1L) }
+    }.toSet
+    val got = SimilarityQueries.pqRefineOn(clustered).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.core.Caches.releaseAll()
+    assert(got == expected,
+      s"refined top-5 diverged from exact: missing=${expected -- got} extra=${got -- expected}")
+  }
 }
