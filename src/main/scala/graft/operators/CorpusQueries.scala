@@ -190,15 +190,67 @@ object CorpusQueries {
       |  (round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) > 0.5) AS repetitious
       |FROM d""".stripMargin
 
+  // ------------------------------------------ q90 duplicate coverage
+  private val DupShingleN = 5
+
+  /** Q90: cross-document duplicate-shingle coverage — for each doc, the
+    * share of its distinct word-5-grams that occur in ANY other
+    * document. This is the continuous "how much of me is boilerplate"
+    * signal behind exact-substring dedup decisions (near-1.0 → mirror /
+    * template; mid-range → quoted or syndicated content): unlike the
+    * pair-producing q17/q18 tier it never enumerates pairs, so it runs
+    * as a pre-filter at full corpus scale.
+    *
+    * Scale shape: distinct (doc, shingle) → shingle document-frequency
+    * (uniform-ish text keys, map-side combined) → join df back to the
+    * (doc, shingle) relation (same cardinality as its input — an
+    * inverted-index lookup, NO pair blowup) → per-doc aggregate.
+    * Cross-doc repeats are counted with df ≥ 2 on DISTINCT per-doc
+    * shingles, so a doc repeating its own phrase doesn't count itself. */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageOn(docs(spark, dir))
+
+  private[operators] def dupCoverageOn(docRel: DataFrame): DataFrame = {
+    val sh = docRel
+      .select(col("doc_id"), TextExprs.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= DupShingleN)
+      .select(col("doc_id"),
+        explode(TextExprs.shingles(col("w"), DupShingleN)).as("sh"))
+      .distinct()
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("dup_share"))
+  }
+
+  val dupCoverageSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |x AS (SELECT doc_id, ws, unnest(range(len(ws) - ${DupShingleN - 1})) AS i
+       |  FROM w WHERE len(ws) >= $DupShingleN),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    array_to_string(list_slice(ws, i + 1, i + $DupShingleN), ' ') AS sh FROM x),
+       |df AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS dup_share
+       |FROM sh JOIN df USING (sh) GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_contamination" -> contamination _,
     "q49_packing" -> packing _,
     "q50_scrub" -> scrub _,
-    "q51_repetition" -> repetition _)
+    "q51_repetition" -> repetition _,
+    "q90_dup_coverage" -> dupCoverage _)
 
   val oracles: Map[String, String] = Map(
     "q48_contamination" -> contaminationSql,
     "q49_packing" -> packingSql,
     "q50_scrub" -> scrubSql,
-    "q51_repetition" -> repetitionSql)
+    "q51_repetition" -> repetitionSql,
+    "q90_dup_coverage" -> dupCoverageSql)
 }

@@ -164,13 +164,68 @@ object TemporalQueries {
        |SELECT wday AS day, count(DISTINCT user_id) AS users_7d
        |FROM x, r WHERE wday <= d1 GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------ q91 series trend
+  /** Q91: per-series least-squares trend — the drift detector behind
+    * "is this sensor/user metric creeping" alerts, as a closed-form
+    * slope from exact moments: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    * with x = epoch seconds and y = the metric. The four moment sums
+    * run through DECIMAL (exact, order-independent — the engine's
+    * standard determinism pattern), so the doubles entering the final
+    * pinned-order IEEE arithmetic are bit-identical in any engine at
+    * any partition count. Degenerate series (one event, or all events
+    * in the same second) emit a NULL slope rather than ±Inf. Scale:
+    * one map-side-combined aggregation on uniform series keys; the
+    * slope math is per-group scalar arithmetic. Slope is reported per
+    * DAY (per-second slopes round to 0 at 6 digits). */
+  def q91Trend(spark: SparkSession, dir: String): DataFrame =
+    q91TrendOn(Tables(spark, dir, "events"))
+
+  private[operators] def q91TrendOn(events: DataFrame): DataFrame = {
+    val xd = col("x").cast("decimal(19,0)")
+    val g = events
+      // NTZ has no direct long cast; session tz is UTC, so the TZ
+      // round-trip is the identity epoch read.
+      .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("x"),
+        col("value").as("y"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(xd * xd).cast("double").as("sxx"),
+        sum(col("y").cast("decimal(24,6)")).cast("double").as("sy"),
+        sum(xd * col("y").cast("decimal(18,6)")).cast("double").as("sxy"))
+    g.select(col("user_id"), col("n").as("n_events"),
+      round(col("sy") / col("n"), 6).as("mean_value"),
+      when(col("n") * col("sxx") - col("sx") * col("sx") === 0d, lit(null))
+        .otherwise(round(
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")) * 86400.0, 6))
+        .as("slope_per_day"))
+  }
+
+  val q91Sql: String =
+    """WITH p AS (SELECT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS x, value AS y FROM events),
+      |m AS (SELECT user_id, count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(24,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      |  FROM p GROUP BY 1)
+      |SELECT user_id, n AS n_events, round(sy / n, 6) AS mean_value,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+      |    ELSE round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400.0, 6)
+      |  END AS slope_per_day
+      |FROM m""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_gapfill" -> q69GapFill _,
     "q83_intervals" -> q83Intervals _,
-    "q89_sliding_distinct" -> q89SlidingDistinct _)
+    "q89_sliding_distinct" -> q89SlidingDistinct _,
+    "q91_trend" -> q91Trend _)
 
   val oracles: Map[String, String] = Map(
     "q69_gapfill" -> q69Sql,
     "q83_intervals" -> q83Sql,
-    "q89_sliding_distinct" -> q89Sql)
+    "q89_sliding_distinct" -> q89Sql,
+    "q91_trend" -> q91Sql)
 }

@@ -92,6 +92,22 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L)._2 != out(3L)._2)
   }
 
+  test("q90 dup coverage: shared phrases count, self-repetition does not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v"),     // 3 shingles, shares "p q r s t" with doc 2
+      (2L, "z p q r s t w"),     // 3 shingles, 1 shared
+      (3L, "a b c d e f"),       // 2 shingles, none shared
+      (4L, "m m m m m m m m"))   // self-repeating → 1 DISTINCT shingle, df 1
+      .toDF("doc_id", "text")
+    val got = CorpusQueries.dupCoverageOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 0.333333), (2L, 3L, 1L, 0.333333),
+      (3L, 2L, 0L, 0.0), (4L, 1L, 0L, 0.0)), got.mkString(", "))
+  }
+
   test("repetition ratio is exact on a crafted document") {
     import spark.implicits._
     val docs = Seq(

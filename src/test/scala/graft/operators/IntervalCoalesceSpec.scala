@@ -77,6 +77,27 @@ class IntervalCoalesceSpec extends SparkSpec {
       "2024-01-10" -> 3L), got.mkString(", "))
   }
 
+  test("q91: trend slope is exact on a linear series; degenerate series emit NULL") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: value rises exactly 2.0/day for three days → slope 2.0
+      (1L, "2024-01-01 00:00:00", 0.0), (1L, "2024-01-02 00:00:00", 2.0),
+      (1L, "2024-01-03 00:00:00", 4.0),
+      // user 2: a single event — slope undefined
+      (2L, "2024-01-01 12:00:00", 5.0),
+      // user 3: two events in the SAME second — zero x-variance
+      (3L, "2024-01-01 06:00:00", 1.0), (3L, "2024-01-01 06:00:00", 9.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    val got = TemporalQueries.q91TrendOn(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2.0, Some(2.0)), (2L, 1L, 5.0, None), (3L, 2L, 5.0, None)),
+      got.mkString(", "))
+  }
+
   test("q87: mode picks the highest count, ties break lexicographically") {
     import spark.implicits._
     val events = Seq(
