@@ -240,17 +240,85 @@ object CorpusQueries {
        |    / CAST(count(*) AS DOUBLE), 6) AS dup_share
        |FROM sh JOIN df USING (sh) GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- q92 segment-level dedup
+  /** Words per segment — the "line" unit of corpus-level segment dedup.
+    * The testdata corpus has no newlines, so fixed 8-word windows stand
+    * in for the line/sentence split of a production pipeline; the
+    * operator shape is identical. */
+  private val SegWords = 8
+
+  /** Q92: corpus-level duplicate-segment removal — the C4/RefinedWeb
+    * "remove repeated lines across the whole corpus" pass. Every
+    * document is cut into [[SegWords]]-word segments; a segment
+    * survives only at its FIRST occurrence corpus-wide (ordered by
+    * doc_id, then position), and each document reports how many of its
+    * segments survived plus the fingerprint of its reassembled
+    * (surviving-segments-only) text — the content that would flow to
+    * the next pipeline stage.
+    *
+    * Scale shape: one shuffle keyed by segment text to elect the
+    * first occurrence (row_number over a key whose per-group size is
+    * the duplicate count — bounded, and exactly the thing being
+    * removed), then one shuffle back on doc_id to reassemble. No
+    * pair enumeration: cost is linear in corpus segments, so unlike
+    * the q17/q18 pair tier this runs corpus-wide at 100 TB. The
+    * reassembly keeps segments in document order via an in-group
+    * array_sort on (idx, seg) — per-document state only. */
+  def segmentDedup(spark: SparkSession, dir: String): DataFrame =
+    segmentDedupOn(docs(spark, dir))
+
+  private[operators] def segmentDedupOn(docRel: DataFrame): DataFrame = {
+    val nseg = ceil(size(col("ws")).cast("double") / SegWords).cast("int")
+    val segs = docRel
+      .select(col("doc_id"), TextExprs.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nseg - 1),
+          i => concat_ws(" ", slice(col("ws"), i * SegWords + 1, lit(SegWords))))))
+      .withColumnsRenamed(Map("pos" -> "idx", "col" -> "seg"))
+    val firstWins = Window.partitionBy("seg").orderBy("doc_id", "idx")
+    segs
+      .withColumn("rn", row_number().over(firstWins))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_sort(collect_list(when(col("rn") === 1, struct(col("idx"), col("seg")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_seg"), col("n_kept"),
+        // A doc whose every segment lost elsewhere keeps NULL (not
+        // md5("")) — matches SQL's FILTERed string_agg convention.
+        when(col("n_kept") > 0,
+          md5(array_join(transform(col("kept"), x => x.getField("seg")), " ")
+            .cast("binary"))).as("kept_md5"))
+  }
+
+  val segmentDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |x AS (SELECT doc_id, ws,
+       |    unnest(range(CAST(ceil(len(ws) / $SegWords.0) AS BIGINT))) AS i FROM w),
+       |s AS (SELECT doc_id, i AS idx,
+       |    array_to_string(list_slice(ws, i * $SegWords + 1, i * $SegWords + $SegWords), ' ') AS seg
+       |  FROM x),
+       |r AS (SELECT doc_id, idx, seg,
+       |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn FROM s)
+       |SELECT doc_id, count(*) AS n_seg,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE rn = 1)) AS kept_md5
+       |FROM r GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_contamination" -> contamination _,
     "q49_packing" -> packing _,
     "q50_scrub" -> scrub _,
     "q51_repetition" -> repetition _,
-    "q90_dup_coverage" -> dupCoverage _)
+    "q90_dup_coverage" -> dupCoverage _,
+    "q92_segment_dedup" -> segmentDedup _)
 
   val oracles: Map[String, String] = Map(
     "q48_contamination" -> contaminationSql,
     "q49_packing" -> packingSql,
     "q50_scrub" -> scrubSql,
     "q51_repetition" -> repetitionSql,
-    "q90_dup_coverage" -> dupCoverageSql)
+    "q90_dup_coverage" -> dupCoverageSql,
+    "q92_segment_dedup" -> segmentDedupSql)
 }

@@ -385,17 +385,54 @@ object CurationQueries {
        |FROM p""".stripMargin
   }
 
+  // -------------------------------------------------- q96 source cap
+  /** Max documents kept per source. */
+  private val CapPerSource = 20
+
+  /** Q96: per-source document cap — keep the [[CapPerSource]] "best"
+    * documents of each source (longest first, doc_id tiebreak). The
+    * anti-over-representation control every web-scale corpus applies
+    * per domain/crawl so no single source dominates the mixture.
+    *
+    * Scale shape: a rank window partitioned by source. Per-source
+    * partitions only ever sort their own rows, and AQE's skew split
+    * handles a hot source's sort spill; for pathologically hot
+    * domains the two-phase variant (per-partition local top-K via
+    * [[graft.functions.TopKAggregator]], then a merge — q08's
+    * pattern) swaps in without changing the contract, since only the
+    * top [[CapPerSource]] of any source ever leave the first stage. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame =
+    sourceCapOn(docs(spark, dir))
+
+  private[operators] def sourceCapOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docRel
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= CapPerSource)
+  }
+
+  val sourceCapSql: String =
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= $CapPerSource""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_curation" -> curation _,
     "q61_token_histogram" -> tokenHistogram _,
     "q63_chunks" -> chunk _,
     "q75_training_units" -> trainingUnits _,
-    "q85_cdc_chunks" -> cdcChunks _)
+    "q85_cdc_chunks" -> cdcChunks _,
+    "q96_source_cap" -> sourceCap _)
 
   val oracles: Map[String, String] = Map(
     "q60_curation" -> curationSql,
     "q61_token_histogram" -> tokenHistogramSql,
     "q63_chunks" -> chunkSql,
     "q75_training_units" -> trainingUnitsSql,
-    "q85_cdc_chunks" -> cdcChunksSql)
+    "q85_cdc_chunks" -> cdcChunksSql,
+    "q96_source_cap" -> sourceCapSql)
 }

@@ -410,6 +410,56 @@ object RelationalExtras {
       |SELECT user_id, event_type AS mode_type, n AS n_events
       |FROM r WHERE rn = 1""".stripMargin
 
+  // ------------------------------------------------ q94 MAD outliers
+  /** Consistency constant: MAD × 1.4826 estimates σ under normality. */
+  private val MadK = 1.4826
+  private val MadSigmas = 3.0
+
+  /** Q94: robust outlier detection per group — median + MAD (median
+    * absolute deviation), flagging values beyond
+    * [[MadSigmas]]·[[MadK]]·MAD of the median. The robust alternative
+    * to q58's mean/stddev z-score: one corrupted sensor can drag a
+    * mean arbitrarily but moves a median by at most one rank.
+    *
+    * Three passes by necessity (median → deviations → MAD →
+    * threshold count), but each is a per-group aggregate on the same
+    * uniform event_type keys, and the two tiny per-group medians
+    * broadcast back — the corpus relation is scanned twice, never
+    * shuffled wide. The outlier test compares at 6-decimal resolution
+    * (round before compare) so an engine-ULP difference in the
+    * interpolated median can't flip a boundary row. */
+  def q94MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    q94MadOutliersOn(Tables(spark, dir, "events"))
+
+  private[operators] def q94MadOutliersOn(events: DataFrame): DataFrame = {
+    val e = events.select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"), first(col("med")).as("med"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("med"),
+        round(first(col("mad")), 6).as("mad"),
+        sum(when(round(col("dev") - lit(MadSigmas * MadK) * col("mad"), 6) > 0, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  val q94Sql: String =
+    s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+       |  FROM events GROUP BY 1),
+       |d AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+       |  FROM events e JOIN m USING (event_type)),
+       |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad, any_value(med) AS med
+       |  FROM d GROUP BY 1)
+       |SELECT d.event_type, count(*) AS n,
+       |  round(any_value(md.med), 6) AS med, round(any_value(md.mad), 6) AS mad,
+       |  CAST(sum(CASE WHEN round(d.dev - $MadSigmas * $MadK * md.mad, 6) > 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+       |FROM d JOIN md USING (event_type) GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_mode" -> q87Mode _,
     "q64_deciles" -> q64Deciles _,
@@ -424,7 +474,8 @@ object RelationalExtras {
     "q31_scalar_subquery" -> q31ScalarSubquery _,
     "q32_set_ops" -> q32SetOps _,
     "q33_json" -> q33Json _,
-    "q34_arrays" -> q34Arrays _)
+    "q34_arrays" -> q34Arrays _,
+    "q94_mad_outliers" -> q94MadOutliers _)
 
   val oracles: Map[String, String] = Map(
     "q87_mode" -> q87Sql,
@@ -440,5 +491,6 @@ object RelationalExtras {
     "q31_scalar_subquery" -> q31Sql,
     "q32_set_ops" -> q32Sql,
     "q33_json" -> q33Sql,
-    "q34_arrays" -> q34Sql)
+    "q34_arrays" -> q34Sql,
+    "q94_mad_outliers" -> q94Sql)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -217,15 +217,137 @@ object TemporalQueries {
       |  END AS slope_per_day
       |FROM m""".stripMargin
 
+  // --------------------------------------------- q93 time-decay score
+  /** Decay time constant: one e-fold per day. */
+  val DecayTauSecs = 86400.0
+
+  /** Q93: exponential time-decay engagement score per user — the
+    * recency-weighted feature (`Σ value·e^{-(now−ts)/τ}`) that feature
+    * stores maintain for ranking/churn models. "now" is the corpus max
+    * timestamp (deterministic — no wall clock in a verified query).
+    *
+    * Determinism: the per-event term is double math (exp), but each
+    * term is cast to DECIMAL(28,12) BEFORE the sum, so the aggregation
+    * is exact and order-independent — partition count and merge order
+    * can't change the result (the engine's standard float-agg
+    * pattern, see q91). Scale: one map-side-combined aggregation on
+    * uniform user keys; the 1-row corpus max broadcasts. */
+  def q93DecayScore(spark: SparkSession, dir: String): DataFrame =
+    q93DecayScoreOn(Tables(spark, dir, "events"))
+
+  private[operators] def q93DecayScoreOn(events: DataFrame): DataFrame = {
+    val p = events.select(col("user_id"),
+      col("ts").cast("timestamp").cast("long").as("x"), col("value"))
+    val now = p.agg(max("x").as("nw"))
+    p.crossJoin(broadcast(now))
+      .select(col("user_id"),
+        (col("value") * exp((col("x") - col("nw")).cast("double") / lit(DecayTauSecs)))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("term")).cast("double"), 6).as("decay_score"))
+  }
+
+  val q93Sql: String =
+    s"""WITH p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS x, value FROM events),
+       |r AS (SELECT max(x) AS nw FROM p)
+       |SELECT user_id, count(*) AS n_events,
+       |  round(CAST(sum(CAST(value * exp((x - nw) / $DecayTauSecs) AS DECIMAL(28,12))) AS DOUBLE), 6)
+       |    AS decay_score
+       |FROM p, r GROUP BY 1""".stripMargin
+
+  // ------------------------------------- q95 interval overlap join
+  /** Incident half-width (seconds) around each sampled error event. */
+  val IncidentPadSecs = 60
+  /** Only every [[IncidentSample]]-th error event opens an incident —
+    * keeps the incident side a realistic fraction of the corpus. */
+  val IncidentSample = 97
+  /** Equi-join bin width for the binned overlap join (seconds). */
+  val OverlapBinSecs = 3600L
+
+  /** Q95: interval overlap join with NO equi key — "which activity
+    * islands overlap which incident windows", the generic
+    * interval×interval join (outage attribution, maintenance-window
+    * exclusion). The left side is q83's per-user coalesced islands;
+    * the right is a ±[[IncidentPadSecs]] s window around every
+    * [[IncidentSample]]-th error event, any user — so no join column
+    * exists and a naive plan is a cartesian θ-join.
+    *
+    * Scale shape: the binned overlap join. Each interval explodes to
+    * the [[OverlapBinSecs]]-wide epoch bins it covers (bounded
+    * duplication: len/bin + 1 rows), the two sides equi-join on the
+    * bin, pairs dedupe (an overlap spanning k bins matches k times),
+    * and the exact predicate filters residual false bin-mates. Every
+    * stage is a uniform-key hash shuffle; nothing is O(n·m). The
+    * bin width is the knob: wider bins → fewer duplicates, more
+    * false candidates — at 100 TB you size it near the median
+    * interval length. */
+  def q95IntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    q95IntervalJoinOn(Tables(spark, dir, "events"))
+
+  private[operators] def q95IntervalJoinOn(events: DataFrame): DataFrame = {
+    def secs(c: Column): Column = c.cast("timestamp").cast("long")
+    val islands = q83IntervalsOn(events)
+      .select(col("user_id"), col("island"),
+        secs(col("start_ts")).as("s0"), secs(col("last_end")).as("s1"))
+    val incidents = events
+      .where(col("event_type") === "error" &&
+        pmod(col("event_id"), lit(IncidentSample.toLong)) === 0)
+      .select(col("event_id").as("incident_id"),
+        (secs(col("ts")) - IncidentPadSecs).as("i0"),
+        (secs(col("ts")) + IncidentPadSecs).as("i1"))
+    def bins(a: Column, b: Column): Column =
+      explode(sequence(call_function("div", a, lit(OverlapBinSecs)),
+        call_function("div", b, lit(OverlapBinSecs))))
+    val li = islands.withColumn("bin", bins(col("s0"), col("s1")))
+    val ri = incidents.withColumn("bin", bins(col("i0"), col("i1")))
+    li.join(ri, "bin")
+      .where(col("s0") < col("i1") && col("i0") < col("s1"))
+      .select(col("user_id"), col("island"), col("incident_id"),
+        (least(col("s1"), col("i1")) - greatest(col("s0"), col("i0"))).as("overlap_secs"))
+      .distinct()
+  }
+
+  val q95Sql: String =
+    s"""WITH e AS (SELECT user_id, event_id, ts,
+       |    ts + INTERVAL ((event_id % $MaxExtraSecs) + $MinSecs) SECOND AS end_ts
+       |  FROM events),
+       |f AS (SELECT user_id, event_id, ts, end_ts,
+       |    CASE WHEN ts > max(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      OR max(end_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      THEN 1 ELSE 0 END AS new_island
+       |  FROM e),
+       |i AS (SELECT user_id, ts, end_ts,
+       |    sum(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM f),
+       |isl AS (SELECT user_id, CAST(island AS BIGINT) AS island,
+       |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s0,
+       |    CAST(floor(epoch(max(end_ts))) AS BIGINT) AS s1
+       |  FROM i GROUP BY 1, 2),
+       |inc AS (SELECT event_id AS incident_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) - $IncidentPadSecs AS i0,
+       |    CAST(floor(epoch(ts)) AS BIGINT) + $IncidentPadSecs AS i1
+       |  FROM events WHERE event_type = 'error' AND event_id % $IncidentSample = 0)
+       |SELECT user_id, island, incident_id,
+       |  least(s1, i1) - greatest(s0, i0) AS overlap_secs
+       |FROM isl JOIN inc ON s0 < i1 AND i0 < s1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_gapfill" -> q69GapFill _,
     "q83_intervals" -> q83Intervals _,
     "q89_sliding_distinct" -> q89SlidingDistinct _,
-    "q91_trend" -> q91Trend _)
+    "q91_trend" -> q91Trend _,
+    "q93_decay_score" -> q93DecayScore _,
+    "q95_interval_join" -> q95IntervalJoin _)
 
   val oracles: Map[String, String] = Map(
     "q69_gapfill" -> q69Sql,
     "q83_intervals" -> q83Sql,
     "q89_sliding_distinct" -> q89Sql,
-    "q91_trend" -> q91Sql)
+    "q91_trend" -> q91Sql,
+    "q93_decay_score" -> q93Sql,
+    "q95_interval_join" -> q95Sql)
 }

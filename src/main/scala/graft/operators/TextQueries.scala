@@ -364,7 +364,47 @@ object TextQueries {
        |    AS commonness
        |FROM g""".stripMargin
 
+  // ------------------------------------------- q97 character entropy
+  /** Q97: per-document character-level Shannon entropy — the cheap
+    * perplexity proxy quality filters use to catch encoding garbage
+    * (abnormally high entropy) and degenerate repetition (abnormally
+    * low) without running a model. H = −Σ (c/n)·log2(c/n) over the
+    * document's character frequencies.
+    *
+    * Scale shape: explode to (doc, char) → count (a map-side-combined
+    * aggregation whose key space is |docs|×|alphabet|, alphabet ≈
+    * dozens) → per-doc fold. Each per-char term is double math cast
+    * to DECIMAL(28,12) BEFORE the sum (the q91/q93 float-agg
+    * pattern), so partitioning can't reorder an IEEE sum. The doc
+    * length rides along from the pre-explode projection — no second
+    * scan, no window. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyOn(Tables(spark, dir, "documents"))
+
+  private[operators] def charEntropyOn(docRel: DataFrame): DataFrame = {
+    val g = docRel
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(expr("regexp_extract_all(text, '.', 0)")).as("ch"))
+      .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    g.withColumn("term", (-p * log2(p)).cast("decimal(28,12)"))
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .withColumnRenamed("n", "n_chars_text")
+  }
+
+  val charEntropySql: String =
+    """WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+      |    unnest(regexp_extract_all(text, '.')) AS ch FROM documents),
+      |g AS (SELECT doc_id, n, ch, count(*) AS c FROM c GROUP BY 1, 2, 3)
+      |SELECT doc_id, n AS n_chars_text, count(*) AS n_distinct_chars,
+      |  round(CAST(sum(CAST(-(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+      |FROM g GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_char_entropy" -> charEntropy _,
     "q65_heavy_hitters" -> heavyTokens _,
     "q22_text_quality" -> textQuality _,
     "q23_lang_id" -> langId _,
@@ -376,6 +416,7 @@ object TextQueries {
     "q84_pair_stats" -> pairStats _)
 
   val oracles: Map[String, String] = Map(
+    "q97_char_entropy" -> charEntropySql,
     "q70_bm25" -> bm25Sql,
     "q65_heavy_hitters" -> heavyTokensSql,
     "q22_text_quality" -> textQualitySql,
