@@ -219,4 +219,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       s"pair counting must combine map-side:\n$p")
   }
+
+  test("q95: the keyless interval join runs as a hash/merge equi-join on bins, never a nested loop") {
+    val df = TemporalQueries.q95IntervalJoin(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binned overlap join must stay an equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("join"), s"expected a join:\n$p")
+  }
+
+  test("q93: corpus 'now' is a broadcast 1-row join; the decay agg combines map-side") {
+    val df = TemporalQueries.q93DecayScore(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row max must broadcast, not shuffle the corpus:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"decay aggregation must combine map-side:\n$p")
+  }
+
+  test("q97/q98: bounded-key audits partial-aggregate map-side; z-order is window-free") {
+    val pe = plan(TextQueries.charEntropy(spark, Dir))
+    assert("HashAggregate".r.findAllIn(pe).size >= 2,
+      s"entropy counts must partial-aggregate:\n$pe")
+    val pz = plan(LayoutQueries.q98ZOrder(spark, Dir))
+    assert(!pz.contains("Window") && !pz.contains("Sort"),
+      s"the layout audit is a pure aggregation:\n$pz")
+    assert("HashAggregate".r.findAllIn(pz).size >= 2,
+      s"file-box audit must partial-aggregate:\n$pz")
+  }
+
+  test("q92: segment reassembly shuffles twice (by segment, by doc) and nothing else") {
+    val df = CorpusQueries.segmentDedup(spark, Dir)
+    df.count()
+    val p = plan(df)
+    // explode → exchange(seg) → window(first-wins) → exchange(doc) → agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"segment dedup must not add shuffles beyond seg + doc:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no pair enumeration in segment dedup:\n$p")
+  }
 }
