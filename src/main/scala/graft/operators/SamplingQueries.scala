@@ -222,7 +222,57 @@ object SamplingQueries {
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) AS BIGINT) AS ord
        |FROM s""".stripMargin
 
+  // --------------------------------------- q99 stratified exact sample
+  /** Target sample size across all strata. */
+  private val StratTarget = 100L
+
+  /** Q99: stratified proportional sampling with EXACT per-stratum
+    * allocation — each source contributes
+    * `max(1, floor(T · N_h / N))` documents (floor allocation, every
+    * stratum represented), chosen as the first n_h in the stratum's
+    * deterministic md5 order. Unlike q36's bucket filter (whose
+    * per-stratum counts are binomially distributed around the rate),
+    * the allocation here is a hard quota — the shape mixture
+    * dashboards and eval-set builders need.
+    *
+    * Scale shape: stratum sizes are one map-side-combined aggregate
+    * that broadcasts back; selection is a rank window per stratum.
+    * The md5 order key makes membership reproducible on any cluster,
+    * and per-stratum windows sort only their own rows (AQE splits a
+    * hot stratum; q74's bounded top-k aggregate is the swap-in for
+    * pathological skew — only n_h rows per stratum matter). */
+  def q99StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    q99StratifiedSampleOn(Tables(spark, dir, "documents"))
+
+  private[operators] def q99StratifiedSampleOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docRel.select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string").cast("binary")).as("h"))
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("n_h"))
+    val total = sizes.agg(sum("n_h").as("n"))
+    val quota = sizes.crossJoin(broadcast(total))
+      .select(col("source"),
+        greatest(lit(1L),
+          call_function("div", lit(StratTarget) * col("n_h"), col("n"))).as("quota"))
+    val w = Window.partitionBy("source").orderBy("h", "doc_id")
+    d.withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quota), "source")
+      .where(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("quota"))
+  }
+
+  val q99Sql: String =
+    s"""WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+       |sz AS (SELECT source, count(*) AS n_h FROM d GROUP BY 1),
+       |t AS (SELECT sum(n_h) AS n FROM sz),
+       |q AS (SELECT source, greatest(1, ($StratTarget * n_h) // n) AS quota FROM sz, t),
+       |r AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk FROM d)
+       |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, CAST(q.quota AS BIGINT) AS quota
+       |FROM r JOIN q USING (source) WHERE r.rk <= q.quota""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_stratified_sample" -> q99StratifiedSample _,
     "q36_hash_sample" -> q36HashSample _,
     "q37_mixture_sample" -> q37MixtureSample _,
     "q74_reservoir_sample" -> q74ReservoirSample _,
@@ -230,6 +280,7 @@ object SamplingQueries {
     "q86_epoch_shuffle" -> q86EpochShuffle _)
 
   val oracles: Map[String, String] = Map(
+    "q99_stratified_sample" -> q99Sql,
     "q36_hash_sample" -> q36Sql,
     "q37_mixture_sample" -> q37Sql,
     "q74_reservoir_sample" -> q74Sql,

@@ -403,8 +403,109 @@ object TextQueries {
       |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
       |FROM g GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- q100 OOV rate
+  /** Vocabulary size for the OOV filter. */
+  private val VocabTopK = 100
+
+  /** Q100: out-of-vocabulary rate — each document's share of token
+    * OCCURRENCES outside the corpus top-[[VocabTopK]] vocabulary (by
+    * frequency, token tie-break). The tokenizer-fit signal: a corpus
+    * slice with high OOV against the deployed vocab either needs
+    * vocab growth or is noise.
+    *
+    * Scale shape: the vocabulary is a rank over the token-frequency
+    * aggregate (vocab-sized, tiny) and BROADCASTS into the per-doc
+    * probe — the corpus-side explode joins map-side, no shuffle by
+    * token. Deterministic boundary: rank, not LIMIT, so a frequency
+    * tie at position K resolves identically in both engines. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateOn(Tables(spark, dir, "documents"))
+
+  private[operators] def oovRateOn(docRel: DataFrame): DataFrame = {
+    val toks = docRel.select(col("doc_id"),
+      explode(TextExprs.tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("f").desc, col("tok"))
+    val vocab = freq.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= VocabTopK).select("tok")
+    toks.join(broadcast(vocab.withColumn("iv", lit(1))), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  val oovRateSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |f AS (SELECT tok, count(*) AS f FROM t GROUP BY 1),
+       |v AS (SELECT tok FROM (SELECT tok, row_number() OVER (ORDER BY f DESC, tok) AS rk
+       |    FROM f) WHERE rk <= $VocabTopK)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       |FROM t LEFT JOIN v ON t.tok = v.tok GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- q101 bigram LM
+  /** Q101: bigram language-model scoring — each document's mean
+    * log2 P(w₂|w₁) under the corpus's own bigram model (c₁₂/c₁ with
+    * counts over ALL positions), the KenLM-style fluency proxy quality
+    * filters threshold on. A document of corpus-typical word
+    * transitions scores near the corpus mean; shuffled or templated
+    * text scores far below/above. Every in-doc bigram has c₁₂ ≥ 1 by
+    * construction (the doc contributed it), so no smoothing term is
+    * needed to keep the log finite.
+    *
+    * Scale shape: model counts are two map-side-combined aggregations
+    * (bigram, then prefix-marginal by first token — derived from the
+    * bigram counts, not a rescan); scoring joins each doc's bigram
+    * OCCURRENCES to the model on uniform text keys. Per-term doubles
+    * go through the DECIMAL(28,12)-before-sum pattern (q91/q93/q97),
+    * so the per-doc mean is partition-order independent. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmOn(Tables(spark, dir, "documents"))
+
+  private[operators] def bigramLmOn(docRel: DataFrame): DataFrame = {
+    val bg = docRel
+      .select(col("doc_id"), TextExprs.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(TextExprs.shingles(col("w"), 2)).as("bg"))
+    val c12 = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val model = c12.join(c1, "w1")
+      .select(col("bg"),
+        log2(col("c12").cast("double") / col("c1").cast("double")).as("logp"))
+    bg.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        // exact decimal SUM, then ONE pinned IEEE division — decimal
+        // division rounding rules differ across engines, doubles don't
+        round(sum(col("logp").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_logp"))
+  }
+
+  val bigramLmSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bg
+      |  FROM d),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY 1),
+      |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, bg, c12 FROM c12),
+      |m1 AS (SELECT w1, sum(c12) AS c1 FROM c1 GROUP BY 1),
+      |model AS (SELECT c1.bg, log2(CAST(c1.c12 AS DOUBLE) / CAST(m1.c1 AS DOUBLE)) AS logp
+      |  FROM c1 JOIN m1 USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  round(CAST(sum(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS avg_logp
+      |FROM bg JOIN model USING (bg) GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_char_entropy" -> charEntropy _,
+    "q100_oov_rate" -> oovRate _,
+    "q101_bigram_lm" -> bigramLm _,
     "q65_heavy_hitters" -> heavyTokens _,
     "q22_text_quality" -> textQuality _,
     "q23_lang_id" -> langId _,
@@ -417,6 +518,8 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "q97_char_entropy" -> charEntropySql,
+    "q100_oov_rate" -> oovRateSql,
+    "q101_bigram_lm" -> bigramLmSql,
     "q70_bm25" -> bm25Sql,
     "q65_heavy_hitters" -> heavyTokensSql,
     "q22_text_quality" -> textQualitySql,

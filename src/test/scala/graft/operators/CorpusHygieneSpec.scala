@@ -138,6 +138,49 @@ class CorpusHygieneSpec extends SparkSpec {
     assert(got(3L)._2 == 0.918296, got(3L).toString)
   }
 
+  // ----------------------------------------------------------- q99
+  test("q99: floor quotas bind per stratum, a 1-doc stratum is still represented") {
+    // 301 docs: s1=200, s2=100, s3=1; T=100 → quotas 66, 33, 1.
+    val rows = (1L to 200L).map(i => (i, "s1")) ++
+      (201L to 300L).map(i => (i, "s2")) :+ ((301L, "s3"))
+    val df = rows.toDF("doc_id", "source")
+    val got = SamplingQueries.q99StratifiedSampleOn(df)
+      .groupBy("source").agg(count(lit(1)).as("n"), max("quota").as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("s1" -> ((66L, 66L)), "s2" -> ((33L, 33L)), "s3" -> ((1L, 1L))),
+      got.toString)
+    // determinism: membership is identical across runs
+    val a = SamplingQueries.q99StratifiedSampleOn(df).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = SamplingQueries.q99StratifiedSampleOn(df).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  // ---------------------------------------------------------- q100
+  test("q100: vocabulary rank breaks frequency ties by token; occurrences count, not types") {
+    // 'w' (f=5) + r001..r150 (f=1). Top-100 = w + r001..r099 by the
+    // (f DESC, tok ASC) rank. doc2 holds r051..r150: 49 in-vocab, 51 OOV.
+    def r(i: Int) = f"r$i%03d"
+    val doc1 = (Seq.fill(5)("w") ++ (1 to 50).map(r)).mkString(" ")
+    val doc2 = (51 to 150).map(r).mkString(" ")
+    val got = TextQueries.oovRateOn(Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(got(1L) == ((55L, 0L, 0.0)), got.toString)
+    assert(got(2L) == ((100L, 51L, 0.51)), got.toString)
+  }
+
+  // ---------------------------------------------------------- q101
+  test("q101: per-doc mean log2 P(w2|w1) under the corpus's own bigram counts") {
+    // bigrams: 'a b'×2, 'a c'×1 → P(b|a)=2/3, P(c|a)=1/3.
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextQueries.bigramLmOn(df)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(got(1L) == ((1L, -0.584963)), got.toString) // log2(2/3)
+    assert(got(2L) == ((1L, -0.584963)))
+    assert(got(3L) == ((1L, -1.584963))) // log2(1/3)
+  }
+
   // ----------------------------------------------------------- q98
   test("q98: the Morton interleave puts x bits at even, y bits at odd positions") {
     val df = Seq((3, 5), (0, 0), (255, 0), (0, 255))
