@@ -98,9 +98,29 @@ object AsOfJoin {
       |       c.click_id AS r_click_id, c.click_value AS r_click_value
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** Q102: q27's exact semantics through the NATIVE as-of operator
+    * ([[graft.plans.AsOfJoinNative]] — custom logical node + strategy +
+    * sorted-merge SparkPlan) instead of the union+window composition.
+    * Same oracle as q27, so the correctness gate pins the two
+    * implementations AND DuckDB's `ASOF JOIN` to identical results. */
+  def q102AsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "ts", "user_id", "value")
+    val clickW = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .withColumn("__rn", row_number().over(clickW)).where(col("__rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        col("value").as("click_value"))
+    graft.plans.AsOfJoinNative.asof(
+      purchases, clicks, "user_id", "ts", Seq("click_id", "click_value"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q27_asof_join" -> q27AsOf _)
+    "q27_asof_join" -> q27AsOf _,
+    "q102_asof_native" -> q102AsOfNative _)
 
   val oracles: Map[String, String] = Map(
-    "q27_asof_join" -> q27Sql)
+    "q27_asof_join" -> q27Sql,
+    "q102_asof_native" -> q27Sql)
 }

@@ -27,6 +27,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the native as-of join planner rule — sessions built with these
+    // extensions plan AsOfJoinNode without the lazy extraStrategies
+    // registration that AsOfJoinNative.asof performs
+    ext.injectPlannerStrategy(_ => AsOfJoinNative.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
