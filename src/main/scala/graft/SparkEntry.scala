@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, ChangeDataQueries, CoreQueries, CorpusQueries, CurationQueries, DedupQueries, FunnelQueries, LayoutQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TemporalQueries, TextQueries}
+import graft.operators.{AsOfJoin, AuditQueries, ChangeDataQueries, CoreQueries, CorpusQueries, CurationQueries, DedupQueries, FunnelQueries, GraphQueries, LayoutQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, TemporalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
       TextQueries.all ++ AsOfJoin.all ++ RangeJoin.all ++ SessionQueries.all ++
       RelationalExtras.all ++ SamplingQueries.all ++ CorpusQueries.all ++
       CurationQueries.all ++ FunnelQueries.all ++ ChangeDataQueries.all ++
-      TemporalQueries.all ++ LayoutQueries.all ++
+      TemporalQueries.all ++ LayoutQueries.all ++ AuditQueries.all ++
+      GraphQueries.all ++
       Map("q38_quality_checks" ->
         ((s: SparkSession, d: String) => graft.analytics.DataQuality.q38QualityChecks(s, d)))
 
@@ -30,5 +31,6 @@ object SparkEntry {
       SessionQueries.oracles ++ RelationalExtras.oracles ++ SamplingQueries.oracles ++
       CorpusQueries.oracles ++ CurationQueries.oracles ++ FunnelQueries.oracles ++
       ChangeDataQueries.oracles ++ TemporalQueries.oracles ++ LayoutQueries.oracles ++
+      AuditQueries.oracles ++ GraphQueries.oracles ++
       Map("q38_quality_checks" -> graft.analytics.DataQuality.q38Sql)
 }

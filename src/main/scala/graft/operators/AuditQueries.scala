@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Distribution monitoring — the audit layer that tells a pipeline
+  * operator the DATA changed before a consumer tells them the model
+  * did. The reference ships no monitoring beyond row counts (SURVEY
+  * §5's "dbt test" layer is documented but unbuilt); these queries are
+  * the two standard production checks over the same events relation:
+  * score-distribution drift between time periods (PSI, q103) and
+  * seasonality-aware volume anomalies (day-of-week z-scores, q104).
+  *
+  * Both are engine-portable and deterministic: integer counts all the
+  * way to one pinned IEEE division/log at the end, per-term
+  * DECIMAL(28,12) casts before any float sum (the q91/q93/q97
+  * pattern), and 6-decimal rounding on reported measures.
+  */
+object AuditQueries {
+
+  /** Equi-width histogram geometry for q103: [[PsiBins]] bins of width
+    * [[PsiBinWidth]] over the events `value` domain (0..1000 by the
+    * q38 range contract); values outside clamp into the edge bins. */
+  val PsiBins = 10
+  val PsiBinWidth = 100.0
+
+  /** Zero-share smoothing floor — the standard PSI guard so an empty
+    * bin contributes a finite term instead of ln(0). */
+  val PsiEps = 1e-6
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  // ------------------------------------------------- q103 PSI drift
+  /** Q103: population-stability-index drift — per event_type, how far
+    * the `value` distribution of the LATER half of the corpus window
+    * has moved from the earlier half. PSI = Σ_bins (p−q)·ln(p/q) with
+    * p/q the smoothed bin shares; the industry thresholds (&lt;0.1
+    * stable, &gt;0.25 drifted) are the consumer's business, the engine
+    * reports the measure.
+    *
+    * The corpus midpoint splits the window: day &lt; d0 + ⌊days/2⌋ is
+    * the baseline period, the rest is current. Bins are DENSE — an
+    * (event_type, period, bin) spine from the distinct types — so an
+    * empty bin yields a smoothed share of [[PsiEps]], not a dropped
+    * term; a share is otherwise exact-integer count / period total in
+    * one pinned IEEE division.
+    *
+    * Scale shape: ONE map-side-combined aggregation over
+    * (type, period, bin) — the key space is |types| × 2 × [[PsiBins]],
+    * bounded regardless of row count — plus a broadcast 1-row min/max
+    * aggregate for the split day and a broadcast spine join. Nothing
+    * here scales with events volume except the first narrow scan. */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftOn(events(spark, dir))
+
+  private[operators] def psiDriftOn(ev: DataFrame): DataFrame = {
+    val base = ev.where(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val split = base.agg(
+      min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / lit(2)).cast("int")).as("split_day"))
+    val binCol = least(greatest(
+      floor(col("value") / lit(PsiBinWidth)), lit(0L)), lit(PsiBins - 1L))
+    val counts = base.crossJoin(broadcast(split))
+      .select(col("event_type"),
+        when(col("day") < col("split_day"), lit("base")).otherwise(lit("cur")).as("period"),
+        binCol.as("bin"))
+      .groupBy("event_type", "period", "bin").agg(count(lit(1)).as("cnt"))
+    // Dense (type, period, bin) spine so absent bins smooth instead of vanish.
+    val spine = counts.select("event_type").distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(PsiBins - 1L))).as("bin"))
+      .select(col("event_type"), col("bin"),
+        explode(array(lit("base"), lit("cur"))).as("period"))
+    val dense = spine.join(counts, Seq("event_type", "period", "bin"), "left")
+      .select(col("event_type"), col("period"), col("bin"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val totals = dense.groupBy("event_type", "period").agg(sum("cnt").as("total"))
+    val share = when(col("total") > 0,
+      col("cnt").cast("double") / col("total").cast("double")).otherwise(lit(0.0))
+    val shares = dense.join(broadcast(totals), Seq("event_type", "period"))
+      .select(col("event_type"), col("bin"), col("period"), col("total"),
+        greatest(share, lit(PsiEps)).as("p"))
+    val p = col("base.p"); val q = col("cur.p")
+    shares.where(col("period") === "base").as("base")
+      .join(shares.where(col("period") === "cur").as("cur"),
+        col("base.event_type") === col("cur.event_type") &&
+          col("base.bin") === col("cur.bin"))
+      .select(col("base.event_type").as("event_type"),
+        col("base.total").as("n_base"), col("cur.total").as("n_cur"),
+        ((p - q) * log(p / q)).cast("decimal(28,12)").as("term"))
+      .groupBy("event_type", "n_base", "n_cur")
+      .agg(round(sum(col("term")).cast("double"), 6).as("psi"))
+  }
+
+  val psiDriftSql: String =
+    s"""WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+       |    FROM events WHERE value IS NOT NULL),
+       |sp AS (SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2 AS INTEGER)
+       |    AS split_day FROM base),
+       |counts AS (SELECT event_type,
+       |    CASE WHEN day < split_day THEN 'base' ELSE 'cur' END AS period,
+       |    least(greatest(CAST(floor(value / $PsiBinWidth) AS BIGINT), 0), ${PsiBins - 1}) AS bin,
+       |    count(*) AS cnt
+       |  FROM base CROSS JOIN sp GROUP BY 1, 2, 3),
+       |spine AS (SELECT t.event_type, p.period, b.bin
+       |  FROM (SELECT DISTINCT event_type FROM counts) t,
+       |       (SELECT unnest(range($PsiBins)) AS bin) b,
+       |       (SELECT unnest(['base', 'cur']) AS period) p),
+       |dense AS (SELECT s.event_type, s.period, s.bin, coalesce(c.cnt, 0) AS cnt
+       |  FROM spine s LEFT JOIN counts c
+       |    ON s.event_type = c.event_type AND s.period = c.period AND s.bin = c.bin),
+       |tot AS (SELECT event_type, period, CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM dense GROUP BY 1, 2),
+       |sh AS (SELECT d.event_type, d.bin, d.period, t.total,
+       |    greatest(CASE WHEN t.total > 0
+       |      THEN CAST(d.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) ELSE 0.0 END, $PsiEps) AS p
+       |  FROM dense d JOIN tot t ON d.event_type = t.event_type AND d.period = t.period)
+       |SELECT b.event_type, b.total AS n_base, c.total AS n_cur,
+       |  round(CAST(sum(CAST((b.p - c.p) * ln(b.p / c.p) AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+       |FROM sh b JOIN sh c ON b.event_type = c.event_type AND b.bin = c.bin
+       |WHERE b.period = 'base' AND c.period = 'cur'
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------- q104 seasonal volume anomaly
+  /** |z| threshold above which a day is flagged. */
+  val AnomalyZ = 2.0
+
+  /** Q104: seasonality-aware volume anomalies — per (event_type, day),
+    * the z-score of that day's event count against the SAME
+    * day-of-week's baseline (mean/stddev over the whole window), so a
+    * quiet Sunday isn't flagged just for being Sunday. Days where
+    * |z| &gt; [[AnomalyZ]] are anomalies; a constant series (σ = 0) or
+    * a 1-day baseline yields NULL z and never flags.
+    *
+    * Determinism: daily counts and the baseline's Σx/Σx² moments are
+    * exact integers; mean, variance, sqrt, and the z division are each
+    * single correctly-rounded IEEE ops in a pinned order, so Spark and
+    * the oracle compute bit-identical doubles (the q58/q91 moments
+    * argument), THEN round to 6 decimals for the report.
+    *
+    * Scale shape: one map-side-combined (type, day) count whose key
+    * space is bounded by the calendar, a (type, dow) baseline rollup
+    * of ≤ 7×|types| rows, and a broadcast join back. No windows, no
+    * per-row state. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomalyOn(events(spark, dir))
+
+  private[operators] def seasonalAnomalyOn(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val baseline = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum("cnt").as("s1"), sum(col("cnt") * col("cnt")).as("s2"))
+    val n = col("n_days").cast("double")
+    val mu = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) / (n - lit(1.0))
+    val sigma = when(col("n_days") > 1, sqrt(greatest(variance, lit(0.0))))
+    val z = when(sigma > 0, (col("cnt").cast("double") - mu) / sigma)
+    daily.join(broadcast(baseline), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("cnt"),
+        round(mu, 6).as("mu"), round(sigma, 6).as("sigma"),
+        round(z, 6).as("z"),
+        coalesce(abs(round(z, 6)) > lit(AnomalyZ), lit(false)).as("is_anomaly"))
+  }
+
+  val seasonalAnomalySql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |d AS (SELECT event_type, day, CAST(dayofweek(day) + 1 AS BIGINT) AS dow, cnt FROM daily),
+       |b AS (SELECT event_type, dow, count(*) AS n_days,
+       |    sum(cnt) AS s1, sum(cnt * cnt) AS s2 FROM d GROUP BY 1, 2),
+       |j AS (SELECT d.event_type, d.day, d.dow, d.cnt,
+       |    CAST(b.s1 AS DOUBLE) / CAST(b.n_days AS DOUBLE) AS mu,
+       |    CASE WHEN b.n_days > 1 THEN sqrt(greatest(
+       |      (CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+       |        / CAST(b.n_days AS DOUBLE)) / (CAST(b.n_days AS DOUBLE) - 1.0), 0.0)) END AS sigma
+       |  FROM d JOIN b ON d.event_type = b.event_type AND d.dow = b.dow)
+       |SELECT event_type, day, dow, cnt, round(mu, 6) AS mu, round(sigma, 6) AS sigma,
+       |  round(CASE WHEN sigma > 0 THEN (CAST(cnt AS DOUBLE) - mu) / sigma END, 6) AS z,
+       |  coalesce(abs(round(CASE WHEN sigma > 0 THEN (CAST(cnt AS DOUBLE) - mu) / sigma END, 6))
+       |    > $AnomalyZ, false) AS is_anomaly
+       |FROM j""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_psi_drift" -> psiDrift _,
+    "q104_seasonal_anomaly" -> seasonalAnomaly _)
+
+  val oracles: Map[String, String] = Map(
+    "q103_psi_drift" -> psiDriftSql,
+    "q104_seasonal_anomaly" -> seasonalAnomalySql)
+}

@@ -420,13 +420,115 @@ object CurationQueries {
        |SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
        |FROM r WHERE rk <= $CapPerSource""".stripMargin
 
+  // ------------------------------------------------ q105 pad waste
+  /** Power-of-two length-bucket boundaries for batch padding; documents
+    * longer than the last bucket train truncated to it (chunking longer
+    * documents instead is q63's business — this operator audits the
+    * SHORT tail, where padding is the waste). */
+  val PadBuckets: Seq[Int] = Seq(32, 64, 128, 256, 512, 1024, 2048)
+
+  /** Q105: padding-waste audit for length-bucketed batching — every
+    * batching scheme pads each sequence to its bucket's boundary, and
+    * the fraction of padded positions is pure wasted compute. Per
+    * bucket: documents, real tokens (post-truncation), padded slots,
+    * and the waste ratio the batcher's bucket geometry produces.
+    * The number that decides whether [[PadBuckets]] needs re-tuning
+    * before a training run burns a cluster-month on pad tokens.
+    *
+    * Exactness: everything is integer until the single final division
+    * (the q58 moments argument), so the report is engine-identical.
+    *
+    * Scale shape: a narrow map-only bucket classification (a CASE
+    * chain — no sort, no histogram pass) into a map-side-combined
+    * aggregation with ≤ |[[PadBuckets]]| groups. One scan, one
+    * bounded-key shuffle. */
+  def padWaste(spark: SparkSession, dir: String): DataFrame =
+    padWasteOn(docs(spark, dir))
+
+  private[operators] def padWasteOn(docRel: DataFrame): DataFrame = {
+    val maxB = PadBuckets.last
+    val n = size(TextExprs.tokens(col("text")))
+    val bucket = PadBuckets.init.reverse.foldLeft(lit(maxB)) { (acc, b) =>
+      when(n <= b, b).otherwise(acc)
+    }
+    docRel
+      .select(bucket.cast("long").as("bucket"),
+        least(n, lit(maxB)).cast("long").as("used"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("used").as("tokens_used"))
+      .withColumn("tokens_padded", col("n_docs") * col("bucket"))
+      .select(col("bucket"), col("n_docs"), col("tokens_used"), col("tokens_padded"),
+        round((col("tokens_padded") - col("tokens_used")).cast("double")
+          / col("tokens_padded").cast("double"), 6).as("waste_ratio"))
+  }
+
+  val padWasteSql: String = {
+    val maxB = PadBuckets.last
+    val caseChain = PadBuckets.init
+      .map(b => s"WHEN n <= $b THEN $b").mkString(" ")
+    s"""WITH t AS (SELECT len(string_split(text, ' ')) AS n FROM documents),
+       |b AS (SELECT CAST(CASE $caseChain ELSE $maxB END AS BIGINT) AS bucket,
+       |    CAST(least(n, $maxB) AS BIGINT) AS used FROM t),
+       |g AS (SELECT bucket, count(*) AS n_docs, CAST(sum(used) AS BIGINT) AS tokens_used,
+       |    count(*) * bucket AS tokens_padded
+       |  FROM b GROUP BY 1)
+       |SELECT bucket, n_docs, tokens_used, tokens_padded,
+       |  round(CAST(tokens_padded - tokens_used AS DOUBLE)
+       |    / CAST(tokens_padded AS DOUBLE), 6) AS waste_ratio
+       |FROM g""".stripMargin
+  }
+
+  // ----------------------------------------- q106 score calibration
+  /** Q106: per-source score calibration — a raw quality score (q97's
+    * character entropy) is not comparable ACROSS sources: wiki text and
+    * web scrape have different entropy baselines, so one global
+    * threshold over-filters one source and under-filters the other.
+    * The standard fix is rank normalization: each document's
+    * percent_rank WITHIN its source, giving every source a uniform
+    * [0,1] calibrated score — "keep the top 60% of each source" becomes
+    * one global predicate on `pct`.
+    *
+    * Determinism: percent_rank is (rank−1)/(n−1) over the 6-decimal
+    * rounded entropy — ties share a rank in both engines, and the one
+    * division is a pinned IEEE op; n=1 sources get 0.0 by definition.
+    *
+    * Scale shape: q97's bounded-key entropy aggregation, a broadcast
+    * doc_id→source join back to the (tiny, pre-aggregated) per-doc
+    * relation, then ONE rank window partitioned by source — per-source
+    * partitions sort only their own rows, AQE splits a hot source, and
+    * the two-phase TopK swap-in (q96's note) applies if a single
+    * source ever dwarfs an executor. */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame =
+    scoreCalibrationOn(docs(spark, dir))
+
+  private[operators] def scoreCalibrationOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ent = TextQueries.charEntropyOn(docRel)
+      .select(col("doc_id"), col("entropy"))
+    val w = Window.partitionBy("source").orderBy("entropy")
+    docRel.select(col("doc_id"), col("source"))
+      .join(ent, "doc_id")
+      .select(col("doc_id"), col("source"), col("entropy"),
+        count(lit(1)).over(Window.partitionBy("source")).as("n_source"),
+        round(percent_rank().over(w), 6).as("pct"))
+  }
+
+  val scoreCalibrationSql: String =
+    s"""WITH e AS (${TextQueries.charEntropySql})
+       |SELECT d.doc_id, d.source, e.entropy,
+       |  count(*) OVER (PARTITION BY d.source) AS n_source,
+       |  round(percent_rank() OVER (PARTITION BY d.source ORDER BY e.entropy), 6) AS pct
+       |FROM documents d JOIN e ON d.doc_id = e.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_curation" -> curation _,
     "q61_token_histogram" -> tokenHistogram _,
     "q63_chunks" -> chunk _,
     "q75_training_units" -> trainingUnits _,
     "q85_cdc_chunks" -> cdcChunks _,
-    "q96_source_cap" -> sourceCap _)
+    "q96_source_cap" -> sourceCap _,
+    "q105_pad_waste" -> padWaste _,
+    "q106_score_calibration" -> scoreCalibration _)
 
   val oracles: Map[String, String] = Map(
     "q60_curation" -> curationSql,
@@ -434,5 +536,7 @@ object CurationQueries {
     "q63_chunks" -> chunkSql,
     "q75_training_units" -> trainingUnitsSql,
     "q85_cdc_chunks" -> cdcChunksSql,
-    "q96_source_cap" -> sourceCapSql)
+    "q96_source_cap" -> sourceCapSql,
+    "q105_pad_waste" -> padWasteSql,
+    "q106_score_calibration" -> scoreCalibrationSql)
 }

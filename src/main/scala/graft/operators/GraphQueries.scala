@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Caches, Tables}
+
+/** Whole-graph iterative analytics — the rank side of the graph story
+  * whose connectivity side is [[GraphOps]] (q42). Where connected
+  * components answers "which nodes belong together", PageRank answers
+  * "which nodes matter" — the canonical importance prior for crawl
+  * scheduling and corpus weighting (a web-scale curation pipeline ranks
+  * domains by link authority before deciding crawl/keep budgets).
+  */
+object GraphQueries {
+
+  /** Damping factor (the standard 0.85 of Page et al., "The PageRank
+    * Citation Ranking", 1999). */
+  val Damping = 0.85
+
+  /** Fixed iteration count — the oracle is an unrolled SQL CTE chain,
+    * so the count is part of the query contract. Production runs
+    * iterate to an L1 tolerance instead; the loop body is identical. */
+  val Iterations = 3
+
+  /** Q107: PageRank over the order↔part co-purchase graph — each
+    * distinct (order, part) line becomes an undirected edge between an
+    * `o…` and a `p…` node, and [[Iterations]] rounds of
+    * r ← (1−d)/N + d·Σ r(src)/outdeg(src) score every node. Because
+    * edges are bidirectional, every node has out-degree ≥ 1 — there are
+    * no dangling nodes, no leaked mass, and Σ rank stays exactly 1
+    * (PageRankSpec pins this within decimal-truncation dust).
+    *
+    * Determinism: each node's incoming contributions are doubles cast
+    * to DECIMAL(28,12) BEFORE the sum (exact, associative — the
+    * q91/q93 float-agg pattern at rank precision), and the per-round
+    * finish (1−d)/N + d·s is a pinned sequence of correctly-rounded
+    * IEEE ops — Spark and the oracle produce bit-identical ranks, THEN
+    * round to 10 decimals for the report.
+    *
+    * Scale shape: the weighted edge relation (src, dst, outdeg) is
+    * built ONCE, hash-partitioned by src, and persisted — every
+    * iteration reuses that layout for its ranks⋈edges equi-join, so a
+    * round costs one join plus one groupBy(dst) shuffle over the EDGE
+    * relation (never the corpus), and N arrives as a broadcast 1-row
+    * aggregate, not a driver collect. Rank relations are checkpoint-
+    * free here (3 unrolled rounds keep the plan shallow); a
+    * tolerance-driven production loop adds [[GraphOps]]'s per-round
+    * `localCheckpoint` lineage cut and nothing else changes. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOn(Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  /** PageRank on the bipartite graph of `pairs`' two columns (left
+    * nodes prefixed `o`, right nodes prefixed `p`). */
+  private[operators] def pageRankOn(pairs: DataFrame): DataFrame = {
+    val Seq(lc, rc) = pairs.columns.toSeq.take(2)
+    val fwd = pairs.select(
+      concat(lit("o"), col(lc).cast("string")).as("src"),
+      concat(lit("p"), col(rc).cast("string")).as("dst")).distinct()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) partitioned by the join key once, reused every round.
+    val wedges = Caches.persistTracked(
+      edges.join(deg, "src").repartition(col("src")))
+    val nRel = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nRel))
+      .select(col("src").as("node"),
+        (lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to Iterations) {
+      ranks = wedges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          (col("r") / col("outdeg").cast("double")).cast("decimal(28,12)").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .crossJoin(broadcast(nRel))
+        .select(col("dst").as("node"),
+          (lit(1.0 - Damping) / col("n").cast("double") +
+            lit(Damping) * col("s").cast("double")).as("r"))
+    }
+    ranks.select(col("node"), round(col("r"), 10).as("rank"))
+  }
+
+  val pageRankSql: String = {
+    def round_(k: Int): String =
+      s"""r$k AS (SELECT e.dst AS node,
+         |    ${1.0 - Damping} / CAST(n.n AS DOUBLE)
+         |      + $Damping * CAST(sum(CAST(r.r / CAST(e.outdeg AS DOUBLE)
+         |          AS DECIMAL(28,12))) AS DOUBLE) AS r
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node CROSS JOIN n
+         |  GROUP BY e.dst, n.n)""".stripMargin
+    s"""WITH f AS (SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+       |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+       |ed AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+       |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY 1),
+       |e AS (SELECT ed.src, ed.dst, deg.outdeg FROM ed JOIN deg ON ed.src = deg.src),
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT src AS node, 1.0 / CAST(n.n AS DOUBLE) AS r FROM deg CROSS JOIN n),
+       |${(1 to Iterations).map(round_).mkString(",\n")}
+       |SELECT node, round(r, 10) AS rank FROM r$Iterations""".stripMargin
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_pagerank" -> pageRank _)
+
+  val oracles: Map[String, String] = Map(
+    "q107_pagerank" -> pageRankSql)
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Hand-computed semantics for the audit/graph operator batch — the
+  * cases the uniform sf0.01 oracle diff can't stress: exact PSI values
+  * for identical and fully-shifted distributions (q103), a z-score
+  * boundary that only a correct (n−1) variance hits (q104), padding
+  * bucket boundaries and the truncation cap (q105), percent_rank tie
+  * and single-row-partition conventions (q106), and a 3-iteration
+  * PageRank a star graph makes checkable by hand (q107).
+  */
+class PipelineAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: String): Timestamp = Timestamp.valueOf(s"$day 12:00:00")
+
+  // ----------------------------------------------------------- q103
+  private def psiOf(rows: Seq[(String, Timestamp, Double)]) = {
+    val out = AuditQueries.psiDriftOn(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    graft.core.Caches.releaseAll()
+    out
+  }
+
+  test("q103: identical base/cur distributions give PSI exactly 0; full shift gives the closed-form max") {
+    // Window 2026-01-01..01-04 → split day 01-02: day 1 is base, days 2-4 cur.
+    val steady = for {
+      day <- Seq("2026-01-01", "2026-01-02", "2026-01-03", "2026-01-04")
+      v <- Seq(50.0, 150.0, 250.0)
+    } yield ("steady", ts(day), v)
+    // shifted: base mass all in bin 0, cur mass all in bin 9.
+    val shifted = Seq(
+      ("shifted", ts("2026-01-01"), 50.0),
+      ("shifted", ts("2026-01-02"), 950.0),
+      ("shifted", ts("2026-01-03"), 950.0))
+    val got = psiOf(steady ++ shifted)
+    val (nb, nc, psiSteady) = got("steady")
+    assert((nb, nc) == ((3L, 9L)))
+    assert(psiSteady == 0.0, s"equal shares must cancel exactly, got $psiSteady")
+    // Two nonzero terms, symmetric: (1−ε)·ln(1/ε) + (ε−1)·ln(ε/1).
+    val eps = AuditQueries.PsiEps
+    val expected = 2.0 * (1.0 - eps) * math.log(1.0 / eps)
+    val psiShifted = got("shifted")._3
+    assert(math.abs(psiShifted - expected) < 1e-6, s"$psiShifted vs $expected")
+  }
+
+  test("q103: out-of-range values clamp into edge bins instead of vanishing") {
+    val got = psiOf(Seq(
+      ("t", ts("2026-01-01"), -500.0), ("t", ts("2026-01-01"), 99999.0),
+      ("t", ts("2026-01-03"), -500.0), ("t", ts("2026-01-03"), 99999.0)))
+    // Same clamped bins {0, 9} with the same shares on both sides → 0 drift.
+    assert(got("t") == ((2L, 2L, 0.0)))
+  }
+
+  // ----------------------------------------------------------- q104
+  test("q104: day-of-week baseline flags the spike, spares the same count on its own merits") {
+    // Ten consecutive Mondays: nine 10-event days and one 100-event day.
+    // Baseline: n=10, Σ=190, Σ²=10900 → µ=19, σ²=(10900−3610)/9=810,
+    // σ=28.4605 → z(100)=2.8460 (anomaly), z(10)=−0.3162 (not).
+    val mondays = (0 until 10)
+      .map(k => java.time.LocalDate.parse("2026-01-05").plusDays(7L * k).toString)
+    val rows = mondays.zipWithIndex.flatMap { case (d, i) =>
+      Seq.fill(if (i == 9) 100 else 10)(("purchase", ts(d)))
+    }
+    val got = AuditQueries.seasonalAnomalyOn(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getLong(3), r.getDouble(6), r.getBoolean(7))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(mondays.last) == ((100L, 2.84605, true)))
+    val (cnt, z, flagged) = got(mondays.head)
+    assert(cnt == 10L && !flagged && math.abs(z - -0.316228) < 1e-9)
+  }
+
+  test("q104: constant series (sigma 0) and 1-day baselines never flag — z is NULL, not a crash") {
+    val rows = Seq.fill(5)(("flat", ts("2026-01-05"))) ++
+      Seq.fill(5)(("flat", ts("2026-01-12"))) ++ // two equal Mondays → σ=0
+      Seq(("lone", ts("2026-01-06"))) // a single Tuesday → n_days=1
+    val got = AuditQueries.seasonalAnomalyOn(rows.toDF("event_type", "ts"))
+      .select("event_type", "z", "is_anomaly").collect()
+      .map(r => (r.getString(0), r.isNullAt(1), r.getBoolean(2)))
+    graft.core.Caches.releaseAll()
+    assert(got.forall { case (_, zNull, flagged) => zNull && !flagged })
+  }
+
+  // ----------------------------------------------------------- q105
+  test("q105: bucket boundaries are inclusive, the overflow tail truncates to the cap") {
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    val got = CurationQueries.padWasteOn(
+      Seq(doc(1, 32), doc(2, 33), doc(3, 5000)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(32L) == ((1L, 32L, 32L)))    // exactly-at-boundary: zero waste
+    assert(got(64L) == ((1L, 33L, 64L)))    // one past: next bucket
+    assert(got(2048L) == ((1L, 2048L, 2048L))) // 5000 tokens truncate to the cap
+  }
+
+  test("q105: waste ratio is the padded-minus-used share") {
+    val got = CurationQueries.padWasteOn(
+      Seq((1L, Seq.fill(16)("w").mkString(" "))).toDF("doc_id", "text"))
+      .collect().head
+    graft.core.Caches.releaseAll()
+    assert(got.getLong(0) == 32L && got.getDouble(4) == 0.5)
+  }
+
+  // ----------------------------------------------------------- q106
+  test("q106: per-source percent_rank — ties share a rank, a 1-doc source gets 0") {
+    val docs = Seq(
+      (1L, "aaaaaaaa", "web"),  // entropy 0 — rank floor of `web`
+      (2L, "abababab", "web"),  // entropy 1
+      (3L, "babababa", "web"),  // entropy 1 — tie with doc 2
+      (4L, "abcdabcd", "web"),  // entropy 2 — rank ceiling
+      (5L, "whatever", "wiki")  // alone in its source
+    ).toDF("doc_id", "text", "source")
+    val got = CurationQueries.scoreCalibrationOn(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, 0.333333)) && got(3L) == ((4L, 0.333333)))
+    assert(got(4L) == ((4L, 1.0)))
+    assert(got(5L) == ((1L, 0.0)))
+  }
+
+  // ----------------------------------------------------------- q107
+  private def ranksOf(pairs: Seq[(Long, Long)]): Map[String, Double] = {
+    val out = GraphQueries.pageRankOn(pairs.toDF("l_orderkey", "l_partkey"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.core.Caches.releaseAll()
+    out
+  }
+
+  test("q107: star graph ranks match the hand-unrolled 3 iterations; mass is conserved") {
+    // o1—p1, o1—p2: N=3, deg(o1)=2, deg(p)=1.
+    // r1 = (0.6166667, 0.1916667²), r2 = (0.3758333, 0.3120833²),
+    // r3 = (0.5805417, 0.2097292²).
+    val got = ranksOf(Seq((1L, 1L), (1L, 2L)))
+    assert(math.abs(got("o1") - 0.5805417) < 1e-6, got.toString)
+    assert(math.abs(got("p1") - 0.2097292) < 1e-6)
+    assert(got("p1") == got("p2"), "symmetric leaves must tie exactly")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "no dangling mass on a bidirected graph")
+  }
+
+  test("q107: a single edge is a fixed point — both endpoints hold rank 1/2") {
+    val got = ranksOf(Seq((7L, 9L)))
+    assert(got == Map("o7" -> 0.5, "p9" -> 0.5))
+  }
+
+  test("q107: duplicate (order, part) lines collapse to one edge") {
+    val got = ranksOf(Seq((1L, 1L), (1L, 1L), (1L, 2L)))
+    assert(math.abs(got("o1") - 0.5805417) < 1e-6,
+      "re-listed line items must not double an edge's weight")
+  }
+}

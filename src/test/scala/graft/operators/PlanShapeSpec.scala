@@ -260,4 +260,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"no pair enumeration in segment dedup:\n$p")
   }
+
+  test("q103: the split day and period totals are broadcast joins over a bounded-key agg") {
+    val df = AuditQueries.psiDrift(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"split-day and totals must broadcast, never shuffle the counts:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the (type, period, bin) count must partial-aggregate map-side:\n$p")
+  }
+
+  test("q104: the dow baseline joins back as a broadcast — daily counts never re-shuffle") {
+    val df = AuditQueries.seasonalAnomaly(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤7×|types| baseline must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"baseline join must not SMJ:\n$p")
+  }
+
+  test("q105: pad-waste is one bounded-key aggregation — no sort, no window, no join") {
+    val p = plan(CurationQueries.padWaste(spark, Dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bucket rollup must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the CASE-chain classifier needs no window or join:\n$p")
+  }
+
+  test("q107: every PageRank round reuses the persisted edge partitioning — no per-round edge re-shuffle") {
+    val df = GraphQueries.pageRank(spark, Dir)
+    df.count()
+    val p = plan(df)
+    // The weighted-edge relation is built and partitioned once
+    // (InMemoryTableScan); rounds must read the cache, not rebuild it.
+    assert("InMemoryTableScan".r.findAllIn(p).size >= GraphQueries.Iterations,
+      s"each round must read the persisted edges:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"rank propagation is an equi-join, never a cross product:\n$p")
+    graft.core.Caches.releaseAll()
+  }
 }
