@@ -68,15 +68,27 @@ object DataQuality {
       .withColumn("pass", col("violations") === 0L)
   }
 
-  /** Referential integrity: child keys with no parent (anti-join count).
+  /** Referential integrity as a LAZY 1-row relation (check, violations,
+    * pass): child keys with no parent, counted by an anti join. Staying
+    * lazy matters — the suite unions this with the single-scan checks
+    * into ONE plan, so a caller's action runs everything as one job
+    * instead of paying an eager driver-side count at build time.
     * Sides are renamed before the join — with the common FK convention
     * of identically-named key columns, `col(childKey) === col(parentKey)`
     * would be an ambiguous reference and fail analysis. */
-  def orphans(child: DataFrame, childKey: String, parent: DataFrame, parentKey: String): Long =
+  def referential(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame =
     child.select(col(childKey).as("__child_key"))
       .join(parent.select(col(parentKey).as("__parent_key")),
         col("__child_key") === col("__parent_key"), "left_anti")
-      .count()
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+
+  /** Eager convenience: the orphan count alone. */
+  def orphans(child: DataFrame, childKey: String, parent: DataFrame, parentKey: String): Long =
+    referential(child, childKey, parent, parentKey, "referential")
+      .select("violations").collect().head.getLong(0)
 
   /** Q38: the quality suite over the testdata star schema — column
     * nullability, key uniqueness, accepted values, value ranges, and
@@ -88,13 +100,10 @@ object DataQuality {
       Unique(Seq("event_id")),
       AcceptedValues("event_type", Seq("click", "error", "purchase", "signup", "view")),
       InRange("value", 0.0, 1000.0)))
-    val ri = orphans(
+    val riRow = referential(
       Tables(spark, dir, "lineitem"), "l_orderkey",
-      Tables(spark, dir, "orders"), "o_orderkey")
-    val riRow = spark.range(1).select(
-      lit("referential(lineitem.l_orderkey -> orders.o_orderkey)").as("check"),
-      lit(ri).as("violations"),
-      lit(ri == 0L).as("pass"))
+      Tables(spark, dir, "orders"), "o_orderkey",
+      "referential(lineitem.l_orderkey -> orders.o_orderkey)")
     evChecks.unionByName(riRow)
   }
 
