@@ -189,11 +189,78 @@ object AuditQueries {
        |    > $AnomalyZ, false) AS is_anomaly
        |FROM j""".stripMargin
 
+  // --------------------------------------- q111 Benford digit audit
+  /** Q111: Benford first-digit audit — fabricated or unit-mangled
+    * numeric feeds betray themselves in the leading-digit distribution
+    * (organic magnitudes follow P(d) = log10(1 + 1/d); a capped RNG or
+    * a hand-keyed column doesn't). Per (event_type, digit 1–9):
+    * observed count, observed share, the Benford expectation, and the
+    * absolute deviation. The digit spine is DENSE — absent digits
+    * report 0 observed, full deviation — because "digit 7 never
+    * occurs" is precisely the anomaly.
+    *
+    * The first digit comes from INTEGER arithmetic, not log10 tricks:
+    * v6 = round(value·10⁶) (one IEEE multiply + a half-up round — both
+    * engines agree on identical doubles), then the first character of
+    * v6's decimal string. Values rounding to 0 are excluded with the
+    * nulls and negatives (no leading digit to audit).
+    *
+    * Scale shape: identical to q103 — a narrow scan into a
+    * map-side-combined (type, digit) count (≤ 9·|types| keys), a
+    * dense-spine broadcast join, broadcast per-type totals. */
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    benfordOn(events(spark, dir))
+
+  private[operators] def benfordOn(ev: DataFrame): DataFrame = {
+    val v6 = round(col("value") * lit(1000000.0)).cast("long")
+    val counts = ev
+      .where(col("value").isNotNull && col("value") > 0)
+      .select(col("event_type"), v6.as("v6"))
+      .where(col("v6") > 0)
+      .select(col("event_type"),
+        substring(col("v6").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+    val spine = counts.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(1L), lit(9L))).as("digit"))
+    val dense = spine.join(counts, Seq("event_type", "digit"), "left")
+      .select(col("event_type"), col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val totals = dense.groupBy("event_type").agg(sum("n").as("total"))
+    val obs = col("n").cast("double") / col("total").cast("double")
+    val expShare = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    dense.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("digit"), col("n"),
+        round(obs, 6).as("obs_share"),
+        round(expShare, 6).as("exp_share"),
+        round(abs(obs - expShare), 6).as("abs_dev"))
+  }
+
+  val benfordSql: String =
+    """WITH v AS (SELECT event_type, CAST(round(value * 1000000.0) AS BIGINT) AS v6
+      |  FROM events WHERE value IS NOT NULL AND value > 0),
+      |d AS (SELECT event_type,
+      |    CAST(substr(CAST(v6 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM v WHERE v6 > 0),
+      |c AS (SELECT event_type, digit, count(*) AS n FROM d GROUP BY 1, 2),
+      |spine AS (SELECT t.event_type, g.digit
+      |  FROM (SELECT DISTINCT event_type FROM c) t,
+      |       (SELECT unnest(range(1, 10)) AS digit) g),
+      |dense AS (SELECT s.event_type, s.digit, coalesce(c.n, 0) AS n
+      |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.digit = c.digit),
+      |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM dense GROUP BY 1)
+      |SELECT d.event_type, d.digit, d.n,
+      |  round(CAST(d.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS obs_share,
+      |  round(log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE)), 6) AS exp_share,
+      |  round(abs(CAST(d.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+      |    - log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE))), 6) AS abs_dev
+      |FROM dense d JOIN tot t USING (event_type)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_psi_drift" -> psiDrift _,
-    "q104_seasonal_anomaly" -> seasonalAnomaly _)
+    "q104_seasonal_anomaly" -> seasonalAnomaly _,
+    "q111_benford" -> benford _)
 
   val oracles: Map[String, String] = Map(
     "q103_psi_drift" -> psiDriftSql,
-    "q104_seasonal_anomaly" -> seasonalAnomalySql)
+    "q104_seasonal_anomaly" -> seasonalAnomalySql,
+    "q111_benford" -> benfordSql)
 }

@@ -267,14 +267,20 @@ object CorpusQueries {
   def segmentDedup(spark: SparkSession, dir: String): DataFrame =
     segmentDedupOn(docs(spark, dir))
 
-  private[operators] def segmentDedupOn(docRel: DataFrame): DataFrame = {
+  /** (doc_id, idx, seg): every document cut into [[SegWords]]-word
+    * segments — the shared front of q92 and q108. */
+  private def segmentsOf(docRel: DataFrame): DataFrame = {
     val nseg = ceil(size(col("ws")).cast("double") / SegWords).cast("int")
-    val segs = docRel
+    docRel
       .select(col("doc_id"), TextExprs.tokens(col("text")).as("ws"))
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nseg - 1),
           i => concat_ws(" ", slice(col("ws"), i * SegWords + 1, lit(SegWords))))))
       .withColumnsRenamed(Map("pos" -> "idx", "col" -> "seg"))
+  }
+
+  private[operators] def segmentDedupOn(docRel: DataFrame): DataFrame = {
+    val segs = segmentsOf(docRel)
     val firstWins = Window.partitionBy("seg").orderBy("doc_id", "idx")
     segs
       .withColumn("rn", row_number().over(firstWins))
@@ -306,13 +312,71 @@ object CorpusQueries {
        |  md5(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE rn = 1)) AS kept_md5
        |FROM r GROUP BY 1""".stripMargin
 
+  // ------------------------------------------ q108 boilerplate strip
+  /** Distinct-document frequency at or above which a segment is
+    * boilerplate. */
+  private val BoilerplateDf = 3
+
+  /** Q108: corpus-frequency boilerplate removal — the OTHER half of the
+    * C4 recipe next to q92's first-occurrence dedup. A segment that
+    * appears in ≥ [[BoilerplateDf]] distinct documents (cookie banners,
+    * nav chrome, license footers) is template noise, and EVERY copy is
+    * removed — including the first, which is exactly where this differs
+    * from q92 (dedup keeps one canonical copy; boilerplate stripping
+    * keeps none). Per document: segments, removed count, and the
+    * fingerprint of the surviving reassembled text.
+    *
+    * Scale shape: one groupBy(seg) for the document-frequency relation
+    * (per-group cost = the duplicate count, same argument as q92), one
+    * join back on seg, one groupBy(doc) to reassemble. Linear in corpus
+    * segments, no pair enumeration — runs corpus-wide at 100 TB as a
+    * standard pre-dedup pass. The df relation is also broadcastable
+    * when the boilerplate vocabulary is known-small; left as a hash
+    * join so AQE decides from real sizes. */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    boilerplateStripOn(docs(spark, dir))
+
+  private[operators] def boilerplateStripOn(docRel: DataFrame): DataFrame = {
+    val segs = segmentsOf(docRel)
+    val df = segs.groupBy("seg")
+      .agg(countDistinct(col("doc_id")).as("seg_df"))
+    segs.join(df, "seg")
+      .withColumn("drop", col("seg_df") >= BoilerplateDf)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"),
+        array_sort(collect_list(when(!col("drop"), struct(col("idx"), col("seg")))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_seg"), col("n_removed"),
+        when(col("n_seg") > col("n_removed"),
+          md5(array_join(transform(col("kept"), x => x.getField("seg")), " ")
+            .cast("binary"))).as("kept_md5"))
+  }
+
+  val boilerplateStripSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |x AS (SELECT doc_id, ws,
+       |    unnest(range(CAST(ceil(len(ws) / $SegWords.0) AS BIGINT))) AS i FROM w),
+       |s AS (SELECT doc_id, i AS idx,
+       |    array_to_string(list_slice(ws, i * $SegWords + 1, i * $SegWords + $SegWords), ' ') AS seg
+       |  FROM x),
+       |f AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM s GROUP BY 1),
+       |j AS (SELECT s.doc_id, s.idx, s.seg, f.seg_df >= $BoilerplateDf AS drop
+       |  FROM s JOIN f ON s.seg = f.seg)
+       |SELECT doc_id, count(*) AS n_seg,
+       |  CAST(sum(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE NOT drop)) AS kept_md5
+       |FROM j GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_contamination" -> contamination _,
     "q49_packing" -> packing _,
     "q50_scrub" -> scrub _,
     "q51_repetition" -> repetition _,
     "q90_dup_coverage" -> dupCoverage _,
-    "q92_segment_dedup" -> segmentDedup _)
+    "q92_segment_dedup" -> segmentDedup _,
+    "q108_boilerplate" -> boilerplateStrip _)
 
   val oracles: Map[String, String] = Map(
     "q48_contamination" -> contaminationSql,
@@ -320,5 +384,6 @@ object CorpusQueries {
     "q50_scrub" -> scrubSql,
     "q51_repetition" -> repetitionSql,
     "q90_dup_coverage" -> dupCoverageSql,
-    "q92_segment_dedup" -> segmentDedupSql)
+    "q92_segment_dedup" -> segmentDedupSql,
+    "q108_boilerplate" -> boilerplateStripSql)
 }

@@ -67,11 +67,55 @@ object SessionQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY ROLLUP (event_type, user_bucket)""".stripMargin
 
+  // -------------------------------------- q110 Markov transitions
+  /** Q110: first-order Markov transition matrix over each user's event
+    * stream — P(next event_type | current event_type), the behavioral
+    * model behind "what do users do after an error?" dashboards and
+    * next-event features. Streams order by (ts, event_id) — the unique
+    * id breaks timestamp ties, so the pairing is deterministic at any
+    * partitioning. Probabilities are per-from-state shares: n /
+    * Σ_to n, one pinned IEEE division over exact integer counts.
+    *
+    * Scale shape: ONE shuffle by user_id for the lag window (per-user
+    * partitions sort only their own events), a map-side-combined count
+    * whose key space is |types|² (bounded), and a broadcast join of
+    * the |types|-row totals. The window never sees a global sort. */
+  def q110Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsOn(Tables(spark, dir, "events"))
+
+  private[operators] def transitionsOn(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("from_total"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("from_total").cast("double"), 6).as("p"))
+  }
+
+  val q110Sql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |c AS (SELECT from_type, event_type AS to_type, count(*) AS n
+      |  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_total FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  round(CAST(c.n AS DOUBLE) / CAST(t.from_total AS DOUBLE), 6) AS p
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_session_window" -> q28SessionWindow _,
-    "q29_rollup" -> q29Rollup _)
+    "q29_rollup" -> q29Rollup _,
+    "q110_transitions" -> q110Transitions _)
 
   val oracles: Map[String, String] = Map(
     "q28_session_window" -> q28Sql,
+    "q110_transitions" -> q110Sql,
     "q29_rollup" -> q29Sql)
 }

@@ -335,8 +335,89 @@ object TemporalQueries {
        |  least(s1, i1) - greatest(s0, i0) AS overlap_secs
        |FROM isl JOIN inc ON s0 < i1 AND i0 < s1""".stripMargin
 
+  // ------------------------------------- q112 linear interpolation
+  /** Q112: linearly-interpolated gap fill — q69's spine with the THIRD
+    * fill convention: missing days take the straight line between the
+    * surrounding observations (LOCF answers "what was the state?",
+    * lerp answers "what was the level?" — the right call for rates and
+    * gauges). Days before a series' first observation or after its
+    * last stay NULL: extrapolation fabricates trend, and downstream
+    * feature code should see the absence.
+    *
+    * Determinism: observed dailies are DECIMAL-exact sums; the lerp
+    * prev + (next−prev)·Δ/Δtotal is a pinned sequence of
+    * correctly-rounded IEEE ops over exact inputs, rounded to 6 only
+    * for the report.
+    *
+    * Scale shape: q69's — a calendar-bounded spine, ONE window
+    * partitioning per series carrying both directions (the forward
+    * last-observation scan and the backward next-observation scan
+    * reuse the same exchange; only the frame differs), no self-joins
+    * against shifted copies. */
+  def q112Lerp(spark: SparkSession, dir: String): DataFrame =
+    lerpOn(Tables(spark, dir, "events"))
+
+  private[operators] def lerpOn(e: DataFrame): DataFrame = {
+    val daily = e.where(col("event_type") === "purchase")
+      .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
+        to_date(col("ts")).as("day"))
+      .agg(CoreQueries.decSum(col("value")).as("obs_revenue"))
+    val range = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val spine = daily.select(col("series_id")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("series_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val back = Window.partitionBy("series_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("series_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("obs_revenue").isNotNull, col("day"))
+    val prevVal = last(col("obs_revenue"), ignoreNulls = true).over(back)
+    val prevDay = last(obsDay, ignoreNulls = true).over(back)
+    val nextVal = first(col("obs_revenue"), ignoreNulls = true).over(fwd)
+    val nextDay = first(obsDay, ignoreNulls = true).over(fwd)
+    val frac = datediff(col("day"), col("p_day")).cast("double") /
+      datediff(col("n_day"), col("p_day")).cast("double")
+    spine.join(daily, Seq("series_id", "day"), "left")
+      .select(col("series_id"), col("day"), col("obs_revenue"),
+        prevVal.as("p_val"), prevDay.as("p_day"),
+        nextVal.as("n_val"), nextDay.as("n_day"))
+      .select(col("series_id"), col("day"), col("obs_revenue"),
+        round(
+          when(col("obs_revenue").isNotNull, col("obs_revenue"))
+            .otherwise(col("p_val") + (col("n_val") - col("p_val")) * frac),
+          6).as("revenue_lerp"))
+  }
+
+  val q112Sql: String =
+    s"""WITH daily AS (SELECT user_id % $SeriesBuckets AS series_id, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS obs_revenue
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |r AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+       |spine AS (SELECT series_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM (SELECT DISTINCT series_id FROM daily) CROSS JOIN r),
+       |j AS (SELECT s.series_id, s.day, d.obs_revenue FROM spine s
+       |  LEFT JOIN daily d ON s.series_id = d.series_id AND s.day = d.day),
+       |w AS (SELECT series_id, day, obs_revenue,
+       |    last_value(obs_revenue IGNORE NULLS) OVER wb AS p_val,
+       |    last_value(CASE WHEN obs_revenue IS NOT NULL THEN day END IGNORE NULLS) OVER wb AS p_day,
+       |    first_value(obs_revenue IGNORE NULLS) OVER wf AS n_val,
+       |    first_value(CASE WHEN obs_revenue IS NOT NULL THEN day END IGNORE NULLS) OVER wf AS n_day
+       |  FROM j
+       |  WINDOW wb AS (PARTITION BY series_id ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wf AS (PARTITION BY series_id ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT series_id, day, obs_revenue,
+       |  round(CASE WHEN obs_revenue IS NOT NULL THEN obs_revenue
+       |    ELSE p_val + (n_val - p_val)
+       |      * (CAST(date_diff('day', p_day, day) AS DOUBLE)
+       |         / CAST(date_diff('day', p_day, n_day) AS DOUBLE)) END, 6) AS revenue_lerp
+       |FROM w""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_gapfill" -> q69GapFill _,
+    "q112_lerp" -> q112Lerp _,
     "q83_intervals" -> q83Intervals _,
     "q89_sliding_distinct" -> q89SlidingDistinct _,
     "q91_trend" -> q91Trend _,
@@ -345,6 +426,7 @@ object TemporalQueries {
 
   val oracles: Map[String, String] = Map(
     "q69_gapfill" -> q69Sql,
+    "q112_lerp" -> q112Sql,
     "q83_intervals" -> q83Sql,
     "q89_sliding_distinct" -> q89Sql,
     "q91_trend" -> q91Sql,

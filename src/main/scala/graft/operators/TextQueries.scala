@@ -502,7 +502,68 @@ object TextQueries {
       |    / CAST(count(*) AS DOUBLE), 6) AS avg_logp
       |FROM bg JOIN model USING (bg) GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- q109 PMI collocations
+  /** Minimum pair occurrences before a PMI is trusted (rare-pair PMIs
+    * are pure noise — one co-occurrence of two rare words maxes the
+    * score). */
+  private val PmiMinCount = 5
+  private val PmiTopN = 50
+
+  /** Q109: collocation mining by pointwise mutual information — the
+    * pairs that co-occur far MORE than their token frequencies predict
+    * ("new york", "machine learning"), the standard phrase-detection
+    * pass before tokenizer training or n-gram features. PMI =
+    * ln(P(w₁w₂) / (P(w₁)·P(w₂))) = ln(c₁₂·T / (c₁·c₂)), with both
+    * marginals derived from the bigram counts themselves (first-/
+    * second-position sums — no corpus re-scan, q101's trick twice).
+    * Support-filtered at [[PmiMinCount]], top [[PmiTopN]] by rounded
+    * PMI with the pair string breaking ties.
+    *
+    * Scale shape: one explode into a uniform-keyed count (q84's
+    * front), two bounded aggregations OF the count relation for the
+    * marginals, broadcast-friendly joins back (vocab-sized), and a
+    * TakeOrderedAndProject cut — nothing corpus-sized ever sorts. */
+  def pmi(spark: SparkSession, dir: String): DataFrame =
+    pmiOn(Tables(spark, dir, "documents"))
+
+  private[operators] def pmiOn(docRel: DataFrame): DataFrame = {
+    val c12 = docRel
+      .select(TextExprs.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(TextExprs.shingles(col("w"), 2)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1))
+    val t = c12.agg(sum("c12").as("t"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))
+    c12.where(col("c12") >= PmiMinCount)
+      .join(c1, "w1").join(c2, "w2").crossJoin(broadcast(t))
+      .select(col("pair"), col("c12"), col("c1"), col("c2"),
+        round(log(col("c12").cast("double") * col("t").cast("double")
+          / (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("pair"))
+      .limit(PmiTopN)
+  }
+
+  val pmiSql: String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |x AS (SELECT ws, unnest(range(len(ws) - 1)) AS i FROM w WHERE len(ws) >= 2),
+       |p AS (SELECT ws[i + 1] || ' ' || ws[i + 2] AS pair,
+       |    ws[i + 1] AS w1, ws[i + 2] AS w2 FROM x),
+       |c AS (SELECT pair, min(w1) AS w1, min(w2) AS w2, count(*) AS c12 FROM p GROUP BY 1),
+       |t AS (SELECT CAST(sum(c12) AS BIGINT) AS t FROM c),
+       |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+       |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c GROUP BY 1)
+       |SELECT c.pair, c.c12, m1.c1, m2.c2,
+       |  round(ln(CAST(c.c12 AS DOUBLE) * CAST(t.t AS DOUBLE)
+       |    / (CAST(m1.c1 AS DOUBLE) * CAST(m2.c2 AS DOUBLE))), 6) AS pmi
+       |FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN t
+       |WHERE c.c12 >= $PmiMinCount
+       |ORDER BY pmi DESC, pair LIMIT $PmiTopN""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_pmi" -> pmi _,
     "q97_char_entropy" -> charEntropy _,
     "q100_oov_rate" -> oovRate _,
     "q101_bigram_lm" -> bigramLm _,
@@ -517,6 +578,7 @@ object TextQueries {
     "q84_pair_stats" -> pairStats _)
 
   val oracles: Map[String, String] = Map(
+    "q109_pmi" -> pmiSql,
     "q97_char_entropy" -> charEntropySql,
     "q100_oov_rate" -> oovRateSql,
     "q101_bigram_lm" -> bigramLmSql,

@@ -155,4 +155,107 @@ class PipelineAuditSpec extends SparkSpec {
     assert(math.abs(got("o1") - 0.5805417) < 1e-6,
       "re-listed line items must not double an edge's weight")
   }
+
+  // ----------------------------------------------------------- q108
+  private def md5Of(s: String): String = {
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  test("q108: a df>=3 segment is removed EVERYWHERE — including its first occurrence (contrast with q92)") {
+    val segA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val segB = (1 to 8).map(i => s"b$i").mkString(" ")
+    val got = CorpusQueries.boilerplateStripOn(Seq(
+      1L -> s"$segA $segB", 2L -> segA, 3L -> segA).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(1L) == ((2L, 1L, md5Of(segB))), "first occurrence must NOT survive")
+    assert(got(2L) == ((1L, 1L, null)) && got(3L) == ((1L, 1L, null)))
+  }
+
+  test("q108: a df=2 segment is below the threshold and survives in both documents") {
+    val segA = (1 to 8).map(i => s"a$i").mkString(" ")
+    val got = CorpusQueries.boilerplateStripOn(Seq(
+      1L -> segA, 2L -> segA).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(1L) == ((0L, md5Of(segA))) && got(2L) == ((0L, md5Of(segA))))
+  }
+
+  // ----------------------------------------------------------- q109
+  test("q109: PMI from in-pair marginals; the support floor drops the 4-count pair") {
+    // "a b a b a b a b a b": (a b)×5, (b a)×4 → T=9, c1(a)=5, c2(b)=5.
+    val text = Seq.fill(5)("a b").mkString(" ")
+    val got = TextQueries.pmiOn(Seq(1L -> text).toDF("doc_id", "text")).collect()
+    graft.core.Caches.releaseAll()
+    assert(got.length == 1, "only (a b) reaches the 5-occurrence floor")
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (("a b", 5L, 5L, 5L)))
+    assert(r.getDouble(4) == BigDecimal(math.log(5.0 * 9.0 / 25.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ----------------------------------------------------------- q110
+  test("q110: transitions count per ordered user stream; probabilities are per-from-state shares") {
+    def e(id: Long, u: Long, t: String, day: Int) =
+      (id, ts(f"2026-01-$day%02d"), u, t)
+    val rows = Seq(
+      e(1, 1, "view", 1), e(2, 1, "click", 2), e(3, 1, "purchase", 3), e(4, 1, "click", 4),
+      e(5, 2, "view", 1), e(6, 2, "click", 2),
+      e(7, 3, "click", 1), e(8, 3, "view", 2))
+    val got = SessionQueries.transitionsOn(
+      rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(("view", "click")) == ((2L, 1.0)))
+    assert(got(("click", "purchase")) == ((1L, 0.5)))
+    assert(got(("click", "view")) == ((1L, 0.5)))
+    assert(got(("purchase", "click")) == ((1L, 1.0)))
+    assert(got.size == 4)
+  }
+
+  test("q110: equal timestamps order by event_id, so the pairing is deterministic") {
+    val t0 = ts("2026-01-01")
+    val rows = Seq((1L, t0, 9L, "error"), (2L, t0, 9L, "view"))
+    val got = SessionQueries.transitionsOn(
+      rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    graft.core.Caches.releaseAll()
+    assert(got.toSeq == Seq(("error", "view")))
+  }
+
+  // ----------------------------------------------------------- q111
+  test("q111: digits are dense 1..9; zeros, negatives and sub-rounding values are excluded") {
+    val rows = Seq(
+      ("m", ts("2026-01-01"), 10.0), ("m", ts("2026-01-01"), 12.5),
+      ("m", ts("2026-01-01"), 199.0), ("m", ts("2026-01-01"), 900.0),
+      ("m", ts("2026-01-01"), -5.0), ("m", ts("2026-01-01"), 0.0),
+      ("m", ts("2026-01-01"), 4e-7)) // rounds to v6=0 → no leading digit
+    val got = AuditQueries.benfordOn(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3), r.getDouble(5))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got.keySet == (1L to 9L).toSet, "spine must be dense")
+    assert(got(1L)._1 == 3L && got(1L)._2 == 0.75)
+    assert(got(9L)._1 == 1L && got(9L)._2 == 0.25)
+    assert(got(2L) == ((0L, 0.0, 0.176091)), "absent digit: zero share, full Benford deviation")
+  }
+
+  // ----------------------------------------------------------- q112
+  test("q112: interior gaps interpolate linearly; beyond the endpoints stays NULL") {
+    val rows = Seq(
+      (1L, ts("2026-01-02"), 51L, "purchase", 10.0), // series 1 (51 % 50)
+      (2L, ts("2026-01-05"), 51L, "purchase", 40.0),
+      (3L, ts("2026-01-01"), 99L, "view", 0.0)) // widens the spine to 01-01
+    val got = TemporalQueries.lerpOn(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .where(col("series_id") === 1L)
+      .collect().map(r => r.getDate(1).toString ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got("2026-01-01").isEmpty, "no extrapolation before the first observation")
+    assert(got("2026-01-02").contains(10.0))
+    assert(got("2026-01-03").contains(20.0))
+    assert(got("2026-01-04").contains(30.0))
+    assert(got("2026-01-05").contains(40.0))
+  }
 }
