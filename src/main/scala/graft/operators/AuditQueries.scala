@@ -56,7 +56,7 @@ object AuditQueries {
   def psiDrift(spark: SparkSession, dir: String): DataFrame =
     psiDriftOn(events(spark, dir))
 
-  private[operators] def psiDriftOn(ev: DataFrame): DataFrame = {
+  private[graft] def psiDriftOn(ev: DataFrame): DataFrame = {
     val base = ev.where(col("value").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
     val split = base.agg(

@@ -337,7 +337,10 @@ object CorpusQueries {
     boilerplateStripOn(docs(spark, dir))
 
   private[operators] def boilerplateStripOn(docRel: DataFrame): DataFrame = {
-    val segs = segmentsOf(docRel)
+    // Persisted for the same reason as the q39 fingerprints: the segment
+    // relation feeds BOTH the df aggregation and the join-back — left
+    // lazy, the tokenize+slice segmentation runs twice (two corpus scans).
+    val segs = graft.core.Caches.persistTracked(segmentsOf(docRel))
     val df = segs.groupBy("seg")
       .agg(countDistinct(col("doc_id")).as("seg_df"))
     segs.join(df, "seg")

@@ -83,7 +83,7 @@ object SessionQueries {
   def q110Transitions(spark: SparkSession, dir: String): DataFrame =
     transitionsOn(Tables(spark, dir, "events"))
 
-  private[operators] def transitionsOn(ev: DataFrame): DataFrame = {
+  private[graft] def transitionsOn(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val counts = ev

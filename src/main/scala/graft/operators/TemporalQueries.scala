@@ -357,7 +357,7 @@ object TemporalQueries {
   def q112Lerp(spark: SparkSession, dir: String): DataFrame =
     lerpOn(Tables(spark, dir, "events"))
 
-  private[operators] def lerpOn(e: DataFrame): DataFrame = {
+  private[graft] def lerpOn(e: DataFrame): DataFrame = {
     val daily = e.where(col("event_type") === "purchase")
       .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
         to_date(col("ts")).as("day"))

@@ -527,13 +527,16 @@ object TextQueries {
     pmiOn(Tables(spark, dir, "documents"))
 
   private[operators] def pmiOn(docRel: DataFrame): DataFrame = {
-    val c12 = docRel
+    // Persisted: T, both marginals, and the final join all read this
+    // vocab-bounded relation — left lazy, each would re-run the corpus
+    // explode + count (4 corpus scans instead of 1).
+    val c12 = graft.core.Caches.persistTracked(docRel
       .select(TextExprs.tokens(col("text")).as("w"))
       .where(size(col("w")) >= 2)
       .select(explode(TextExprs.shingles(col("w"), 2)).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("pair"), " ", 1))
-      .withColumn("w2", substring_index(col("pair"), " ", -1))
+      .withColumn("w2", substring_index(col("pair"), " ", -1)))
     val t = c12.agg(sum("c12").as("t"))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val c2 = c12.groupBy("w2").agg(sum("c12").as("c2"))

@@ -72,4 +72,75 @@ class PropertySpec extends SparkSpec {
       assert(got(lid) == expect, s"left $lid key $k t $t")
     }
   }
+
+  test("property: PageRank conserves mass, floors at teleport, and ignores partitioning") {
+    val pairs = Seq.fill(300)((rnd.nextInt(100).toLong, rnd.nextInt(30).toLong)).distinct
+    val df = pairs.toDF("l_orderkey", "l_partkey")
+    val a = operators.GraphQueries.pageRankOn(df)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.core.Caches.releaseAll()
+    val b = operators.GraphQueries.pageRankOn(df.repartition(7))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.core.Caches.releaseAll()
+    val n = a.size
+    assert(math.abs(a.values.sum - 1.0) < 1e-7, s"mass leaked: ${a.values.sum}")
+    assert(a.values.forall(_ >= 0.15 / n - 1e-9), "every node keeps the teleport share")
+    assert(a == b, "the DECIMAL contribution sum must make ranks partition-independent")
+  }
+
+  test("property: Markov transition probabilities sum to 1 per from-state; pair count is rows minus users") {
+    val rows = (1 to 400).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-${1 + rnd.nextInt(28)}%02d 0${rnd.nextInt(10)}:00:00"),
+        rnd.nextInt(25).toLong, Seq("a", "b", "c", "d")(rnd.nextInt(4)))
+    }
+    val got = operators.SessionQueries.transitionsOn(
+      rows.toDF("event_id", "ts", "user_id", "event_type")).collect()
+    val users = rows.map(_._3).distinct.size
+    assert(got.map(_.getLong(2)).sum == 400L - users,
+      "every event after a user's first contributes exactly one transition")
+    got.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val sp = rs.map(_.getDouble(3)).sum
+      assert(math.abs(sp - 1.0) < rs.length * 5e-7 + 1e-9,
+        s"from=$from probabilities sum to $sp")
+    }
+  }
+
+  test("property: PSI is non-negative on arbitrary feeds (each term's factors share a sign)") {
+    val rows = (1 to 500).map { i =>
+      (Seq("x", "y", "z")(rnd.nextInt(3)),
+        java.sql.Timestamp.valueOf(f"2026-02-${1 + rnd.nextInt(28)}%02d 06:00:00"),
+        rnd.nextDouble() * 1200.0 - 100.0)
+    }
+    val psis = operators.AuditQueries.psiDriftOn(rows.toDF("event_type", "ts", "value"))
+      .collect().map(_.getDouble(3))
+    graft.core.Caches.releaseAll()
+    assert(psis.nonEmpty && psis.forall(_ >= 0.0), psis.mkString(","))
+  }
+
+  test("property: lerp equals the observation at observed days and stays inside the bracket between them") {
+    val rows = (1 to 120).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-03-${1 + rnd.nextInt(28)}%02d 12:00:00"),
+        rnd.nextInt(6).toLong, "purchase", rnd.nextDouble() * 50.0)
+    }
+    val got = operators.TemporalQueries.lerpOn(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // at observations: lerp == round(obs, 6)
+    got.filter(_._3.isDefined).foreach { t =>
+      val want = BigDecimal(t._3.get).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(t._4.contains(want), s"series ${t._1} day ${t._2}: ${t._4} != $want")
+    }
+    // between observations: value within [min, max] of the series' observed range
+    val bySeries = got.groupBy(_._1)
+    bySeries.foreach { case (s, rs) =>
+      val obs = rs.flatMap(_._3)
+      if (obs.nonEmpty) {
+        val (lo, hi) = (obs.min - 1e-6, obs.max + 1e-6)
+        rs.flatMap(_._4).foreach(v =>
+          assert(v >= lo && v <= hi, s"series $s interpolant $v outside [$lo, $hi]"))
+      }
+    }
+  }
 }
