@@ -254,13 +254,144 @@ object AuditQueries {
       |    - log10(1.0 + 1.0 / CAST(d.digit AS DOUBLE))), 6) AS abs_dev
       |FROM dense d JOIN tot t USING (event_type)""".stripMargin
 
+  // --------------------------------- q114 chi-square independence
+  /** User-bucket fanout for the contingency table. */
+  val ChiBuckets = 10
+
+  /** Q114: chi-square independence audit over the (event_type,
+    * user-bucket) contingency table — "is behavior independent of the
+    * user population slice?" Per cell: observed count, the
+    * independence expectation row·col/total, and the cell's χ²
+    * contribution (o−e)²/e. A cell whose contribution dominates is
+    * WHERE the dependence lives — more actionable than the scalar
+    * statistic, which is one `sum` downstream.
+    *
+    * Determinism: all marginals are exact integers; e and the
+    * contribution are pinned IEEE sequences over them (q58's moments
+    * argument), rounded to 6 for the report.
+    *
+    * Scale shape: ONE map-side-combined count over |types|×[[ChiBuckets]]
+    * keys; marginals are aggregations OF that bounded relation joined
+    * back broadcast. Row count never touches anything after the first
+    * narrow scan. */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame =
+    chiSquareOn(events(spark, dir))
+
+  private[graft] def chiSquareOn(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .groupBy(col("event_type"),
+        pmod(col("user_id"), lit(ChiBuckets.toLong)).as("user_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("event_type").agg(sum("n").as("row_n"))
+    val cols = cells.groupBy("user_bucket").agg(sum("n").as("col_n"))
+    val total = cells.agg(sum("n").as("total"))
+    val e = col("row_n").cast("double") * col("col_n").cast("double") /
+      col("total").cast("double")
+    val o = col("n").cast("double")
+    cells.join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "user_bucket")
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("user_bucket"), col("n"),
+        round(e, 6).as("expected"),
+        round((o - e) * (o - e) / e, 6).as("chi2_contrib"))
+  }
+
+  val chiSquareSql: String =
+    s"""WITH cells AS (SELECT event_type, user_id % $ChiBuckets AS user_bucket, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY 1),
+       |c AS (SELECT user_bucket, CAST(sum(n) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+       |SELECT cells.event_type, cells.user_bucket, cells.n,
+       |  round(CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE), 6)
+       |    AS expected,
+       |  round((CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
+       |      * (CAST(n AS DOUBLE) - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE))
+       |      / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+       |    AS chi2_contrib
+       |FROM cells JOIN r USING (event_type) JOIN c USING (user_bucket) CROSS JOIN t""".stripMargin
+
+  // ------------------------------------------ q116 Welch t readout
+  /** Q116: Welch's t between the corpus window's halves, per event_type
+    * — the experiment-readout shape ("did mean value move?") with the
+    * unequal-variance statistic, reusing q103's split-day convention so
+    * the two audits describe the same periods. Means and variances come
+    * from exact DECIMAL moments (Σv, Σv² — the v² multiply is one IEEE
+    * op before the exact sum); t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂) is then a
+    * pinned op sequence, rounded to 6. Degenerate sides (n ≤ 1 or both
+    * variances 0) yield NULL t rather than a division blow-up.
+    *
+    * Scale shape: ONE map-side-combined aggregation over
+    * (type, period) — |types|×2 keys — after the broadcast split-day
+    * join; the t math happens on the tiny joined relation. */
+  def welchT(spark: SparkSession, dir: String): DataFrame =
+    welchTOn(events(spark, dir))
+
+  private[graft] def welchTOn(ev: DataFrame): DataFrame = {
+    val base = ev.where(col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+    val split = base.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / lit(2)).cast("int")).as("split_day"))
+    val moments = base.crossJoin(broadcast(split))
+      .select(col("event_type"),
+        when(col("day") < col("split_day"), lit("base")).otherwise(lit("cur")).as("period"),
+        col("value"))
+      .groupBy("event_type", "period")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,12)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,12)")).cast("double").as("s2"))
+    def m(side: String) = col(s"$side.s1") / col(s"$side.n").cast("double")
+    def v(side: String) = (col(s"$side.s2") -
+      col(s"$side.s1") * col(s"$side.s1") / col(s"$side.n").cast("double")) /
+      (col(s"$side.n").cast("double") - lit(1.0))
+    val denom = sqrt(v("a") / col("a.n").cast("double") + v("b") / col("b.n").cast("double"))
+    moments.where(col("period") === "base").as("a")
+      .join(moments.where(col("period") === "cur").as("b"),
+        col("a.event_type") === col("b.event_type"))
+      .select(col("a.event_type").as("event_type"),
+        col("a.n").as("n_base"), col("b.n").as("n_cur"),
+        round(m("a"), 6).as("mean_base"), round(m("b"), 6).as("mean_cur"),
+        round(when(col("a.n") > 1 && col("b.n") > 1 && denom > 0,
+          (m("a") - m("b")) / denom), 6).as("t_stat"))
+  }
+
+  val welchTSql: String =
+    """WITH base AS (SELECT event_type, CAST(ts AS DATE) AS day, value
+      |    FROM events WHERE value IS NOT NULL),
+      |sp AS (SELECT min(day) + CAST(date_diff('day', min(day), max(day)) // 2 AS INTEGER)
+      |    AS split_day FROM base),
+      |mo AS (SELECT event_type,
+      |    CASE WHEN day < split_day THEN 'base' ELSE 'cur' END AS period,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(value * value AS DECIMAL(28,12))) AS DOUBLE) AS s2
+      |  FROM base CROSS JOIN sp GROUP BY 1, 2),
+      |j AS (SELECT a.event_type, a.n AS n_base, b.n AS n_cur,
+      |    a.s1 / CAST(a.n AS DOUBLE) AS m1, b.s1 / CAST(b.n AS DOUBLE) AS m2,
+      |    (a.s2 - a.s1 * a.s1 / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0) AS v1,
+      |    (b.s2 - b.s1 * b.s1 / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0) AS v2
+      |  FROM mo a JOIN mo b ON a.event_type = b.event_type
+      |  WHERE a.period = 'base' AND b.period = 'cur')
+      |SELECT event_type, n_base, n_cur,
+      |  round(m1, 6) AS mean_base, round(m2, 6) AS mean_cur,
+      |  round(CASE WHEN n_base > 1 AND n_cur > 1
+      |      AND sqrt(v1 / CAST(n_base AS DOUBLE) + v2 / CAST(n_cur AS DOUBLE)) > 0
+      |    THEN (m1 - m2) / sqrt(v1 / CAST(n_base AS DOUBLE) + v2 / CAST(n_cur AS DOUBLE))
+      |    END, 6) AS t_stat
+      |FROM j""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_psi_drift" -> psiDrift _,
     "q104_seasonal_anomaly" -> seasonalAnomaly _,
-    "q111_benford" -> benford _)
+    "q111_benford" -> benford _,
+    "q114_chi_square" -> chiSquare _,
+    "q116_welch_t" -> welchT _)
 
   val oracles: Map[String, String] = Map(
     "q103_psi_drift" -> psiDriftSql,
     "q104_seasonal_anomaly" -> seasonalAnomalySql,
-    "q111_benford" -> benfordSql)
+    "q111_benford" -> benfordSql,
+    "q114_chi_square" -> chiSquareSql,
+    "q116_welch_t" -> welchTSql)
 }

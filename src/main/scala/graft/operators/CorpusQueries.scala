@@ -372,6 +372,53 @@ object CorpusQueries {
        |  md5(string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE NOT drop)) AS kept_md5
        |FROM j GROUP BY 1""".stripMargin
 
+  // --------------------------------------- q115 source overlap
+  /** Q115: pairwise token-set Jaccard BETWEEN sources — the mixture
+    * redundancy audit: two sources with high vocabulary overlap
+    * contribute less diversity than their row counts suggest, and the
+    * mixture weights (q37/q96) should know. Each source collapses to
+    * its distinct token set; pairs share a token via an inverted-index
+    * join (never a doc-level pair enumeration), and |A∪B| comes from
+    * the sizes identity |A|+|B|−|A∩B|.
+    *
+    * Scale shape: the (source, token) relation is vocab×|sources|
+    * bounded — the corpus-sized explode collapses FIRST (distinct),
+    * then every join is over that bounded relation; per-token fanout
+    * in the pair join is ≤ |sources|², and the output is |sources|²/2
+    * rows. Safe at any corpus size because nothing after the first
+    * distinct scales with rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOn(docs(spark, dir))
+
+  private[graft] def sourceOverlapOn(docRel: DataFrame): DataFrame = {
+    val st = graft.core.Caches.persistTracked(docRel
+      .select(col("source"), explode(TextExprs.tokens(col("text"))).as("tok"))
+      .distinct())
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_tok"))
+    val inter = st.select(col("source").as("s1"), col("tok"))
+      .join(st.select(col("source").as("s2"), col("tok")), "tok")
+      .where(col("s1") < col("s2"))
+      .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("s1"), col("n_tok").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("n_tok").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")).cast("double"), 6).as("jaccard"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH st AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |sz AS (SELECT source, count(*) AS n_tok FROM st GROUP BY 1),
+      |i AS (SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.s1, i.s2, z1.n_tok AS n1, z2.n_tok AS n2, i.inter,
+      |  round(CAST(i.inter AS DOUBLE) / CAST(z1.n_tok + z2.n_tok - i.inter AS DOUBLE), 6)
+      |    AS jaccard
+      |FROM i JOIN sz z1 ON i.s1 = z1.source JOIN sz z2 ON i.s2 = z2.source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_contamination" -> contamination _,
     "q49_packing" -> packing _,
@@ -379,7 +426,8 @@ object CorpusQueries {
     "q51_repetition" -> repetition _,
     "q90_dup_coverage" -> dupCoverage _,
     "q92_segment_dedup" -> segmentDedup _,
-    "q108_boilerplate" -> boilerplateStrip _)
+    "q108_boilerplate" -> boilerplateStrip _,
+    "q115_source_overlap" -> sourceOverlap _)
 
   val oracles: Map[String, String] = Map(
     "q48_contamination" -> contaminationSql,
@@ -388,5 +436,6 @@ object CorpusQueries {
     "q51_repetition" -> repetitionSql,
     "q90_dup_coverage" -> dupCoverageSql,
     "q92_segment_dedup" -> segmentDedupSql,
-    "q108_boilerplate" -> boilerplateStripSql)
+    "q108_boilerplate" -> boilerplateStripSql,
+    "q115_source_overlap" -> sourceOverlapSql)
 }

@@ -415,9 +415,66 @@ object TemporalQueries {
        |         / CAST(date_diff('day', p_day, n_day) AS DOUBLE)) END, 6) AS revenue_lerp
        |FROM w""".stripMargin
 
+  // --------------------------------------- q113 rolling median
+  /** Trailing window width in days for the rolling median. */
+  val MedianDays = 7
+
+  /** Q113: trailing 7-day rolling median of daily revenue per series —
+    * the robust smoother dashboards use where a rolling MEAN (q52)
+    * chases every spike. Runs over the gap-filled spine (q69's
+    * zero-fill convention), so the ROWS frame is genuinely 7 calendar
+    * days — on sparse raw dailies a row frame would silently span
+    * months. Warm-up days keep their partial (growing) frame.
+    *
+    * Determinism: frame contents are exact decimal sums read back as
+    * doubles; the even-count interpolation is the one unpinnable IEEE
+    * step, so the report rounds to 6 decimals (q94's median
+    * convention).
+    *
+    * Scale shape: the spine is calendar-bounded; ONE window
+    * partitioning per series serves the frame (per-series sorts only
+    * their own days). An exact median over a 7-row frame is O(1) per
+    * row — no sketch needed below frame widths of thousands. */
+  def q113RollingMedian(spark: SparkSession, dir: String): DataFrame =
+    rollingMedianOn(Tables(spark, dir, "events"))
+
+  private[graft] def rollingMedianOn(e: DataFrame): DataFrame = {
+    val daily = e.where(col("event_type") === "purchase")
+      .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
+        to_date(col("ts")).as("day"))
+      .agg(CoreQueries.decSum(col("value")).as("obs_revenue"))
+    val range = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+    val spine = daily.select(col("series_id")).distinct()
+      .crossJoin(broadcast(range))
+      .select(col("series_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("series_id").orderBy("day")
+      .rowsBetween(-(MedianDays - 1), Window.currentRow)
+    spine.join(daily, Seq("series_id", "day"), "left")
+      .select(col("series_id"), col("day"),
+        coalesce(col("obs_revenue"), lit(0.0)).as("revenue"))
+      .withColumn("median_7d",
+        round(percentile(col("revenue"), lit(0.5)).over(w), 6))
+  }
+
+  val q113Sql: String =
+    s"""WITH daily AS (SELECT user_id % $SeriesBuckets AS series_id, CAST(ts AS DATE) AS day,
+       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS obs_revenue
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |r AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+       |spine AS (SELECT series_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM (SELECT DISTINCT series_id FROM daily) CROSS JOIN r),
+       |z AS (SELECT s.series_id, s.day, coalesce(d.obs_revenue, 0.0) AS revenue
+       |  FROM spine s LEFT JOIN daily d ON s.series_id = d.series_id AND s.day = d.day)
+       |SELECT series_id, day, revenue,
+       |  round(median(revenue) OVER (PARTITION BY series_id ORDER BY day
+       |    ROWS BETWEEN ${MedianDays - 1} PRECEDING AND CURRENT ROW), 6) AS median_7d
+       |FROM z""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_gapfill" -> q69GapFill _,
     "q112_lerp" -> q112Lerp _,
+    "q113_rolling_median" -> q113RollingMedian _,
     "q83_intervals" -> q83Intervals _,
     "q89_sliding_distinct" -> q89SlidingDistinct _,
     "q91_trend" -> q91Trend _,
@@ -427,6 +484,7 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     "q69_gapfill" -> q69Sql,
     "q112_lerp" -> q112Sql,
+    "q113_rolling_median" -> q113Sql,
     "q83_intervals" -> q83Sql,
     "q89_sliding_distinct" -> q89Sql,
     "q91_trend" -> q91Sql,

@@ -240,6 +240,71 @@ class PipelineAuditSpec extends SparkSpec {
     assert(got(2L) == ((0L, 0.0, 0.176091)), "absent digit: zero share, full Benford deviation")
   }
 
+  // ----------------------------------------------------------- q113
+  test("q113: the rolling median smooths a one-day spike that a mean would chase") {
+    val rows = Seq(
+      (1L, ts("2026-01-01"), 51L, "purchase", 70.0), // series 1: spike day 1
+      (2L, ts("2026-01-08"), 99L, "view", 0.0)) // widens the spine to day 8
+    val got = TemporalQueries.rollingMedianOn(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .where(col("series_id") === 1L)
+      .collect().map(r => r.getDate(1).toString -> r.getDouble(3)).toMap
+    graft.core.Caches.releaseAll()
+    assert(got("2026-01-01") == 70.0, "1-row warm-up frame is the value itself")
+    assert(got("2026-01-02") == 35.0, "even frame interpolates the two middles")
+    assert(got("2026-01-03") == 0.0, "by day 3 the zero-fill majority owns the median")
+    assert(got("2026-01-08") == 0.0, "the spike ages out of the 7-day frame")
+  }
+
+  // ----------------------------------------------------------- q114
+  test("q114: a perfectly dependent 2x2 table puts equal chi2 mass in every cell") {
+    def e(id: Long, u: Long, t: String, k: Int) = Seq.fill(k)((id, ts("2026-01-01"), u, t))
+    val rows = e(1, 0L, "a", 30) ++ e(2, 1L, "a", 10) ++ e(3, 0L, "b", 10) ++ e(4, 1L, "b", 30)
+    val got = AuditQueries.chiSquareOn(
+      rows.zipWithIndex.map { case ((_, t, u, ty), i) => (i.toLong, t, u, ty) }
+        .toDF("event_id", "ts", "user_id", "event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(("a", 0L)) == ((30L, 20.0, 5.0)))
+    assert(got(("a", 1L)) == ((10L, 20.0, 5.0)))
+    assert(got(("b", 0L)) == ((10L, 20.0, 5.0)))
+    assert(got(("b", 1L)) == ((30L, 20.0, 5.0)))
+  }
+
+  // ----------------------------------------------------------- q115
+  test("q115: identical vocabularies score 1; disjoint sources produce no pair row") {
+    val got = CorpusQueries.sourceOverlapOn(Seq(
+      (1L, "x y", "A"), (2L, "y x x", "B"), (3L, "z", "C"))
+      .toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(("A", "B")) == ((2L, 2L, 2L, 1.0)))
+    assert(got.size == 1, "zero-overlap pairs must be absent, not 0-scored rows")
+  }
+
+  // ----------------------------------------------------------- q116
+  test("q116: hand-computed Welch t on unit-variance halves; 1-row sides go NULL") {
+    val rows = Seq(
+      // window 01-01..01-04 → split 01-02: base = day 1, cur = days 2-4
+      ("m", ts("2026-01-01"), 1.0), ("m", ts("2026-01-01"), 2.0), ("m", ts("2026-01-01"), 3.0),
+      ("m", ts("2026-01-02"), 5.0), ("m", ts("2026-01-03"), 6.0), ("m", ts("2026-01-04"), 7.0),
+      // lone: one value per side → NULL t
+      ("lone", ts("2026-01-01"), 1.0), ("lone", ts("2026-01-04"), 9.0))
+    val got = AuditQueries.welchTOn(rows.toDF("event_type", "ts", "value"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    graft.core.Caches.releaseAll()
+    val (nb, nc, m1, m2, t) = got("m")
+    assert((nb, nc, m1, m2) == ((3L, 3L, 2.0, 6.0)))
+    // t = (2−6)/√(1/3 + 1/3) = −4.898979 at 6 decimals
+    assert(t.contains(BigDecimal(-4.0 / math.sqrt(2.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), t.toString)
+    assert(got("lone")._5.isEmpty, "n=1 sides must yield NULL, not a crash")
+  }
+
   // ----------------------------------------------------------- q112
   test("q112: interior gaps interpolate linearly; beyond the endpoints stays NULL") {
     val rows = Seq(
