@@ -362,15 +362,28 @@ object DedupQueries {
     agged.select(col("doc_id"), fp.as("simhash64"))
   }
 
+  /** The same signature via the native [[graft.plans.SimHashFold]]
+    * expression: ONE map-side fold over `transform(tokens, xxhash64)`
+    * — scan → project, zero exchanges, where the aggregate formulation
+    * above shuffles a (doc, hash) row per token. Kept both: the
+    * aggregate path is the independent reference DedupSpec pins the
+    * native fold against (bit-identical fingerprints — votes are
+    * commutative integer sums, so fold order can't matter). */
+  private[graft] def simhashFastNative(docRel: DataFrame): DataFrame =
+    docRel.select(col("doc_id"),
+      graft.plans.SimHashExpression.simhashFold(
+        transform(array_distinct(TextExprs.tokens(col("text"))),
+          t => xxhash64(t))).as("simhash64"))
+
   /** Q76: production-path SimHash near-dup — q39's exact plan (4×16-bit
     * pigeonhole bands → candidate join → Hamming verify) over
-    * [[simhashFastOn]] long fingerprints. Verification is a single
+    * [[simhashFastNative]] long fingerprints. Verification is a single
     * `bit_count(f1 ^ f2)` on longs instead of q39's 4 × (substring +
     * conv + xor) hex-band chain. xxhash64 is not DuckDB-portable →
     * rows-only driver check; DedupSpec pins recall behavior against
     * the md5 parity path on crafted near-dup corpora. */
   private[graft] def simhashNearDupFastOn(docRel: DataFrame): DataFrame = {
-    val fp = Caches.persistTracked(simhashFastOn(docRel))
+    val fp = Caches.persistTracked(simhashFastNative(docRel))
     def bandKey(f: Column, b: Int): Column =
       shiftrightunsigned(f, 48 - 16 * b).bitwiseAND(lit(0xFFFFL))
     val bands = fp.select(col("doc_id"), col("simhash64"),

@@ -142,4 +142,20 @@ class DedupSpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
       "disjoint texts must not collide on 32-bit fingerprints")
   }
+
+  test("native simhash_fold equals the 64-aggregate reference bit-for-bit on real docs") {
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001", "documents")
+    val agg = DedupQueries.simhashFastOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = DedupQueries.simhashFastNative(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg.nonEmpty && agg == native,
+      "fold order can't matter (commutative votes) — any diff is a hashing/bit bug")
+    // and the native path must be a pure projection: no exchange at all
+    val plan = DedupQueries.simhashFastNative(docs)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("simhash_fold"), s"native expression missing:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"signatures must not shuffle — scan → project only:\n$plan")
+  }
 }
