@@ -65,11 +65,14 @@ object AuditQueries {
         (datediff(col("d1"), col("d0")) / lit(2)).cast("int")).as("split_day"))
     val binCol = least(greatest(
       floor(col("value") / lit(PsiBinWidth)), lit(0L)), lit(PsiBins - 1L))
-    val counts = base.crossJoin(broadcast(split))
+    // Persisted: the spine, both self-join sides, and the totals all
+    // derive from this ≤|types|×2×10-row relation — left lazy, EACH
+    // branch re-runs the corpus scan under it (5 scans instead of 1).
+    val counts = graft.core.Caches.persistTracked(base.crossJoin(broadcast(split))
       .select(col("event_type"),
         when(col("day") < col("split_day"), lit("base")).otherwise(lit("cur")).as("period"),
         binCol.as("bin"))
-      .groupBy("event_type", "period", "bin").agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type", "period", "bin").agg(count(lit(1)).as("cnt")))
     // Dense (type, period, bin) spine so absent bins smooth instead of vanish.
     val spine = counts.select("event_type").distinct()
       .select(col("event_type"),
@@ -151,10 +154,12 @@ object AuditQueries {
     seasonalAnomalyOn(events(spark, dir))
 
   private[operators] def seasonalAnomalyOn(ev: DataFrame): DataFrame = {
-    val daily = ev
+    // Persisted: the baseline rollup and the join-back both read this
+    // calendar-bounded relation — one corpus scan, not two.
+    val daily = graft.core.Caches.persistTracked(ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("dow", dayofweek(col("day")).cast("long"))
+      .withColumn("dow", dayofweek(col("day")).cast("long")))
     val baseline = daily.groupBy("event_type", "dow")
       .agg(count(lit(1)).as("n_days"),
         sum("cnt").as("s1"), sum(col("cnt") * col("cnt")).as("s2"))
@@ -213,13 +218,15 @@ object AuditQueries {
 
   private[operators] def benfordOn(ev: DataFrame): DataFrame = {
     val v6 = round(col("value") * lit(1000000.0)).cast("long")
-    val counts = ev
+    // Persisted: spine, dense join, and totals all derive from this
+    // <= 9x|types|-row relation -- one corpus scan, not three.
+    val counts = graft.core.Caches.persistTracked(ev
       .where(col("value").isNotNull && col("value") > 0)
       .select(col("event_type"), v6.as("v6"))
       .where(col("v6") > 0)
       .select(col("event_type"),
         substring(col("v6").cast("string"), 1, 1).cast("long").as("digit"))
-      .groupBy("event_type", "digit").agg(count(lit(1)).as("n"))
+      .groupBy("event_type", "digit").agg(count(lit(1)).as("n")))
     val spine = counts.select("event_type").distinct()
       .select(col("event_type"), explode(sequence(lit(1L), lit(9L))).as("digit"))
     val dense = spine.join(counts, Seq("event_type", "digit"), "left")
@@ -278,10 +285,12 @@ object AuditQueries {
     chiSquareOn(events(spark, dir))
 
   private[graft] def chiSquareOn(ev: DataFrame): DataFrame = {
-    val cells = ev
+    // Persisted: row/col/grand marginals and the final join all read
+    // this |types|×[[ChiBuckets]]-row relation — one corpus scan, not four.
+    val cells = graft.core.Caches.persistTracked(ev
       .groupBy(col("event_type"),
         pmod(col("user_id"), lit(ChiBuckets.toLong)).as("user_bucket"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val rows = cells.groupBy("event_type").agg(sum("n").as("row_n"))
     val cols = cells.groupBy("user_bucket").agg(sum("n").as("col_n"))
     val total = cells.agg(sum("n").as("total"))
@@ -333,14 +342,16 @@ object AuditQueries {
     val split = base.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(date_add(col("d0"),
         (datediff(col("d1"), col("d0")) / lit(2)).cast("int")).as("split_day"))
-    val moments = base.crossJoin(broadcast(split))
+    // Persisted: both self-join sides read this |types|×2-row relation
+    // — one corpus scan, not two.
+    val moments = graft.core.Caches.persistTracked(base.crossJoin(broadcast(split))
       .select(col("event_type"),
         when(col("day") < col("split_day"), lit("base")).otherwise(lit("cur")).as("period"),
         col("value"))
       .groupBy("event_type", "period")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(28,12)")).cast("double").as("s1"),
-        sum((col("value") * col("value")).cast("decimal(28,12)")).cast("double").as("s2"))
+        sum((col("value") * col("value")).cast("decimal(28,12)")).cast("double").as("s2")))
     def m(side: String) = col(s"$side.s1") / col(s"$side.n").cast("double")
     def v(side: String) = (col(s"$side.s2") -
       col(s"$side.s1") * col(s"$side.s1") / col(s"$side.n").cast("double")) /

@@ -86,12 +86,14 @@ object SessionQueries {
   private[graft] def transitionsOn(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val counts = ev
+    // Persisted: the totals rollup and the final join both read this
+    // |types|²-row relation — one window+scan pass, not two.
+    val counts = graft.core.Caches.persistTracked(ev
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("from_type", lag(col("event_type"), 1).over(w))
       .where(col("from_type").isNotNull)
       .groupBy(col("from_type"), col("event_type").as("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val totals = counts.groupBy("from_type").agg(sum("n").as("from_total"))
     counts.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),

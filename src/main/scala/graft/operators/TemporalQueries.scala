@@ -34,10 +34,13 @@ object TemporalQueries {
     * broadcast 1-row aggregate, never a driver collect. */
   def q69GapFill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "events")
-    val daily = e.where(col("event_type") === "purchase")
-      .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
-        to_date(col("ts")).as("day"))
-      .agg(CoreQueries.decSum(col("value")).as("obs_revenue"))
+    // Persisted: the spine's distinct-series scan and the join-back both
+    // read this |series|x|days|-bounded relation -- one corpus scan.
+    val daily = graft.core.Caches.persistTracked(
+      e.where(col("event_type") === "purchase")
+        .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
+          to_date(col("ts")).as("day"))
+        .agg(CoreQueries.decSum(col("value")).as("obs_revenue")))
     val range = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
     val spine = daily.select(col("series_id")).distinct()
       .crossJoin(broadcast(range))
@@ -358,10 +361,13 @@ object TemporalQueries {
     lerpOn(Tables(spark, dir, "events"))
 
   private[graft] def lerpOn(e: DataFrame): DataFrame = {
-    val daily = e.where(col("event_type") === "purchase")
-      .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
-        to_date(col("ts")).as("day"))
-      .agg(CoreQueries.decSum(col("value")).as("obs_revenue"))
+    // Persisted: the spine's distinct-series scan and the join-back both
+    // read this |series|x|days|-bounded relation -- one corpus scan.
+    val daily = graft.core.Caches.persistTracked(
+      e.where(col("event_type") === "purchase")
+        .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
+          to_date(col("ts")).as("day"))
+        .agg(CoreQueries.decSum(col("value")).as("obs_revenue")))
     val range = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
     val spine = daily.select(col("series_id")).distinct()
       .crossJoin(broadcast(range))
@@ -439,10 +445,13 @@ object TemporalQueries {
     rollingMedianOn(Tables(spark, dir, "events"))
 
   private[graft] def rollingMedianOn(e: DataFrame): DataFrame = {
-    val daily = e.where(col("event_type") === "purchase")
-      .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
-        to_date(col("ts")).as("day"))
-      .agg(CoreQueries.decSum(col("value")).as("obs_revenue"))
+    // Persisted: the spine's distinct-series scan and the join-back both
+    // read this |series|x|days|-bounded relation -- one corpus scan.
+    val daily = graft.core.Caches.persistTracked(
+      e.where(col("event_type") === "purchase")
+        .groupBy(pmod(col("user_id"), lit(SeriesBuckets.toLong)).as("series_id"),
+          to_date(col("ts")).as("day"))
+        .agg(CoreQueries.decSum(col("value")).as("obs_revenue")))
     val range = e.agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
     val spine = daily.select(col("series_id")).distinct()
       .crossJoin(broadcast(range))
