@@ -49,4 +49,22 @@ class MediaOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(stats("image") == 384L && stats("video") == 1000L)
   }
+
+  test("media features flow into the embedding near-dup operators unchanged") {
+    import org.apache.spark.sql.functions._
+    // A byte-identical re-upload of blob 1 under a new id — the
+    // media-side duplicate an embedding-cosine near-dup pass must find.
+    val withDup = media.union(Seq(
+      MediaRow(4L, "image", Array.tabulate(256)(_.toByte), 64, 64, 0L)).toDS())
+    val feats = extractFeatures(withDup)
+      .select(col("media_id"), col("features").cast("array<double>").as("v"))
+    val pairs = feats.as("a")
+      .join(feats.as("b"), col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("m1"), col("b.media_id").as("m2"),
+        graft.functions.VectorExprs.cosine(col("a.v"), col("b.v")).as("cos"))
+      .where(col("cos") > 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 4L)),
+      s"only the byte-identical pair may clear the near-dup bar: ${pairs.toSeq}")
+  }
 }
