@@ -2,7 +2,7 @@ package graft.core
 
 import java.util.concurrent.ConcurrentLinkedQueue
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Registry for DataFrames that query builders persist internally
   * (shingle sets, fingerprint relations, interval-join probe sides).
@@ -17,13 +17,21 @@ import org.apache.spark.sql.DataFrame
   * what graft itself pinned.
   */
 object Caches {
-  private val tracked = new ConcurrentLinkedQueue[DataFrame]()
+  private val tracked = new ConcurrentLinkedQueue[Dataset[_]]()
 
   /** Persist `df` (MEMORY_AND_DISK) and track the handle for release. */
   def persistTracked(df: DataFrame): DataFrame = {
     df.persist()
     tracked.add(df)
     df
+  }
+
+  /** Typed-Dataset variant of [[persistTracked]] (iterative builders
+    * that carry case-class state between rounds, e.g. BPE vocab). */
+  def persistTrackedDs[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    tracked.add(ds)
+    ds
   }
 
   /** Unpersist every tracked relation (non-blocking) and clear the
