@@ -82,9 +82,87 @@ object LayoutQueries {
        |FROM g""".stripMargin
   }
 
+  // -------------------------------------------- q118 join-skew audit
+  /** Q118: join-key skew audit over `lineitem.l_partkey` — the
+    * pre-flight check that decides whether a join needs salting
+    * ([[Skew]]) or AQE's skew split before a 1000-executor run finds
+    * out the hard way. One summary row: distinct keys, total rows, the
+    * share held by the hottest key and the hottest 10, and the exact
+    * Gini coefficient of the key-frequency distribution.
+    *
+    * The Gini uses the frequency-of-frequencies trick to stay BOTH
+    * exact and distributed: keys with equal count occupy a contiguous
+    * rank run, so Σ rank·count folds to Σ over the (count, k)
+    * HISTOGRAM — cnt·(k·p + k(k−1)/2) per run — and the only window
+    * orders that histogram, whose size is the number of DISTINCT
+    * frequency values (heavy-tail small at any scale), never the key
+    * relation. Rank sums go through DECIMAL(38,0) (a billion keys
+    * overflow a long), shares are single pinned IEEE divisions.
+    *
+    * Scale shape: one map-side-combined key count, one bounded-key
+    * histogram aggregation, a tiny-window pass over the histogram, a
+    * TakeOrdered(10) for the hot-key share. Nothing corpus-sized ever
+    * sorts. */
+  def q118SkewAudit(spark: SparkSession, dir: String): DataFrame =
+    skewAuditOn(Tables(spark, dir, "lineitem").select(col("l_partkey").as("k")))
+
+  private[graft] def skewAuditOn(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.core.Caches.persistTracked(
+      keyed.groupBy("k").agg(count(lit(1)).as("cnt")))
+    val ff = counts.groupBy("cnt").agg(count(lit(1)).as("nk"))
+    val w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 2·Σ rank·cnt, folded per equal-count run: cnt·(2·k·p + k·(k−1)).
+    // Doubling up front keeps everything INTEGER (no k(k−1)/2 division
+    // — Spark's `/` on longs is IEEE division, a silent parity trap);
+    // decimal factors before the multiplies so billion-key runs can't
+    // overflow a long.
+    val nkD = col("nk").cast("decimal(38,0)")
+    val ranked = ff
+      .withColumn("cum_nk", sum(col("nk")).over(w))
+      .withColumn("p", col("cum_nk") - col("nk") + 1) // first rank of this run
+      .select((col("cnt").cast("decimal(38,0)") *
+        (nkD * col("p") * lit(2) + nkD * (col("nk") - 1))).as("s2"))
+      .agg(sum(col("s2")).as("rank_sum2"))
+    val top = counts.orderBy(desc("cnt")).limit(10)
+      .agg(max("cnt").as("top1"), sum("cnt").as("top10"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"))
+    val n = col("n_keys").cast("double"); val t = col("total_rows").cast("double")
+    totals.crossJoin(broadcast(top)).crossJoin(broadcast(ranked))
+      .select(col("n_keys"), col("total_rows"),
+        round(col("top1").cast("double") / t, 6).as("top1_share"),
+        round(col("top10").cast("double") / t, 6).as("top10_share"),
+        round(col("rank_sum2").cast("double") / (n * t) - (n + lit(1.0)) / n, 6)
+          .as("gini"))
+  }
+
+  val q118Sql: String =
+    """WITH c AS (SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |ff AS (SELECT cnt, count(*) AS nk FROM c GROUP BY 1),
+      |r AS (SELECT cnt, nk,
+      |    sum(nk) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      - nk + 1 AS p
+      |  FROM ff),
+      |s AS (SELECT CAST(sum(CAST(cnt AS DECIMAL(38,0))
+      |    * (CAST(nk AS DECIMAL(38,0)) * p * 2 + CAST(nk AS DECIMAL(38,0)) * (nk - 1)))
+      |    AS DECIMAL(38,0)) AS rank_sum2
+      |  FROM r),
+      |top AS (SELECT CAST(max(cnt) AS BIGINT) AS top1, CAST(sum(cnt) AS BIGINT) AS top10
+      |  FROM (SELECT cnt FROM c ORDER BY cnt DESC LIMIT 10)),
+      |tot AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows FROM c)
+      |SELECT n_keys, total_rows,
+      |  round(CAST(top1 AS DOUBLE) / CAST(total_rows AS DOUBLE), 6) AS top1_share,
+      |  round(CAST(top10 AS DOUBLE) / CAST(total_rows AS DOUBLE), 6) AS top10_share,
+      |  round(CAST(rank_sum2 AS DOUBLE)
+      |      / (CAST(n_keys AS DOUBLE) * CAST(total_rows AS DOUBLE))
+      |    - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6) AS gini
+      |FROM tot CROSS JOIN top CROSS JOIN s""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q98_zorder" -> q98ZOrder _)
+    "q98_zorder" -> q98ZOrder _,
+    "q118_skew_audit" -> q118SkewAudit _)
 
   val oracles: Map[String, String] = Map(
-    "q98_zorder" -> q98Sql)
+    "q98_zorder" -> q98Sql,
+    "q118_skew_audit" -> q118Sql)
 }

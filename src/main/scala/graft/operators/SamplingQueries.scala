@@ -271,13 +271,76 @@ object SamplingQueries {
        |SELECT r.doc_id, r.source, CAST(r.rk AS BIGINT) AS rk, CAST(q.quota AS BIGINT) AS quota
        |FROM r JOIN q USING (source) WHERE r.rk <= q.quota""".stripMargin
 
+  // --------------------------------------- q119 training negatives
+  /** Negatives per query. */
+  val NegativesK = 4
+  /** Every NegQueryMod-th document is a "query" (1%). */
+  val NegQueryMod = 100
+
+  /** Q119: deterministic negative sampling for contrastive training —
+    * every query document draws [[NegativesK]] pseudo-random corpus
+    * documents as negatives, reproducibly (same corpus → same
+    * negatives, any partitioning, any rerun — the q86 determinism
+    * contract applied to pair mining). Draw i of query q is
+    * md5(q·'#'·i) mod N, with the accidental self-draw remapped to the
+    * next id — collision-free by construction.
+    *
+    * Contract: ids must be dense [0, N) (the testdata layout;
+    * production corpora get one from a one-time contiguous-id
+    * assignment — the standard move before any rank-free sampling).
+    *
+    * Scale shape: queries are a filter, draws a NegativesK-wide
+    * map-only explode, N a broadcast 1-row count; resolving the drawn
+    * id to its document is ONE uniform-key equi-join (md5 draws are
+    * uniform — no hot negative). Nothing sorts, nothing windows. */
+  def q119Negatives(spark: SparkSession, dir: String): DataFrame =
+    negativesOn(Tables(spark, dir, "documents"))
+
+  private[graft] def negativesOn(docRel: DataFrame): DataFrame = {
+    val n = docRel.agg(count(lit(1)).as("n_docs"))
+    val draws = docRel
+      .where(pmod(col("doc_id"), lit(NegQueryMod.toLong)) === 0)
+      .select(col("doc_id").as("query_id"))
+      .crossJoin(broadcast(n))
+      .select(col("query_id"), col("n_docs"),
+        explode(sequence(lit(1), lit(NegativesK))).as("neg_idx"))
+    val raw = pmod(
+      conv(substring(md5(concat(col("query_id").cast("string"), lit("#"),
+        col("neg_idx").cast("string")).cast("binary")), 1, 12), 16, 10).cast("long"),
+      col("n_docs"))
+    val negId = when(raw === col("query_id"),
+      pmod(raw + 1, col("n_docs"))).otherwise(raw)
+    draws
+      .select(col("query_id"), col("neg_idx").cast("long").as("neg_idx"),
+        negId.as("neg_id"))
+      .join(docRel.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+        "neg_id")
+      .select(col("query_id"), col("neg_idx"), col("neg_id"), col("neg_source"))
+  }
+
+  val q119Sql: String =
+    s"""WITH n AS (SELECT count(*) AS n_docs FROM documents),
+       |q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % $NegQueryMod = 0),
+       |d AS (SELECT query_id, n_docs, unnest(range(1, ${NegativesK + 1})) AS neg_idx
+       |  FROM q CROSS JOIN n),
+       |r AS (SELECT query_id, CAST(neg_idx AS BIGINT) AS neg_idx, n_docs,
+       |    ('0x' || substr(md5(CAST(query_id AS VARCHAR) || '#' || CAST(neg_idx AS VARCHAR)), 1, 12))::BIGINT
+       |      % n_docs AS raw
+       |  FROM d),
+       |x AS (SELECT query_id, neg_idx,
+       |    CASE WHEN raw = query_id THEN (raw + 1) % n_docs ELSE raw END AS neg_id
+       |  FROM r)
+       |SELECT x.query_id, x.neg_idx, x.neg_id, doc.source AS neg_source
+       |FROM x JOIN documents doc ON x.neg_id = doc.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q99_stratified_sample" -> q99StratifiedSample _,
     "q36_hash_sample" -> q36HashSample _,
     "q37_mixture_sample" -> q37MixtureSample _,
     "q74_reservoir_sample" -> q74ReservoirSample _,
     "q78_weighted_sample" -> q78WeightedSample _,
-    "q86_epoch_shuffle" -> q86EpochShuffle _)
+    "q86_epoch_shuffle" -> q86EpochShuffle _,
+    "q119_negatives" -> q119Negatives _)
 
   val oracles: Map[String, String] = Map(
     "q99_stratified_sample" -> q99Sql,
@@ -285,5 +348,6 @@ object SamplingQueries {
     "q37_mixture_sample" -> q37Sql,
     "q74_reservoir_sample" -> q74Sql,
     "q78_weighted_sample" -> q78Sql,
-    "q86_epoch_shuffle" -> q86Sql)
+    "q86_epoch_shuffle" -> q86Sql,
+    "q119_negatives" -> q119Sql)
 }

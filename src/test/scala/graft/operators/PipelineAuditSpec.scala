@@ -305,6 +305,36 @@ class PipelineAuditSpec extends SparkSpec {
     assert(got("lone")._5.isEmpty, "n=1 sides must yield NULL, not a crash")
   }
 
+  // ----------------------------------------------------------- q118
+  test("q118: hand-computed Gini — one hot key vs a uniform key set") {
+    def audit(keys: Seq[Long]) = {
+      val r = LayoutQueries.skewAuditOn(keys.toDF("k")).collect().head
+      graft.core.Caches.releaseAll()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    // counts [8,1,1,1,1] sorted asc → Σ rank·cnt = 1+2+3+4+40 = 50;
+    // G = 2·50/(5·12) − 6/5 = 0.466667
+    val hot = audit(Seq.fill(8)(1L) ++ Seq(2L, 3L, 4L, 5L))
+    assert(hot == ((5L, 12L, 0.666667, 1.0, 0.466667)), hot.toString)
+    // perfectly uniform → Gini exactly 0
+    val flat = audit((1L to 4L).flatMap(k => Seq(k, k)))
+    assert(flat == ((4L, 8L, 0.25, 1.0, 0.0)), flat.toString)
+  }
+
+  // ----------------------------------------------------------- q119
+  test("q119: negatives are deterministic, in-range, and partitioning-independent") {
+    val docs = (0L until 10L).map(i => (i, s"text $i", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val a = SamplingQueries.negativesOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(x => (x._1, x._2))
+    val b = SamplingQueries.negativesOn(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(x => (x._1, x._2))
+    assert(a.length == SamplingQueries.NegativesK, s"one query doc (0) × k draws: ${a.toSeq}")
+    assert(a.toSeq == b.toSeq, "draws must not depend on partitioning")
+    assert(a.forall(x => x._3 >= 0 && x._3 < 10), "every draw must resolve to a real doc")
+    assert(a.forall(x => x._4 == s"src${x._3 % 3}"), "the join must fetch the right doc's source")
+  }
+
   // ----------------------------------------------------------- q112
   test("q112: interior gaps interpolate linearly; beyond the endpoints stays NULL") {
     val rows = Seq(
