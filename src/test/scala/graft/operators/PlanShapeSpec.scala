@@ -288,6 +288,41 @@ class PlanShapeSpec extends SparkSpec {
       s"the CASE-chain classifier needs no window or join:\n$p")
   }
 
+  test("q114/q116: statistical audits are bounded-key aggs with broadcast marginals — no SMJ anywhere") {
+    for (df <- Seq(AuditQueries.chiSquare(spark, Dir), AuditQueries.welchT(spark, Dir))) {
+      df.count()
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"marginals must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"nothing here is big enough to SMJ:\n$p")
+      graft.core.Caches.releaseAll()
+    }
+  }
+
+  test("q115: source overlap joins the collapsed vocab relation — never a document cross product") {
+    val df = CorpusQueries.sourceOverlap(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must ride the token equi-join:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q118: the Gini window orders the count HISTOGRAM, and hot keys come from TakeOrdered") {
+    val df = LayoutQueries.q118SkewAudit(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 keys must not global-sort the key relation:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q119: negative draws are map-only arithmetic plus ONE equi-join — no window, no sort") {
+    val p = plan(SamplingQueries.q119Negatives(spark, Dir))
+    assert(!p.contains("Window"), s"rank-free by design:\n$p")
+    assert(!p.contains("CartesianProduct"), s"resolution must be an equi-join:\n$p")
+  }
+
   test("q107: every PageRank round reuses the persisted edge partitioning — no per-round edge re-shuffle") {
     val df = GraphQueries.pageRank(spark, Dir)
     df.count()
