@@ -93,6 +93,60 @@ object GraphQueries {
       round(col("r"), 10).as("rank"))
   }
 
+  /** Production variant: iterate to an L1 tolerance instead of a fixed
+    * count — the loop body is q107's exactly, plus the two things a
+    * long-running iteration needs: a `localCheckpoint` per round (the
+    * [[GraphOps]] lineage cut, so round 40's plan isn't 40 joins deep)
+    * and a 1-row L1-delta aggregate as the stop condition. Returns the
+    * converged (node, rank) relation; not oracle-registered (the
+    * data-dependent iteration count has no fixed SQL unrolling — q107
+    * is the oracle-checked fixed-round face of the same loop).
+    *
+    * The delta check costs one tiny join+agg per round on relations
+    * that are node-sized, not edge-sized; its result is the ONLY value
+    * the driver ever sees. */
+  private[graft] def pageRankUntil(pairs: DataFrame,
+      tol: Double = 1e-7, maxIter: Int = 50): DataFrame = {
+    val Seq(lc, rc) = pairs.columns.toSeq.take(2)
+    val fwd = pairs.select(
+      (col(lc).cast("long") * 2).as("src"),
+      (col(rc).cast("long") * 2 + 1).as("dst")).distinct()
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = Caches.persistTracked(
+      edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val wedges = Caches.persistTracked(
+      edges.join(deg, "src").repartition(col("src")))
+    val nRel = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nRel))
+      .select(col("src").as("node"),
+        (lit(1.0) / col("n").cast("double")).as("r"))
+      .localCheckpoint()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta > tol) {
+      val next = wedges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          (col("r") / col("outdeg").cast("double")).cast("decimal(28,12)").as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+        .crossJoin(broadcast(nRel))
+        .select(col("dst").as("node"),
+          (lit(1.0 - Damping) / col("n").cast("double") +
+            lit(Damping) * col("s").cast("double")).as("r"))
+        .localCheckpoint()
+      delta = next.as("a")
+        .join(ranks.withColumnRenamed("r", "r0").as("b"), "node")
+        .agg(sum(abs(col("r") - col("r0"))).as("d"))
+        .collect().head.getDouble(0)
+      ranks = next
+      iter += 1
+    }
+    ranks.select(
+      concat(when(pmod(col("node"), lit(2L)) === 0L, lit("o")).otherwise(lit("p")),
+        shiftright(col("node"), 1).cast("string")).as("node"),
+      round(col("r"), 10).as("rank"))
+  }
+
   val pageRankSql: String = {
     def round_(k: Int): String =
       s"""r$k AS (SELECT e.dst AS node,

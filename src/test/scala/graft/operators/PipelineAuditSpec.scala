@@ -156,6 +156,21 @@ class PipelineAuditSpec extends SparkSpec {
       "re-listed line items must not double an edge's weight")
   }
 
+  test("q107: the tolerance-driven loop converges to the closed-form fixed point") {
+    // Star fixed point: c = 0.05 + 1.7·l, l = 0.05 + 0.425·c
+    // → c = 0.135/0.2775 = 0.486486…, l = 0.256757….
+    // Bipartite graphs contract at |λ| = d = 0.85 per round, so an L1
+    // delta of 1e-4 leaves a residual ≤ delta·d/(1−d) ≈ 5.7e-4.
+    val got = GraphQueries.pageRankUntil(
+      Seq((1L, 1L), (1L, 2L)).toDF("l_orderkey", "l_partkey"),
+      tol = 1e-4, maxIter = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.core.Caches.releaseAll()
+    assert(math.abs(got("o1") - 0.135 / 0.2775) < 1e-3, got.toString)
+    assert(math.abs(got("p1") - (0.05 + 0.425 * 0.135 / 0.2775)) < 1e-3)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass is conserved at every iterate")
+  }
+
   // ----------------------------------------------------------- q108
   private def md5Of(s: String): String = {
     java.security.MessageDigest.getInstance("MD5")
