@@ -22,7 +22,7 @@ object LayoutQueries {
   /** Morton interleave of two [[ZBits]]-bit ints: bit i of `x` lands at
     * position 2i, bit i of `y` at 2i+1. Pure integer shift/mask
     * arithmetic — identical in any engine, fully codegen'd. */
-  private[operators] def zValue(x: Column, y: Column): Column =
+  private[graft] def zValue(x: Column, y: Column): Column =
     (0 until ZBits).map { i =>
       (shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i) +
         shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1)): Column
