@@ -40,6 +40,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(children.head, children(1))
       }))
     ext.injectOptimizerRule(_ => VectorDotRewrite)
+    // simhash_fold(array<bigint>) — the native 64-bit SimHash vote fold
+    // over pre-hashed tokens (pair with Spark's own xxhash64 inside a
+    // transform: simhash_fold(transform(toks, t -> xxhash64(t)))).
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fold"),
+      new ExpressionInfo(classOf[SimHashFold].getName, "simhash_fold"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"simhash_fold takes exactly 1 argument, got ${children.length}")
+        SimHashFold(children.head)
+      }))
     // heavy_hitters(col, capacity, k) — the SpaceSaving aggregate as a
     // SQL function; capacity/k must be integer literals (they size the
     // aggregation buffer, which cannot vary per row).

@@ -128,4 +128,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!plan.contains("vector_dot"), s"over-eager rewrite:\n$plan")
     assert(df.head().getDouble(0) >= 0.0)
   }
+
+  test("simhash_fold resolves from plain SQL and matches the Scala path") {
+    val sql =
+      """SELECT simhash_fold(transform(split('alpha beta gamma', ' '),
+        |                           t -> xxhash64(t))) AS fp""".stripMargin
+    val viaSql = spark.sql(sql).head().getLong(0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaApi = Seq("alpha beta gamma").toDF("text")
+      .select(SimHashExpression.simhashFold(
+        transform(split(col("text"), " "), t => xxhash64(t))).as("fp"))
+      .head().getLong(0)
+    assert(viaSql == viaApi, "SQL and Column API must agree bit-for-bit")
+    assert(spark.sql("SELECT simhash_fold(CAST(NULL AS ARRAY<BIGINT>)) AS fp").head().isNullAt(0))
+    assert(spark.sql("SELECT simhash_fold(CAST(array() AS ARRAY<BIGINT>)) AS fp")
+      .head().getLong(0) == 0L, "empty array: every vote ties to 0")
+  }
 }
