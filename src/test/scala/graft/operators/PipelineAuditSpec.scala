@@ -350,6 +350,29 @@ class PipelineAuditSpec extends SparkSpec {
     assert(a.forall(x => x._4 == s"src${x._3 % 3}"), "the join must fetch the right doc's source")
   }
 
+  // ----------------------------------------------------------- q120
+  test("q120: latency percentiles interpolate over converts only; pre-signup purchases don't count") {
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2026-01-05 10:00:00"), 1L, "signup"),
+      (2L, Timestamp.valueOf("2026-01-05 10:01:40"), 1L, "purchase"), // +100 s
+      (3L, Timestamp.valueOf("2026-01-05 09:00:00"), 2L, "purchase"), // BEFORE signup — ignored
+      (4L, Timestamp.valueOf("2026-01-05 11:00:00"), 2L, "signup"),
+      (5L, Timestamp.valueOf("2026-01-05 11:05:00"), 2L, "purchase"), // +300 s
+      (6L, Timestamp.valueOf("2026-01-05 12:00:00"), 3L, "signup")) // never converts
+    // stage a tiny events.parquet so the PUBLIC (spark, dir) query runs
+    val dir = new java.io.File(tmpDir("ttc")).getParent
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = FunnelQueries.q120TimeToConvert(spark, dir).collect()
+    graft.core.Caches.releaseAll()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "2026-01" && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 0.666667)
+    assert(r.getDouble(4) == 200.0, "p50 of {100 s, 300 s} interpolates to 200")
+    assert(r.getDouble(5) == 280.0, "p90 = 100 + 0.9·200")
+  }
+
   // ----------------------------------------------------------- q112
   test("q112: interior gaps interpolate linearly; beyond the endpoints stays NULL") {
     val rows = Seq(
