@@ -36,10 +36,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Release exactly what the query builders pinned (tracked handles),
-      // then clear anything else cached — per-query isolation.
+      // Release exactly what the query builders pinned (tracked handles
+      // + checkpoint blocks), then clear anything else cached — per-query
+      // isolation. The persistent-RDD sweep backstops any untracked
+      // localCheckpoint (see Bench/Caches: r07's 120-query accumulation).
       graft.core.Caches.releaseAll()
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -5,6 +5,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.Caches
+
 /** Distributed connected components by iterative min-label propagation —
   * the missing last step of every near-dup pipeline: pairwise matches
   * (q17/q18/q39) say "A~B, B~C", but training-data dedup must keep ONE
@@ -88,9 +90,9 @@ object GraphOps {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     try {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint()
+      var labels = Caches.localCheckpointTracked(
+        sym.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")))
       var round = 0
       var changed = 1L
       while (changed > 0 && round < maxRounds) {
@@ -109,14 +111,16 @@ object GraphOps {
         // The previous label rides along into the checkpointed output, so
         // the convergence check is a filter over materialized data — not
         // another join that re-shuffles the labels relation every round.
-        val next = labels.join(nbrMin, Seq("id"), "left")
-          .join(hop, Seq("id"), "left")
-          .select(col("id"), col("lbl").as("prev"),
-            least(col("lbl"),
-              coalesce(col("nlbl"), col("lbl")),
-              coalesce(col("hlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+        val next = Caches.localCheckpointTracked(
+          labels.join(nbrMin, Seq("id"), "left")
+            .join(hop, Seq("id"), "left")
+            .select(col("id"), col("lbl").as("prev"),
+              least(col("lbl"),
+                coalesce(col("nlbl"), col("lbl")),
+                coalesce(col("hlbl"), col("lbl"))).as("lbl")))
         changed = next.where(col("lbl") =!= col("prev")).count()
+        // round N-1's checkpoint block is dead once `next` materialized
+        Caches.releaseCheckpoint(labels)
         labels = next.select("id", "lbl")
         round += 1
       }

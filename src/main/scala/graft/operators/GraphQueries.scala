@@ -117,14 +117,14 @@ object GraphQueries {
     val wedges = Caches.persistTracked(
       edges.join(deg, "src").repartition(col("src")))
     val nRel = deg.agg(count(lit(1)).as("n"))
-    var ranks = deg.crossJoin(broadcast(nRel))
-      .select(col("src").as("node"),
-        (lit(1.0) / col("n").cast("double")).as("r"))
-      .localCheckpoint()
+    var ranks = Caches.localCheckpointTracked(
+      deg.crossJoin(broadcast(nRel))
+        .select(col("src").as("node"),
+          (lit(1.0) / col("n").cast("double")).as("r")))
     var iter = 0
     var delta = Double.MaxValue
     while (iter < maxIter && delta > tol) {
-      val next = wedges
+      val next = Caches.localCheckpointTracked(wedges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
           (col("r") / col("outdeg").cast("double")).cast("decimal(28,12)").as("c"))
@@ -132,12 +132,13 @@ object GraphQueries {
         .crossJoin(broadcast(nRel))
         .select(col("dst").as("node"),
           (lit(1.0 - Damping) / col("n").cast("double") +
-            lit(Damping) * col("s").cast("double")).as("r"))
-        .localCheckpoint()
+            lit(Damping) * col("s").cast("double")).as("r")))
       delta = next.as("a")
         .join(ranks.withColumnRenamed("r", "r0").as("b"), "node")
         .agg(sum(abs(col("r") - col("r0"))).as("d"))
         .collect().head.getDouble(0)
+      // the delta join was round N-1's last reader of `ranks` — free it
+      Caches.releaseCheckpoint(ranks)
       ranks = next
       iter += 1
     }
