@@ -305,8 +305,12 @@ object AuditQueries {
         round((o - e) * (o - e) / e, 6).as("chi2_contrib"))
   }
 
+  // ((x % N) + N) % N: DuckDB's % is signed (a negative user_id would
+  // bucket negative) while the Spark path uses pmod — the double-mod
+  // keeps oracle parity over ANY id domain, not just nonnegative ones.
   val chiSquareSql: String =
-    s"""WITH cells AS (SELECT event_type, user_id % $ChiBuckets AS user_bucket, count(*) AS n
+    s"""WITH cells AS (SELECT event_type,
+       |    ((user_id % $ChiBuckets) + $ChiBuckets) % $ChiBuckets AS user_bucket, count(*) AS n
        |  FROM events GROUP BY 1, 2),
        |r AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY 1),
        |c AS (SELECT user_bucket, CAST(sum(n) AS BIGINT) AS col_n FROM cells GROUP BY 1),
@@ -353,9 +357,14 @@ object AuditQueries {
         sum(col("value").cast("decimal(28,12)")).cast("double").as("s1"),
         sum((col("value") * col("value")).cast("decimal(28,12)")).cast("double").as("s2")))
     def m(side: String) = col(s"$side.s1") / col(s"$side.n").cast("double")
-    def v(side: String) = (col(s"$side.s2") -
+    // greatest(_, 0): float dust can push the moment-form variance of a
+    // near-constant side slightly negative → sqrt NaN, and NaN > 0 is
+    // TRUE in both engines, so without the clamp t_stat would report
+    // NaN instead of the intended NULL degenerate-side behavior
+    // (mirrors q104's seasonalAnomaly clamp).
+    def v(side: String) = greatest((col(s"$side.s2") -
       col(s"$side.s1") * col(s"$side.s1") / col(s"$side.n").cast("double")) /
-      (col(s"$side.n").cast("double") - lit(1.0))
+      (col(s"$side.n").cast("double") - lit(1.0)), lit(0.0))
     val denom = sqrt(v("a") / col("a.n").cast("double") + v("b") / col("b.n").cast("double"))
     moments.where(col("period") === "base").as("a")
       .join(moments.where(col("period") === "cur").as("b"),
@@ -380,8 +389,8 @@ object AuditQueries {
       |  FROM base CROSS JOIN sp GROUP BY 1, 2),
       |j AS (SELECT a.event_type, a.n AS n_base, b.n AS n_cur,
       |    a.s1 / CAST(a.n AS DOUBLE) AS m1, b.s1 / CAST(b.n AS DOUBLE) AS m2,
-      |    (a.s2 - a.s1 * a.s1 / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0) AS v1,
-      |    (b.s2 - b.s1 * b.s1 / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0) AS v2
+      |    greatest((a.s2 - a.s1 * a.s1 / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0), 0.0) AS v1,
+      |    greatest((b.s2 - b.s1 * b.s1 / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0), 0.0) AS v2
       |  FROM mo a JOIN mo b ON a.event_type = b.event_type
       |  WHERE a.period = 'base' AND b.period = 'cur')
       |SELECT event_type, n_base, n_cur,

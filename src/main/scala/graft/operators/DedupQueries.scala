@@ -345,8 +345,8 @@ object DedupQueries {
     * vote aggregates read bits of the shared long directly; same
     * one-aggregation plan shape. */
   private[operators] def simhashFastOn(docRel: DataFrame): DataFrame = {
-    val hs = docRel
-      .select(col("doc_id"), explode(array_distinct(TextExprs.tokens(col("text")))).as("tok"))
+    val hs = contentful(docRel)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
     val voteAggs = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), 63 - i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
@@ -368,12 +368,31 @@ object DedupQueries {
     * above shuffles a (doc, hash) row per token. Kept both: the
     * aggregate path is the independent reference DedupSpec pins the
     * native fold against (bit-identical fingerprints — votes are
-    * commutative integer sums, so fold order can't matter). */
+    * commutative integer sums, so fold order can't matter).
+    *
+    * Both fast paths share [[contentful]]'s pre-filter: a doc whose
+    * distinct token set is empty or just `""` (null text, empty text,
+    * whitespace-only text — `split` turns `""` into `[""]`) gets NO
+    * fingerprint. Without it, every no-content doc lands the identical
+    * fingerprint and the q76 band join goes quadratic in their count —
+    * a million empty docs is a trillion candidate pairs. Exact dedup
+    * (q16) is where byte-identical empties belong. */
   private[graft] def simhashFastNative(docRel: DataFrame): DataFrame =
-    docRel.select(col("doc_id"),
-      graft.plans.SimHashExpression.simhashFold(
-        transform(array_distinct(TextExprs.tokens(col("text"))),
-          t => xxhash64(t))).as("simhash64"))
+    contentful(docRel)
+      .select(col("doc_id"),
+        graft.plans.SimHashExpression.simhashFold(
+          transform(col("toks"), t => xxhash64(t))).as("simhash64"))
+
+  /** (doc_id, toks): distinct token arrays of docs with ≥ 1 non-empty
+    * token; token-less docs drop here, identically for both fast
+    * simhash formulations. The `""` token itself is KEPT in surviving
+    * docs' arrays (a double space produces one) so fingerprints of
+    * real docs are unchanged by the filter. */
+  private def contentful(docRel: DataFrame): DataFrame =
+    docRel
+      .select(col("doc_id"),
+        array_distinct(TextExprs.tokens(col("text"))).as("toks"))
+      .where(size(array_remove(col("toks"), "")) > 0)
 
   /** Q76: production-path SimHash near-dup — q39's exact plan (4×16-bit
     * pigeonhole bands → candidate join → Hamming verify) over

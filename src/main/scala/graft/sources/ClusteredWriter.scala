@@ -9,7 +9,17 @@ import graft.operators.LayoutQueries
   * z-order-clustered on two filter dimensions, so parquet footer
   * min/max statistics prune scans filtered on EITHER column.
   *
-  * Mechanics are exactly the two standard calls —
+  * The cluster keys are **range-quantized** into 2^8 buckets from the
+  * relation's measured min/max — NOT taken mod 2^8: a modulus wraps
+  * any domain wider than 256 around every file, so the RAW columns'
+  * footer min/max would stay domain-wide and no scan could prune
+  * (locality in mod-space is worthless to a predicate on the raw
+  * value). Range quantization is monotone, so tight buckets ⇒ tight
+  * raw min/max — the thing the footer actually stores. The bounds
+  * pass is one 1-row min/max aggregate (columnar scan of two columns;
+  * at 100 TB that is the cheap part next to the clustering shuffle).
+  *
+  * Mechanics after quantization are exactly the two standard calls —
   * `repartitionByRange(n, z)` (contiguous z-ranges per output file;
   * range boundaries come from Spark's deterministic sample-based
   * partitioner) then `sortWithinPartitions(z)` (rows inside each file
@@ -25,14 +35,34 @@ import graft.operators.LayoutQueries
   */
 object ClusteredWriter {
 
+  private val Buckets = 256
+
+  /** (min, max) of a numeric column, with degenerate/empty inputs
+    * collapsed to a unit span so the quantizer never divides by 0. */
+  private def bounds(df: DataFrame, c: Column): (Double, Double) = {
+    val r = df.agg(min(c.cast("double")), max(c.cast("double"))).collect()(0)
+    if (r.isNullAt(0) || r.isNullAt(1)) (0.0, 1.0)
+    else {
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      if (hi > lo) (lo, hi) else (lo, lo + 1.0)
+    }
+  }
+
+  /** Monotone scale of `c` from [lo, hi] into [0, Buckets). */
+  private def quantize(c: Column, lo: Double, hi: Double): Column =
+    least(lit(Buckets - 1),
+      floor((c.cast("double") - lit(lo)) * lit(Buckets.toDouble) / lit(hi - lo)))
+      .cast("int")
+
   /** Write `df` to `path` as `numFiles` parquet files z-ordered on the
-    * two given low-cardinality cluster keys (each taken mod 2^8, the
-    * audit's geometry). */
+    * two given cluster keys, each range-quantized into 2^8 buckets
+    * from its measured min/max (works for any numeric domain). */
   def writeZOrdered(df: DataFrame, xCol: Column, yCol: Column,
       path: String, numFiles: Int): Unit = {
-    val lim = 256L
+    val (xLo, xHi) = bounds(df, xCol)
+    val (yLo, yHi) = bounds(df, yCol)
     val z = LayoutQueries.zValue(
-      pmod(xCol, lit(lim)).cast("int"), pmod(yCol, lit(lim)).cast("int"))
+      quantize(xCol, xLo, xHi), quantize(yCol, yLo, yHi))
     df.withColumn("__z", z.cast("long"))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -42,18 +72,25 @@ object ClusteredWriter {
 
   /** Per-file bounding boxes of a written layout — the footer stats a
     * scan would prune with. Returns (file, n_rows, x_span, y_span)
-    * with spans as the fraction of each dimension's 2^8 domain. */
+    * with spans as fractions of each RAW column's global [min, max]
+    * range — deliberately not the quantized space, so a layout that is
+    * only tight modulo some wrap (the failure mode range quantization
+    * exists to avoid) audits as the unprunable layout it is. */
   def auditLayout(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
-    val lim = 256L
+    val global = df.agg(
+      min(xCol.cast("double")).as("gx_min"), max(xCol.cast("double")).as("gx_max"),
+      min(yCol.cast("double")).as("gy_min"), max(yCol.cast("double")).as("gy_max"))
     df.select(input_file_name().as("file"),
-        pmod(xCol, lit(lim)).cast("int").as("qx"),
-        pmod(yCol, lit(lim)).cast("int").as("qy"))
+        xCol.cast("double").as("x"), yCol.cast("double").as("y"))
       .groupBy("file")
       .agg(count(lit(1)).as("n_rows"),
-        min("qx").as("qx_min"), max("qx").as("qx_max"),
-        min("qy").as("qy_min"), max("qy").as("qy_max"))
+        min("x").as("x_min"), max("x").as("x_max"),
+        min("y").as("y_min"), max("y").as("y_max"))
+      .crossJoin(broadcast(global))
       .select(col("file"), col("n_rows"),
-        round((col("qx_max") - col("qx_min") + 1).cast("double") / lim, 6).as("x_span"),
-        round((col("qy_max") - col("qy_min") + 1).cast("double") / lim, 6).as("y_span"))
+        round((col("x_max") - col("x_min")) /
+          greatest(col("gx_max") - col("gx_min"), lit(1e-12)), 6).as("x_span"),
+        round((col("y_max") - col("y_min")) /
+          greatest(col("gy_max") - col("gy_min"), lit(1e-12)), 6).as("y_span"))
   }
 }

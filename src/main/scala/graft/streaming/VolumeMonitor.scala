@@ -54,7 +54,14 @@ object VolumeMonitor {
   }
 
   /** Hourly live counts scored against [[baseline]]; emits one row per
-    * finalized (window, event_type) with (n, mu, sigma, z, is_anomaly). */
+    * finalized (window, event_type) with (n, mu, sigma, z, is_anomaly).
+    *
+    * **Structural gap — zero-count windows:** a windowed streaming
+    * groupBy emits no row at all for a (window, type) with NO events,
+    * so the headline silent-feed case (baseline says busy, feed says
+    * nothing) can never surface here: there is no row to score. Pair
+    * this stream with [[silentSlots]] — a batch watchdog over the
+    * sink that flags exactly those absent windows. */
   def zStream(events: DataFrame, base: DataFrame,
       watermark: String = "30 minutes", threshold: Double = AnomalyZ): DataFrame = {
     val cur = events
@@ -72,5 +79,45 @@ object VolumeMonitor {
         round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
         round(z, 6).as("z"),
         coalesce(abs(round(z, 6)) > lit(threshold), lit(false)).as("is_anomaly"))
+  }
+
+  /** The absence watchdog [[zStream]] structurally needs: flags every
+    * hourly (window, event_type) slot in `[from, until)` whose baseline
+    * says a zero count is itself anomalous (µ/σ > threshold — the z a
+    * count of 0 would score) but for which the stream's sink holds NO
+    * finalized row. Run it on a schedule (foreachBatch epilogue, or an
+    * hourly job over the sink table), with `until` clamped to windows
+    * the watermark has already closed — an open window's absence is
+    * just lag, not silence.
+    *
+    * Emits the same (window, type, n, mu, sigma, z, is_anomaly) shape
+    * as [[zStream]] with n = 0 and is_anomaly = true, so the two
+    * relations union into one alarm feed.
+    *
+    * Scale shape: the expected grid is hours × |baseline| (generated,
+    * never scanned), the baseline join is a broadcast, and the only
+    * look at real data is one anti-join against the sink's
+    * (window_start, event_type) — a relation that grows by |types|
+    * rows per hour, trivially prunable by the `[from, until)` window. */
+  def silentSlots(emitted: DataFrame, base: DataFrame,
+      from: java.sql.Timestamp, until: java.sql.Timestamp,
+      threshold: Double = AnomalyZ): DataFrame = {
+    val spark = emitted.sparkSession
+    val grid = spark.range(1)
+      .select(explode(sequence(lit(from), lit(until), expr("INTERVAL 1 HOUR")))
+        .as("window_start"))
+      .where(col("window_start") < lit(until))
+      .withColumn("dow", dayofweek(col("window_start")).cast("long"))
+      .withColumn("hod", hour(col("window_start")))
+    val zAtZero = (lit(0.0) - col("mu")) / col("sigma")
+    grid.join(broadcast(base), Seq("dow", "hod"))
+      .where(col("sigma") > 0 && abs(col("mu") / col("sigma")) > lit(threshold))
+      .join(emitted.select(col("window_start"), col("event_type")),
+        Seq("window_start", "event_type"), "left_anti")
+      .select(col("window_start"),
+        (col("window_start") + expr("INTERVAL 1 HOUR")).as("window_end"),
+        col("event_type"), lit(0L).as("n"),
+        round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+        round(zAtZero, 6).as("z"), lit(true).as("is_anomaly"))
   }
 }

@@ -158,4 +158,30 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"signatures must not shuffle — scan → project only:\n$plan")
   }
+
+  test("token-less docs (empty/null text) get NO fingerprint in either simhash path") {
+    import spark.implicits._
+    // Two empty and one null doc alongside real text: BOTH fast paths
+    // must drop them before fingerprinting. Unfiltered, `split("")` is
+    // `[""]`, so every no-content doc lands the identical fingerprint
+    // and the q76 band join goes quadratic in their count; the raw
+    // native fold additionally emitted a null-fingerprint row for null
+    // text where explode emitted nothing.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "an entirely different document about spark engines"))
+      .toDF("doc_id", "text")
+    val agg = DedupQueries.simhashFastOn(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = DedupQueries.simhashFastNative(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg.keySet == Set(1L, 5L), s"aggregate path fingerprinted $agg")
+    assert(native == agg, "the two fast paths must drop token-less docs identically")
+    // and the banded near-dup join must not pair the empty docs
+    val pairs = DedupQueries.simhashNearDupFastOn(docs)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => Set(2L, 3L, 4L)(p._1) || Set(2L, 3L, 4L)(p._2)),
+      s"no-content docs must not appear as near-dups: $pairs")
+  }
 }

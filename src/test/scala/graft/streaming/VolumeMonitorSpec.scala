@@ -55,4 +55,41 @@ class VolumeMonitorSpec extends SparkSpec {
       assert(math.abs(z - 2.828427) < 1e-6, z.toString)
     } finally q.stop()
   }
+
+  test("silentSlots pages for the window the stream structurally cannot emit") {
+    // Baseline: Monday 09:00 is busy (µ=10, σ≈2.16 over 3 Mondays →
+    // µ/σ > 2 ⇒ a zero-count hour is anomalous); Monday 03:00 is noisy
+    // relative to its mean (µ/σ < 2) so its absence never pages.
+    val history = (
+      Seq.fill(8)(ts("2026-01-05", "09:10")) ++
+        Seq.fill(10)(ts("2026-01-12", "09:20")) ++
+        Seq.fill(12)(ts("2026-01-19", "09:05")) ++
+        Seq(ts("2026-01-05", "03:30")) ++
+        Seq.fill(5)(ts("2026-01-12", "03:30")) ++
+        Seq.fill(9)(ts("2026-01-19", "03:30")))
+      .map(t => ("purchase", t)).toDF("event_type", "ts")
+    val base = VolumeMonitor.baseline(history)
+
+    // Monday 2026-01-26: the sink saw a finalized 08:00 row (off-baseline
+    // hours emit nothing and must not be expected) but NOTHING for 09:00
+    // — the silent-feed case — and nothing for 03:00 (absence tolerated).
+    val emitted = Seq((ts("2026-01-26", "08:00"), "purchase"))
+      .toDF("window_start", "event_type")
+    val got = VolumeMonitor.silentSlots(
+      emitted, base, ts("2026-01-26", "00:00"), ts("2026-01-26", "12:00"))
+      .collect()
+    assert(got.length == 1, s"exactly the silent busy slot: ${got.mkString("; ")}")
+    val r = got.head
+    assert(r.getTimestamp(0) == ts("2026-01-26", "09:00") &&
+      r.getString(2) == "purchase" && r.getLong(3) == 0L && r.getBoolean(7),
+      s"got $r")
+    assert(r.getDouble(6) < -2.0, s"z at zero must clear the threshold: ${r.getDouble(6)}")
+
+    // An emitted 09:00 row silences the watchdog for that window.
+    val got2 = VolumeMonitor.silentSlots(
+      emitted.union(Seq((ts("2026-01-26", "09:00"), "purchase"))
+        .toDF("window_start", "event_type")),
+      base, ts("2026-01-26", "00:00"), ts("2026-01-26", "12:00"))
+    assert(got2.count() == 0, "a scored window is not silent")
+  }
 }
