@@ -1,6 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -11,11 +15,22 @@ import org.apache.spark.sql.functions._
   * needs (BASELINE.json north star).
   *
   * The Spark-side plumbing — schema, partition-preserving batch shape,
-  * per-partition iterator processing — is real; the codec itself is a
-  * STUB (this container has no image/audio libraries): `decodeStub`
-  * produces a deterministic digest-derived feature vector wherever a
-  * real decoder would run. Swap [[MediaRow.decode]] for an actual codec
-  * (e.g. javacv / TwelveMonkeys) without touching the dataflow.
+  * per-partition iterator processing — is real for all three
+  * modalities. The codec layer splits:
+  *
+  *  - **Images are REAL.** The JDK ships `javax.imageio` (PNG/JPEG/
+  *    GIF/BMP) — [[decodeImage]] reads actual pixel dimensions and a
+  *    4×4 downsampled-luminance feature grid, and [[resize]] rescales
+  *    real pixels through `java.awt` and re-encodes PNG. No external
+  *    library, no sandbox violation.
+  *  - **Audio/video remain a documented STUB** (no codec libraries in
+  *    this container): `decodeStub` produces a deterministic
+  *    digest-derived feature vector wherever a real decoder would run.
+  *    Swap the stub branch for an actual codec (e.g. javacv) without
+  *    touching the dataflow. Images whose bytes don't parse (truncated
+  *    payload, exotic codec) fall back to the same stub rather than
+  *    failing the partition — corpus-scale media is always partly
+  *    corrupt.
   *
   * Scale: `mapPartitions` over the binary column keeps each task
   * streaming through its partition's blobs one at a time (no
@@ -43,11 +58,13 @@ object MediaOps {
   case class Frame(media_id: Long, frame_idx: Int, content: Array[Byte])
 
   val FeatureDim = 16
+  private val Grid = 4 // FeatureDim = Grid²: one luminance cell per feature
 
-  /** STUB decoder: a real implementation would decode the codec and run
-    * a feature extractor; this derives a deterministic pseudo-feature
-    * vector from the content digest so plumbing, schema, batch shape and
-    * partitioning are all testable without media libraries. */
+  /** STUB decoder (audio/video + unparseable images): a real
+    * implementation would decode the codec and run a feature extractor;
+    * this derives a deterministic pseudo-feature vector from the
+    * content digest so plumbing, schema, batch shape and partitioning
+    * are all testable without media libraries. */
   private[multimodal] def decodeStub(content: Array[Byte]): Array[Float] =
     decodeWith(MessageDigest.getInstance("MD5"), content)
 
@@ -56,29 +73,96 @@ object MediaOps {
     Array.tabulate(FeatureDim)(i => ((d(i) & 0xff) / 255.0f) * 2f - 1f)
   }
 
-  /** Per-partition feature extraction over the binary column. One
-    * MessageDigest per PARTITION (this is the point of mapPartitions):
-    * per-row `getInstance` would do a JCA provider lookup per blob. */
+  /** REAL image decode via `javax.imageio`: (width, height, 4×4
+    * mean-luminance grid scaled to [-1, 1], row-major). None when the
+    * bytes aren't a decodable image — the caller falls back to the
+    * stub. Luminance is the Rec.601 weighting; the grid mean is exact
+    * over each cell's pixels, so the vector is deterministic for a
+    * given payload on any JVM. */
+  private[multimodal] def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(content))).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val feats = Array.tabulate(FeatureDim) { i =>
+          val (gx, gy) = (i % Grid, i / Grid)
+          val x0 = gx * w / Grid; val x1 = math.max(x0 + 1, (gx + 1) * w / Grid)
+          val y0 = gy * h / Grid; val y1 = math.max(y0 + 1, (gy + 1) * h / Grid)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 0.299 +
+                ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114) / 255.0
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          (if (n == 0) -1.0 else (sum / n) * 2 - 1).toFloat
+        }
+        (w, h, feats)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Per-partition feature extraction over the binary column: real
+    * pixel features for decodable images, digest stub for everything
+    * else. One MessageDigest per PARTITION (this is the point of
+    * mapPartitions): per-row `getInstance` would do a JCA provider
+    * lookup per blob. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md = MessageDigest.getInstance("MD5")
       rows.map { r =>
-        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
-          decodeWith(md, r.content))
+        val feats =
+          (if (r.media_type == "image") decodeImage(r.content).map(_._3) else None)
+            .getOrElse(decodeWith(md, r.content))
+        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong, feats)
       }
     }
   }
 
-  /** STUB resize: a real implementation re-encodes pixels; the stub
-    * truncates the payload proportionally, preserving the contract that
-    * output metadata reflects the new dimensions. */
+  /** Re-derive image metadata from the PAYLOAD: rows whose bytes decode
+    * get their true width/height (upstream metadata lies at corpus
+    * scale); everything else passes through untouched. */
+  def withDecodedDims(media: Dataset[MediaRow]): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      if (r.media_type != "image") r
+      else decodeImage(r.content) match {
+        case Some((w, h, _)) => r.copy(width = w, height = h)
+        case None => r
+      }
+    })
+  }
+
+  /** Resize: REAL pixel rescale + PNG re-encode for decodable images
+    * (`java.awt` bilinear-ish default scaling); for audio/video and
+    * unparseable images the stub truncates the payload proportionally,
+    * preserving the contract that output metadata reflects the new
+    * dimensions. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      val scale = math.min(1.0, (w.toLong * h).toDouble / math.max(1, r.width.toLong * r.height))
-      val n = math.max(1, (r.content.length * scale).toInt)
-      r.copy(content = r.content.take(n), width = w, height = h)
+      val real =
+        if (r.media_type == "image")
+          try {
+            Option(ImageIO.read(new ByteArrayInputStream(r.content))).map { img =>
+              val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+              val buf = new ByteArrayOutputStream()
+              ImageIO.write(out, "png", buf)
+              r.copy(content = buf.toByteArray, width = w, height = h)
+            }
+          } catch { case _: Throwable => None }
+        else None
+      real.getOrElse {
+        val scale = math.min(1.0, (w.toLong * h).toDouble / math.max(1, r.width.toLong * r.height))
+        val n = math.max(1, (r.content.length * scale).toInt)
+        r.copy(content = r.content.take(n), width = w, height = h)
+      }
     })
   }
 

@@ -6,10 +6,22 @@ import graft.multimodal.MediaOps._
 class MediaOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // Rows 1-2 are "images" whose bytes are NOT a decodable codec — they
+  // exercise the stub-fallback path the corrupt tail of any real corpus
+  // takes. Real-PNG rows are crafted per-test via [[png]].
   private def media = Seq(
     MediaRow(1L, "image", Array.tabulate(256)(_.toByte), 64, 64, 0L),
     MediaRow(2L, "image", Array.tabulate(128)(i => (i * 3).toByte), 32, 32, 0L),
     MediaRow(3L, "video", Array.tabulate(1000)(_.toByte), 640, 480, 10000L)).toDS()
+
+  /** In-memory PNG fixture: w×h with per-pixel RGB from `f(x, y)`. */
+  private def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
 
   test("feature extraction: deterministic, fixed-dim, batch-shaped") {
     val feats = extractFeatures(media).collect().sortBy(_.media_id)
@@ -48,6 +60,48 @@ class MediaOpsSpec extends SparkSpec {
     val stats = metadataStats(media.toDF()).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(stats("image") == 384L && stats("video") == 1000L)
+  }
+
+  test("real PNG decodes to true dimensions and pixel-derived features") {
+    // Left half black, right half white: the 4×4 luminance grid's left
+    // two columns must read dark (≈ -1) and the right two light (≈ +1)
+    // — digest noise can't produce that structure.
+    val halves = png(64, 32)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF)
+    val Some((w, h, feats)) = MediaOps.decodeImage(halves)
+    assert(w == 64 && h == 32)
+    for (i <- 0 until FeatureDim) {
+      if (i % 4 < 2) assert(feats(i) < -0.9f, s"cell $i should be dark: ${feats(i)}")
+      else assert(feats(i) > 0.9f, s"cell $i should be light: ${feats(i)}")
+    }
+    // the distributed path picks the real decode for this row
+    val ds = Seq(MediaRow(7L, "image", halves, 0, 0, 0L)).toDS()
+    val viaSpark = extractFeatures(ds).collect().head.features
+    assert(viaSpark.sameElements(feats), "mapPartitions path must match direct decode")
+    // garbage bytes under media_type=image fall back to the stub, not an error
+    val stubbed = extractFeatures(media).collect().sortBy(_.media_id)
+    assert(stubbed.forall(_.features.length == FeatureDim))
+  }
+
+  test("withDecodedDims corrects lying metadata from the payload") {
+    val fixed = withDecodedDims(Seq(
+      MediaRow(8L, "image", png(48, 24)((_, _) => 0x808080), 1, 1, 0L),
+      MediaRow(9L, "image", Array[Byte](1, 2, 3), 5, 6, 0L), // undecodable: untouched
+      MediaRow(10L, "video", Array[Byte](1), 640, 480, 1000L)).toDS())
+      .collect().sortBy(_.media_id)
+    assert(fixed(0).width == 48 && fixed(0).height == 24)
+    assert(fixed(1).width == 5 && fixed(1).height == 6)
+    assert(fixed(2).width == 640 && fixed(2).height == 480)
+  }
+
+  test("real image resize rescales pixels and re-encodes a decodable PNG") {
+    val src = Seq(MediaRow(11L, "image",
+      png(64, 32)((x, _) => if (x < 32) 0x000000 else 0xFFFFFF), 64, 32, 0L)).toDS()
+    val out = resize(src, 16, 8).collect().head
+    assert(out.width == 16 && out.height == 8)
+    val Some((w, h, feats)) = MediaOps.decodeImage(out.content)
+    assert(w == 16 && h == 8, "resized payload must itself be a decodable image")
+    // the halves structure survives the rescale
+    assert(feats(0) < -0.5f && feats(3) > 0.5f, feats.mkString(","))
   }
 
   test("media features flow into the embedding near-dup operators unchanged") {
