@@ -115,9 +115,18 @@ object CompactionJob {
     * point self-heals on the next run and data can never be lost. A
     * count mismatch abandons the staging copy and keeps the original.
     *
+    * `clusterBy = Some((x, y))` makes the rewrite Z-ORDERED on those
+    * two columns ([[graft.sources.ClusteredWriter]]) — compaction is
+    * the natural moment to fix layout, since the partition is being
+    * rewritten anyway: the same narrow job, with the plain
+    * `repartition(n)` swapped for the range-quantized z clustering, so
+    * the compacted files' footer min/max prune scans on either column
+    * (q98's audit metric). Same crash-safety path, same count verify.
+    *
     * Returns before/after row counts for the no-data-loss check. */
   def run(spark: SparkSession, root: String, maxFiles: Int = 4,
-      parallelism: Int = 4): Result = {
+      parallelism: Int = 4, targetFileBytes: Long = TargetFileBytes,
+      clusterBy: Option[(String, String)] = None): Result = {
     restoreOrphanBackups(spark, root)
     val fragmented = findFragmented(spark, root, maxFiles)
     if (fragmented.isEmpty) return Result(Nil, 0L, 0L)
@@ -134,7 +143,8 @@ object CompactionJob {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val results = Await.result(
-        Future.sequence(fragmented.map(p => Future(compactOne(spark, fs, root, p)))),
+        Future.sequence(fragmented.map(p =>
+          Future(compactOne(spark, fs, root, p, targetFileBytes, clusterBy)))),
         Duration.Inf)
       Result(
         results.flatMap(_._1),
@@ -146,18 +156,24 @@ object CompactionJob {
   /** Compact one leaf: returns (published relPath if swapped, rows
     * before, rows after). */
   private def compactOne(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
-      root: String, p: PartitionStats): (Option[String], Long, Long) = {
+      root: String, p: PartitionStats, targetFileBytes: Long,
+      clusterBy: Option[(String, String)]): (Option[String], Long, Long) = {
     val leaf = fs.makeQualified(new Path(s"$root/${p.relPath}"))
     val tmp = new Path(leaf.getParent, s".compact_tmp_${leaf.getName}")
     val bak = new Path(leaf.getParent, s".compact_old_${leaf.getName}")
     fs.delete(bak, true) // stale leftovers from an earlier crash
     val df = spark.read.option("mergeSchema", "true").parquet(leaf.toString)
     val n = df.count()
-    val nFiles = math.max(1, math.ceil(p.bytes.toDouble / TargetFileBytes).toInt)
-    df.repartition(nFiles)
-      .write.mode("overwrite")
-      .option("compression", "snappy")
-      .parquet(tmp.toString)
+    val nFiles = math.max(1, math.ceil(p.bytes.toDouble / targetFileBytes).toInt)
+    clusterBy match {
+      case Some((x, y)) =>
+        graft.sources.ClusteredWriter.writeZOrdered(df, col(x), col(y), tmp.toString, nFiles)
+      case None =>
+        df.repartition(nFiles)
+          .write.mode("overwrite")
+          .option("compression", "snappy")
+          .parquet(tmp.toString)
+    }
     val nTmp = spark.read.parquet(tmp.toString).count()
     if (nTmp == n) {
       // Hadoop FileSystem.rename reports most failures by returning
