@@ -194,6 +194,91 @@ object AuditQueries {
        |    > $AnomalyZ, false) AS is_anomaly
        |FROM j""".stripMargin
 
+  // ---------------------------------------- q121 slot-absence audit
+  /** Q121: slot-absence audit — the batch face of
+    * [[graft.streaming.VolumeMonitor.silentSlots]]'s silent-feed
+    * watchdog, over the same events relation q104 scores. A windowed
+    * count (batch or streaming) emits NO row for an hour with zero
+    * events, so "the feed went silent" is invisible to every
+    * count-scoring audit; this query materializes the full
+    * (type, day, hour) calendar grid over the corpus span and flags
+    * exactly the absent slots whose (dow, hour) baseline says silence
+    * is itself anomalous — µ/σ &gt; [[AnomalyZ]], the z a count of 0
+    * would score. Reported z0 = −µ/σ is that hypothetical z. Slots
+    * with no baseline at all (the type never fires in that weekday
+    * hour) stay quiet: absence there is the norm, not an anomaly.
+    *
+    * Determinism: hourly counts and the Σx/Σx² moments are exact
+    * integers; µ, σ, the µ/σ gate and z0 are pinned single IEEE ops
+    * (the q104 argument), THEN 6-decimal rounding.
+    *
+    * Scale shape: one map-side-combined (type, day, hour) count whose
+    * key space is calendar-bounded, a ≤ 7×24×|types| baseline rollup,
+    * a GENERATED grid (days × 24 × |types| rows — never a corpus
+    * scan), one broadcast join, one anti-join against the bounded slot
+    * relation. Row count touches nothing past the first narrow scan. */
+  def absenceAudit(spark: SparkSession, dir: String): DataFrame =
+    absenceAuditOn(events(spark, dir))
+
+  private[operators] def absenceAuditOn(ev: DataFrame): DataFrame = {
+    // Persisted: baseline, span, grid spine, and the anti-join all
+    // read this calendar-bounded relation — one corpus scan, not four.
+    val slots = graft.core.Caches.persistTracked(ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("cnt")))
+    val n = col("n_slots").cast("double")
+    val mu = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) / (n - lit(1.0))
+    val sigma = when(col("n_slots") > 1, sqrt(greatest(variance, lit(0.0))))
+    val baseline = slots.withColumn("dow", dayofweek(col("day")).cast("long"))
+      .groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("n_slots"),
+        sum("cnt").as("s1"), sum(col("cnt") * col("cnt")).as("s2"))
+      .select(col("event_type"), col("dow"), col("hod"), col("n_slots"),
+        mu.as("mu"), sigma.as("sigma"))
+    val span = slots.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = slots.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .select(col("event_type"), col("day"),
+        explode(sequence(lit(0L), lit(23L))).as("hod"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    grid.join(broadcast(baseline), Seq("event_type", "dow", "hod"))
+      .where(col("sigma") > 0 && col("mu") / col("sigma") > lit(AnomalyZ))
+      .join(slots.select("event_type", "day", "hod"),
+        Seq("event_type", "day", "hod"), "left_anti")
+      .select(col("event_type"), col("day"), col("hod"), col("n_slots"),
+        round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+        round(-col("mu") / col("sigma"), 6).as("z0"))
+  }
+
+  val absenceAuditSql: String =
+    s"""WITH sl AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(hour(ts) AS BIGINT) AS hod, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2, 3),
+       |b AS (SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow, hod,
+       |    count(*) AS n_slots, sum(cnt) AS s1, sum(cnt * cnt) AS s2
+       |  FROM sl GROUP BY 1, 2, 3),
+       |b2 AS (SELECT event_type, dow, hod, n_slots,
+       |    CAST(s1 AS DOUBLE) / CAST(n_slots AS DOUBLE) AS mu,
+       |    CASE WHEN n_slots > 1 THEN sqrt(greatest(
+       |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+       |        / CAST(n_slots AS DOUBLE)) / (CAST(n_slots AS DOUBLE) - 1.0), 0.0)) END AS sigma
+       |  FROM b),
+       |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM sl),
+       |g AS (SELECT t.event_type, d.day, h.hod, CAST(dayofweek(d.day) + 1 AS BIGINT) AS dow
+       |  FROM (SELECT DISTINCT event_type FROM sl) t,
+       |       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM sp) d,
+       |       (SELECT CAST(unnest(range(24)) AS BIGINT) AS hod) h)
+       |SELECT g.event_type, g.day, g.hod, b2.n_slots,
+       |  round(mu, 6) AS mu, round(sigma, 6) AS sigma, round(-mu / sigma, 6) AS z0
+       |FROM g JOIN b2 ON g.event_type = b2.event_type AND g.dow = b2.dow AND g.hod = b2.hod
+       |WHERE sigma > 0 AND mu / sigma > $AnomalyZ
+       |  AND NOT EXISTS (SELECT 1 FROM sl
+       |    WHERE sl.event_type = g.event_type AND sl.day = g.day AND sl.hod = g.hod)""".stripMargin
+
   // --------------------------------------- q111 Benford digit audit
   /** Q111: Benford first-digit audit — fabricated or unit-mangled
     * numeric feeds betray themselves in the leading-digit distribution
@@ -406,12 +491,14 @@ object AuditQueries {
     "q104_seasonal_anomaly" -> seasonalAnomaly _,
     "q111_benford" -> benford _,
     "q114_chi_square" -> chiSquare _,
-    "q116_welch_t" -> welchT _)
+    "q116_welch_t" -> welchT _,
+    "q121_absence_audit" -> absenceAudit _)
 
   val oracles: Map[String, String] = Map(
     "q103_psi_drift" -> psiDriftSql,
     "q104_seasonal_anomaly" -> seasonalAnomalySql,
     "q111_benford" -> benfordSql,
     "q114_chi_square" -> chiSquareSql,
-    "q116_welch_t" -> welchTSql)
+    "q116_welch_t" -> welchTSql,
+    "q121_absence_audit" -> absenceAuditSql)
 }

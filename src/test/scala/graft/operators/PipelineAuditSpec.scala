@@ -391,4 +391,30 @@ class PipelineAuditSpec extends SparkSpec {
     assert(got("2026-01-04").contains(30.0))
     assert(got("2026-01-05").contains(40.0))
   }
+
+  // ----------------------------------------------------------- q121
+  test("q121: only the absent slot with a confident baseline pages; noisy and unknown slots stay quiet") {
+    def hourTs(day: String, h: Int): Timestamp =
+      Timestamp.valueOf(f"$day $h%02d:30:00")
+    // Four Mondays span the window 2026-01-05..01-26. The 09:00 slot is
+    // steady (8, 10, 12 → µ=10, σ=2, µ/σ=5 > 2) but has NO events on
+    // 01-19 → must page with z0 = -5. The 03:00 slot is noisy (1, 5, 9
+    // → µ=5, σ=4, µ/σ=1.25 < 2): its 01-19 absence is tolerable. Every
+    // non-Monday hour in the span has no baseline at all and must not
+    // appear even though the grid covers it.
+    val rows = (
+      Seq.fill(8)(hourTs("2026-01-05", 9)) ++ Seq.fill(10)(hourTs("2026-01-12", 9)) ++
+        Seq.fill(12)(hourTs("2026-01-26", 9)) ++
+        Seq(hourTs("2026-01-05", 3)) ++ Seq.fill(5)(hourTs("2026-01-12", 3)) ++
+        Seq.fill(9)(hourTs("2026-01-26", 3)))
+      .map(t => ("purchase", t)).toDF("event_type", "ts")
+    val got = AuditQueries.absenceAuditOn(rows).collect()
+    graft.core.Caches.releaseAll()
+    assert(got.length == 1, s"exactly the silent busy slot: ${got.mkString("; ")}")
+    val r = got.head
+    assert(r.getString(0) == "purchase" && r.getDate(1).toString == "2026-01-19" &&
+      r.getLong(2) == 9L && r.getLong(3) == 3L, s"got $r")
+    assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 2.0 && r.getDouble(6) == -5.0,
+      s"got $r")
+  }
 }
