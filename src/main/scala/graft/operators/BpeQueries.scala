@@ -100,6 +100,50 @@ object BpeQueries {
       mergeTokens(toks, a, b)
     }
 
+  /** Q122: ENCODE the corpus with the trained tokenizer — the apply
+    * side of q117's train side, i.e. what every downstream packing /
+    * budgeting / mixture stage actually consumes: per document, the
+    * word count, the subword token count under the learned merges, and
+    * the chars-per-token compression the tokenizer achieves.
+    *
+    * Spark-first shape (same trick as the trainer, inverted):
+    *  - The merge table is DRIVER state by construction (q117 returns
+    *    k rows) — it broadcasts with the closure; encoding never
+    *    shuffles it.
+    *  - Words collapse to DISTINCT (word, subtokens) before the
+    *    left-to-right merge scan runs — the O(|word|·k) encode cost is
+    *    paid once per vocabulary entry, not once per corpus token.
+    *  - One uniform join back (every word row matches exactly one
+    *    vocab row — no skewed key can exist on the DISTINCT side) and
+    *    one map-side-combined per-doc aggregate.
+    *
+    * Rows-only like q117 (the merge table inside has no SQL
+    * formulation); BpeSpec pins hand-computed counts end-to-end and
+    * the invariant n_words ≤ n_tokens ≤ n_chars. */
+  def q122BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOn(Tables(spark, dir, "documents"))
+
+  private[graft] def bpeEncodeOn(docRel: DataFrame): DataFrame = {
+    val spark = docRel.sparkSession
+    import spark.implicits._
+    val merges = bpeMergesOn(docRel).orderBy("round")
+      .select("pair").as[String].collect().toSeq
+    val words = Caches.persistTracked(docRel
+      .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0))
+    val encoded = words.select("word").distinct().as[String]
+      .map(w => (w, applyMerges(w, merges).length.toLong))
+      .toDF("word", "n_sub")
+    words.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+  }
+
   /** One left-to-right non-overlapping pass replacing adjacent (a, b)
     * with a+b — the scan that makes "aaa" + (a·a) → [aa, a], not [aa, aa]. */
   private[graft] def mergeTokens(toks: Seq[String], a: String, b: String): Seq[String] = {
@@ -114,10 +158,11 @@ object BpeQueries {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q117_bpe_merges" -> q117BpeMerges _)
+    "q117_bpe_merges" -> q117BpeMerges _,
+    "q122_bpe_encode" -> q122BpeEncode _)
 
-  /** No oracle: iterative argmax selection has no tractable single-SQL
-    * formulation (and the string-replace approximation is wrong on
-    * repeated pairs) — rows-only driver check, spec-pinned. */
+  /** No oracle for either: iterative argmax selection has no tractable
+    * single-SQL formulation (and the string-replace approximation is
+    * wrong on repeated pairs) — rows-only driver checks, spec-pinned. */
   val oracles: Map[String, String] = Map.empty
 }

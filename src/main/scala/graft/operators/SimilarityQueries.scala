@@ -709,6 +709,86 @@ object SimilarityQueries {
        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, c_id AS code
        |FROM a2 WHERE rn = 1""".stripMargin
 
+  // -------------------------------------- q123 MMR diverse selection
+  /** MMR trade-off weight: score = λ·relevance − (1−λ)·max-sim-to-picked. */
+  val MmrLambda = 0.7
+  /** Per-group candidate pool cap — bounds the greedy's O(pool²·k)
+    * work and the group buffer regardless of bucket size. */
+  val MmrPool = 256
+  /** Selections per group. */
+  val MmrK = 5
+
+  /** Q123: maximal-marginal-relevance selection — the diversity-aware
+    * subsampling step of training-data curation (Carbonell & Goldstein,
+    * SIGIR'98): per label bucket, greedily pick [[MmrK]] vectors
+    * maximizing λ·cos(v, bucket centroid) − (1−λ)·max cos(v, already
+    * picked), so the selection covers the bucket instead of k copies
+    * of its densest mode. Deterministic: unit-normalized vectors in
+    * fixed (vec_id) order, ties broken by (score desc, vec_id asc).
+    *
+    * Scale shape: ONE shuffle (groupByKey on the bucket key); the
+    * group buffer and the greedy are bounded by [[MmrPool]] (candidates
+    * pre-ranked by relevance before the quadratic part) — the operator
+    * expects PRE-BUCKETED input (a label, an IVF cell from q21's
+    * assignment, a stratum), which is how diversity selection runs in
+    * production: global MMR over a corpus is not a thing; per-bucket
+    * MMR inside a partitioned sweep is. Greedy selection is inherently
+    * sequential per bucket — no SQL formulation → rows-only check;
+    * SimilaritySpec pins a hand-computed pick order (diversity beating
+    * a near-duplicate of the first pick). */
+  def q123MmrDiverse(spark: SparkSession, dir: String): DataFrame =
+    mmrDiverseOn(Tables(spark, dir, "embeddings"), MmrK)
+
+  private[graft] def mmrDiverseOn(emb: DataFrame, k: Int,
+      lambda: Double = MmrLambda, pool: Int = MmrPool): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    emb.select(col("label").cast("int"), col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Int, Long, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (label, it) =>
+        val vs = it.map { case (_, id, v) =>
+          val n = math.sqrt(dot(v, v))
+          (id, if (n > 0) v.map(_ / n) else v)
+        }.toArray.sortBy(_._1) // fixed order → deterministic float sums
+        if (vs.isEmpty) Iterator.empty
+        else {
+          val d = vs(0)._2.length
+          val mean = new Array[Double](d)
+          vs.foreach { case (_, v) =>
+            var i = 0; while (i < d) { mean(i) += v(i); i += 1 }
+          }
+          val mn = math.sqrt(dot(mean, mean))
+          val c = if (mn > 0) mean.map(_ / mn) else mean
+          val ranked = vs.map { case (id, v) => (id, v, dot(v, c)) }
+            .sortBy { case (id, _, rel) => (-rel, id) }.take(pool)
+          val selected = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Double], Double, Double)]
+          val remaining = scala.collection.mutable.ArrayBuffer(ranked.toSeq: _*)
+          while (selected.size < k && remaining.nonEmpty) {
+            val best = remaining.map { case (id, v, rel) =>
+              val maxSim = if (selected.isEmpty) 0.0
+                else selected.iterator.map(s => dot(v, s._2)).max
+              (id, v, rel, lambda * rel - (1 - lambda) * maxSim)
+            }.minBy { case (id, _, _, sc) => (-sc, id) }
+            selected += best
+            remaining.remove(remaining.indexWhere(_._1 == best._1))
+          }
+          selected.iterator.zipWithIndex.map { case ((id, _, rel, sc), i) =>
+            (label, i + 1, id,
+              math.rint(rel * 1e6) / 1e6, math.rint(sc * 1e6) / 1e6)
+          }
+        }
+      }
+      .toDF("label", "rank", "vec_id", "rel", "score")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_cosine_topk" -> cosineTopK _,
     "q21_ivf_ann" -> ivfAnn _,
@@ -718,7 +798,8 @@ object SimilarityQueries {
     "q80_adc_topk" -> adcTopK _,
     "q82_ivfpq_topk" -> ivfPqTopK _,
     "q88_pq_refine" -> pqRefine _,
-    "q47_quantize_int8" -> quantizeInt8 _)
+    "q47_quantize_int8" -> quantizeInt8 _,
+    "q123_mmr_diverse" -> q123MmrDiverse _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,

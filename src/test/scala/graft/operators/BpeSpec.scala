@@ -71,4 +71,37 @@ class BpeSpec extends SparkSpec {
     assert(totals == totals.sorted.reverse && totals.distinct == totals,
       s"every merge must strictly shrink the corpus: $totals")
   }
+
+  test("q122 encode: hand-computed token counts under the low/lower merges") {
+    // Same corpus as the trainer test: merges are l·o, lo·w, e·r (8
+    // rounds keep merging, so compute the FULL expectation with the
+    // reference applyMerges rather than guessing round counts by hand).
+    val docs = Seq((0L, "low low"), (1L, "lower")).toDF("doc_id", "text")
+    val merges = BpeQueries.bpeMergesOn(docs).orderBy("round")
+      .collect().map(_.getString(1)).toSeq
+    graft.core.Caches.releaseAll()
+    val got = BpeQueries.bpeEncodeOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    val lowN = BpeQueries.applyMerges("low", merges).length.toLong
+    val lowerN = BpeQueries.applyMerges("lower", merges).length.toLong
+    assert(got(0L) == ((2L, 2 * lowN, 6L, 6.0 / (2 * lowN))), got.toString)
+    assert(got(1L) == ((1L, lowerN, 5L, 5.0 / lowerN)), got.toString)
+  }
+
+  test("q122 encode invariants on a random corpus: n_words <= n_tokens <= n_chars") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 20L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(8))(
+        Seq.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(4)).toChar).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rows = BpeQueries.bpeEncodeOn(docs).collect()
+    graft.core.Caches.releaseAll()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (w, t, c) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= t && t <= c, s"doc ${r.getLong(0)}: words=$w tokens=$t chars=$c")
+    }
+  }
 }

@@ -146,4 +146,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected,
       s"refined top-5 diverged from exact: missing=${expected -- got} extra=${got -- expected}")
   }
+
+  test("q123 MMR: diversity beats a near-duplicate of the first pick; groups independent") {
+    import spark.implicits._
+    // Label 0: two copies of the x-axis direction (ids 1, 2) and one
+    // off-axis vector (id 3, (0.6, 0.8, 0)). Centroid ≈ (0.956, 0.294, 0):
+    // rel(1) = rel(2) ≈ 0.956 > rel(3) ≈ 0.809. Pick 1 = id 1 (rel tie
+    // → lowest id). Pick 2 at λ=0.7: the duplicate id 2 scores
+    // 0.7·0.956 − 0.3·1 ≈ 0.369; id 3 scores 0.7·0.809 − 0.3·0.6 ≈
+    // 0.386 → DIVERSITY wins even at lower relevance. Label 1 is a
+    // separate bucket and must select independently.
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f), 0),
+      (3L, Array(0.6f, 0.8f, 0f), 0),
+      (10L, Array(0f, 0f, 1f), 1), (11L, Array(0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityQueries.mmrDiverseOn(emb, k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 1)) == 1L, s"first pick is the relevance argmax (id tie-break): $got")
+    assert(got((0, 2)) == 3L, s"second pick must be the diverse vector, not the duplicate: $got")
+    assert(got.keySet == Set((0, 1), (0, 2), (1, 1), (1, 2)), got.toString)
+    assert(Set(10L, 11L).contains(got((1, 1))), "label 1 selects from its own bucket only")
+  }
 }
