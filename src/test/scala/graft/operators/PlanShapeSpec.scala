@@ -335,4 +335,33 @@ class PlanShapeSpec extends SparkSpec {
       s"rank propagation is an equi-join, never a cross product:\n$p")
     graft.core.Caches.releaseAll()
   }
+
+  test("q121: the baseline joins broadcast; the grid is generated, never a second corpus scan") {
+    val df = AuditQueries.absenceAudit(spark, Dir)
+    df.count() // settle AQE + materialize the tracked persist
+    val p = plan(df)
+    // One events scan feeds the persisted slots relation; baseline,
+    // span/grid spine, and the anti-join must all read the CACHE —
+    // every InMemoryTableScan printout embeds the cached plan (its one
+    // parquet scan), so the pin is cache-reuse count, not scan count.
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"baseline, grid spine, and anti-join must read the persisted slots:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the calendar-bounded baseline must broadcast:\n$p")
+    assert(p.contains("LeftAnti"), s"absence is an anti-join:\n$p")
+    // the only cross shape allowed is the broadcast 1-row span join
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q122: encoding joins the distinct vocabulary back without a cartesian; per-doc agg combines map-side") {
+    val df = BpeQueries.q122BpeEncode(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"vocab join-back is an equi-join on word:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-doc token totals must partial-aggregate:\n$p")
+    graft.core.Caches.releaseAll()
+  }
 }
