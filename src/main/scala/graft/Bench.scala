@@ -153,20 +153,20 @@ object Bench {
     // fixed-round oracle face): data-dependent round count to L1 < 1e-7
     // with a per-round checkpoint + eager previous-round release — the
     // cost profile that matters for any long iterative job. Rows-only
-    // (no oracle can unroll a data-dependent iteration count).
+    // (no oracle can unroll a data-dependent iteration count). Single
+    // shot, not median-of-repeats: the ~50-round loop already averages
+    // per-round noise internally (measured 51.9 s at sf0.1), and two
+    // more repeats would add ~100 s of wall for no extra signal.
     val prTol = if (only.nonEmpty) 0.0 else try {
       import org.apache.spark.sql.functions.col
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .select(col("l_orderkey"), col("l_partkey"))
-        graft.operators.GraphQueries.pageRankUntil(pairs, tol = 1e-7).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        dt
-      }
-      times.sorted.apply((times.size - 1) / 2)
+      val t0 = System.nanoTime()
+      val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.GraphQueries.pageRankUntil(pairs, tol = 1e-7).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      dt
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pagerank tolerance loop failed: ${e.getMessage}")
       -1.0

@@ -79,7 +79,8 @@ class SessionHygieneSpec extends SparkSpec {
     val sample = Seq(
       "q03_window_agg", "q17_ngram_jaccard", "q18_minhash_lsh",
       "q21_ivf_ann", "q42_dedup_clusters", "q70_bm25",
-      "q73_incremental_neardup", "q75_training_units", "q107_pagerank")
+      "q73_incremental_neardup", "q75_training_units", "q107_pagerank",
+      "q121_absence_audit", "q122_bpe_encode", "q123_mmr_diverse")
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SOAK_ROUNDS", "6").toInt
     val qs = graft.SparkEntry.queries
     for (r <- 1 to rounds; name <- sample) {
