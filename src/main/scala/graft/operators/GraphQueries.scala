@@ -167,9 +167,92 @@ object GraphQueries {
        |SELECT node, round(r, 10) AS rank FROM r$Iterations""".stripMargin
   }
 
+  // ------------------------------------- q124 label propagation (LPA)
+  /** Fixed LPA rounds — like [[Iterations]], part of the contract: the
+    * oracle is the same loop unrolled as SQL CTEs. */
+  val LpaRounds = 2
+
+  /** Q124: label propagation communities over the same order↔part
+    * graph q107 ranks — the third leg of the graph tier: q42 answers
+    * "which nodes are CONNECTED", q107 "which nodes MATTER", q124
+    * "which nodes cluster TOGETHER" (Raghavan et al., "Near linear
+    * time algorithm to detect community structures", 2007). Curation
+    * use: community = a topical/domain group for mixture balancing at
+    * a finer grain than connected components (which merge through any
+    * single bridge edge).
+    *
+    * Each round every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — fully deterministic
+    * (synchronous update, total tie order), which is what makes a SQL
+    * unrolling possible where classic randomized-async LPA has none.
+    * One bipartite-specific consequence, embraced rather than hidden:
+    * with an EVEN round count labels travel an even number of hops, so
+    * communities form among SAME-side nodes with overlapping
+    * neighborhoods — orders sharing parts cluster together (co-purchase
+    * cohorts), parts sharing orders likewise. That 2-hop-neighborhood
+    * grouping is precisely the mixture-balancing signal wanted here;
+    * on a general (non-bipartite) graph the same loop is standard LPA.
+    *
+    * Scale shape: the symmetric edge relation persists once; a round is
+    * one equi-join (edges ⋈ labels on dst) + one (src, lbl) count +
+    * one per-src argmax window whose partitions are node-degree sized.
+    * Nothing corpus-shaped shuffles; rounds are fixed so lineage stays
+    * shallow (a tolerance variant would add the [[GraphOps]]
+    * checkpoint cut, nothing else). */
+  def q124LabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropOn(Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")))
+
+  private[graft] def labelPropOn(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Seq(lc, rc) = pairs.columns.toSeq.take(2)
+    val fwd = pairs.select(
+      (col(lc).cast("long") * 2).as("src"),
+      (col(rc).cast("long") * 2 + 1).as("dst")).distinct()
+    val edges = Caches.persistTracked(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to LpaRounds) {
+      val w = Window.partitionBy("src").orderBy(desc("n"), asc("lbl"))
+      labels = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy("src", "lbl").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+    }
+    def tag(c: org.apache.spark.sql.Column) =
+      concat(when(pmod(c, lit(2L)) === 0L, lit("o")).otherwise(lit("p")),
+        shiftright(c, 1).cast("string"))
+    labels.select(tag(col("node")).as("node"), tag(col("lbl")).as("community"))
+  }
+
+  val labelPropSql: String = {
+    def round_(k: Int): String =
+      s"""c$k AS (SELECT e.src, l.lbl, count(*) AS n
+         |  FROM e JOIN l${k - 1} l ON e.dst = l.node GROUP BY 1, 2),
+         |l$k AS (SELECT src AS node, lbl FROM (
+         |    SELECT src, lbl, row_number() OVER (
+         |      PARTITION BY src ORDER BY n DESC, lbl ASC) AS rn FROM c$k)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH f AS (SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+       |  FROM lineitem),
+       |e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |${(1 to LpaRounds).map(round_).mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'o' ELSE 'p' END
+       |    || CAST(node // 2 AS VARCHAR) AS node,
+       |  CASE WHEN lbl % 2 = 0 THEN 'o' ELSE 'p' END
+       |    || CAST(lbl // 2 AS VARCHAR) AS community
+       |FROM l$LpaRounds""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q107_pagerank" -> pageRank _)
+    "q107_pagerank" -> pageRank _,
+    "q124_label_prop" -> q124LabelProp _)
 
   val oracles: Map[String, String] = Map(
-    "q107_pagerank" -> pageRankSql)
+    "q107_pagerank" -> pageRankSql,
+    "q124_label_prop" -> labelPropSql)
 }

@@ -392,6 +392,25 @@ class PipelineAuditSpec extends SparkSpec {
     assert(got("2026-01-05").contains(40.0))
   }
 
+  // ----------------------------------------------------------- q124
+  test("q124: LPA cohorts — shared-neighborhood nodes merge, disjoint components never do") {
+    // Square A (o1, o2 × p10, p11), star B (o5, o6 × p20). Hand-unroll
+    // (ids: o_k → 2k, p_k → 2k+1; ties → smallest label):
+    // R1: every o in A adopts min(p10, p11) = p10's id; every p in A
+    //     adopts min(o1, o2) = o1's id; in B both o's adopt p20, p20
+    //     adopts o5. R2: labels hop back — o-side converges to o1 (via
+    //     the shared parts), p-side to p10; in B o's → o5, p20 → p20.
+    val pairs = Seq(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (5L, 20L), (6L, 20L)).toDF("l_orderkey", "l_partkey")
+    val got = GraphQueries.labelPropOn(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    graft.core.Caches.releaseAll()
+    assert(got == Map(
+      "o1" -> "o1", "o2" -> "o1", "p10" -> "p10", "p11" -> "p10",
+      "o5" -> "o5", "o6" -> "o5", "p20" -> "p20"), got.toString)
+  }
+
   // ----------------------------------------------------------- q121
   test("q121: only the absent slot with a confident baseline pages; noisy and unknown slots stay quiet") {
     def hourTs(day: String, h: Int): Timestamp =
