@@ -214,6 +214,80 @@ object SimilarityQueries {
        |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
        |SELECT id1, id2, round(c, 6) AS sim FROM p WHERE c >= $NearDupThreshold""".stripMargin
 
+  // --------------------------------------------- q125 SRP-LSH near-dup
+  /** Sign-bit count and band width for signed random projection. */
+  private val SrpBits = 16
+  private val SrpBandBits = 4 // 4 bands × 4 bits — pigeonhole-style recall
+
+  /** Q125: SRP-LSH near-duplicate pairs — the HASH-family counterpart
+    * to q26's IVF bucketing (Charikar, "Similarity estimation
+    * techniques from rounding algorithms", STOC 2002): each vector gets
+    * a [[SrpBits]]-bit signature of sign(v·h_i) projections, signatures
+    * band into [[SrpBandBits]]-bit keys, pairs sharing any (band, key)
+    * are candidates, and candidates verify with the exact normalized
+    * dot. Same output contract as q26; a different — and at 100 TB
+    * cheaper — candidate generator: signatures are a narrow codegen'd
+    * projection (no centroid argmax), and banding is data-oblivious, so
+    * it needs no codebook maintenance as the corpus grows.
+    *
+    * Projection directions reuse the q21 codebook trick: the first
+    * [[SrpBits]] corpus vectors, collected once (bounded, like a Faiss
+    * quantizer) and inlined as literals — deterministic and
+    * engine-portable where random Gaussian planes would not be.
+    *
+    * Scale shape: one corpus scan for signatures (persisted — both
+    * sides of the band self-join read it), candidate volume ∝
+    * Σ bucket², never N², and the exact verify touches only
+    * candidates. */
+  def q125SrpLsh(spark: SparkSession, dir: String): DataFrame =
+    srpLshOn(emb(spark, dir), NearDupThreshold)
+
+  private[graft] def srpLshOn(e: DataFrame, threshold: Double): DataFrame = {
+    val planes = e.where(col("vec_id") < SrpBits)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2).toSeq
+    val v = col("embedding").cast("array<double>")
+    val bandKeys = (0 until SrpBits / SrpBandBits).map { b =>
+      (0 until SrpBandBits).map { r =>
+        when(VectorExprs.dot(v, typedlit(planes(b * SrpBandBits + r))) >= 0,
+          lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"bk$b")
+    }
+    val sig = graft.core.Caches.persistTracked(
+      e.select(col("vec_id") +: bandKeys: _*))
+    val bands = sig.select(col("vec_id"),
+        posexplode(array((0 until SrpBits / SrpBandBits).map(b => col(s"bk$b")): _*)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bk"))
+    val cands = bands.select(col("vec_id").as("id1"), col("band"), col("bk"))
+      .join(bands.select(col("vec_id").as("id2"), col("band"), col("bk")), Seq("band", "bk"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val normed = VectorExprs.normalized(e, "embedding", "nv", Seq("vec_id"))
+    cands
+      .join(normed.select(col("vec_id").as("id1"), col("nv").as("nv1")), "id1")
+      .join(normed.select(col("vec_id").as("id2"), col("nv").as("nv2")), "id2")
+      .withColumn("cos", VectorExprs.dot(col("nv1"), col("nv2")))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("sim"))
+  }
+
+  val srpLshSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |h AS (SELECT vec_id AS h_id, v AS hv FROM e WHERE vec_id < $SrpBits),
+       |bits AS (SELECT e.vec_id, h.h_id,
+       |    CASE WHEN list_dot_product(v, hv) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN h),
+       |keys AS (SELECT vec_id, CAST(h_id // $SrpBandBits AS INTEGER) AS band,
+       |    CAST(sum(bit << CAST(h_id % $SrpBandBits AS INTEGER)) AS INTEGER) AS bk
+       |  FROM bits GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM keys a JOIN keys b ON a.band = b.band AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+       |p AS (SELECT id1, id2, list_dot_product(a.nv, b.nv) AS c
+       |  FROM cand JOIN n a ON a.vec_id = id1 JOIN n b ON b.vec_id = id2)
+       |SELECT id1, id2, round(c, 6) AS sim FROM p WHERE c >= $NearDupThreshold""".stripMargin
+
   // ------------------------------------------------ int8 quantization
   /** Q47: symmetric int8 scalar quantization of each embedding — the
     * standard 4× storage/bandwidth shrink before ANN serving. Per-vector
@@ -799,7 +873,8 @@ object SimilarityQueries {
     "q82_ivfpq_topk" -> ivfPqTopK _,
     "q88_pq_refine" -> pqRefine _,
     "q47_quantize_int8" -> quantizeInt8 _,
-    "q123_mmr_diverse" -> q123MmrDiverse _)
+    "q123_mmr_diverse" -> q123MmrDiverse _,
+    "q125_srp_lsh" -> q125SrpLsh _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -810,5 +885,6 @@ object SimilarityQueries {
     "q80_adc_topk" -> adcTopKSql,
     "q82_ivfpq_topk" -> ivfPqTopKSql,
     "q88_pq_refine" -> pqRefineSql,
-    "q47_quantize_int8" -> quantizeInt8Sql)
+    "q47_quantize_int8" -> quantizeInt8Sql,
+    "q125_srp_lsh" -> srpLshSql)
 }

@@ -37,6 +37,19 @@ class SimilaritySpec extends SparkSpec {
       s"bucketed missed ${(want -- got).size} pairs, invented ${(got -- want).size}")
   }
 
+  test("q125 SRP-LSH finds exactly the brute-force pairs on clustered data") {
+    // Tight clusters agree on every sign bit (cluster dots are O(1)
+    // while the 0.02σ noise perturbs them by O(0.01)), so same-cluster
+    // pairs share the full signature; the exact verify makes precision
+    // structural — got ⊆ want always, and on this fixture got == want.
+    val got = pairs(SimilarityQueries.srpLshOn(clustered, 0.9))
+    graft.core.Caches.releaseAll()
+    val want = pairs(SimilarityQueries.nearDupBrute(clustered, 0.9))
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == want,
+      s"SRP missed ${(want -- got).size} pairs, invented ${(got -- want).size}")
+  }
+
   /** An all-zero embedding has scale 0; quantization must emit zero codes
     * (not divide 0/0 into NaN and crash the ANSI cast to array<int>). */
   test("int8 quantization survives a degenerate all-zero vector") {
