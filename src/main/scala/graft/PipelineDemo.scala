@@ -100,6 +100,18 @@ object PipelineDemo {
     println(s"[demo] compaction: fragmented=${frag.map(p => s"${p.relPath}(${p.files}f)").mkString(",")} " +
       s"rows ${cr.rowsBefore}->${cr.rowsAfter} verified=${cr.verified}")
 
+    // -- 4b. layout-fixing rewrite: the same data z-ordered on two
+    //        filter dimensions, so footer min/max prune either predicate
+    val zdemo = s"$root/silver_z"
+    val zsrc = spark.read.parquet(silver)
+      .where(col("heartbeat").isNotNull && col("gpsspeed").isNotNull)
+    graft.sources.ClusteredWriter.writeZOrdered(
+      zsrc, col("heartbeat"), col("gpsspeed"), zdemo, 4)
+    val zspan = graft.sources.ClusteredWriter.auditLayout(
+      spark.read.parquet(zdemo), col("heartbeat"), col("gpsspeed"))
+      .agg(round(avg(greatest(col("x_span"), col("y_span"))), 3)).collect()(0)
+    println(s"[demo] z-ordered rewrite: files=4 mean_worst_span=${zspan.get(0)}")
+
     // -- 5. legacy mispartitioned data → repair
     import spark.implicits._
     Seq((Base + 2 * 86400, "LEGACY", "2024-01-01", "DISTRICTB"))
@@ -157,13 +169,41 @@ object PipelineDemo {
     println(s"[demo] bloom day-2: definitely_new=${dNew.count()} " +
       s"maybe_seen=${dMaybe.count()} carried_index_bytes=${idx2.length}")
 
-    // -- 8. multimodal plumbing
+    // -- 8. multimodal plumbing — one REAL PNG (decoded by the JDK
+    //       imageio leg: true dims + pixel features) next to a
+    //       stub-path blob and a video
+    val img = new java.awt.image.BufferedImage(12, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 12)
+      img.setRGB(x, y, if (x < 6) 0x000000 else 0xFFFFFF)
+    val pngBuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", pngBuf)
     val media = Seq(
       MediaOps.MediaRow(1L, "image", Array.tabulate(64)(_.toByte), 8, 8, 0L),
-      MediaOps.MediaRow(2L, "video", Array.tabulate(900)(_.toByte), 640, 480, 3000L)).toDS()
+      MediaOps.MediaRow(2L, "video", Array.tabulate(900)(_.toByte), 640, 480, 3000L),
+      MediaOps.MediaRow(3L, "image", pngBuf.toByteArray, 0, 0, 0L)).toDS()
     val feats = MediaOps.extractFeatures(media).collect()
     val frames = MediaOps.sampleFrames(media, 1000L).count()
-    println(s"[demo] media: features=${feats.map(f => s"${f.media_id}:${f.features.length}d").mkString(",")} frames=$frames")
+    val dims = MediaOps.withDecodedDims(media).collect()
+      .map(r => s"${r.media_id}:${r.width}x${r.height}").sorted.mkString(",")
+    println(s"[demo] media: features=${feats.map(f => s"${f.media_id}:${f.features.length}d").mkString(",")} " +
+      s"frames=$frames decoded_dims=$dims")
+
+    // -- 9. feed-health monitoring: a (dow, hour) baseline from history
+    //       and the silent-slot watchdog paging for the busy hour the
+    //       CURRENT day never emitted (the zero-count case no windowed
+    //       count can produce a row for)
+    val histTs = (1 to 3).flatMap { w =>
+      Seq.fill(5 + w)(new Timestamp((Base - 7L * 86400 * w + 9 * 3600) * 1000))
+    }.map(t => ("telemetry", t))
+    val volBase = graft.streaming.VolumeMonitor.baseline(
+      histTs.toDF("event_type", "ts"))
+    val silent = graft.streaming.VolumeMonitor.silentSlots(
+      Seq.empty[(Timestamp, String)].toDF("window_start", "event_type"),
+      volBase, new Timestamp(Base * 1000), new Timestamp((Base + 43200) * 1000))
+      .collect()
+    println(s"[demo] silent-slot watchdog: " +
+      silent.map(r => s"${r.getString(2)}@${r.getTimestamp(0)} z=${r.getDouble(6)}").mkString(","))
 
     spark.stop()
     println("[demo] DONE")
