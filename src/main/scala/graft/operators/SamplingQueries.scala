@@ -333,7 +333,90 @@ object SamplingQueries {
        |SELECT x.query_id, x.neg_idx, x.neg_id, doc.source AS neg_source
        |FROM x JOIN documents doc ON x.neg_id = doc.doc_id""".stripMargin
 
+  // --------------------------------------- q127 DSIR importance weights
+  /** Hashed-feature space for the importance model. 64 buckets is the
+    * demo size; DSIR's published recipe uses 10k hashed bigram buckets —
+    * the shape is identical, the constant is the knob. */
+  private val DsirBuckets = 64
+  private val DsirTargetLang = "en"
+
+  /** Q127: importance weights for Data Selection via Importance
+    * Resampling (Xie et al. 2023) — score every document by how much
+    * more likely its hashed-unigram bag is under the TARGET distribution
+    * (here the `en` subset, standing in for "looks like the eval
+    * domain") than under the RAW corpus distribution. Selection is then
+    * just [[q78WeightedSample]] on `exp(log_weight)` — this query
+    * produces the weights, the sampling tier already owns the draw.
+    *
+    * log w(doc) = Σ_tok ln( p̂_target[h(tok)] / p̂_raw[h(tok)] ), with
+    * both distributions Laplace-smoothed (+1 over [[DsirBuckets]]) so a
+    * bucket unseen in the target corpus penalizes but never −∞.
+    *
+    * Scale shape: the corpus collapses ONCE to per-doc bucket counts
+    * (≤ [[DsirBuckets]] rows per doc — the persisted relation is
+    * docs×64-bounded, not token-level); both global distributions are
+    * 64-row aggregations OF that relation (no rescan), and scoring is a
+    * broadcast join of the 64-row log-ratio table back to it. Per-bucket
+    * log-ratios are rounded to 12 dp before the per-doc DECIMAL sum so
+    * the result is partition-order independent and engine-portable. */
+  def q127DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsOn(Tables(spark, dir, "documents"))
+
+  private[operators] def dsirWeightsOn(docRel: DataFrame): DataFrame = {
+    val b = DsirBuckets.toLong
+    val feat = graft.core.Caches.persistTracked(docRel
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExprs.tokens(col("text"))).as("tok"))
+      .withColumn("bucket", hashBucket(col("tok"), DsirBuckets))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt")))
+    val rawCnt = feat.groupBy("bucket").agg(sum("cnt").as("r_cnt"))
+    val tgtCnt = feat.where(col("lang") === DsirTargetLang)
+      .groupBy("bucket").agg(sum("cnt").as("t_cnt"))
+    val totR = rawCnt.agg(sum("r_cnt").as("tot_r"))
+    val totT = tgtCnt.agg(sum("t_cnt").as("tot_t"))
+    // Arithmetic arrangement mirrored EXACTLY in the oracle SQL: IEEE
+    // mul/div are correctly rounded (engine-portable); only the ln needs
+    // the 12-dp round.
+    val lw = rawCnt.join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("t_cnt"), lit(0L)) + lit(1L)).cast("double")
+            * (col("tot_r") + lit(b)).cast("double"))
+          / ((col("r_cnt") + lit(1L)).cast("double")
+            * (col("tot_t") + lit(b)).cast("double"))), 12).as("lw"))
+    feat.join(broadcast(lw), "bucket")
+      .groupBy("doc_id", "lang")
+      .agg(sum("cnt").as("n_tokens"),
+        round(sum((col("cnt") * col("lw")).cast("decimal(28,12)"))
+          .cast("double"), 6).as("log_weight"))
+  }
+
+  val q127Sql: String =
+    s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $DsirBuckets AS bucket,
+       |    count(*) AS cnt
+       |  FROM tok GROUP BY 1, 2, 3),
+       |r AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS r_cnt FROM f GROUP BY 1),
+       |t AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS t_cnt
+       |  FROM f WHERE lang = '$DsirTargetLang' GROUP BY 1),
+       |tot AS (SELECT (SELECT CAST(sum(r_cnt) AS BIGINT) FROM r) AS tot_r,
+       |    (SELECT CAST(coalesce(sum(t_cnt), 0) AS BIGINT) FROM t) AS tot_t),
+       |lw AS (SELECT r.bucket,
+       |    round(ln(
+       |      (CAST(coalesce(t.t_cnt, 0) + 1 AS DOUBLE)
+       |        * CAST(tot.tot_r + $DsirBuckets AS DOUBLE))
+       |      / (CAST(r.r_cnt + 1 AS DOUBLE)
+       |        * CAST(tot.tot_t + $DsirBuckets AS DOUBLE))), 12) AS lw
+       |  FROM r LEFT JOIN t USING (bucket) CROSS JOIN tot)
+       |SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(CAST(cnt * lw AS DECIMAL(28,12))) AS DOUBLE), 6) AS log_weight
+       |FROM f JOIN lw USING (bucket) GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_dsir_weights" -> q127DsirWeights _,
     "q99_stratified_sample" -> q99StratifiedSample _,
     "q36_hash_sample" -> q36HashSample _,
     "q37_mixture_sample" -> q37MixtureSample _,
@@ -343,6 +426,7 @@ object SamplingQueries {
     "q119_negatives" -> q119Negatives _)
 
   val oracles: Map[String, String] = Map(
+    "q127_dsir_weights" -> q127Sql,
     "q99_stratified_sample" -> q99Sql,
     "q36_hash_sample" -> q36Sql,
     "q37_mixture_sample" -> q37Sql,

@@ -565,7 +565,104 @@ object TextQueries {
        |WHERE c.c12 >= $PmiMinCount
        |ORDER BY pmi DESC, pair LIMIT $PmiTopN""".stripMargin
 
+  // ------------------------------------------- q126 perplexity filter
+  /** The language whose documents train the reference model — the
+    * "clean corpus" side of the CCNet recipe. */
+  private val PplTrainLang = "en"
+
+  /** Q126: cross-model perplexity scoring — train a Laplace-smoothed
+    * bigram LM on the reference subset (here: the `en` documents, the
+    * role CCNet gives its Wikipedia model), then score EVERY document's
+    * perplexity under it. Unlike q101 (each doc scored by the corpus's
+    * own unsmoothed model, every bigram seen by construction), this is
+    * the filtering shape: most scored docs contain bigrams the model
+    * never saw, so smoothing is load-bearing —
+    * P(w₂|w₁) = (c₁₂+1)/(c₁+V) when the prefix is known, uniform 1/V
+    * when it isn't — and a doc's distance from the reference corpus is
+    * exactly its perplexity. Thresholding `ppl` is the classic
+    * quality/language filter (CCNet, GPT-3 data work).
+    *
+    * Scale shape: the model is two map-side-combined aggregations over
+    * the TRAINING subset only (bigram counts, then the prefix marginal
+    * derived from them — q101's no-rescan trick), vocab²-bounded, and
+    * joined to the scoring pass on uniform text keys; V is a 1-row
+    * broadcast. Scoring is one pass over the corpus. Per-term −log₂p
+    * goes through the DECIMAL(28,12)-before-sum pattern so the per-doc
+    * mean is partition-order independent; the final 2^x is applied to
+    * the ALREADY-ROUNDED mean so both engines exponentiate the same
+    * input. */
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityOn(Tables(spark, dir, "documents"))
+
+  private[operators] def perplexityOn(docRel: DataFrame): DataFrame = {
+    def bigramsOf(rel: DataFrame): DataFrame = rel
+      .select(col("doc_id"), col("lang"), TextExprs.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(TextExprs.shingles(col("w"), 2)).as("bg"))
+
+    val train = docRel.where(col("lang") === PplTrainLang)
+    // Persisted: both the scoring join and the prefix marginal read the
+    // bigram counts — left lazy each re-runs the training-corpus explode.
+    val c12 = graft.core.Caches.persistTracked(
+      bigramsOf(train).groupBy("bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1)))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    // V counts distinct TOKENS over all training positions (including
+    // 1-token docs the bigram pass drops) — the smoothing denominator.
+    val v = train
+      .select(explode(TextExprs.tokens(col("text"))).as("tok"))
+      .agg(countDistinct("tok").as("v"))
+
+    val scored = bigramsOf(docRel)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c12.select("bg", "c12"), Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("lang"),
+        when(col("c1").isNotNull,
+          (coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double")
+            / (col("c1") + col("v")).cast("double"))
+          .otherwise(lit(1.0) / col("v").cast("double")).as("prob"))
+    scored
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum((-log2(col("prob"))).cast("decimal(28,12)")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("avg_nll"))
+      .withColumn("ppl", round(pow(lit(2.0), col("avg_nll")), 4))
+  }
+
+  val perplexitySql: String =
+    s"""WITH tr AS (SELECT string_split(text, ' ') AS w FROM documents
+       |    WHERE lang = '$PplTrainLang'),
+       |v AS (SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(w) AS tok FROM tr)),
+       |trbg AS (SELECT unnest(list_transform(range(len(w) - 1),
+       |      i -> w[i+1] || ' ' || w[i+2])) AS bg
+       |  FROM tr WHERE len(w) >= 2),
+       |c12 AS (SELECT bg, count(*) AS c12 FROM trbg GROUP BY 1),
+       |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+       |  FROM c12 GROUP BY 1),
+       |d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |bg AS (SELECT doc_id, lang,
+       |    unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bg
+       |  FROM d WHERE len(w) >= 2),
+       |s AS (SELECT doc_id, lang, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+       |p AS (SELECT s.doc_id, s.lang,
+       |    CASE WHEN c1.c1 IS NOT NULL
+       |      THEN CAST(coalesce(c12.c12, 0) + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)
+       |      ELSE 1.0 / CAST(v.v AS DOUBLE) END AS prob
+       |  FROM s LEFT JOIN c12 ON s.bg = c12.bg
+       |  LEFT JOIN c1 ON s.w1 = c1.w1 CROSS JOIN v),
+       |agg AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+       |    round(CAST(sum(CAST(-log2(prob) AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE), 6) AS avg_nll
+       |  FROM p GROUP BY 1, 2)
+       |SELECT doc_id, lang, n_bigrams, avg_nll,
+       |  round(pow(2.0, avg_nll), 4) AS ppl FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_perplexity" -> perplexity _,
     "q109_pmi" -> pmi _,
     "q97_char_entropy" -> charEntropy _,
     "q100_oov_rate" -> oovRate _,
@@ -581,6 +678,7 @@ object TextQueries {
     "q84_pair_stats" -> pairStats _)
 
   val oracles: Map[String, String] = Map(
+    "q126_perplexity" -> perplexitySql,
     "q109_pmi" -> pmiSql,
     "q97_char_entropy" -> charEntropySql,
     "q100_oov_rate" -> oovRateSql,
