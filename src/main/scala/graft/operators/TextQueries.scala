@@ -661,7 +661,44 @@ object TextQueries {
        |SELECT doc_id, lang, n_bigrams, avg_nll,
        |  round(pow(2.0, avg_nll), 4) AS ppl FROM agg""".stripMargin
 
+  // --------------------------------------------- q129 CMS point queries
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val CmsProbeK = 10
+
+  /** Q129: Count-Min-sketch frequency estimates — build one fixed-size
+    * sketch of the token stream PER LANGUAGE ([[graft.plans.CountMinAgg]]),
+    * then point-query every language's sketch for the corpus-wide top
+    * [[CmsProbeK]] tokens. The sketch answers "how often does THIS token
+    * occur in THAT slice" for keys chosen after the scan — the
+    * frequency-serving shape (per-slice token stats, contamination
+    * probes) where exact per-slice×token counts would shuffle the whole
+    * vocabulary per slice and the sketch shuffles depth×width longs.
+    *
+    * No SQL oracle: estimates depend on the sketch's Murmur hashes,
+    * which DuckDB cannot reproduce — rows-only here; the estimate≥truth
+    * and error-bound guarantees plus merge-tree invariance are pinned in
+    * `CmsSpec` against exact counts (the q65/q15a precedent). */
+  def q129CmsFreq(spark: SparkSession, dir: String): DataFrame =
+    cmsFreqOn(Tables(spark, dir, "documents"))
+
+  private[graft] def cmsFreqOn(docRel: DataFrame): DataFrame = {
+    // Persisted: the sketch pass and the probe-key election both read
+    // the exploded token stream.
+    val toks = graft.core.Caches.persistTracked(docRel
+      .select(col("lang"), explode(TextExprs.tokens(col("text"))).as("tok")))
+    val sketches = toks.groupBy("lang")
+      .agg(graft.plans.CountMin.sketch(col("tok"), CmsDepth, CmsWidth).as("sk"))
+    val probes = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok")).limit(CmsProbeK).select("tok")
+    sketches.crossJoin(broadcast(probes))
+      .select(col("lang"), col("tok"),
+        graft.plans.CountMin.estimateCol(col("sk"), col("tok"), CmsDepth, CmsWidth)
+          .as("est_cnt"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_cms_freq" -> q129CmsFreq _,
     "q126_perplexity" -> perplexity _,
     "q109_pmi" -> pmi _,
     "q97_char_entropy" -> charEntropy _,
