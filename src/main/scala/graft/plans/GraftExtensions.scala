@@ -26,6 +26,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Buffer-sizing arguments must be integer literals (they shape the
+    * aggregation buffer, which cannot vary per row). SQL integer
+    * literals wide enough to parse as BIGINT arrive as Long. */
+  private def intLitArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) if v.isValidInt => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // the native as-of join planner rule — sessions built with these
     // extensions plan AsOfJoinNode without the lazy extraStrategies
@@ -60,16 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           s"heavy_hitters takes (col, capacity, k), got ${children.length} arguments")
-        def intLit(e: Expression, name: String): Int = e match {
-          case Literal(v: Int, _) => v
-          // SQL integer literals wide enough to parse as BIGINT arrive
-          // as Long — accept them when they fit
-          case Literal(v: Long, _) if v.isValidInt => v.toInt
-          case other => throw new IllegalArgumentException(
-            s"heavy_hitters $name must be an integer literal, got $other")
-        }
         HeavyHittersAgg(children.head,
-          intLit(children(1), "capacity"), intLit(children(2), "k"))
+          intLitArg(children(1), "heavy_hitters capacity"),
+          intLitArg(children(2), "heavy_hitters k"))
       }))
     // bloom_build(longCol, expectedItems[, fpp]) — the un-clamped bloom
     // index build (see BloomIndex); sizing must be literal (it shapes
@@ -95,6 +98,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bloom_build fpp must be a numeric literal, got $other")
         }.getOrElse(0.03)
         BloomBuildAgg(children.head, items, fpp)
+      }))
+    // cms_sketch(col, depth, width) / cms_estimate(sketch, key, depth,
+    // width) — the Count-Min pair (see CountMinAgg); dims must be
+    // integer literals (they size the aggregation buffer) and must match
+    // between build and probe.
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"cms_sketch takes (col, depth, width), got ${children.length} arguments")
+        CountMinAgg(children.head,
+          intLitArg(children(1), "cms_sketch depth"),
+          intLitArg(children(2), "cms_sketch width"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CountMinEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"cms_estimate takes (sketch, key, depth, width), got ${children.length} arguments")
+        CountMinEstimate(children.head, children(1),
+          intLitArg(children(2), "cms_estimate depth"),
+          intLitArg(children(3), "cms_estimate width"))
       }))
     // might_contain(bloomBinary, longCol) — Spark ships this expression
     // for its internal runtime join filters but does NOT register it as

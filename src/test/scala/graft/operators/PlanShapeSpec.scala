@@ -364,4 +364,47 @@ class PlanShapeSpec extends SparkSpec {
       s"per-doc token totals must partial-aggregate:\n$p")
     graft.core.Caches.releaseAll()
   }
+
+  test("q126: the training scan pushes the lang filter; scoring never cartesians") {
+    val df = TextQueries.perplexity(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("EqualTo(lang,en)"),
+      s"model side must push lang='en' to the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring joins are equi (bg, w1) plus the broadcast 1-row V:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q127: the 64-row log-ratio table broadcasts back onto the persisted feature relation") {
+    val df = SamplingQueries.q127DsirWeights(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"scoring must broadcast the bucket table, not shuffle the corpus:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"distributions and scoring must read the persisted feature relation:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q128: every GD round reads the cached features; margin and gradient aggs combine map-side") {
+    val df = ClassifierQueries.q128QualityLr(spark, Dir)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"the feature relation must be computed once and cached across rounds:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the margin aggregation must partial-aggregate:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q129: sketches probe via a broadcast of the 10-row key list; tokens never re-shuffle for it") {
+    val df = TextQueries.q129CmsFreq(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the groups x keys probe must broadcast the tiny key side:\n$p")
+    assert(p.contains("cms_sketch") || p.contains("ObjectHashAggregate"),
+      s"the sketch must aggregate through the imperative-aggregate path:\n$p")
+    graft.core.Caches.releaseAll()
+  }
 }

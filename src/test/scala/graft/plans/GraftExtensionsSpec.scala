@@ -96,6 +96,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("cms_sketch / cms_estimate resolve from plain SQL and close the loop") {
+    import spark.implicits._
+    Seq("a", "a", "a", "b", "b", "c").toDF("w").createOrReplaceTempView("cms_ext")
+    val est = spark.sql(
+      """SELECT cms_estimate(sk, 'a', 4, 64) AS ea, cms_estimate(sk, 'zz', 4, 64) AS ez
+        |FROM (SELECT cms_sketch(w, 4, 64) AS sk FROM cms_ext)""".stripMargin)
+      .head()
+    // tiny vocab, width 64 → exact regime; unseen key estimates 0
+    assert(est.getLong(0) == 3L && est.getLong(1) == 0L, est.toString)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cms_sketch(w, w, 64) FROM cms_ext").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
+
   test("bloom_build resolves from plain SQL and probes with built-in might_contain") {
     import spark.implicits._
     (1L to 100L).toDF("v").createOrReplaceTempView("bloom_src")
