@@ -390,7 +390,10 @@ object SimilarityQueries {
       .select(col("vec_id"), (-col("__c.negid")).as("cluster"))
   }
 
-  val kmeansSql: String = {
+  /** The Lloyd's-rounds CTE chain shared by the q43 and q130 oracles:
+    * ends with `a${KmeansIters + 1}` holding the final assignment
+    * (filter `rn = 1`). */
+  private def kmeansCtePrefix: String = {
     val cos = (v: String, c: String) =>
       s"list_dot_product($v, $c) / (sqrt(list_dot_product($v, $v)) * sqrt(list_dot_product($c, $c)))"
     def assignCte(i: Int, cents: String) =
@@ -407,9 +410,70 @@ object SimilarityQueries {
        |dims AS (SELECT unnest(range((SELECT CAST(max(len(v)) AS INT) FROM e))) AS d),
        |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $KmeansK),
        |$rounds,
-       |${assignCte(KmeansIters + 1, s"c$KmeansIters")}
-       |SELECT vec_id, c_id AS cluster FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
+       |${assignCte(KmeansIters + 1, s"c$KmeansIters")}""".stripMargin
   }
+
+  val kmeansSql: String =
+    s"""$kmeansCtePrefix
+       |SELECT vec_id, c_id AS cluster FROM a${KmeansIters + 1} WHERE rn = 1""".stripMargin
+
+  // ------------------------------------------------------ q130 SemDedup
+  /** Cosine threshold above which two same-cluster vectors are semantic
+    * duplicates. Tuned to this corpus's pair-sim distribution (max
+    * pairwise cosine ≈ 0.51, 99.9th pct ≈ 0.38) so the decision is
+    * exercised on every SF; production corpora with genuinely duplicated
+    * content run τ ≈ 0.95+. */
+  private val SemDedupTau = 0.35
+
+  /** Q130: semantic deduplication (SemDeDup, Abbas et al. 2023) — the
+    * embedding-space analog of q92's "first occurrence wins": train the
+    * q43 k-means codebook, assign every vector to its cluster, and
+    * within each cluster mark a vector a duplicate iff SOME lower-id
+    * vector sits within cosine τ (witnessed by `dup_of`, the smallest
+    * such id). Unlike q26 (which LISTS near-dup pairs), this emits the
+    * dedup DECISION per vector — the keep/drop column a curation
+    * pipeline filters on. The any-lower-neighbor convention is the
+    * anti-chaining variant of the paper's greedy sweep: it never keeps
+    * a vector that greedy would drop, and is expressible as one join
+    * (greedy is inherently sequential per cluster — q123's territory).
+    *
+    * Scale shape: training is q43's bounded-collect loop; the pairwise
+    * stage is CLUSTER-bucketed (candidates ∝ Σ|cluster|², never N² —
+    * the paper's own trick, K grows with the corpus so clusters stay
+    * bounded), and vectors are unit-normalized ONCE so each candidate
+    * costs a single codegen'd dot. */
+  def q130SemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupOn(emb(spark, dir), SemDedupTau)
+
+  private[operators] def semDedupOn(e: DataFrame, tau: Double): DataFrame = {
+    val cents = kmeansCodebook(e, KmeansK, KmeansIters)
+    val asg = graft.core.Caches.persistTracked(
+      VectorExprs.normalized(
+        e.withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), 1))
+          .select(col("vec_id"), (-col("__c.negid")).as("cluster"), col("embedding")),
+        "embedding", "nv", Seq("vec_id", "cluster")))
+    val dup = asg.select(col("cluster"), col("vec_id"), col("nv").as("lv"))
+      .join(asg.select(col("cluster"), col("vec_id").as("r_id"), col("nv").as("rv")),
+        Seq("cluster"))
+      .where(col("vec_id") > col("r_id"))
+      .where(VectorExprs.dot(col("lv"), col("rv")) >= lit(tau))
+      .groupBy("vec_id").agg(min("r_id").as("dup_of"))
+    asg.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNotNull.cast("int").as("is_dup"), col("dup_of"))
+  }
+
+  val semDedupSql: String =
+    s"""$kmeansCtePrefix,
+       |asg AS (SELECT vec_id, v, c_id AS cluster FROM a${KmeansIters + 1} WHERE rn = 1),
+       |n AS (SELECT vec_id, cluster,
+       |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM asg),
+       |dup AS (SELECT l.vec_id, min(r.vec_id) AS dup_of
+       |  FROM n l JOIN n r ON l.cluster = r.cluster AND l.vec_id > r.vec_id
+       |  WHERE list_dot_product(l.nv, r.nv) >= $SemDedupTau GROUP BY 1)
+       |SELECT a.vec_id, a.cluster,
+       |  CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup, d.dup_of
+       |FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id""".stripMargin
 
   // --------------------------------------------- product quantization
   private val PqSubspaces = 4
@@ -868,6 +932,7 @@ object SimilarityQueries {
     "q21_ivf_ann" -> ivfAnn _,
     "q26_cosine_neardup" -> cosineNearDup _,
     "q43_kmeans" -> kmeansAssign _,
+    "q130_semdedup" -> q130SemDedup _,
     "q79_pq_encode" -> pqEncode _,
     "q80_adc_topk" -> adcTopK _,
     "q82_ivfpq_topk" -> ivfPqTopK _,
@@ -881,6 +946,7 @@ object SimilarityQueries {
     "q21_ivf_ann" -> ivfAnnSql,
     "q26_cosine_neardup" -> cosineNearDupSql,
     "q43_kmeans" -> kmeansSql,
+    "q130_semdedup" -> semDedupSql,
     "q79_pq_encode" -> pqEncodeSql,
     "q80_adc_topk" -> adcTopKSql,
     "q82_ivfpq_topk" -> ivfPqTopKSql,

@@ -181,4 +181,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.keySet == Set((0, 1), (0, 2), (1, 1), (1, 2)), got.toString)
     assert(Set(10L, 11L).contains(got((1, 1))), "label 1 selects from its own bucket only")
   }
+
+  // ---------------------------------------------------------- q130
+  test("q130: lowest same-cluster id wins; copies carry dup_of; cross-cluster twins never pair") {
+    import spark.implicits._
+    // 8 near-orthogonal seeds (ids 0..7 are the k-means init), plus:
+    // 8 = exact copy of 0 (same cluster, cos 1) → dup, dup_of = 0
+    // 9 = another copy of 0 → dup, dup_of = 0 (the MINIMUM witness, not 8)
+    // 10 = copy of 3 → dup_of = 3
+    // 11 = isolated direction → kept
+    def unit(i: Int): Seq[Float] = Seq.tabulate(12)(j => if (j == i) 1.0f else 0.0f)
+    val rows: Seq[(Long, Seq[Float])] =
+      (0 until 8).map(i => (i.toLong, unit(i))) ++
+        Seq((8L, unit(0)), (9L, unit(0)), (10L, unit(3)),
+          (11L, Seq.tabulate(12)(j => if (j >= 8) 0.5f else 0.0f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val got = SimilarityQueries.semDedupOn(e, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    graft.core.Caches.releaseAll()
+    assert(got(0L) == ((0, -1L)), s"the lowest id of a dup group is kept: $got")
+    assert(got(8L) == ((1, 0L)) && got(9L) == ((1, 0L)),
+      s"both copies point at the MINIMUM witness: $got")
+    assert(got(10L) == ((1, 3L)), got.toString)
+    assert(got(11L) == ((0, -1L)), s"an isolated direction is kept: $got")
+    assert((0 until 8).forall(i => got(i.toLong)._1 == 0),
+      s"near-orthogonal seeds are all kept: $got")
+  }
 }
