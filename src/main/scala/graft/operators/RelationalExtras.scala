@@ -460,7 +460,63 @@ object RelationalExtras {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
        |FROM d JOIN md USING (event_type) GROUP BY 1""".stripMargin
 
+  // --------------------------------------------- q131 bucketed join
+  private val JoinBuckets = 8
+
+  /** Q131: the co-located join, end-to-end — ingest `orders` and
+    * `customer` as BUCKETED tables (both hash-bucketed × sorted on the
+    * customer key into [[JoinBuckets]] buckets), then run the
+    * segment-revenue join ON the bucketed layout. Because both sides
+    * share bucket count and key, Catalyst plans the sort-merge join
+    * with ZERO Exchange operators (plan-pinned in `ScaleToolsSpec`
+    * mechanics and `PlanShapeSpec` for this query): the join cost is a
+    * per-bucket streamed merge. At 100 TB this is THE recurring-join
+    * optimization — the fact table shuffles once at ingest, never per
+    * query; `SURVEY §3.3`'s daily dashboards re-join for free.
+    *
+    * The `merge` hint pins the co-located SMJ even where the dim side
+    * is broadcast-sized in the test corpus — the plan under test is the
+    * one the 100 TB deployment runs, not the small-SF shortcut.
+    *
+    * Results are layout-independent (bucketing changes WHERE rows sit,
+    * not what they are), so the oracle is the plain join on the raw
+    * parquet — layout correctness and plan shape are asserted
+    * separately. */
+  /** The joined (pre-aggregation) frame — exposed so `PlanShapeSpec`
+    * can pin the zero-exchange property of the join itself, without the
+    * downstream aggregation's legitimate exchange muddying the count. */
+  private[graft] def bucketedJoinFrame(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    val ot = s"graft_b_orders_$tag"
+    val ct = s"graft_b_customer_$tag"
+    graft.sources.Bucketing.writeBucketedAt(
+      Tables(spark, dir, "orders"), ot, s"$base/orders",
+      Seq("o_custkey"), JoinBuckets, Seq("o_custkey"))
+    graft.sources.Bucketing.writeBucketedAt(
+      Tables(spark, dir, "customer"), ct, s"$base/customer",
+      Seq("c_custkey"), JoinBuckets, Seq("c_custkey"))
+    spark.table(ot).hint("merge")
+      .join(spark.table(ct).hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+  }
+
+  def q131BucketedJoin(spark: SparkSession, dir: String): DataFrame =
+    bucketedJoinFrame(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct("c_custkey").as("n_customers"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("revenue"))
+
+  val q131Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_bucketed_join" -> q131BucketedJoin _,
     "q87_mode" -> q87Mode _,
     "q64_deciles" -> q64Deciles _,
     "q35_percentiles" -> q35Percentiles _,
@@ -478,6 +534,7 @@ object RelationalExtras {
     "q94_mad_outliers" -> q94MadOutliers _)
 
   val oracles: Map[String, String] = Map(
+    "q131_bucketed_join" -> q131Sql,
     "q87_mode" -> q87Sql,
     "q64_deciles" -> q64Sql,
     "q35_percentiles" -> q35Sql,

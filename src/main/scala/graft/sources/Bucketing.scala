@@ -29,6 +29,25 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Path-anchored variant: the table's data lands under `path` (an
+    * EXTERNAL table) instead of the session warehouse — the right shape
+    * for harness-driven runs whose session never configured
+    * `spark.sql.warehouse.dir` (a managed table would drop a
+    * `spark-warehouse/` directory into the process cwd). */
+  def writeBucketedAt(
+      df: DataFrame,
+      table: String,
+      path: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).option("path", path)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** Count shuffle Exchange operators in a frame's executed plan —

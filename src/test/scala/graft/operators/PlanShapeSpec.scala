@@ -397,6 +397,15 @@ class PlanShapeSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("q131: the bucketed join runs with ZERO exchanges — both scans arrive pre-partitioned") {
+    val joined = RelationalExtras.bucketedJoinFrame(spark, Dir)
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), s"the pinned plan is the co-located SMJ:\n$p")
+    assert(graft.sources.Bucketing.exchangeCount(joined) == 0,
+      s"bucket-aligned sides must not shuffle:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scans must be bucket-aware:\n$p")
+  }
+
   test("q129: sketches probe via a broadcast of the 10-row key list; tokens never re-shuffle for it") {
     val df = TextQueries.q129CmsFreq(spark, Dir)
     df.count()
