@@ -36,8 +36,10 @@ import graft.functions.TextExprs
 object ClassifierQueries {
 
   /** Hashed-unigram feature width. 16 is the demo size; the published
-    * recipes use 10k–1M hashed buckets — identical shape, one knob. */
-  private val LrBuckets = 16
+    * recipes use 10k–1M hashed buckets — identical shape, one knob.
+    * `private[graft]`: the streaming [[graft.streaming.QualityGate]]
+    * must bucket with the identical constant. */
+  private[graft] val LrBuckets = 16
 
   /** Full-batch GD rounds. Each round is two shuffles; the oracle SQL
     * unrolls the same count. */
@@ -62,7 +64,42 @@ object ClassifierQueries {
   def q128QualityLr(spark: SparkSession, dir: String): DataFrame =
     qualityLrOn(Tables(spark, dir, "documents"))
 
-  private[operators] def qualityLrOn(docRel: DataFrame): DataFrame = {
+  /** Train on a batch corpus and return just the learned weight vector
+    * (bucket → weight; −1 is the bias) — the artifact a serving tier
+    * ships. [[graft.streaming.QualityGate]] applies it to a live
+    * document stream as a stateless narrow map. */
+  private[graft] def trainWeights(docRel: DataFrame): Map[Long, Double] = {
+    val (_, _, w) = trained(docRel)
+    graft.core.Caches.releaseAll()
+    w
+  }
+
+  private[graft] def qualityLrOn(docRel: DataFrame): DataFrame = {
+    val (feat, _, w) = trained(docRel)
+    scoresOf(feat, w).select(
+      col("doc_id"),
+      col("y").cast("bigint").as("label"),
+      round(col("p"), 6).as("score"),
+      (col("p") >= lit(0.5)).cast("int").as("pred"))
+  }
+
+  /** Per-doc sigmoid scores under a given weight vector, over the
+    * feature relation. The margin is an exact decimal sum; the sigmoid
+    * output is rounded to 12 dp. */
+  private def scoresOf(feat: DataFrame, w: Map[Long, Double]): DataFrame = {
+    val allBuckets: Seq[Long] = -1L to (LrBuckets - 1).toLong
+    val wMap = map(allBuckets.flatMap(b => Seq(lit(b), lit(w(b)))): _*)
+    feat
+      .select(col("doc_id"), col("y"),
+        (col("x") * element_at(wMap, col("bucket")))
+          .cast("decimal(28,12)").as("t"))
+      .groupBy("doc_id", "y").agg(sum("t").cast("double").as("m"))
+      .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 12))
+  }
+
+  /** Build the persisted feature relation and run the GD rounds;
+    * returns (features, N, weights). */
+  private def trained(docRel: DataFrame): (DataFrame, Double, Map[Long, Double]) = {
     // Feature relation: (doc_id, y, bucket, x) with x the bucket's share
     // of the doc's tokens, plus one bias row (bucket −1, x = 1) per doc.
     // Persisted: every round's margin AND gradient aggregation reads it.
@@ -86,21 +123,9 @@ object ClassifierQueries {
     val n = docRel.count().toDouble
     val allBuckets: Seq[Long] = -1L to (LrBuckets - 1).toLong
 
-    // Per-doc sigmoid scores under a given weight vector. The margin is
-    // an exact decimal sum; the sigmoid output is rounded to 12 dp.
-    def scores(w: Map[Long, Double]): DataFrame = {
-      val wMap = map(allBuckets.flatMap(b => Seq(lit(b), lit(w(b)))): _*)
-      feat
-        .select(col("doc_id"), col("y"),
-          (col("x") * element_at(wMap, col("bucket")))
-            .cast("decimal(28,12)").as("t"))
-        .groupBy("doc_id", "y").agg(sum("t").cast("double").as("m"))
-        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 12))
-    }
-
     var w: Map[Long, Double] = allBuckets.map(_ -> 0.0).toMap
     for (_ <- 1 to LrRounds) {
-      val grad = scores(w)
+      val grad = scoresOf(feat, w)
         .select(col("doc_id"), (col("p") - col("y")).as("resid"))
         .join(feat, "doc_id")
         .groupBy("bucket")
@@ -109,12 +134,7 @@ object ClassifierQueries {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       w = w.map { case (b, wb) => b -> (wb - LrRate * grad.getOrElse(b, 0.0)) }
     }
-
-    scores(w).select(
-      col("doc_id"),
-      col("y").cast("bigint").as("label"),
-      round(col("p"), 6).as("score"),
-      (col("p") >= lit(0.5)).cast("int").as("pred"))
+    (feat, n, w)
   }
 
   /** One unrolled GD round as oracle CTEs: margins under w_k, sigmoid,

@@ -99,6 +99,9 @@ class ClassifierSpec extends SparkSpec {
     val d = docs(
       (1L, "u v w", "en"), (2L, "m n o", "de"),
       (3L, "u n", "en"), (4L, "v o m", "fr"))
+    // Sweep other suites' leftovers first — this pin is about what q128
+    // itself leaves behind (the SessionHygieneSpec convention).
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     val run = () => {
       val r = ClassifierQueries.qualityLrOn(d)
         .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
