@@ -205,6 +205,25 @@ object PipelineDemo {
     println(s"[demo] silent-slot watchdog: " +
       silent.map(r => s"${r.getString(2)}@${r.getTimestamp(0)} z=${r.getDouble(6)}").mkString(","))
 
+    // -- 10. selection tier, train-batch/serve-stream: fit the q128 LR
+    //        quality classifier on a labeled reference corpus, ship the
+    //        17-double weight vector into a stateless gate, and filter
+    //        an unlabeled batch with it (the same column gates a
+    //        readStream — zero state, zero shuffle)
+    val labeled = Seq(
+      (1L, "the device reported a clean heartbeat trace", "en"),
+      (2L, "the unit logged a stable speed profile", "en"),
+      (3L, "el dispositivo reporta un error critico", "es"),
+      (4L, "la unidad perdio la senal del gps", "es"))
+      .toDF("doc_id", "text", "lang")
+    val weights = graft.operators.ClassifierQueries.trainWeights(labeled)
+    val gated = graft.streaming.QualityGate.gate(Seq(
+      (10L, "the heartbeat trace looks clean and stable"),
+      (11L, "la senal reporta un error del gps"))
+      .toDF("doc_id", "text"), weights)
+      .collect().map(r => s"${r.getLong(0)}:keep=${r.getBoolean(3)}")
+    println(s"[demo] quality gate: ${gated.mkString(",")}")
+
     spark.stop()
     println("[demo] DONE")
   }
