@@ -486,8 +486,66 @@ object AuditQueries {
       |    END, 6) AS t_stat
       |FROM j""".stripMargin
 
+  // ------------------------------------- q135 per-source KL divergence
+  /** Q135: KL divergence of each source's unigram distribution from the
+    * corpus-wide distribution — the mixture-drift audit for a corpus
+    * assembled from many feeds: a source whose KL jumps is emitting
+    * text unlike the rest of the mix (scraper breakage, language shift,
+    * template flood) and PSI (q103, numeric) can't see it because the
+    * signal lives in the token distribution. KL(source ‖ corpus) needs
+    * no smoothing by construction: every token a source emits is in the
+    * corpus distribution, so q(tok) > 0 wherever p(tok) > 0.
+    *
+    * Scale: one explode + one (source, token) count — map-side combined,
+    * vocabulary-bounded keys — then joins against the three marginals
+    * derived from that same persisted relation (per-source totals and
+    * the 1-row corpus total broadcast; the per-token marginal a
+    * vocab-bounded shuffle join). Each ln term is cast DECIMAL(28,12)
+    * before the per-source sum, the q103 portability contract. */
+  def q135KlPerSource(spark: SparkSession, dir: String): DataFrame =
+    klPerSourceOn(Tables(spark, dir, "documents"))
+
+  private[graft] def klPerSourceOn(docRel: DataFrame): DataFrame = {
+    val tok = docRel
+      .select(col("source"), explode(graft.functions.TextExprs.tokens(col("text"))).as("tok"))
+    // Persisted: the three marginals below all derive from this
+    // |sources|×|vocab|-bounded relation — left lazy, each re-explodes
+    // the corpus.
+    val st = graft.core.Caches.persistTracked(
+      tok.groupBy("source", "tok").agg(count(lit(1)).as("c_st")))
+    val srcTot = st.groupBy("source").agg(sum("c_st").as("t_s"))
+    val tokTot = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+    val tot = st.agg(sum("c_st").as("t"))
+    val ps = col("c_st").cast("double") / col("t_s").cast("double")
+    val pg = col("c_t").cast("double") / col("t").cast("double")
+    st.join(broadcast(srcTot), "source")
+      .join(tokTot, "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("t_s"),
+        (ps * log(ps / pg)).cast("decimal(28,12)").as("term"))
+      .groupBy("source", "t_s")
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
+      .select(col("source"), col("t_s").as("n_tokens"), col("kl"))
+  }
+
+  val q135Sql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |st AS (SELECT source, tok, count(*) AS c_st FROM tok GROUP BY 1, 2),
+      |ts AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_s FROM st GROUP BY 1),
+      |g AS (SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS t FROM st)
+      |SELECT st.source, ts.t_s AS n_tokens,
+      |  round(CAST(sum(CAST(
+      |      (CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+      |      * ln((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE))
+      |        / (CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)))
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+      |FROM st JOIN ts USING (source) JOIN g USING (tok) CROSS JOIN tot
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_psi_drift" -> psiDrift _,
+    "q135_kl_source" -> q135KlPerSource _,
     "q104_seasonal_anomaly" -> seasonalAnomaly _,
     "q111_benford" -> benford _,
     "q114_chi_square" -> chiSquare _,
@@ -496,6 +554,7 @@ object AuditQueries {
 
   val oracles: Map[String, String] = Map(
     "q103_psi_drift" -> psiDriftSql,
+    "q135_kl_source" -> q135Sql,
     "q104_seasonal_anomaly" -> seasonalAnomalySql,
     "q111_benford" -> benfordSql,
     "q114_chi_square" -> chiSquareSql,

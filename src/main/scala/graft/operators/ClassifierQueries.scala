@@ -151,9 +151,12 @@ object ClassifierQueries {
        |w$k AS (SELECT w${k - 1}.bucket, w${k - 1}.w - $LrRate * coalesce(g$k.g, 0.0) AS w
        |  FROM w${k - 1} LEFT JOIN g$k USING (bucket))""".stripMargin
 
-  val q128Sql: String = {
+  /** The full q128 pipeline as a CTE body ending at
+    * `pf(doc_id, y, p)` — shared by the q128 and q133 oracles so the
+    * evaluated scores are definitionally the served scores. */
+  private val q128Ctes: String = {
     val rounds = (1 to LrRounds).map(roundSql).mkString(",\n")
-    s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+    s"""tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
        |  FROM documents),
        |tc AS (SELECT doc_id, lang,
        |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $LrBuckets AS bucket,
@@ -174,15 +177,75 @@ object ClassifierQueries {
        |mf AS (SELECT fx.doc_id, fx.y,
        |    CAST(sum(CAST(fx.x * coalesce(w$LrRounds.w, 0.0) AS DECIMAL(28,12))) AS DOUBLE) AS m
        |  FROM fx LEFT JOIN w$LrRounds USING (bucket) GROUP BY 1, 2),
-       |pf AS (SELECT doc_id, y, round(1.0 / (1.0 + exp(-m)), 12) AS p FROM mf)
+       |pf AS (SELECT doc_id, y, round(1.0 / (1.0 + exp(-m)), 12) AS p FROM mf)""".stripMargin
+  }
+
+  val q128Sql: String =
+    s"""WITH $q128Ctes
        |SELECT doc_id, CAST(y AS BIGINT) AS label, round(p, 6) AS score,
        |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred
        |FROM pf""".stripMargin
+
+  /** Q133: ROC AUC of the q128 classifier — the evaluation leg that
+    * closes the train (q128) → serve ([[graft.streaming.QualityGate]])
+    * → evaluate loop. Computed in the Mann–Whitney rank form: group by
+    * distinct score, running count below each score group, midrank for
+    * ties, then AUC = (Σ pos·midrank − n⁺(n⁺+1)/2) / (n⁺·n⁻). One row:
+    * (auc, n_pos, n_neg).
+    *
+    * Scale: the corpus-sized work is one groupBy(score) with map-side
+    * combine. The subsequent ordered window runs over DISTINCT scores
+    * only — and scores are sigmoids rounded to 6 dp, so there are at
+    * most 1,000,001 of them no matter how many documents were scored:
+    * the single-partition window is bounded by construction, the same
+    * bounded-key contract as the audit tier. Every rank term is exact
+    * (integers and halves), summed as DECIMAL(28,12) for partition-order
+    * independence; the one inexact IEEE division happens last. */
+  def q133Auc(spark: SparkSession, dir: String): DataFrame =
+    aucOf(q128QualityLr(spark, dir))
+
+  /** The rank-form AUC over any (label ∈ {0,1}, score) relation. */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    val grouped = scored.groupBy("score").agg(
+      sum(col("label")).as("pos"), count(lit(1)).as("cnt"))
+      .withColumn("neg", col("cnt") - col("pos"))
+    val below = coalesce(
+      sum(col("cnt")).over(Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    grouped.withColumn("below", below)
+      .agg(
+        sum(col("pos")).as("np"), sum(col("neg")).as("nn"),
+        sum((col("pos") * (col("below") + (col("cnt") + lit(1)) / lit(2.0)))
+          .cast("decimal(28,12)")).as("rs"))
+      .select(
+        round((col("rs").cast("double")
+          - col("np").cast("double") * (col("np").cast("double") + lit(1.0)) / lit(2.0))
+          / (col("np").cast("double") * col("nn").cast("double")), 6).as("auc"),
+        col("np").as("n_pos"), col("nn").as("n_neg"))
   }
 
+  val q133Sql: String =
+    s"""WITH $q128Ctes,
+       |sc AS (SELECT CAST(y AS BIGINT) AS label, round(p, 6) AS score FROM pf),
+       |g AS (SELECT score, CAST(sum(label) AS BIGINT) AS pos, count(*) AS cnt
+       |  FROM sc GROUP BY score),
+       |r AS (SELECT pos, cnt, cnt - pos AS neg,
+       |    coalesce(sum(cnt) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM g),
+       |t AS (SELECT CAST(sum(pos) AS BIGINT) AS np, CAST(sum(neg) AS BIGINT) AS nn,
+       |    CAST(sum(CAST(pos * (below + (cnt + 1) / 2.0) AS DECIMAL(28,12))) AS DOUBLE) AS rs
+       |  FROM r)
+       |SELECT round((rs - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1.0) / 2.0)
+       |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) AS auc,
+       |  np AS n_pos, nn AS n_neg
+       |FROM t""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q128_quality_lr" -> q128QualityLr _)
+    "q128_quality_lr" -> q128QualityLr _,
+    "q133_auc" -> q133Auc _)
 
   val oracles: Map[String, String] = Map(
-    "q128_quality_lr" -> q128Sql)
+    "q128_quality_lr" -> q128Sql,
+    "q133_auc" -> q133Sql)
 }

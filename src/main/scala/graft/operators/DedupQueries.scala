@@ -457,8 +457,11 @@ object DedupQueries {
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $shingleCtes,
+  /** The q42 CTE chain up to `cc(doc_id, cluster_id)` — shared verbatim
+    * by the q42 and q132 oracles so both face the identical transitive
+    * closure. */
+  private val ccCtes: String =
+    s"""$shingleCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
@@ -469,8 +472,45 @@ object DedupQueries {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT e.src, r.lbl FROM reach r JOIN e ON e.dst = r.id),
-       |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+       |cc AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ccCtes
        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM cc""".stripMargin
+
+  // ------------------------------------------------- cluster-aware split
+  /** Q132: leakage-safe train/val/test split — the step between dedup
+    * and packing in every pretraining pipeline. A plain per-document
+    * hash split (q36's shape) leaks: two near-duplicate documents can
+    * land in train and test, and the model is then evaluated on
+    * paraphrases of its own training data. Assigning the split by a
+    * deterministic hash OF THE CLUSTER ID (q42's transitive near-dup
+    * components) puts every member of a near-dup cluster — including
+    * chains A~B~C where A and C were never directly compared — in the
+    * same split by construction.
+    *
+    * Scale: the split column is one hash of an already-computed label —
+    * a narrow map over q42's output, so the cost IS q42 (LSH-banded
+    * edges + pointer-jumping components; nothing quadratic). 90/5/5 by
+    * md5 bucket: deterministic across reruns, clusters, and engines —
+    * rerunning on a grown corpus moves no existing singleton between
+    * splits (its cluster id is its own doc_id). */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = SamplingQueries.hashBucket(col("cluster_id"))
+    dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket < 90, lit("train"))
+          .when(bucket < 95, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
+  val clusterSplitSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |b AS (SELECT doc_id, cluster_id,
+       |    ${SamplingQueries.duckBucket("cluster_id")} AS h FROM cc)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+       |FROM b""".stripMargin
 
   // ------------------------------------------------- fingerprinting
   /** Normalized content fingerprint (lowercase, whitespace-collapsed,
@@ -778,7 +818,8 @@ object DedupQueries {
     "q39_simhash_neardup" -> simhashNearDup _,
     "q40_minhash_lsh_fast" -> minhashLshFast _,
     "q76_simhash_fast" -> simhashNearDupFast _,
-    "q42_dedup_clusters" -> dedupClusters _)
+    "q42_dedup_clusters" -> dedupClusters _,
+    "q132_cluster_split" -> clusterSplit _)
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
@@ -791,7 +832,8 @@ object DedupQueries {
     "q19_simhash" -> simhashSql,
     "q25_fingerprint" -> fingerprintSql,
     "q39_simhash_neardup" -> simhashNearDupSql,
-    "q42_dedup_clusters" -> dedupClustersSql)
+    "q42_dedup_clusters" -> dedupClustersSql,
+    "q132_cluster_split" -> clusterSplitSql)
     // q40 and q76 have no oracle by design: xxhash64 is not
     // DuckDB-portable; the driver records rows-only checks and DedupSpec
     // cross-validates them against the md5 parity paths + exact pairs.

@@ -158,11 +158,63 @@ object LayoutQueries {
       |    - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6) AS gini
       |FROM tot CROSS JOIN top CROSS JOIN s""".stripMargin
 
+  // --------------------------------------------- rendezvous sharding
+  /** Shard count for the q134 oracle face. Production would use the
+    * output-file or consumer count; the operator is shard-count-generic
+    * via [[hrwShard]]. */
+  private val HrwShards = 8
+
+  /** Rendezvous (highest-random-weight) shard assignment: every key
+    * scores all `shards` candidates with an independent 60-bit hash of
+    * (key, shard) and picks the argmax (Thaler & Ravishankar 1998 — the
+    * scheme behind consistent cache/shard routing). The property that
+    * matters for a 100 TB corpus: when a shard is added or removed,
+    * ONLY the keys whose argmax was that shard move — every other key's
+    * preference ordering over the surviving shards is unchanged — so a
+    * reshard touches 1/K of the data instead of rewriting everything
+    * (mod-K moves (K−1)/K of all keys).
+    *
+    * Pure per-row arithmetic, ZERO shuffle — the assignment rides along
+    * any existing scan. The K candidates unroll at plan time into
+    * `greatest` over (hash, shard) structs rather than a higher-order
+    * `transform` lambda: lambda functions are CodegenFallback, and the
+    * unrolled form keeps the whole assignment inside whole-stage
+    * codegen (plan-pinned). 60-bit hashes (15 md5 hex chars, exact in
+    * a long) make score ties astronomically unlikely; the struct
+    * comparison breaks them by shard id, mirrored exactly in the
+    * oracle's ORDER BY. */
+  private[graft] def hrwShard(id: Column, shards: Int): Column =
+    greatest((0 until shards).map { k =>
+      struct(
+        conv(substring(md5(concat(id.cast("string"), lit(s"#$k"))
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("h"),
+        lit(k.toLong).as("shard"))
+    }: _*).getField("shard")
+
+  /** Q134: rendezvous shard assignment over the documents table —
+    * (doc_id, shard) for [[HrwShards]] shards. The write-side
+    * counterpart of the audit tier: q118 tells you the keys are skewed,
+    * q134 is the deterministic, coordination-free routing that stays
+    * stable as the shard fleet changes. */
+  def q134RendezvousShard(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), hrwShard(col("doc_id"), HrwShards).as("shard"))
+
+  val q134Sql: String =
+    s"""WITH s AS (SELECT doc_id, CAST(k AS BIGINT) AS shard,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)),
+       |      1, 15))::BIGINT AS h
+       |  FROM documents CROSS JOIN (SELECT unnest(range($HrwShards)) AS k))
+       |SELECT doc_id, shard FROM s
+       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard DESC) = 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_zorder" -> q98ZOrder _,
-    "q118_skew_audit" -> q118SkewAudit _)
+    "q118_skew_audit" -> q118SkewAudit _,
+    "q134_rendezvous_shard" -> q134RendezvousShard _)
 
   val oracles: Map[String, String] = Map(
     "q98_zorder" -> q98Sql,
-    "q118_skew_audit" -> q118Sql)
+    "q118_skew_audit" -> q118Sql,
+    "q134_rendezvous_shard" -> q134Sql)
 }

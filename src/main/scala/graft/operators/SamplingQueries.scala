@@ -23,7 +23,7 @@ object SamplingQueries {
     pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long"), lit(buckets.toLong))
 
-  private def duckBucket(idExpr: String): String =
+  private[operators] def duckBucket(idExpr: String): String =
     s"(('0x' || substr(md5(CAST($idExpr AS VARCHAR)), 1, 8))::BIGINT % 100)"
 
   /** Q36: stable 10% sample of events, stratified audit by type —

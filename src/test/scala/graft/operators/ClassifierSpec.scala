@@ -112,4 +112,40 @@ class ClassifierSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.toString)
   }
+
+  // ----------------------------------------------------------- q133
+  private def labeled(rows: (Long, Double)*) =
+    rows.toDF("label", "score")
+
+  test("q133: tied scores take midranks — the hand-computed 0.875 case") {
+    // Ascending: .1 (rank 1), .5 tied (midrank 2.5), .9 (rank 4).
+    // Positive ranks 2.5 + 4 = 6.5; U = 6.5 − 2·3/2 = 3.5; AUC = 3.5/4.
+    val got = ClassifierQueries.aucOf(labeled(
+      (1L, 0.9), (1L, 0.5), (0L, 0.5), (0L, 0.1))).collect().head
+    assert(got.getDouble(0) == 0.875, got.toString)
+    assert(got.getLong(1) == 2L && got.getLong(2) == 2L, got.toString)
+  }
+
+  test("q133: perfect separation is 1, inversion is 0, one fully tied score is 0.5") {
+    def auc(rows: (Long, Double)*): Double =
+      ClassifierQueries.aucOf(labeled(rows: _*)).collect().head.getDouble(0)
+    assert(auc((1L, 0.9), (1L, 0.8), (0L, 0.2), (0L, 0.1)) == 1.0)
+    assert(auc((1L, 0.1), (1L, 0.2), (0L, 0.8), (0L, 0.9)) == 0.0)
+    assert(auc((1L, 0.5), (1L, 0.5), (0L, 0.5), (0L, 0.5)) == 0.5)
+  }
+
+  test("q133: a classifier that separates its corpus scores AUC exactly 1") {
+    // The q128 separable corpus: training drives every en score above
+    // every non-en score (pinned above), so the composed q128 → q133
+    // evaluation must report perfect ranking — and the counts must be
+    // the class sizes, not the doc count.
+    val d = docs(
+      (1L, "aa aa", "en"), (2L, "aa aa", "en"), (3L, "aa aa", "en"),
+      (4L, "bb bb", "de"), (5L, "bb bb", "de"), (6L, "bb bb", "de"))
+    val got = ClassifierQueries.aucOf(
+      ClassifierQueries.qualityLrOn(d).select("label", "score")).collect().head
+    graft.core.Caches.releaseAll()
+    assert(got.getDouble(0) == 1.0, got.toString)
+    assert(got.getLong(1) == 3L && got.getLong(2) == 3L, got.toString)
+  }
 }

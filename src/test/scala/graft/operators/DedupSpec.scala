@@ -184,4 +184,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => Set(2L, 3L, 4L)(p._1) || Set(2L, 3L, 4L)(p._2)),
       s"no-content docs must not appear as near-dups: $pairs")
   }
+
+  // ----------------------------------------------------------- q132
+  test("q132: no near-dup pair straddles a split — the leakage guarantee") {
+    val split = DedupQueries.clusterSplit(spark, Dir)
+    assert(split.count() == 500)
+    val bySplit = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")), bySplit.toString)
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L) &&
+      bySplit("train") > bySplit.getOrElse("test", 0L), s"90/5/5 skew: $bySplit")
+    // Every exact-Jaccard near-dup pair — the edges q42 clusters over,
+    // including transitive chains via the shared cluster id — lands on
+    // one side: zero pairs with differing splits.
+    val s1 = split.select(col("doc_id").as("d1"), col("split").as("sp1"))
+    val s2 = split.select(col("doc_id").as("d2"), col("split").as("sp2"))
+    val straddling = DedupQueries.ngramJaccard(spark, Dir)
+      .join(s1, "d1").join(s2, "d2")
+      .where(col("sp1") =!= col("sp2")).count()
+    graft.core.Caches.releaseAll()
+    assert(straddling == 0, s"$straddling near-dup pairs leak across splits")
+  }
 }

@@ -436,4 +436,28 @@ class PipelineAuditSpec extends SparkSpec {
     assert(r.getDouble(4) == 10.0 && r.getDouble(5) == 2.0 && r.getDouble(6) == -5.0,
       s"got $r")
   }
+
+  // ----------------------------------------------------------- q135
+  private def klOf(rows: (Long, String, String)*): Map[String, (Long, Double)] = {
+    val got = AuditQueries.klPerSourceOn(rows.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    graft.core.Caches.releaseAll()
+    got
+  }
+
+  test("q135: sources with identical token distributions sit at KL exactly 0") {
+    val got = klOf((1L, "a a b", "s1"), (2L, "a a b", "s2"))
+    assert(got.keySet == Set("s1", "s2"))
+    got.values.foreach { case (n, kl) => assert(n == 3L && kl == 0.0, got.toString) }
+  }
+
+  test("q135: divergence orders sources — disjoint vocabulary beats a shared mix") {
+    // Global over {s1: "a b", s2: "a b", s3: "c c"}: p_g = {a:1/3, b:1/3, c:1/3}.
+    // s1 = s2 = {a:.5, b:.5} → KL = ln(1.5) ≈ 0.405; s3 = {c:1} → KL = ln 3 ≈ 1.099.
+    val got = klOf((1L, "a b", "s1"), (2L, "a b", "s2"), (3L, "c c", "s3"))
+    assert(got("s1") == got("s2"), got.toString)
+    assert(math.abs(got("s1")._2 - math.log(1.5)) < 1e-6, got.toString)
+    assert(math.abs(got("s3")._2 - math.log(3.0)) < 1e-6, got.toString)
+    assert(got("s3")._2 > got("s1")._2 && got("s1")._2 > 0.0, got.toString)
+  }
 }

@@ -406,6 +406,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), s"scans must be bucket-aware:\n$p")
   }
 
+  test("q134: rendezvous sharding is a pure project — zero exchanges, codegen'd, pruned scan") {
+    val df = LayoutQueries.q134RendezvousShard(spark, Dir)
+    val p = plan(df)
+    assert(graft.sources.Bucketing.exchangeCount(df) == 0,
+      s"shard assignment must ride the scan without any shuffle:\n$p")
+    // WholeStageCodegenExec prints as the "*(n)" prefix in the plan
+    // string — the unrolled greatest-of-structs keeps the Project
+    // inside the codegen stage (a transform() lambda would fall back).
+    assert(p.contains("*(1) Project"), s"the hash argmax must codegen:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"only doc_id feeds the assignment — text/lang must prune:\n$p")
+  }
+
   test("q129: sketches probe via a broadcast of the 10-row key list; tokens never re-shuffle for it") {
     val df = TextQueries.q129CmsFreq(spark, Dir)
     df.count()

@@ -53,4 +53,29 @@ class ScaleToolsSpec extends SparkSpec {
       assert(Bucketing.exchangeCount(unbucketed) > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ------------------------------------------------ q134 rendezvous
+  test("q134: removing a shard reassigns ONLY that shard's keys — everyone else stays put") {
+    val ids = spark.range(1, 1001).select(col("id").as("doc_id"))
+    val j = ids.select(col("doc_id"),
+      LayoutQueries.hrwShard(col("doc_id"), 8).as("s8"),
+      LayoutQueries.hrwShard(col("doc_id"), 7).as("s7"))
+    // The HRW guarantee: a key's preference order over surviving shards
+    // never changes, so only keys whose 8-shard argmax WAS shard 7 move.
+    assert(j.where(col("s8") =!= 7 && col("s8") =!= col("s7")).count() == 0,
+      "a surviving-shard key moved on reshard")
+    val moved = j.where(col("s8") === 7).count()
+    // ~1/8 of 1000 keys; a mod-8 → mod-7 rehash would move ~857.
+    assert(moved > 60 && moved < 200, s"expected ~125 keys on the removed shard, got $moved")
+  }
+
+  test("q134: 60-bit hash scores spread keys near-uniformly across shards") {
+    val counts = spark.range(1, 1001).select(
+      LayoutQueries.hrwShard(col("id"), 8).as("shard"))
+      .groupBy("shard").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L to 7L).toSet, s"every shard must win some keys: $counts")
+    counts.values.foreach(c =>
+      assert(c > 60 && c < 200, s"shard counts should sit near 125: $counts"))
+  }
 }
