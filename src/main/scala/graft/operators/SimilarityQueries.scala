@@ -155,6 +155,70 @@ object SimilarityQueries {
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM p)
        |SELECT q_id, n_id, rn, round(c, 6) AS sim FROM r WHERE rn <= $TopK""".stripMargin
 
+  // --------------------------------------------------- ANN recall eval
+  /** Q136: recall@k of the IVF path (q21) against the exact top-k
+    * (q20) — the number that justifies running the approximate index at
+    * all, and the regression alarm when a codebook retrain or an nprobe
+    * cut silently degrades retrieval. Per query: how many of the true
+    * [[TopK]] neighbors the probe-limited search found.
+    *
+    * Scale: both inputs are existing bounded-output operators (queries ×
+    * k rows each — [[NumQueries]]·[[TopK]] here, and a recall harness at
+    * any scale samples a bounded query set), so the eval itself is a
+    * left-semi join plus two tiny aggregations over queries×k rows.
+    * The corpus-sized work is q20's one exact scoring pass — the price
+    * of ground truth, paid on the SAMPLE, not the corpus. */
+  def q136AnnRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(cosineTopK(spark, dir), ivfAnn(spark, dir))
+
+  /** recall@k of `approx` vs ground-truth `exact`, both
+    * (q_id, n_id, …) relations. */
+  private[graft] def annRecallOf(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val truth = exact.select(col("q_id"), col("n_id"))
+    val hits = truth
+      .join(approx.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / col("n_exact").cast("double"), 6).as("recall"))
+  }
+
+  val annRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |px AS (SELECT q_id, e.vec_id AS n_id,
+       |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+       |  FROM q JOIN e ON q.q_id != e.vec_id),
+       |ex AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM px)
+       |  WHERE rn <= $TopK),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       |ac AS (SELECT e.vec_id, e.v, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id AS n_id, v AS nv, c_id AS bkt FROM ac WHERE arn = 1),
+       |qp AS (SELECT q_id, qv, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS prn
+       |  FROM q CROSS JOIN cent),
+       |probes AS (SELECT q_id, qv, c_id AS bkt FROM qp WHERE prn <= $NProbe),
+       |pa AS (SELECT q_id, n_id,
+       |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS c
+       |  FROM probes JOIN assign USING (bkt) WHERE q_id != n_id),
+       |ap AS (SELECT q_id, n_id FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM pa)
+       |  WHERE rn <= $TopK),
+       |h AS (SELECT ex.q_id, count(*) AS hits
+       |  FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id GROUP BY 1),
+       |t AS (SELECT q_id, count(*) AS n_exact FROM ex GROUP BY 1)
+       |SELECT t.q_id, coalesce(h.hits, 0) AS hits,
+       |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / CAST(t.n_exact AS DOUBLE), 6) AS recall
+       |FROM t LEFT JOIN h ON t.q_id = h.q_id""".stripMargin
+
   // --------------------------------------------------- cosine near-dup
   /** IVF-bucketed near-duplicate pairs over any (vec_id, embedding)
     * relation: each vector is multi-assigned to its `probes` nearest
@@ -939,7 +1003,8 @@ object SimilarityQueries {
     "q88_pq_refine" -> pqRefine _,
     "q47_quantize_int8" -> quantizeInt8 _,
     "q123_mmr_diverse" -> q123MmrDiverse _,
-    "q125_srp_lsh" -> q125SrpLsh _)
+    "q125_srp_lsh" -> q125SrpLsh _,
+    "q136_ann_recall" -> q136AnnRecall _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -952,5 +1017,6 @@ object SimilarityQueries {
     "q82_ivfpq_topk" -> ivfPqTopKSql,
     "q88_pq_refine" -> pqRefineSql,
     "q47_quantize_int8" -> quantizeInt8Sql,
-    "q125_srp_lsh" -> srpLshSql)
+    "q125_srp_lsh" -> srpLshSql,
+    "q136_ann_recall" -> annRecallSql)
 }
