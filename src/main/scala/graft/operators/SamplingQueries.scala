@@ -415,8 +415,63 @@ object SamplingQueries {
        |  round(CAST(sum(CAST(cnt * lw AS DECIMAL(28,12))) AS DOUBLE), 6) AS log_weight
        |FROM f JOIN lw USING (bucket) GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------- q137 temperature mixture
+  /** Sampling temperature: 1.0 reproduces the natural mix, 0 is
+    * uniform. 0.7 is the published multilingual default. */
+  private val MixTau = 0.7
+
+  /** Q137: temperature-scaled mixture weights — the standard recipe for
+    * rebalancing a multi-source corpus (mC4 / XLM-R: sample source s
+    * with probability ∝ p_s^τ, τ < 1) so head sources stop drowning the
+    * tail without the tail being upsampled to parity. Output per
+    * source: natural share `p_raw`, normalized sampling `weight`, and
+    * `boost` = weight/p_raw — the up/down-sampling factor a sampler
+    * (q37's acceptance shape) would apply.
+    *
+    * Scale: one corpus pass collapses to a |sources|-row relation
+    * (persisted; the total, the normalizer, and the readout all derive
+    * from it), so the temperature math is driver-free arithmetic over
+    * bounded keys. The one transcendental (pow) is rounded to 12 dp and
+    * the normalizer sums DECIMAL(28,12) — the q103/q128 portability
+    * contract. */
+  def q137TempMixture(spark: SparkSession, dir: String): DataFrame =
+    tempMixtureOn(Tables(spark, dir, "documents"))
+
+  private[graft] def tempMixtureOn(docRel: DataFrame): DataFrame = {
+    val tc = graft.core.Caches.persistTracked(
+      docRel
+        .select(col("source"),
+          size(graft.functions.TextExprs.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source").agg(sum("n_tok").as("n_tokens")))
+    val tot = tc.agg(sum("n_tokens").as("n"))
+    val p = tc.crossJoin(broadcast(tot))
+      .withColumn("p_raw", col("n_tokens").cast("double") / col("n").cast("double"))
+      .withColumn("pt", round(pow(col("p_raw"), lit(MixTau)), 12))
+    val z = p.agg(sum(col("pt").cast("decimal(28,12)")).cast("double").as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("p_raw"), 6).as("p_raw"),
+        round(col("pt") / col("z"), 6).as("weight"),
+        round(col("pt") / col("z") / col("p_raw"), 6).as("boost"))
+  }
+
+  val q137Sql: String =
+    s"""WITH tc AS (SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n FROM tc),
+       |p AS (SELECT source, n_tokens,
+       |    CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE) AS p_raw,
+       |    round(power(CAST(n_tokens AS DOUBLE) / CAST(n AS DOUBLE), $MixTau), 12) AS pt
+       |  FROM tc CROSS JOIN tot),
+       |z AS (SELECT CAST(sum(CAST(pt AS DECIMAL(28,12))) AS DOUBLE) AS z FROM p)
+       |SELECT source, n_tokens, round(p_raw, 6) AS p_raw,
+       |  round(pt / z, 6) AS weight, round(pt / z / p_raw, 6) AS boost
+       |FROM p CROSS JOIN z""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_dsir_weights" -> q127DsirWeights _,
+    "q137_temp_mixture" -> q137TempMixture _,
     "q99_stratified_sample" -> q99StratifiedSample _,
     "q36_hash_sample" -> q36HashSample _,
     "q37_mixture_sample" -> q37MixtureSample _,
@@ -427,6 +482,7 @@ object SamplingQueries {
 
   val oracles: Map[String, String] = Map(
     "q127_dsir_weights" -> q127Sql,
+    "q137_temp_mixture" -> q137Sql,
     "q99_stratified_sample" -> q99Sql,
     "q36_hash_sample" -> q36Sql,
     "q37_mixture_sample" -> q37Sql,

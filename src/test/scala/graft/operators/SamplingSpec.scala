@@ -100,4 +100,28 @@ class SamplingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == expected)
   }
+
+  // ----------------------------------------------------------- q137
+  test("q137: temperature < 1 downweights the head, boosts the tail, keeps the ranking") {
+    // 80/20 token split: p = (0.8, 0.2); τ=0.7 → pt = (0.855, 0.324),
+    // weights ≈ (0.725, 0.275): the head is still the head, but its
+    // boost dips below 1 while the tail's rises above.
+    val d = (Seq.fill(8)(("big", "a b c d e f g h i j")) ++
+      Seq.fill(2)(("small", "a b c d e f g h i j")))
+      .zipWithIndex.map { case ((s, t), i) => (i.toLong, t, s) }
+      .toDF("doc_id", "text", "source")
+    val got = SamplingQueries.tempMixtureOn(d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    graft.core.Caches.releaseAll()
+    val (nBig, pBig, wBig, bBig) = got("big")
+    val (nSmall, pSmall, wSmall, bSmall) = got("small")
+    assert(nBig == 80L && nSmall == 20L, got.toString)
+    assert(pBig == 0.8 && pSmall == 0.2, got.toString)
+    assert(math.abs(wBig + wSmall - 1.0) < 2e-6, s"weights must normalize: $got")
+    assert(wBig > wSmall, s"temperature 0.7 preserves the ranking: $got")
+    assert(bBig < 1.0 && bSmall > 1.0, s"head damped, tail boosted: $got")
+    val expectedWBig = math.pow(0.8, 0.7) / (math.pow(0.8, 0.7) + math.pow(0.2, 0.7))
+    assert(math.abs(wBig - expectedWBig) < 1e-5, s"$wBig vs $expectedWBig")
+  }
 }
