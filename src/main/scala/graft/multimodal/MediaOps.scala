@@ -5,6 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -23,14 +24,19 @@ import org.apache.spark.sql.functions._
   *    4×4 downsampled-luminance feature grid, and [[resize]] rescales
   *    real pixels through `java.awt` and re-encodes PNG. No external
   *    library, no sandbox violation.
-  *  - **Audio/video remain a documented STUB** (no codec libraries in
-  *    this container): `decodeStub` produces a deterministic
-  *    digest-derived feature vector wherever a real decoder would run.
-  *    Swap the stub branch for an actual codec (e.g. javacv) without
-  *    touching the dataflow. Images whose bytes don't parse (truncated
-  *    payload, exotic codec) fall back to the same stub rather than
-  *    failing the partition — corpus-scale media is always partly
-  *    corrupt.
+  *  - **Audio is REAL for the JDK-native containers.** The JDK ships
+  *    `javax.sound.sampled` (WAV/AIFF/AU with PCM payloads) —
+  *    [[decodeAudio]] parses the true sample rate / channel count /
+  *    duration and computes a [[FeatureDim]]-bin RMS loudness envelope
+  *    over the actual PCM samples. Compressed codecs (MP3/AAC/Opus)
+  *    have no JDK decoder and take the stub path; swap in a codec
+  *    library for those without touching the dataflow.
+  *  - **Video remains a documented STUB** (no codec libraries in this
+  *    container): `decodeStub` produces a deterministic digest-derived
+  *    feature vector wherever a real decoder would run. Media whose
+  *    bytes don't parse (truncated payload, exotic codec) fall back to
+  *    the same stub rather than failing the partition — corpus-scale
+  *    media is always partly corrupt.
   *
   * Scale: `mapPartitions` over the binary column keeps each task
   * streaming through its partition's blobs one at a time (no
@@ -105,34 +111,97 @@ object MediaOps {
       }
     } catch { case _: Throwable => None }
 
+  /** REAL audio decode via `javax.sound.sampled`: (sample_rate,
+    * channels, duration_ms, [[FeatureDim]]-bin RMS loudness envelope in
+    * [-1, 1]). None when the bytes aren't a JDK-parseable audio stream
+    * (the caller falls back to the stub). The envelope is computed over
+    * the raw PCM samples with all channels pooled per bin — integer
+    * sample decode and an exact running sum of squares, so the vector
+    * is deterministic for a given payload on any JVM. Only PCM sample
+    * layouts the JDK actually produces are handled (8-bit, and 16-bit
+    * either endianness); anything else stubs. */
+  private[multimodal] def decodeAudio(content: Array[Byte]): Option[(Float, Int, Long, Array[Float])] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val pcmSigned = enc == AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val bytes = in.readAllBytes()
+          val bps = bits / 8
+          val nSamples = bytes.length / bps
+          if (nSamples == 0) None
+          else {
+            def sampleAt(i: Int): Double = {
+              if (bps == 1) {
+                if (pcmSigned) bytes(i).toDouble / 128.0
+                else ((bytes(i) & 0xff) - 128).toDouble / 128.0
+              } else {
+                val (lo, hi) = if (fmt.isBigEndian) (i * 2 + 1, i * 2) else (i * 2, i * 2 + 1)
+                val v = (bytes(hi) << 8) | (bytes(lo) & 0xff) // hi byte carries the sign
+                (if (pcmSigned) v else v - 32768).toDouble / 32768.0
+              }
+            }
+            val feats = Array.tabulate(FeatureDim) { b =>
+              val s0 = (b.toLong * nSamples / FeatureDim).toInt
+              val s1 = math.max(s0 + 1, ((b + 1).toLong * nSamples / FeatureDim).toInt)
+              var sum2 = 0.0; var i = s0
+              while (i < s1 && i < nSamples) { val s = sampleAt(i); sum2 += s * s; i += 1 }
+              val n = math.max(1, math.min(s1, nSamples) - s0)
+              (math.sqrt(sum2 / n) * 2 - 1).toFloat
+            }
+            val frames =
+              if (in.getFrameLength >= 0) in.getFrameLength
+              else (bytes.length / math.max(1, fmt.getFrameSize)).toLong
+            val durMs = math.round(frames * 1000.0 / fmt.getFrameRate)
+            Some((fmt.getSampleRate, fmt.getChannels, durMs, feats))
+          }
+        }
+      } finally in.close()
+    } catch { case _: Throwable => None }
+
   /** Per-partition feature extraction over the binary column: real
-    * pixel features for decodable images, digest stub for everything
-    * else. One MessageDigest per PARTITION (this is the point of
-    * mapPartitions): per-row `getInstance` would do a JCA provider
-    * lookup per blob. */
+    * pixel features for decodable images, real PCM loudness envelopes
+    * for decodable audio, digest stub for everything else. One
+    * MessageDigest per PARTITION (this is the point of mapPartitions):
+    * per-row `getInstance` would do a JCA provider lookup per blob. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md = MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val feats =
-          (if (r.media_type == "image") decodeImage(r.content).map(_._3) else None)
-            .getOrElse(decodeWith(md, r.content))
-        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong, feats)
+        val real = r.media_type match {
+          case "image" => decodeImage(r.content).map(_._3)
+          case "audio" => decodeAudio(r.content).map(_._4)
+          case _ => None
+        }
+        MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
+          real.getOrElse(decodeWith(md, r.content)))
       }
     }
   }
 
-  /** Re-derive image metadata from the PAYLOAD: rows whose bytes decode
-    * get their true width/height (upstream metadata lies at corpus
-    * scale); everything else passes through untouched. */
+  /** Re-derive media metadata from the PAYLOAD: image rows whose bytes
+    * decode get their true width/height, audio rows their true
+    * duration_ms (upstream metadata lies at corpus scale); everything
+    * else passes through untouched. */
   def withDecodedDims(media: Dataset[MediaRow]): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { r =>
-      if (r.media_type != "image") r
-      else decodeImage(r.content) match {
-        case Some((w, h, _)) => r.copy(width = w, height = h)
-        case None => r
+      r.media_type match {
+        case "image" => decodeImage(r.content) match {
+          case Some((w, h, _)) => r.copy(width = w, height = h)
+          case None => r
+        }
+        case "audio" => decodeAudio(r.content) match {
+          case Some((_, _, durMs, _)) => r.copy(duration_ms = durMs)
+          case None => r
+        }
+        case _ => r
       }
     })
   }

@@ -104,6 +104,53 @@ class MediaOpsSpec extends SparkSpec {
     assert(feats(0) < -0.5f && feats(3) > 0.5f, feats.mkString(","))
   }
 
+  /** In-memory WAV fixture: `ms` milliseconds of 16-bit mono PCM at
+    * 8 kHz from `f(sampleIdx) ∈ [-1, 1]`. */
+  private def wav(ms: Int)(f: Int => Double): Array[Byte] = {
+    val rate = 8000f
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = math.max(-1.0, math.min(1.0, f(i)))
+      val s = math.round(v * 32767).toShort
+      pcm(i * 2) = (s & 0xff).toByte; pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("real WAV decodes to true format, duration, and a loudness envelope") {
+    // 400 ms: first half a full-scale 440 Hz tone, second half silence.
+    // The RMS envelope's first 8 bins must read loud, the last 8 quiet
+    // — digest noise can't produce that structure.
+    val halfTone = wav(400)(i =>
+      if (i < 1600) math.sin(2 * math.Pi * 440 * i / 8000.0) else 0.0)
+    val Some((rate, channels, durMs, feats)) = MediaOps.decodeAudio(halfTone)
+    assert(rate == 8000f && channels == 1, s"$rate/$channels")
+    assert(durMs == 400L, s"duration must come from the payload: $durMs")
+    assert(feats.length == FeatureDim)
+    // sine RMS = 1/√2 → envelope ≈ 2/√2 − 1 ≈ 0.414; silence → −1
+    for (i <- 0 until 8) assert(feats(i) > 0.3f, s"bin $i loud: ${feats(i)}")
+    for (i <- 8 until 16) assert(feats(i) < -0.99f, s"bin $i quiet: ${feats(i)}")
+    // distributed path picks the real decode; garbage audio stubs instead
+    val ds = Seq(
+      MediaRow(20L, "audio", halfTone, 0, 0, 0L),
+      MediaRow(21L, "audio", Array[Byte](9, 9, 9), 0, 0, 123L)).toDS()
+    val viaSpark = extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(viaSpark(0).features.sameElements(feats),
+      "mapPartitions path must match direct decode")
+    assert(viaSpark(1).features.length == FeatureDim, "garbage falls back to the stub")
+    // withDecodedDims corrects a lying duration from the payload
+    val fixed = withDecodedDims(ds).collect().sortBy(_.media_id)
+    assert(fixed(0).duration_ms == 400L, fixed(0).toString)
+    assert(fixed(1).duration_ms == 123L, "undecodable: untouched")
+  }
+
   test("media features flow into the embedding near-dup operators unchanged") {
     import org.apache.spark.sql.functions._
     // A byte-identical re-upload of blob 1 under a new id — the

@@ -419,6 +419,29 @@ class PlanShapeSpec extends SparkSpec {
       s"only doc_id feeds the assignment — text/lang must prune:\n$p")
   }
 
+  test("q135: KL marginals broadcast back onto the persisted (source, token) relation") {
+    val df = AuditQueries.q135KlPerSource(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"the vocab-bounded count relation must be cached, not re-exploded per marginal:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"per-source totals and the 1-row corpus total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the totals join is broadcast-nested-loop over 1 row, never a cartesian:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q137: the temperature math runs on a cached |sources|-row relation — one corpus scan") {
+    val df = SamplingQueries.q137TempMixture(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"),
+      s"the per-source token counts must be cached — the total, normalizer, and readout reuse them:\n$p")
+    assert(p.contains("BroadcastExchange"), s"the 1-row totals must broadcast:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
   test("q129: sketches probe via a broadcast of the 10-row key list; tokens never re-shuffle for it") {
     val df = TextQueries.q129CmsFreq(spark, Dir)
     df.count()
