@@ -135,10 +135,12 @@ object DedupQueries {
   /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 over the capped
     * shingle sets, found via the shingle inverted index (pairs sharing
     * ≥1 surviving shingle). */
-  private[operators] def ngramJaccardOn(docRel: DataFrame): DataFrame = {
+  private[operators] def ngramJaccardOn(docRel: DataFrame): DataFrame =
+    jaccardPairsOfSh(shinglesOf(docRel))
+
+  private def jaccardPairsOfSh(sh: DataFrame): DataFrame = {
     // One self-join computes intersections directly — no separate
     // candidate pass (pairs sharing zero shingles never appear at all).
-    val sh = shinglesOf(docRel)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("d1"), col("sh"))
       .join(sh.select(col("doc_id").as("d2"), col("sh")), "sh")
@@ -212,15 +214,21 @@ object DedupQueries {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
   }
 
-  private[operators] def minhashLshOn(docRel: DataFrame,
-      fastHash: Boolean = false): DataFrame = {
-    val sh = shinglesOf(docRel)
+  /** The banded candidate pair list for a shingle relation — the part
+    * of the LSH pipeline whose selectivity q138 audits. */
+  private def lshCandidatesOfSh(sh: DataFrame, fastHash: Boolean): DataFrame = {
     val bands = bandsOf(sh, fastHash)
-    val cands = bands.select(col("doc_id").as("d1"), col("band"), col("bk"))
+    bands.select(col("doc_id").as("d1"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-    verifyJaccard(cands, sh).where(col("jaccard") >= JaccardThreshold)
+  }
+
+  private[operators] def minhashLshOn(docRel: DataFrame,
+      fastHash: Boolean = false): DataFrame = {
+    val sh = shinglesOf(docRel)
+    verifyJaccard(lshCandidatesOfSh(sh, fastHash), sh)
+      .where(col("jaccard") >= JaccardThreshold)
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -233,20 +241,26 @@ object DedupQueries {
   def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
     minhashLshOn(docs(spark, dir), fastHash = true)
 
-  val minhashLshSql: String = {
+  /** The q18 banding CTEs (`h`/`sig`/`bands`/`cand`) — shared by the
+    * q18 and q138 oracles so both face the identical candidate list. */
+  private val lshCandCtes: String = {
     val sigCols = (0 until MinhashSeeds)
       .map(i => s"min((h1 + $i * h2) % $KmPrime) AS s$i").mkString(", ")
     val bandSelects = (0 until MinhashSeeds / BandRows).map { b =>
       val bk = (0 until BandRows).map(r => s"s${b * BandRows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $bk AS bk FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $shingleCtes,
-       |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+    s"""h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
        |             ('0x' || substr(md5(sh), 17, 12))::BIGINT AS h2 FROM sh),
        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  val minhashLshSql: String =
+    s"""WITH $shingleCtes,
+       |$lshCandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.d1, c.d2, count(*) AS inter
        |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
@@ -255,7 +269,73 @@ object DedupQueries {
        |  inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
        |FROM inter JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
+
+  // ------------------------------------------------ q138 LSH recall audit
+  /** Q138: the recall/selectivity audit of the banded MinHash index —
+    * q136's counterpart for the hash-family tier. Compares the banded
+    * candidate pipeline (q18's shape) against the exhaustive exact
+    * pairs (q17's shape) over the SAME capped shingle sets and reports
+    * one row: how many true pairs exist, how many candidates banding
+    * proposed, how many survived exact verification, the recall (found
+    * true pairs / true pairs — the quality knob the band geometry
+    * buys), and the candidate precision (survivors / candidates — the
+    * wasted-verification ratio, the COST knob: every non-surviving
+    * candidate is an exact-Jaccard computation thrown away).
+    *
+    * Run at a sampled scale, this is the tuning harness for
+    * [[MinhashSeeds]]/[[BandRows]]: more bands raise recall and lower
+    * candidate precision; the audit prices both sides. Scale: every
+    * relation here is pair-list-sized except the shingle self-join —
+    * which is exactly the q17 cost the audit exists to let production
+    * AVOID (it is the ground-truth pass, run on samples, like q136's
+    * exact arm).
+    *
+    * Recall is 1.0 at every tested SF with the 10×2 band geometry
+    * (DedupSpec's ≥95% floor) — found ⊆ exact holds by construction
+    * (same verification, same threshold), so the semi-join numerator is
+    * a contract check, not an approximation. */
+  def q138LshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(docs(spark, dir))
+    val exact = jaccardPairsOfSh(sh).select("d1", "d2")
+    val cands = lshCandidatesOfSh(sh, fastHash = false)
+    val found = verifyJaccard(cands, sh)
+      .where(col("jaccard") >= JaccardThreshold).select("d1", "d2")
+    val hits = found.join(exact, Seq("d1", "d2"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_cand"), col("n_found"),
+        round(when(col("n_exact") > 0,
+          col("n_hit").cast("double") / col("n_exact").cast("double")), 6).as("recall"),
+        round(when(col("n_cand") > 0,
+          col("n_found").cast("double") / col("n_cand").cast("double")), 6).as("cand_precision"))
   }
+
+  val q138Sql: String =
+    s"""WITH $shingleCtes,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ex AS (SELECT d1, d2 FROM ix JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |$lshCandCtes,
+       |ic AS (SELECT c.d1, c.d2, count(*) AS inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.d1 JOIN sh b ON b.doc_id = c.d2 AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |fnd AS (SELECT ic.d1, ic.d2 FROM ic JOIN sz s1 ON ic.d1 = s1.doc_id JOIN sz s2 ON ic.d2 = s2.doc_id
+       |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |m AS (SELECT
+       |    (SELECT count(*) FROM ex) AS n_exact,
+       |    (SELECT count(*) FROM cand) AS n_cand,
+       |    (SELECT count(*) FROM fnd) AS n_found,
+       |    (SELECT count(*) FROM fnd JOIN ex ON fnd.d1 = ex.d1 AND fnd.d2 = ex.d2) AS n_hit)
+       |SELECT n_exact, n_cand, n_found,
+       |  round(CASE WHEN n_exact > 0
+       |    THEN CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE) END, 6) AS recall,
+       |  round(CASE WHEN n_cand > 0
+       |    THEN CAST(n_found AS DOUBLE) / CAST(n_cand AS DOUBLE) END, 6) AS cand_precision
+       |FROM m""".stripMargin
 
   // --------------------------------------------------------- SimHash
   /** 64-bit SimHash per document (hex string) over distinct tokens —
@@ -819,7 +899,8 @@ object DedupQueries {
     "q40_minhash_lsh_fast" -> minhashLshFast _,
     "q76_simhash_fast" -> simhashNearDupFast _,
     "q42_dedup_clusters" -> dedupClusters _,
-    "q132_cluster_split" -> clusterSplit _)
+    "q132_cluster_split" -> clusterSplit _,
+    "q138_lsh_recall" -> q138LshRecall _)
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
@@ -833,7 +914,8 @@ object DedupQueries {
     "q25_fingerprint" -> fingerprintSql,
     "q39_simhash_neardup" -> simhashNearDupSql,
     "q42_dedup_clusters" -> dedupClustersSql,
-    "q132_cluster_split" -> clusterSplitSql)
+    "q132_cluster_split" -> clusterSplitSql,
+    "q138_lsh_recall" -> q138Sql)
     // q40 and q76 have no oracle by design: xxhash64 is not
     // DuckDB-portable; the driver records rows-only checks and DedupSpec
     // cross-validates them against the md5 parity paths + exact pairs.

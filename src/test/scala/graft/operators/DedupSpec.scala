@@ -205,4 +205,16 @@ class DedupSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
     assert(straddling == 0, s"$straddling near-dup pairs leak across splits")
   }
+
+  // ----------------------------------------------------------- q138
+  test("q138: the band-geometry audit prices both knobs — full recall, sub-1 candidate precision") {
+    val r = DedupQueries.q138LshRecall(spark, Dir).collect().head
+    graft.core.Caches.releaseAll()
+    val (nExact, nCand, nFound) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nExact > 0, "testdata must contain near-dup pairs")
+    assert(r.getDouble(3) == 1.0, s"10×2 banding recalls every J≥0.8 pair here: $r")
+    assert(nFound == nExact, s"found ⊆ exact and recall 1 ⇒ equality: $r")
+    assert(nCand >= nFound, s"candidates superset the survivors: $r")
+    assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0, r.toString)
+  }
 }
