@@ -296,10 +296,13 @@ object DedupQueries {
     * a contract check, not an approximation. */
   def q138LshRecall(spark: SparkSession, dir: String): DataFrame = {
     val sh = shinglesOf(docs(spark, dir))
-    val exact = jaccardPairsOfSh(sh).select("d1", "d2")
-    val cands = lshCandidatesOfSh(sh, fastHash = false)
-    val found = verifyJaccard(cands, sh)
-      .where(col("jaccard") >= JaccardThreshold).select("d1", "d2")
+    // Pair lists persist: each feeds 2+ of the four count branches
+    // below, and without materialization the shingle self-join / band
+    // join / exact verification would re-run per branch.
+    val exact = Caches.persistTracked(jaccardPairsOfSh(sh).select("d1", "d2"))
+    val cands = Caches.persistTracked(lshCandidatesOfSh(sh, fastHash = false))
+    val found = Caches.persistTracked(verifyJaccard(cands, sh)
+      .where(col("jaccard") >= JaccardThreshold).select("d1", "d2"))
     val hits = found.join(exact, Seq("d1", "d2"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cands.agg(count(lit(1)).as("n_cand")))
