@@ -128,6 +128,38 @@ case class CountMinEstimate(left: Expression, right: Expression, depth: Int, wid
     copy(left = newLeft, right = newRight)
 }
 
+/** Join-size estimate from two CMS sketches of the SAME geometry: the
+  * minimum over rows of the row-wise inner product (Cormode &
+  * Muthukrishnan 2005 §4.2). For relations A and B joined on the
+  * sketched key, the true size is Σ_key fA(key)·fB(key); every row's
+  * inner product overcounts it by hash collisions only (products of
+  * counts are non-negative), so the row-min is ≥ the truth with
+  * expected slack ‖A‖₁·‖B‖₁/width per row — the classic
+  * cardinality-estimation primitive a planner consults before choosing
+  * a join strategy, here answerable from two already-built few-KB
+  * summaries WITHOUT touching either relation. Row seeds are the row
+  * index, so any two sketches built by [[CountMinAgg]] with equal
+  * (depth, width) are directly comparable. */
+case class CountMinJoinSize(left: Expression, right: Expression, depth: Int, width: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_join_est"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountMin.joinSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.CountMin.joinSize($a, $b, $depth, $width)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object CountMin {
   import org.apache.spark.sql.{Column, GraftColumnBridge}
 
@@ -162,4 +194,28 @@ object CountMin {
     GraftColumnBridge.column(
       CountMinEstimate(GraftColumnBridge.expression(sketch),
         GraftColumnBridge.expression(key), depth, width))
+
+  /** The join-size kernel shared by interpreted eval and codegen. */
+  def joinSize(a: ArrayData, b: ArrayData, depth: Int, width: Int): Long = {
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var w = 0
+      while (w < width) {
+        s += a.getLong(r * width + w) * b.getLong(r * width + w)
+        w += 1
+      }
+      if (s < min) min = s
+      r += 1
+    }
+    min
+  }
+
+  /** Column API: `joinSizeCol(a, b, depth, width)` → estimated
+    * equi-join cardinality of the two sketched key streams. */
+  def joinSizeCol(a: Column, b: Column, depth: Int, width: Int): Column =
+    GraftColumnBridge.column(
+      CountMinJoinSize(GraftColumnBridge.expression(a),
+        GraftColumnBridge.expression(b), depth, width))
 }

@@ -123,6 +123,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLitArg(children(2), "cms_estimate depth"),
           intLitArg(children(3), "cms_estimate width"))
       }))
+    // cms_join_est(sketchA, sketchB, depth, width) — equi-join
+    // cardinality estimate from two same-geometry sketches (row-min of
+    // row-wise inner products): the planner-style "how big would this
+    // join be" answer from two few-KB summaries, no relation touched.
+    ext.injectFunction((
+      FunctionIdentifier("cms_join_est"),
+      new ExpressionInfo(classOf[CountMinJoinSize].getName, "cms_join_est"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"cms_join_est takes (sketchA, sketchB, depth, width), got ${children.length} arguments")
+        CountMinJoinSize(children.head, children(1),
+          intLitArg(children(2), "cms_join_est depth"),
+          intLitArg(children(3), "cms_join_est width"))
+      }))
     // might_contain(bloomBinary, longCol) — Spark ships this expression
     // for its internal runtime join filters but does NOT register it as
     // a SQL function; expose it so the bloom loop closes in plain SQL.

@@ -85,4 +85,39 @@ class CmsSpec extends SparkSpec {
     // the dominant probe token is exact in the tiny-vocab regime
     assert(got(("en", "the")) == exactPerLang(("en", "the")))
   }
+
+  // ------------------------------------------------ join-size estimate
+  private def sketchOf(keys: Seq[String], depth: Int, width: Int) =
+    keys.toDF("k").agg(CountMin.sketch(col("k"), depth, width).as("sk"))
+
+  test("cms_join_est dominates the true join size and stays within the inner-product slack") {
+    // A: k0..k99 once each; B: k0..k49 twice each → true equi-join
+    // size = 50·1·2 = 100. Collisions only ADD products, so the row-min
+    // is ≥ 100; expected slack per row is n1·n2/width ≈ 39.
+    val a = sketchOf(Seq.tabulate(100)(i => s"k$i"), 4, 256)
+    val b = sketchOf(Seq.tabulate(100)(i => s"k${i % 50}"), 4, 256)
+    val est = a.crossJoin(b.withColumnRenamed("sk", "sk2"))
+      .select(CountMin.joinSizeCol(col("sk"), col("sk2"), 4, 256).as("est"))
+      .collect().head.getLong(0)
+    assert(est >= 100L, s"inner product must dominate the truth: $est")
+    assert(est <= 100L + 4 * 100L * 100L / 256, s"slack blown: $est")
+    // disjoint key sets: truth 0, the row-min stays near it
+    val c = sketchOf(Seq.tabulate(50)(i => s"x$i"), 4, 256)
+    val d = sketchOf(Seq.tabulate(50)(i => s"y$i"), 4, 256)
+    val z = c.crossJoin(d.withColumnRenamed("sk", "sk2"))
+      .select(CountMin.joinSizeCol(col("sk"), col("sk2"), 4, 256).as("est"))
+      .collect().head.getLong(0)
+    assert(z <= 50L, s"disjoint sketches must estimate near zero: $z")
+  }
+
+  test("cms_join_est collision-free regime is exact") {
+    // truth: 10 shared users × 3 × 4 = 120; width 512 over 30 distinct
+    // keys is collision-free for this fixed key set → exact.
+    val a = sketchOf(Seq.tabulate(60)(i => s"u${i % 20}"), 4, 512)
+    val b = sketchOf(Seq.tabulate(40)(i => s"u${i % 10}"), 4, 512)
+    val est = a.crossJoin(b.withColumnRenamed("sk", "sk2"))
+      .select(CountMin.joinSizeCol(col("sk"), col("sk2"), 4, 512).as("est"))
+      .collect().head.getLong(0)
+    assert(est == 120L, s"$est")
+  }
 }

@@ -160,4 +160,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT simhash_fold(CAST(array() AS ARRAY<BIGINT>)) AS fp")
       .head().getLong(0) == 0L, "empty array: every vote ties to 0")
   }
+
+  test("cms_join_est resolves from plain SQL and is exact in the collision-free regime") {
+    import spark.implicits._
+    Seq.tabulate(60)(i => s"u${i % 20}").toDF("k").createOrReplaceTempView("cms_join_a")
+    Seq.tabulate(40)(i => s"u${i % 10}").toDF("k").createOrReplaceTempView("cms_join_b")
+    val est = spark.sql(
+      """SELECT cms_join_est(a.sk, b.sk, 4, 512) AS est
+        |FROM (SELECT cms_sketch(k, 4, 512) AS sk FROM cms_join_a) a,
+        |     (SELECT cms_sketch(k, 4, 512) AS sk FROM cms_join_b) b""".stripMargin)
+      .head().getLong(0)
+    // truth: 10 shared users × 3 × 4 = 120; 30 distinct keys at width
+    // 512 is collision-free for this fixed key set → exact.
+    assert(est == 120L, s"$est")
+  }
 }
