@@ -224,6 +224,35 @@ object PipelineDemo {
       .collect().map(r => s"${r.getLong(0)}:keep=${r.getBoolean(3)}")
     println(s"[demo] quality gate: ${gated.mkString(",")}")
 
+    // -- 11. governance tier: leakage-safe split (near-dup docs share a
+    //        split BY CONSTRUCTION via their cluster id), the
+    //        temperature-rebalanced source mix, and rendezvous-stable
+    //        output sharding (drop a shard → only its keys move)
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf", "webA"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf", "webA"), // near-dup of 1
+      (3L, "hotel india juliet kilo lima mike november", "webA"),
+      (4L, "oscar papa quebec romeo sierra tango uniform", "webB"))
+      .toDF("doc_id", "text", "source")
+    val split = graft.operators.DedupQueries.clusterSplitOn(corpus)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    graft.core.Caches.releaseAll()
+    require(split(1L) == split(2L), "near-dups must share a split")
+    println(s"[demo] cluster split: ${split.toSeq.sortBy(_._1)
+      .map { case (d, s) => s"$d=$s" }.mkString(",")} (1 and 2 co-assigned)")
+    val mix = graft.operators.SamplingQueries.tempMixtureOn(corpus)
+      .collect().map(r => s"${r.getString(0)}:boost=${r.getDouble(4)}").sorted
+    graft.core.Caches.releaseAll()
+    println(s"[demo] temperature mix (tau=0.7): ${mix.mkString(",")}")
+    val shards = corpus.select(col("doc_id"),
+      graft.operators.LayoutQueries.hrwShard(col("doc_id"), 4).as("s4"),
+      graft.operators.LayoutQueries.hrwShard(col("doc_id"), 3).as("s3"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(shards.filter(_._2 != 3).forall(t => t._2 == t._3),
+      "dropping shard 3 must not move surviving-shard keys")
+    println(s"[demo] rendezvous shards 4->3: ${shards.map {
+      case (d, a, b) => s"$d:$a->$b" }.mkString(",")}")
+
     spark.stop()
     println("[demo] DONE")
   }

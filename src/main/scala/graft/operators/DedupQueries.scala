@@ -530,8 +530,10 @@ object DedupQueries {
     * vertices only), and every document — including the singleton
     * majority, which never enters the iteration — gets
     * (cluster_id, is_keeper). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersOn(docs(spark, dir))
+
+  private[graft] def dedupClustersOn(d: DataFrame): DataFrame = {
     val edges = ngramJaccardOn(d).select(col("d1").as("src"), col("d2").as("dst"))
     val labels = GraphOps.connectedComponents(edges)
     d.select(col("doc_id"))
@@ -578,9 +580,12 @@ object DedupQueries {
     * md5 bucket: deterministic across reruns, clusters, and engines —
     * rerunning on a grown corpus moves no existing singleton between
     * splits (its cluster id is its own doc_id). */
-  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame =
+    clusterSplitOn(docs(spark, dir))
+
+  private[graft] def clusterSplitOn(docRel: DataFrame): DataFrame = {
     val bucket = SamplingQueries.hashBucket(col("cluster_id"))
-    dedupClusters(spark, dir)
+    dedupClustersOn(docRel)
       .select(col("doc_id"), col("cluster_id"),
         when(bucket < 90, lit("train"))
           .when(bucket < 95, lit("val"))
