@@ -155,6 +155,62 @@ object SimilarityQueries {
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM p)
        |SELECT q_id, n_id, rn, round(c, 6) AS sim FROM r WHERE rn <= $TopK""".stripMargin
 
+  // --------------------------------------------------- incremental IVF probe
+  /** Q139: the vector-tier DAILY path — q73's incremental shape for
+    * embeddings: the corpus side (vec_id % 5 ≠ 0) is the PERSISTED IVF
+    * index (bucket assignments computed once at build time; production
+    * reads them from parquet exactly like q73 reads the band index),
+    * and the day's fresh batch (vec_id % 5 = 0) probes its [[NProbe]]
+    * nearest buckets for top-[[TopK]] neighbors — the whole batch, not
+    * a query sample: a daily near-dup/link pass probes everything new.
+    *
+    * The codebook is the model artifact both sides share (first
+    * [[NumCentroids]] vectors, the q21 convention): assignments made at
+    * index-build time stay valid for every later probe, which is what
+    * makes the index INCREMENTAL — day N+1 appends its own assignments
+    * without touching day ≤ N. Scale: identical to q21 — narrow
+    * literal-codebook assignment, broadcast probe join on bucket id,
+    * bounded top-k partial aggregation; the corpus is never rescored,
+    * only the probed buckets. */
+  def q139IvfProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents = centroidList(e)
+    val idxSide = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val freshSide = e.where(pmod(col("vec_id"), lit(5)) === 0)
+    val assign = idxSide
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), 1))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        (-col("__c.negid")).as("bkt"))
+    val probes = freshSide
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), NProbe))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        (-col("__c.negid")).as("bkt"))
+    val scored = assign.join(broadcast(probes), "bkt")
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    topK(scored, TopK)
+  }
+
+  val q139Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       |idx AS (SELECT vec_id, v FROM e WHERE vec_id % 5 != 0),
+       |ac AS (SELECT idx.vec_id, idx.v, c_id,
+       |    row_number() OVER (PARTITION BY idx.vec_id ORDER BY
+       |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS arn
+       |  FROM idx CROSS JOIN cent),
+       |assign AS (SELECT vec_id AS n_id, v AS nv, c_id AS bkt FROM ac WHERE arn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 5 = 0),
+       |qp AS (SELECT q_id, qv, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS prn
+       |  FROM q CROSS JOIN cent),
+       |probes AS (SELECT q_id, qv, c_id AS bkt FROM qp WHERE prn <= $NProbe),
+       |p AS (SELECT q_id, n_id,
+       |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS c
+       |  FROM probes JOIN assign USING (bkt)),
+       |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM p)
+       |SELECT q_id, n_id, rn, round(c, 6) AS sim FROM r WHERE rn <= $TopK""".stripMargin
+
   // --------------------------------------------------- ANN recall eval
   /** Q136: recall@k of the IVF path (q21) against the exact top-k
     * (q20) — the number that justifies running the approximate index at
@@ -1004,7 +1060,8 @@ object SimilarityQueries {
     "q47_quantize_int8" -> quantizeInt8 _,
     "q123_mmr_diverse" -> q123MmrDiverse _,
     "q125_srp_lsh" -> q125SrpLsh _,
-    "q136_ann_recall" -> q136AnnRecall _)
+    "q136_ann_recall" -> q136AnnRecall _,
+    "q139_ivf_probe" -> q139IvfProbe _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -1018,5 +1075,6 @@ object SimilarityQueries {
     "q88_pq_refine" -> pqRefineSql,
     "q47_quantize_int8" -> quantizeInt8Sql,
     "q125_srp_lsh" -> srpLshSql,
-    "q136_ann_recall" -> annRecallSql)
+    "q136_ann_recall" -> annRecallSql,
+    "q139_ivf_probe" -> q139Sql)
 }

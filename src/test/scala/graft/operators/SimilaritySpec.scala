@@ -227,6 +227,20 @@ class SimilaritySpec extends SparkSpec {
     assert(perfect == Map(1L -> 1.0, 2L -> 1.0))
   }
 
+  test("q139: the daily probe reads only the index side and ranks densely") {
+    val got = SimilarityQueries.q139IvfProbe(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    assert(got.nonEmpty)
+    assert(got.forall(_._1 % 5 == 0), "queries are exactly the fresh batch")
+    assert(got.forall(_._2 % 5 != 0), "neighbors come only from the persisted index side")
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val rns = rows.map(_._3).sorted.toSeq
+      assert(rns == (1L to rns.length), s"q$q ranks must be dense from 1: $rns")
+      assert(rns.length <= 5, s"q$q exceeded top-k: $rns")
+    }
+  }
+
   test("q136: the sf0.001 IVF index holds useful recall against exact top-k") {
     val got = SimilarityQueries.q136AnnRecall(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
