@@ -543,9 +543,74 @@ object AuditQueries {
       |FROM st JOIN ts USING (source) JOIN g USING (tok) CROSS JOIN tot
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------- q140 Cohen's kappa agreement
+  /** Q140: chance-corrected agreement (Cohen's kappa) between the q23
+    * lang-id heuristic and the labeled truth, binarized en/other — the
+    * metric that exposes what raw accuracy hides on an imbalanced
+    * corpus: a classifier that always answers the majority class gets
+    * high p_o but κ ≈ 0, because p_e (the agreement two independent
+    * raters with these marginals would reach by luck) is subtracted
+    * out. κ = (p_o − p_e)/(1 − p_e); one row: (n, p_o, p_e, kappa).
+    *
+    * Scale: the corpus collapses in ONE aggregation to the ≤4-cell
+    * confusion relation (persisted; marginals, totals, and the readout
+    * all derive from it) — every later step is arithmetic over bounded
+    * keys. All numerators stay exact integers until the final
+    * correctly-rounded IEEE divisions, so no decimal scaffolding is
+    * even needed. */
+  def q140Kappa(spark: SparkSession, dir: String): DataFrame =
+    kappaOf(TextQueries.langId(spark, dir)
+      .select(col("lang_pred").as("pred"),
+        when(col("lang") === "en", lit("en")).otherwise(lit("other")).as("truth")))
+
+  /** Cohen's kappa over any (pred, truth) relation. */
+  private[graft] def kappaOf(predTruth: DataFrame): DataFrame = {
+    val cells = graft.core.Caches.persistTracked(
+      predTruth.groupBy("pred", "truth").agg(count(lit(1)).as("c")))
+    val predTot = cells.groupBy("pred").agg(sum("c").as("pt"))
+      .withColumnRenamed("pred", "cls")
+    val truthTot = cells.groupBy("truth").agg(sum("c").as("tt"))
+      .withColumnRenamed("truth", "cls")
+    val peNum = predTot.join(truthTot, Seq("cls"), "full")
+      .agg(sum(coalesce(col("pt"), lit(0L)) * coalesce(col("tt"), lit(0L))).as("pe_num"))
+    val tot = cells.agg(sum("c").as("n"),
+      sum(when(col("pred") === col("truth"), col("c")).otherwise(lit(0L))).as("agree"))
+    val nD = col("n").cast("double")
+    val po = col("agree").cast("double") / nD
+    val pe = col("pe_num").cast("double") / (nD * nD)
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"), round(po, 6).as("p_o"), round(pe, 6).as("p_e"),
+        round(when(pe < 1.0, (po - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
+  val q140Sql: String =
+    """WITH b AS (SELECT lang, text, string_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS truth,
+      |    CASE WHEN len(list_filter(w, x -> x IN ('the', 'a'))) * 1.0 / len(w) >= 0.05
+      |          AND (len(text) - len(replace(text, ' th', ''))) * 1.0 / len(text) >= 0.01
+      |      THEN 'en' ELSE 'other' END AS pred
+      |  FROM b),
+      |cells AS (SELECT pred, truth, count(*) AS c FROM m GROUP BY 1, 2),
+      |pt AS (SELECT pred AS cls, CAST(sum(c) AS BIGINT) AS pt FROM cells GROUP BY 1),
+      |tt AS (SELECT truth AS cls, CAST(sum(c) AS BIGINT) AS tt FROM cells GROUP BY 1),
+      |pe AS (SELECT CAST(sum(coalesce(pt, 0) * coalesce(tt, 0)) AS BIGINT) AS pe_num
+      |  FROM pt FULL JOIN tt USING (cls)),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN pred = truth THEN c ELSE 0 END) AS BIGINT) AS agree
+      |  FROM cells)
+      |SELECT n,
+      |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_o,
+      |  round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_e,
+      |  round(CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+      |    THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |      / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) END, 6) AS kappa
+      |FROM tot CROSS JOIN pe""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_psi_drift" -> psiDrift _,
     "q135_kl_source" -> q135KlPerSource _,
+    "q140_kappa" -> q140Kappa _,
     "q104_seasonal_anomaly" -> seasonalAnomaly _,
     "q111_benford" -> benford _,
     "q114_chi_square" -> chiSquare _,
@@ -555,6 +620,7 @@ object AuditQueries {
   val oracles: Map[String, String] = Map(
     "q103_psi_drift" -> psiDriftSql,
     "q135_kl_source" -> q135Sql,
+    "q140_kappa" -> q140Sql,
     "q104_seasonal_anomaly" -> seasonalAnomalySql,
     "q111_benford" -> benfordSql,
     "q114_chi_square" -> chiSquareSql,

@@ -460,4 +460,34 @@ class PipelineAuditSpec extends SparkSpec {
     assert(math.abs(got("s3")._2 - math.log(3.0)) < 1e-6, got.toString)
     assert(got("s3")._2 > got("s1")._2 && got("s1")._2 > 0.0, got.toString)
   }
+
+  // ----------------------------------------------------------- q140
+  private def kappaOf(rows: (String, String)*) = {
+    val r = AuditQueries.kappaOf(rows.toDF("pred", "truth")).collect().head
+    graft.core.Caches.releaseAll()
+    (r.getLong(0), r.getDouble(1), r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+  }
+
+  test("q140: perfect agreement is kappa 1; a constant predictor is kappa 0 despite high accuracy") {
+    val (n, po, _, k) = kappaOf(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+    assert(n == 4 && po == 1.0 && k.contains(1.0), s"$po $k")
+    // 9 of 10 truths are 'a'; always answering 'a' scores 90% accuracy
+    // but exactly chance-level agreement: p_e = p_o = 0.9 → κ = 0.
+    val rows = Seq.fill(9)(("a", "a")) :+ (("a", "b"))
+    val (_, po2, pe2, k2) = kappaOf(rows: _*)
+    assert(po2 == 0.9 && pe2 == 0.9 && k2.contains(0.0),
+      s"the imbalance case kappa must vanish: $po2 $pe2 $k2")
+    // degenerate: everything one class on both sides → κ undefined (NULL)
+    val (_, _, _, k3) = kappaOf(("a", "a"), ("a", "a"))
+    assert(k3.isEmpty, s"p_e = 1 must yield NULL, not a division blow-up: $k3")
+  }
+
+  test("q140: the hand-computed 2x2 case") {
+    // Confusion: aa=4, ab=1, ba=2, bb=3 → n=10, p_o=0.7,
+    // p_e = (5·6 + 5·4)/100 = 0.5, κ = 0.2/0.5 = 0.4.
+    val rows = Seq.fill(4)(("a", "a")) ++ Seq.fill(1)(("a", "b")) ++
+      Seq.fill(2)(("b", "a")) ++ Seq.fill(3)(("b", "b"))
+    val (n, po, pe, k) = kappaOf(rows: _*)
+    assert(n == 10 && po == 0.7 && pe == 0.5 && k.contains(0.4), s"$n $po $pe $k")
+  }
 }
