@@ -200,11 +200,17 @@ object DedupQueries {
   /** LSH band keys for every document of a (capped) shingle relation:
     * (doc_id, band, bk). This relation IS the near-dup index a pipeline
     * persists between runs — see [[incrementalNearDupOn]]. */
-  private[graft] def bandsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
+  /** Per-doc MinHash signatures (doc_id, s0..s19) — the raw estimator
+    * relation q141 audits and [[bandsOf]] folds into band keys. */
+  private def sigsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
     val hashed = shingleHashes(sh, fastHash)
     val sigAggs = (0 until MinhashSeeds)
       .map(i => min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(KmPrime))).as(s"s$i"))
-    val sigs = hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+  }
+
+  private[graft] def bandsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
+    val sigs = sigsOf(sh, fastHash)
     val bandStructs = (0 until MinhashSeeds / BandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*).as("bk"))
@@ -519,6 +525,65 @@ object DedupQueries {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
        |h AS (SELECT d1, d2, CAST($hamming AS BIGINT) AS hamming FROM cand)
        |SELECT d1, d2, hamming FROM h WHERE hamming <= $HammingMax""".stripMargin
+  }
+
+  // ------------------------------------------- q141 MinHash estimator
+  /** Q141: the MinHash Jaccard ESTIMATOR made visible — for every exact
+    * near-dup pair (q17's ground truth), the classical estimate ĵ =
+    * (matching signature positions)/[[MinhashSeeds]] next to the true
+    * Jaccard and the absolute error. q18 uses the signatures only as a
+    * band-collision trigger and then verifies exactly; this is the
+    * other way signatures are used at scale — skip verification
+    * entirely and RANK candidates by ĵ (dedup triage, similarity
+    * scoring over pairs too numerous to verify). The audit prices that
+    * choice: E[ĵ] = J, sd = √(J(1−J)/k) ≈ 0.09 at J=0.8, k=20 — per-
+    * pair error is visible, and shrinking it is a k knob, not a code
+    * change.
+    *
+    * Scale: the estimator is a 20-integer-comparison map over the pair
+    * list joined to the persisted signature relation — pair-list-sized,
+    * no corpus work beyond what q17/q18 already do. */
+  def q141MinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesOf(docs(spark, dir))
+    val pairs = jaccardPairsOfSh(sh).select("d1", "d2", "jaccard")
+    val sigs = Caches.persistTracked(sigsOf(sh, fastHash = false))
+    def side(as: String) = sigs.select(col("doc_id").as(as) +:
+      (0 until MinhashSeeds).map(i => col(s"s$i").as(s"$as$i")): _*)
+    val matches = (0 until MinhashSeeds)
+      .map(i => when(col(s"d1$i") === col(s"d2$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(side("d1"), "d1").join(side("d2"), "d2")
+      .select(col("d1"), col("d2"), col("jaccard"),
+        (matches * lit(1.0) / lit(MinhashSeeds)).as("je"))
+      // abs_err from the UNROUNDED values, then round for display —
+      // the oracle's op order exactly
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"),
+        round(col("je"), 6).as("jaccard_est"),
+        round(abs(col("je") - col("jaccard")), 6).as("abs_err"))
+  }
+
+  val q141Sql: String = {
+    val sigCols = (0 until MinhashSeeds)
+      .map(i => s"min((h1 + $i * h2) % $KmPrime) AS s$i").mkString(", ")
+    val matchSum = (0 until MinhashSeeds)
+      .map(i => s"CASE WHEN a.s$i = b.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shingleCtes,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |px AS (SELECT d1, d2, inter * 1.0 / (s1.n + s2.n - inter) AS jaccard
+       |  FROM ix JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |  WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+       |             ('0x' || substr(md5(sh), 17, 12))::BIGINT AS h2 FROM sh),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |est AS (SELECT px.d1, px.d2, px.jaccard,
+       |    ($matchSum) * 1.0 / $MinhashSeeds AS jaccard_est
+       |  FROM px JOIN sig a ON a.doc_id = px.d1 JOIN sig b ON b.doc_id = px.d2)
+       |SELECT d1, d2, round(jaccard, 6) AS jaccard,
+       |  round(jaccard_est, 6) AS jaccard_est,
+       |  round(abs(jaccard_est - jaccard), 6) AS abs_err
+       |FROM est""".stripMargin
   }
 
   // ------------------------------------------------- dedup clusters
@@ -908,7 +973,8 @@ object DedupQueries {
     "q76_simhash_fast" -> simhashNearDupFast _,
     "q42_dedup_clusters" -> dedupClusters _,
     "q132_cluster_split" -> clusterSplit _,
-    "q138_lsh_recall" -> q138LshRecall _)
+    "q138_lsh_recall" -> q138LshRecall _,
+    "q141_minhash_est" -> q141MinhashEst _)
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
@@ -923,7 +989,8 @@ object DedupQueries {
     "q39_simhash_neardup" -> simhashNearDupSql,
     "q42_dedup_clusters" -> dedupClustersSql,
     "q132_cluster_split" -> clusterSplitSql,
-    "q138_lsh_recall" -> q138Sql)
+    "q138_lsh_recall" -> q138Sql,
+    "q141_minhash_est" -> q141Sql)
     // q40 and q76 have no oracle by design: xxhash64 is not
     // DuckDB-portable; the driver records rows-only checks and DedupSpec
     // cross-validates them against the md5 parity paths + exact pairs.

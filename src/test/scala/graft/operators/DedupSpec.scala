@@ -217,4 +217,22 @@ class DedupSpec extends SparkSpec {
     assert(nCand >= nFound, s"candidates superset the survivors: $r")
     assert(r.getDouble(4) <= 1.0 && r.getDouble(4) > 0.0, r.toString)
   }
+
+  // ----------------------------------------------------------- q141
+  test("q141: the signature estimator tracks exact Jaccard within theory bounds") {
+    val rows = DedupQueries.q141MinhashEst(spark, Dir).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    graft.core.Caches.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { case (j, est, err) =>
+      assert(est >= 0.0 && est <= 1.0, s"est out of range: $est")
+      // sd = √(J(1−J)/20) ≈ 0.09 at J=0.8; measured max 0.045 at
+      // sf0.01 — 0.2 is a >2σ headroom floor, not a tight pin
+      assert(err <= 0.2, s"estimator error blew past theory: j=$j est=$est err=$err")
+    }
+    // identical shingle sets (J = 1) have identical signatures: est = 1
+    rows.filter(_._1 == 1.0).foreach { case (_, est, err) =>
+      assert(est == 1.0 && err == 0.0, s"J=1 pair must estimate exactly 1: $est")
+    }
+  }
 }
