@@ -665,6 +665,77 @@ object DedupQueries {
        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
        |FROM b""".stripMargin
 
+  // --------------------------------------- q142/q143 governance audits
+  /** Q142: per-source duplication audit — the corpus-health dashboard
+    * row every curation pipeline publishes: per source, how many
+    * documents, how many DISTINCT texts (exact md5), the duplication
+    * rate, and the bytes a keep-one-per-text dedup would reclaim.
+    * A source whose dup_rate jumps is a scraper re-crawling itself or a
+    * template flood — caught here before it skews the mixture (q137)
+    * or floods the near-dup tier with trivial work.
+    *
+    * Scale: one groupBy(source, hash) with map-side combine (uniform
+    * md5 keys, no skew) then a |sources|-bounded rollup. */
+  def q142DupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val perText = docs(spark, dir)
+      .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("copies"), sum(col("n_chars")).as("chars_all"),
+        min(col("n_chars")).as("chars_one"))
+    perText.groupBy("source")
+      .agg(sum("copies").as("n_docs"), count(lit(1)).as("n_unique"),
+        sum(col("chars_all") - col("chars_one")).as("dup_chars"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"),
+        col("dup_chars"))
+  }
+
+  val q142Sql: String =
+    """WITH t AS (SELECT source, md5(text) AS h, count(*) AS copies,
+      |    CAST(sum(n_chars) AS BIGINT) AS chars_all,
+      |    CAST(min(n_chars) AS BIGINT) AS chars_one
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+      |  count(*) AS n_unique,
+      |  round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(copies) AS DOUBLE), 6) AS dup_rate,
+      |  CAST(sum(chars_all - chars_one) AS BIGINT) AS dup_chars
+      |FROM t GROUP BY 1""".stripMargin
+
+  /** Q143: split-balance audit — the check that closes q132's loop: per
+    * split, document and token counts plus the token share. A 90/5/5
+    * DOCUMENT split can still be token-lopsided when near-dup clusters
+    * (which move as blocks) are long-document-heavy; training-budget
+    * math needs the TOKEN shares. Composes the q132 assignment with
+    * per-doc token counts — the oracle extends the same recursive CTE. */
+  def q143SplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), size(TextExprs.tokens(col("text"))).cast("long").as("n_tok"))
+    val perSplit = clusterSplit(spark, dir)
+      .join(toks, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val tot = perSplit.agg(sum("n_tokens").as("t"))
+    perSplit.crossJoin(broadcast(tot))
+      .select(col("split"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("t").cast("double"), 6)
+          .as("token_share"))
+  }
+
+  val q143Sql: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |b AS (SELECT doc_id, ${SamplingQueries.duckBucket("cluster_id")} AS hb FROM cc),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN hb < 90 THEN 'train' WHEN hb < 95 THEN 'val' ELSE 'test' END AS split
+       |  FROM b),
+       |tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |ps AS (SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |  FROM sp JOIN tk USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM ps)
+       |SELECT split, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS token_share
+       |FROM ps CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------- fingerprinting
   /** Normalized content fingerprint (lowercase, whitespace-collapsed,
     * md5) with canonical-keeper annotation — catches
@@ -974,7 +1045,9 @@ object DedupQueries {
     "q42_dedup_clusters" -> dedupClusters _,
     "q132_cluster_split" -> clusterSplit _,
     "q138_lsh_recall" -> q138LshRecall _,
-    "q141_minhash_est" -> q141MinhashEst _)
+    "q141_minhash_est" -> q141MinhashEst _,
+    "q142_dup_by_source" -> q142DupBySource _,
+    "q143_split_balance" -> q143SplitBalance _)
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
@@ -990,7 +1063,9 @@ object DedupQueries {
     "q42_dedup_clusters" -> dedupClustersSql,
     "q132_cluster_split" -> clusterSplitSql,
     "q138_lsh_recall" -> q138Sql,
-    "q141_minhash_est" -> q141Sql)
+    "q141_minhash_est" -> q141Sql,
+    "q142_dup_by_source" -> q142Sql,
+    "q143_split_balance" -> q143Sql)
     // q40 and q76 have no oracle by design: xxhash64 is not
     // DuckDB-portable; the driver records rows-only checks and DedupSpec
     // cross-validates them against the md5 parity paths + exact pairs.

@@ -235,4 +235,28 @@ class DedupSpec extends SparkSpec {
       assert(est == 1.0 && err == 0.0, s"J=1 pair must estimate exactly 1: $est")
     }
   }
+
+  // ------------------------------------------------------ q142/q143
+  test("q142: per-source dup audit conserves documents and bounds rates") {
+    val rows = DedupQueries.q142DupBySource(spark, Dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).sum == 500, "every document lands in exactly one source row")
+    rows.foreach { case (n, u, rate, dupChars) =>
+      assert(u <= n && rate >= 0.0 && rate < 1.0, s"$n $u $rate")
+      assert((u == n) == (rate == 0.0), "rate 0 iff all texts unique")
+      assert(dupChars >= 0L)
+    }
+  }
+
+  test("q143: split balance conserves docs and tokens; train dominates the shares") {
+    val rows = DedupQueries.q143SplitBalance(spark, Dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.core.Caches.releaseAll()
+    assert(rows.values.map(_._1).sum == 500)
+    val shareSum = rows.values.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 3e-6, s"token shares must normalize: $shareSum")
+    assert(rows("train")._3 > rows.getOrElse("val", (0L, 0L, 0.0))._3 &&
+      rows("train")._3 > rows.getOrElse("test", (0L, 0L, 0.0))._3,
+      s"the 90-bucket split should dominate tokens too: $rows")
+  }
 }
