@@ -543,8 +543,11 @@ object DedupQueries {
     * Scale: the estimator is a 20-integer-comparison map over the pair
     * list joined to the persisted signature relation — pair-list-sized,
     * no corpus work beyond what q17/q18 already do. */
-  def q141MinhashEst(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesOf(docs(spark, dir))
+  def q141MinhashEst(spark: SparkSession, dir: String): DataFrame =
+    q141MinhashEstOn(docs(spark, dir))
+
+  private[graft] def q141MinhashEstOn(docRel: DataFrame): DataFrame = {
+    val sh = shinglesOf(docRel)
     val pairs = jaccardPairsOfSh(sh).select("d1", "d2", "jaccard")
     val sigs = Caches.persistTracked(sigsOf(sh, fastHash = false))
     def side(as: String) = sigs.select(col("doc_id").as(as) +:

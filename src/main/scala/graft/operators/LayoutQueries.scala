@@ -183,13 +183,17 @@ object LayoutQueries {
     * a long) make score ties astronomically unlikely; the struct
     * comparison breaks them by shard id, mirrored exactly in the
     * oracle's ORDER BY. */
-  private[graft] def hrwShard(id: Column, shards: Int): Column =
-    greatest((0 until shards).map { k =>
+  private[graft] def hrwShard(id: Column, shards: Int): Column = {
+    require(shards >= 1, s"need at least one shard, got $shards")
+    val cands = (0 until shards).map { k =>
       struct(
         conv(substring(md5(concat(id.cast("string"), lit(s"#$k"))
           .cast("binary")), 1, 15), 16, 10).cast("long").as("h"),
         lit(k.toLong).as("shard"))
-    }: _*).getField("shard")
+    }
+    // greatest() requires ≥2 args; a 1-shard fleet is the head itself
+    (if (cands.size == 1) cands.head else greatest(cands: _*)).getField("shard")
+  }
 
   /** Q134: rendezvous shard assignment over the documents table —
     * (doc_id, shard) for [[HrwShards]] shards. The write-side

@@ -143,4 +143,55 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: rendezvous shards stay in range and every K→K−1 reshard moves ONLY shard K−1's keys") {
+    import graft.operators.LayoutQueries
+    val ids = Seq.fill(400)(rnd.nextLong()).distinct.toDF("doc_id")
+    (2 to 9).foreach { k =>
+      val df = ids.select(col("doc_id"),
+        LayoutQueries.hrwShard(col("doc_id"), k).as("sk"),
+        LayoutQueries.hrwShard(col("doc_id"), k - 1).as("sk1"))
+      assert(df.where(col("sk") < 0 || col("sk") >= k).count() == 0,
+        s"K=$k assignment out of range")
+      assert(df.where(col("sk1") < 0 || col("sk1") >= k - 1).count() == 0)
+      assert(df.where(col("sk") =!= (k - 1) && col("sk") =!= col("sk1")).count() == 0,
+        s"K=$k→${k - 1}: a surviving-shard key moved")
+    }
+  }
+
+  test("property: kappa is bounded by p_o's distance from 1 and equals 1 only at perfect agreement") {
+    import graft.operators.AuditQueries
+    (1 to 8).foreach { _ =>
+      val rows = Seq.fill(120)((s"c${rnd.nextInt(3)}", s"c${rnd.nextInt(3)}"))
+      val r = AuditQueries.kappaOf(rows.toDF("pred", "truth")).collect().head
+      graft.core.Caches.releaseAll()
+      val (po, pe) = (r.getDouble(1), r.getDouble(2))
+      if (!r.isNullAt(3)) {
+        val k = r.getDouble(3)
+        assert(k <= 1.0 + 1e-9, s"kappa > 1: $k")
+        // κ = (po−pe)/(1−pe) ≤ po when pe ≥ 0; and κ = 1 iff po = 1
+        assert(k <= po + 1e-9, s"kappa $k above p_o $po")
+        assert((k >= 1.0 - 1e-9) == (po >= 1.0 - 1e-9), s"κ=1 iff perfect: $k $po $pe")
+      }
+    }
+  }
+
+  test("property: the MinHash estimate of identical sets is exactly 1, of disjoint sets near 0") {
+    import graft.operators.DedupQueries
+    // Identical docs → J=1 pairs → est must be exactly 1 (same shingle
+    // sets → same signatures). Build a corpus of duplicated random docs.
+    val words = (0 until 40).map(i => s"w$i")
+    val texts = Seq.fill(6)(Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" "))
+    val docRel = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 2L, t), (i * 2L + 1L, t)) // exact twin for every doc
+    }.map { case (id, t) => (id, t, "x") }.toDF("doc_id", "text", "source")
+    val est = DedupQueries.q141MinhashEstOn(docRel).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    graft.core.Caches.releaseAll()
+    val twins = est.filter { case (a, b, _, _) => a / 2 == b / 2 }
+    assert(twins.nonEmpty)
+    twins.foreach { case (_, _, j, e) =>
+      assert(j == 1.0 && e == 1.0, s"twin pair must score J=est=1: $j $e")
+    }
+  }
 }
