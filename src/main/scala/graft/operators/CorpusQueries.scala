@@ -419,6 +419,94 @@ object CorpusQueries {
       |    AS jaccard
       |FROM i JOIN sz z1 ON i.s1 = z1.source JOIN sz z2 ON i.s2 = z2.source""".stripMargin
 
+  // ------------------------------------- q144/q145 lexical audits
+  /** Corpus-prefix checkpoints for the Heaps'-law curve, as fractions
+    * of the max doc_id (scale-free: the same five points at any SF). */
+  private val HeapsCheckpoints = Seq(0.2, 0.4, 0.6, 0.8, 1.0)
+
+  /** Q144: Heaps'-law vocabulary growth — distinct-token count at five
+    * corpus prefixes (by doc_id order), with the token volume of each
+    * prefix. The curve answers the tokenizer-budget question (how fast
+    * does vocabulary still grow if we ingest more of this feed?) and
+    * flags template floods (a flattening curve long before English
+    * flattens = the tail is duplicated boilerplate, not new language).
+    *
+    * Scale: ONE pass — each (token, prefix) membership is a conditional
+    * count inside a single vocabulary-keyed aggregation (checkpoint
+    * count is a constant 5, so state is |vocab|×1 row with 5 flags,
+    * never 5 corpus scans), then a 5-row rollup. */
+  def q144Heaps(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val maxId = d.agg(max("doc_id").as("m"))
+    val tok = d.crossJoin(broadcast(maxId))
+      .select(col("doc_id"), col("m"), explode(TextExprs.tokens(col("text"))).as("tok"))
+    // per-token first-appearance position as a fraction of max id: a
+    // token is IN checkpoint c iff its earliest doc lands at or below c
+    val perTok = tok.groupBy("tok")
+      .agg(min(col("doc_id").cast("double") / col("m").cast("double")).as("first_frac"),
+        count(lit(1)).as("occ"))
+    val cps = HeapsCheckpoints.map { c =>
+      struct(lit(c).as("frac"),
+        sum(when(col("first_frac") <= c, 1L).otherwise(0L)).as("vocab"))
+    }
+    val totalAggs = HeapsCheckpoints.zipWithIndex.map { case (c, i) =>
+      sum(when(col("doc_id").cast("double") / col("m").cast("double") <= c, 1L)
+        .otherwise(0L)).as(s"t$i")
+    }
+    val tokTotals = tok.groupBy().agg(totalAggs.head, totalAggs.tail: _*)
+    perTok.agg(array(cps: _*).as("v"))
+      .crossJoin(broadcast(tokTotals))
+      .select(explode(col("v")).as("x"),
+        map(HeapsCheckpoints.zipWithIndex.flatMap { case (c, i) =>
+          Seq(lit(c), col(s"t$i"))
+        }: _*).as("tm"))
+      .select(col("x.frac").as("prefix_frac"),
+        element_at(col("tm"), col("x.frac")).as("n_tokens"),
+        col("x.vocab").as("vocab"))
+  }
+
+  val q144Sql: String = {
+    val cpRows = HeapsCheckpoints.map(c =>
+      s"""SELECT $c AS prefix_frac,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM tok WHERE frac <= $c) AS n_tokens,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pt WHERE first_frac <= $c) AS vocab""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT CAST(max(doc_id) AS DOUBLE) AS mx FROM documents),
+       |tok AS (SELECT doc_id, CAST(doc_id AS DOUBLE) / mx AS frac,
+       |    unnest(string_split(text, ' ')) AS tok
+       |  FROM documents CROSS JOIN m),
+       |pt AS (SELECT tok, min(frac) AS first_frac FROM tok GROUP BY 1)
+       |$cpRows""".stripMargin
+  }
+
+  /** Q145: hapax legomena rate per source — the fraction of a source's
+    * vocabulary that occurs exactly once IN THAT SOURCE. Natural text
+    * sits near 0.4–0.6 (Zipf); a template flood crushes it toward 0, a
+    * random-id/spam feed pushes it toward 1 — the lexical-richness
+    * audit next to q97's character entropy, at vocabulary level.
+    *
+    * Scale: one (source, token) count — vocab-bounded keys, map-side
+    * combined — then a \|sources\| rollup. */
+  def q145Hapax(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), explode(TextExprs.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_hapax"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_rate"))
+
+  val q145Sql: String =
+    """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM st GROUP BY 1, 2)
+      |SELECT source, count(*) AS n_types,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
+      |FROM c GROUP BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_contamination" -> contamination _,
     "q49_packing" -> packing _,
@@ -427,7 +515,9 @@ object CorpusQueries {
     "q90_dup_coverage" -> dupCoverage _,
     "q92_segment_dedup" -> segmentDedup _,
     "q108_boilerplate" -> boilerplateStrip _,
-    "q115_source_overlap" -> sourceOverlap _)
+    "q115_source_overlap" -> sourceOverlap _,
+    "q144_heaps" -> q144Heaps _,
+    "q145_hapax" -> q145Hapax _)
 
   val oracles: Map[String, String] = Map(
     "q48_contamination" -> contaminationSql,
@@ -437,5 +527,7 @@ object CorpusQueries {
     "q90_dup_coverage" -> dupCoverageSql,
     "q92_segment_dedup" -> segmentDedupSql,
     "q108_boilerplate" -> boilerplateStripSql,
-    "q115_source_overlap" -> sourceOverlapSql)
+    "q115_source_overlap" -> sourceOverlapSql,
+    "q144_heaps" -> q144Sql,
+    "q145_hapax" -> q145Sql)
 }

@@ -119,4 +119,31 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) == ((5L, 2L, 0.6, true)))
     assert(out(2L) == ((5L, 5L, 0.0, false)))
   }
+
+  // ------------------------------------------------------ q144/q145
+  test("q144: the Heaps curve is monotone and its endpoint is the full vocabulary") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = CorpusQueries.q144Heaps(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.2, 0.4, 0.6, 0.8, 1.0))
+    rows.sliding(2).foreach { case Array((_, t1, v1), (_, t2, v2)) =>
+      assert(t2 > t1, "token volume grows strictly with the prefix")
+      assert(v2 >= v1, "vocabulary never shrinks")
+    }
+    // endpoint consistency: prefix 1.0 IS the whole corpus vocabulary
+    import org.apache.spark.sql.functions._
+    val fullVocab = graft.core.Tables(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    assert(rows.last._3 == fullVocab, s"${rows.last._3} != $fullVocab")
+  }
+
+  test("q145: hapax rates are bounded and a template corpus scores 0") {
+    val real = CorpusQueries.q145Hapax(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(real.nonEmpty)
+    real.foreach { case (types, hapax, rate) =>
+      assert(hapax <= types && rate >= 0.0 && rate <= 1.0, s"$types $hapax $rate")
+      assert((hapax == 0L) == (rate == 0.0))
+    }
+  }
 }
