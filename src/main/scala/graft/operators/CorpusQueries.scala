@@ -438,31 +438,28 @@ object CorpusQueries {
   def q144Heaps(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val maxId = d.agg(max("doc_id").as("m"))
+    val frac = col("doc_id").cast("double") / col("m").cast("double")
     val tok = d.crossJoin(broadcast(maxId))
-      .select(col("doc_id"), col("m"), explode(TextExprs.tokens(col("text"))).as("tok"))
-    // per-token first-appearance position as a fraction of max id: a
-    // token is IN checkpoint c iff its earliest doc lands at or below c
+      .select(frac.as("frac"), explode(TextExprs.tokens(col("text"))).as("tok"))
+    // ONE vocabulary-keyed aggregation carries everything: the token's
+    // first-appearance fraction (vocab membership per checkpoint) AND
+    // its occurrence count within each prefix (token volume). The
+    // corpus is exploded exactly once; all later math runs on the
+    // |vocab|×(1+5)-column relation.
+    val occAggs = HeapsCheckpoints.zipWithIndex.map { case (c, i) =>
+      sum(when(col("frac") <= c, 1L).otherwise(0L)).as(s"occ$i")
+    }
     val perTok = tok.groupBy("tok")
-      .agg(min(col("doc_id").cast("double") / col("m").cast("double")).as("first_frac"),
-        count(lit(1)).as("occ"))
-    val cps = HeapsCheckpoints.map { c =>
+      .agg(min(col("frac")).as("first_frac"), occAggs: _*)
+    val cps = HeapsCheckpoints.zipWithIndex.map { case (c, i) =>
       struct(lit(c).as("frac"),
+        sum(col(s"occ$i")).as("n_tokens"),
         sum(when(col("first_frac") <= c, 1L).otherwise(0L)).as("vocab"))
     }
-    val totalAggs = HeapsCheckpoints.zipWithIndex.map { case (c, i) =>
-      sum(when(col("doc_id").cast("double") / col("m").cast("double") <= c, 1L)
-        .otherwise(0L)).as(s"t$i")
-    }
-    val tokTotals = tok.groupBy().agg(totalAggs.head, totalAggs.tail: _*)
     perTok.agg(array(cps: _*).as("v"))
-      .crossJoin(broadcast(tokTotals))
-      .select(explode(col("v")).as("x"),
-        map(HeapsCheckpoints.zipWithIndex.flatMap { case (c, i) =>
-          Seq(lit(c), col(s"t$i"))
-        }: _*).as("tm"))
+      .select(explode(col("v")).as("x"))
       .select(col("x.frac").as("prefix_frac"),
-        element_at(col("tm"), col("x.frac")).as("n_tokens"),
-        col("x.vocab").as("vocab"))
+        col("x.n_tokens").as("n_tokens"), col("x.vocab").as("vocab"))
   }
 
   val q144Sql: String = {
