@@ -142,8 +142,12 @@ object MediaOps {
                 else ((bytes(i) & 0xff) - 128).toDouble / 128.0
               } else {
                 val (lo, hi) = if (fmt.isBigEndian) (i * 2 + 1, i * 2) else (i * 2, i * 2 + 1)
-                val v = (bytes(hi) << 8) | (bytes(lo) & 0xff) // hi byte carries the sign
-                (if (pcmSigned) v else v - 32768).toDouble / 32768.0
+                // signed: sign-extend the hi byte; unsigned: mask it
+                // (sign-extension would corrupt values ≥ 0x8000)
+                val v =
+                  if (pcmSigned) (bytes(hi) << 8) | (bytes(lo) & 0xff)
+                  else (((bytes(hi) & 0xff) << 8) | (bytes(lo) & 0xff)) - 32768
+                v.toDouble / 32768.0
               }
             }
             val feats = Array.tabulate(FeatureDim) { b =>
