@@ -713,10 +713,13 @@ object DedupQueries {
   def q143SplitBalance(spark: SparkSession, dir: String): DataFrame = {
     val toks = docs(spark, dir)
       .select(col("doc_id"), size(TextExprs.tokens(col("text"))).cast("long").as("n_tok"))
-    val perSplit = clusterSplit(spark, dir)
+    // Persisted: the ≤3-row rollup feeds both the total and the
+    // readout — without it the whole q42 clustering chain under the
+    // split assignment runs twice.
+    val perSplit = Caches.persistTracked(clusterSplit(spark, dir)
       .join(toks, "doc_id")
       .groupBy("split")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")))
     val tot = perSplit.agg(sum("n_tokens").as("t"))
     perSplit.crossJoin(broadcast(tot))
       .select(col("split"), col("n_docs"), col("n_tokens"),

@@ -230,7 +230,11 @@ object SimilarityQueries {
   /** recall@k of `approx` vs ground-truth `exact`, both
     * (q_id, n_id, …) relations. */
   private[graft] def annRecallOf(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val truth = exact.select(col("q_id"), col("n_id"))
+    // Persisted: the truth pair list feeds both the hit join and the
+    // denominator count — without it the exact arm's corpus scoring
+    // pass runs twice.
+    val truth = graft.core.Caches.persistTracked(
+      exact.select(col("q_id"), col("n_id")))
     val hits = truth
       .join(approx.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("hits"))
