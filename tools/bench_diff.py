@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Compare two BENCH_r{N}.json files with noise-aware flagging.
+
+Usage:
+    python3 tools/bench_diff.py BENCH_r07.json BENCH_r08.json [ratio]
+
+Per query present in both: old, new, ratio. Queries are flagged only
+when the ratio clears the noise threshold (default 3.0 — this machine
+swings 2–4× run-to-run on shuffle-heavy band joins; see SCALE.md), so
+the report surfaces genuine regressions instead of jitter. Entries
+only in one file are listed as added/removed. Exit code 1 when any
+flagged regression exists (CI-friendly).
+"""
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either the raw Bench JSON line or the driver's BENCH_r{N}
+    wrapper, whose `tail` field embeds the line in captured stdout."""
+    with open(path) as f:
+        text = f.read()
+    d = json.loads(text)
+    if "queries" not in d and "tail" in d:
+        tail = d["tail"]
+        d = json.loads(tail[tail.rindex('{"metric"'):].splitlines()[0])
+    return d
+
+
+def norm(k: str) -> str:
+    """Rounds ≤6 used full query names, later rounds the qNN short form
+    (q15a/q15d disambiguated); transform-row counts also changed units.
+    Normalize both to the short form so cross-round diffs line up."""
+    if k.startswith("x_transform"):
+        return "x_transform"
+    p = k.split("_")
+    if p[0] == "q15" and len(p) > 1:
+        return "q15" + p[1][0]
+    if p[0].startswith("q") and p[0][1:].isdigit():
+        return p[0]
+    return k
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    qo = {norm(k): v for k, v in old["queries"].items()}
+    qn = {norm(k): v for k, v in new["queries"].items()}
+    flagged = []
+    print(f"{'query':24s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for k in sorted(set(qo) & set(qn)):
+        a, b = qo[k], qn[k]
+        if a <= 0 or b <= 0:  # negative = failed run; skip ratio math
+            print(f"{k:24s} {a:8.2f} {b:8.2f}    FAIL" if min(a, b) < 0 else "")
+            continue
+        r = b / a
+        mark = ""
+        if r >= threshold and b >= 1.0:  # sub-second noise never flags
+            mark = " <-- REGRESSION"
+            flagged.append((k, a, b, r))
+        elif r <= 1 / threshold and a >= 1.0:
+            mark = " (improved)"
+        print(f"{k:24s} {a:8.2f} {b:8.2f} {r:7.2f}{mark}")
+    for k in sorted(set(qn) - set(qo)):
+        print(f"{k:24s} {'-':>8s} {qn[k]:8.2f}   added")
+    for k in sorted(set(qo) - set(qn)):
+        print(f"{k:24s} {qo[k]:8.2f} {'-':>8s}   removed")
+    print(f"\ntotal: {old.get('value', '?')} -> {new.get('value', '?')} s"
+          f"  ({len(qo)} -> {len(qn)} entries, threshold {threshold}x)")
+    if flagged:
+        print(f"{len(flagged)} flagged — reproduce each ISOLATED "
+              f"(SPARK_GRAFT_ONLY=<name>) before treating as real:")
+        for k, a, b, r in flagged:
+            print(f"  {k}: {a:.2f} -> {b:.2f} ({r:.1f}x)")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
