@@ -31,12 +31,16 @@ import org.apache.spark.sql.functions._
   *    over the actual PCM samples. Compressed codecs (MP3/AAC/Opus)
   *    have no JDK decoder and take the stub path; swap in a codec
   *    library for those without touching the dataflow.
-  *  - **Video remains a documented STUB** (no codec libraries in this
-  *    container): `decodeStub` produces a deterministic digest-derived
-  *    feature vector wherever a real decoder would run. Media whose
-  *    bytes don't parse (truncated payload, exotic codec) fall back to
-  *    the same stub rather than failing the partition — corpus-scale
-  *    media is always partly corrupt.
+  *  - **Video: animated GIFs decode for REAL** (the one animation
+  *    container with a JDK reader) — [[sampleFrames]] samples the
+  *    requested cadence from the actual decoded frames, each
+  *    re-encoded as a standalone PNG. True video codecs (H.264/VP9/…)
+  *    remain a documented STUB: `decodeStub` produces a deterministic
+  *    digest-derived feature vector, and frame sampling emits
+  *    deterministic byte slices at the same cadence and schema. Media
+  *    whose bytes don't parse (truncated payload, exotic codec) fall
+  *    back to the same stub rather than failing the partition —
+  *    corpus-scale media is always partly corrupt.
   *
   * Scale: `mapPartitions` over the binary column keeps each task
   * streaming through its partition's blobs one at a time (no
@@ -239,18 +243,53 @@ object MediaOps {
     })
   }
 
-  /** STUB frame sampling for video rows: every `everyMs` milliseconds,
-    * one Frame whose payload is a deterministic slice of the source
-    * (a real decoder would emit encoded frames). flatMap keeps the
-    * operation streaming — one video never materializes all frames
-    * unless consumed. */
+  /** REAL multi-frame decode for animated GIFs via `javax.imageio`
+    * (the one animation container the JDK ships a reader for): each
+    * frame re-encoded as standalone PNG. None for single-frame or
+    * non-GIF payloads. */
+  private[multimodal] def decodeAnimationFrames(content: Array[Byte]): Option[IndexedSeq[Array[Byte]]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val n = r.getNumImages(true)
+            if (n <= 1) None
+            else Some((0 until n).map { i =>
+              val buf = new ByteArrayOutputStream()
+              ImageIO.write(r.read(i), "png", buf)
+              buf.toByteArray
+            })
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Throwable => None }
+
+  /** Frame sampling for video rows: REAL for animated GIFs — the
+    * requested cadence (`duration_ms / everyMs` frames) is sampled
+    * evenly from the actual decoded frames, each a standalone PNG —
+    * and a documented STUB for true video codecs (no JDK decoder):
+    * deterministic byte slices at the same cadence, same schema. flatMap
+    * keeps the operation streaming — one video never materializes all
+    * frames unless consumed. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.media_type == "video").flatMap { r =>
       val n = math.max(1, (r.duration_ms / math.max(1, everyMs)).toInt)
-      val chunk = math.max(1, r.content.length / n)
-      (0 until n).iterator.map { i =>
-        Frame(r.media_id, i, r.content.slice(i * chunk, math.min((i + 1) * chunk, r.content.length)))
+      decodeAnimationFrames(r.content) match {
+        case Some(frames) =>
+          (0 until n).iterator.map { j =>
+            Frame(r.media_id, j, frames((j.toLong * frames.length / n).toInt))
+          }
+        case None =>
+          val chunk = math.max(1, r.content.length / n)
+          (0 until n).iterator.map { i =>
+            Frame(r.media_id, i, r.content.slice(i * chunk, math.min((i + 1) * chunk, r.content.length)))
+          }
       }
     }
   }

@@ -151,6 +151,41 @@ class MediaOpsSpec extends SparkSpec {
     assert(fixed(1).duration_ms == 123L, "undecodable: untouched")
   }
 
+  /** In-memory animated GIF: one solid-color 8×8 frame per entry. */
+  private def gif(colors: Seq[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, c)
+      w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    w.endWriteSequence(); ios.close(); w.dispose()
+    out.toByteArray
+  }
+
+  test("animated GIF videos sample REAL decoded frames in order; codec blobs keep the stub") {
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    val rows = Seq(
+      MediaRow(30L, "video", gif(colors), 8, 8, 4000L),
+      MediaRow(31L, "video", Array.tabulate(1000)(_.toByte), 640, 480, 2000L)).toDS()
+    val frames = sampleFrames(rows, everyMs = 1000L).collect()
+    val real = frames.filter(_.media_id == 30L).sortBy(_.frame_idx)
+    assert(real.length == 4, s"4 s at 1 fps = 4 frames: ${real.length}")
+    real.zip(colors).foreach { case (f, c) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.content))
+      assert(img != null, s"frame ${f.frame_idx} must be a standalone decodable PNG")
+      assert((img.getRGB(4, 4) & 0xFFFFFF) == c,
+        s"frame ${f.frame_idx} color ${(img.getRGB(4, 4) & 0xFFFFFF).toHexString} != ${c.toHexString}")
+    }
+    // non-GIF payload: the deterministic slice stub, same schema/cadence
+    assert(frames.count(_.media_id == 31L) == 2)
+  }
+
   test("media features flow into the embedding near-dup operators unchanged") {
     import org.apache.spark.sql.functions._
     // A byte-identical re-upload of blob 1 under a new id — the
