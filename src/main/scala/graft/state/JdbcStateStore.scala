@@ -130,6 +130,38 @@ class JdbcStateStore(url: String) extends AutoCloseable {
   def ack(runId: String): Int =
     updateStatus(runId, "SUCCESS")
 
+  // ------------------------------------------- streaming batch markers
+  /** Key under which a committed streaming micro-batch is recorded —
+    * rides the existing control table (same PRIMARY KEY uniqueness the
+    * file claims rely on), namespaced so sink markers can never collide
+    * with bronze file keys. */
+  private def batchKey(sinkId: String, batchId: Long): String =
+    s"sink://$sinkId/batch=$batchId"
+
+  /** Atomically record `batchId` as committed for `sinkId`. Returns
+    * true exactly once — the PRIMARY KEY rejects the insert on a
+    * replayed or racing commit, which is the whole idempotence
+    * guarantee ([[graft.streaming.TransactionalSink]]). */
+  def markBatch(sinkId: String, batchId: Long): Boolean =
+    try {
+      val ps = conn.prepareStatement(
+        s"""INSERT INTO $Table (file_path_s3, is_upload_s3, compression_status,
+           |  compression_timestamp) VALUES (?, 'false', 'SUCCESS', ?)""".stripMargin)
+      ps.setString(1, batchKey(sinkId, batchId))
+      ps.setTimestamp(2, new Timestamp(System.currentTimeMillis()))
+      ps.executeUpdate(); ps.close(); true
+    } catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+
+  /** Whether `batchId` already committed for `sinkId`. */
+  def batchCommitted(sinkId: String, batchId: Long): Boolean = {
+    val ps = conn.prepareStatement(
+      s"SELECT 1 FROM $Table WHERE file_path_s3 = ?")
+    ps.setString(1, batchKey(sinkId, batchId))
+    val rs = ps.executeQuery()
+    val found = rs.next()
+    rs.close(); ps.close(); found
+  }
+
   /** Drift-recovery re-queue: put already-SUCCESSful keys acked at or
     * after `since` back into the claimable pool (status
     * `REQUEUED_DRIFT`, run id cleared). Called when schema inference
