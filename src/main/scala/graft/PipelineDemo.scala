@@ -253,6 +253,19 @@ object PipelineDemo {
     println(s"[demo] rendezvous shards 4->3: ${shards.map {
       case (d, a, b) => s"$d:$a->$b" }.mkString(",")}")
 
+    // -- 12. exactly-once streaming output: the claim/ack discipline on
+    //        the OUTPUT side — a replayed micro-batch (the at-least-once
+    //        case Structured Streaming hands every foreachBatch sink)
+    //        skips instead of duplicating
+    val sinkOut = s"$root/tx_silver"
+    val b0 = Seq((1L, "alpha"), (2L, "bravo")).toDF("id", "text")
+    val first = graft.streaming.TransactionalSink.writeBatch(
+      b0, store, "demo_silver", sinkOut, batchId = 0L)
+    val replay = graft.streaming.TransactionalSink.writeBatch(
+      b0, store, "demo_silver", sinkOut, batchId = 0L)
+    val committed = spark.read.parquet(sinkOut).count()
+    println(s"[demo] transactional sink: first_write=$first replay_skipped=${!replay} rows=$committed")
+
     spark.stop()
     println("[demo] DONE")
   }
