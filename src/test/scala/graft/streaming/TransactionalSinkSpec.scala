@@ -61,4 +61,27 @@ class TransactionalSinkSpec extends SparkSpec {
     assert(!store.markBatch("silver", 7L))
     assert(store.batchCommitted("silver", 7L))
   }
+
+  test("racing marker inserts: exactly one caller wins across 16 threads") {
+    val store = newStore("txsink3")
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // JDBC connections are not thread-safe; the store serializes at
+      // the DB layer via the PK — each thread gets its own store handle
+      // on the SAME in-memory database, the real multi-writer shape.
+      val wins = Await.result(
+        Future.sequence((1 to 16).map { _ =>
+          Future {
+            val s = new JdbcStateStore("jdbc:derby:memory:txsink3")
+            try s.markBatch("silver", 42L) finally s.close()
+          }
+        }), 30.seconds).count(identity)
+      assert(wins == 1, s"exactly one concurrent marker must win, got $wins")
+      assert(store.batchCommitted("silver", 42L))
+    } finally pool.shutdown()
+  }
 }
