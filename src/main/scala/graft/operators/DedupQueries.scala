@@ -176,7 +176,7 @@ object DedupQueries {
     * than the md5→hex→substring→conv chain, for production runs where
     * no cross-engine parity is required. Both land in [0, KmPrime) so
     * `h1 + i·h2` stays exact below 2^53. */
-  private def shingleHashes(sh: DataFrame, fastHash: Boolean): DataFrame =
+  private[operators] def shingleHashes(sh: DataFrame, fastHash: Boolean): DataFrame =
     if (fastHash)
       sh.select(col("doc_id"),
         pmod(xxhash64(col("sh")), lit(KmPrime)).as("h1"),
@@ -201,12 +201,26 @@ object DedupQueries {
     * (doc_id, band, bk). This relation IS the near-dup index a pipeline
     * persists between runs — see [[incrementalNearDupOn]]. */
   /** Per-doc MinHash signatures (doc_id, s0..s19) — the raw estimator
-    * relation q141 audits and [[bandsOf]] folds into band keys. */
-  private def sigsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
+    * relation q141 audits and [[bandsOf]] folds into band keys.
+    *
+    * The fast path computes all 20 minima in ONE native buffer
+    * aggregate ([[graft.plans.MinHashSigsAgg]]): one update loop per
+    * row and one array through the partial-agg shuffle instead of 20
+    * aggregate expressions and 20 columns. The md5 parity path keeps
+    * the column formulation its DuckDB oracle mirrors term-for-term;
+    * `DedupSpec` pins the two formulations row-identical. */
+  private[operators] def sigsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
     val hashed = shingleHashes(sh, fastHash)
-    val sigAggs = (0 until MinhashSeeds)
-      .map(i => min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(KmPrime))).as(s"s$i"))
-    hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    if (fastHash) {
+      hashed.groupBy("doc_id")
+        .agg(graft.plans.MinHashSigs.sigs(col("h1"), col("h2"), MinhashSeeds, KmPrime).as("sig"))
+        .select(col("doc_id") +:
+          (0 until MinhashSeeds).map(i => col("sig").getItem(i).as(s"s$i")): _*)
+    } else {
+      val sigAggs = (0 until MinhashSeeds)
+        .map(i => min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(KmPrime))).as(s"s$i"))
+      hashed.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    }
   }
 
   private[graft] def bandsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {

@@ -236,6 +236,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native minhash_sigs buffer is row-identical to the 20-aggregate formulation") {
+    import org.apache.spark.sql.functions._
+    val sh = spark.read.parquet(s"$Dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("sh")).distinct()
+    val hashed = DedupQueries.shingleHashes(sh, fastHash = true)
+    val viaColumns = {
+      val aggs = (0 until 20).map(i =>
+        min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(1125899906842597L))).as(s"s$i"))
+      hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 to 20).map(r.getLong).toSeq).toMap
+    }
+    val viaNative = DedupQueries.sigsOf(sh, fastHash = true)
+      .collect().map(r => r.getLong(0) -> (1 to 20).map(r.getLong).toSeq).toMap
+    assert(viaNative.size == viaColumns.size && viaNative.nonEmpty)
+    assert(viaNative == viaColumns,
+      "the fused buffer must reproduce every signature bit-for-bit")
+  }
+
   // ------------------------------------------------------ q142/q143
   test("q142: per-source dup audit conserves documents and bounds rates") {
     val rows = DedupQueries.q142DupBySource(spark, Dir).collect()
