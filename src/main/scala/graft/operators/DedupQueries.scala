@@ -682,6 +682,74 @@ object DedupQueries {
        |  CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
        |FROM b""".stripMargin
 
+  // --------------------------------------------- q146 containment pairs
+  /** Containment threshold: |A∩B|/|A| ≥ 0.9 means A is essentially an
+    * excerpt of B. */
+  private val ContainmentThreshold = 0.9
+
+  /** Q146: asymmetric containment detection — the duplication mode
+    * Jaccard dedup is BLIND to: a short document wholly quoted inside a
+    * long one has containment |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B|,
+    * far below any near-dup threshold (Lee et al. 2022's substring-
+    * duplication case at shingle granularity). Reports exactly the
+    * pairs q17/q18 MISS: containment ≥ [[ContainmentThreshold]] on the
+    * smaller side AND Jaccard < [[JaccardThreshold]], with the
+    * contained side named. Output: (contained, container, inter,
+    * n_contained, n_container, containment, jaccard).
+    *
+    * Scale: same capped-shingle self-join skeleton as q17 (fan-out
+    * bounded by the df cap) — and in production the candidate pass
+    * rides the SAME persisted LSH band index the near-dup tier already
+    * maintains (a contained doc's minima are a subsample of its
+    * container's, so band collisions still fire at these containment
+    * levels); the exhaustive arm here is the oracle-checkable face. */
+  def q146Containment(spark: SparkSession, dir: String): DataFrame =
+    q146ContainmentOn(docs(spark, dir))
+
+  /** Note: the driver testdata contains NO containment pairs (its
+    * duplication modes are whole-document mutations — a corpus finding
+    * in itself), so the sf oracle face verifies the empty result and
+    * `DedupSpec` carries the positive cases on a constructed corpus. */
+  private[graft] def q146ContainmentOn(docRel: DataFrame): DataFrame = {
+    val sh = shinglesOf(docRel)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("d1"), col("sh"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), "sh")
+      .where(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val withSizes = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    val nSmall = least(col("n1"), col("n2"))
+    val containment = col("inter") * lit(1.0) / nSmall
+    val jaccard = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+    withSizes
+      .where(containment >= ContainmentThreshold && jaccard < JaccardThreshold)
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container"),
+        col("inter"), nSmall.as("n_contained"),
+        greatest(col("n1"), col("n2")).as("n_container"),
+        round(containment, 6).as("containment"),
+        round(jaccard, 6).as("jaccard"))
+  }
+
+  val q146Sql: String =
+    s"""WITH $shingleCtes,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |ix AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |ws AS (SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2
+       |  FROM ix JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id)
+       |SELECT CASE WHEN n1 <= n2 THEN d1 ELSE d2 END AS contained,
+       |  CASE WHEN n1 <= n2 THEN d2 ELSE d1 END AS container,
+       |  inter, least(n1, n2) AS n_contained, greatest(n1, n2) AS n_container,
+       |  round(inter * 1.0 / least(n1, n2), 6) AS containment,
+       |  round(inter * 1.0 / (n1 + n2 - inter), 6) AS jaccard
+       |FROM ws
+       |WHERE inter * 1.0 / least(n1, n2) >= $ContainmentThreshold
+       |  AND inter * 1.0 / (n1 + n2 - inter) < $JaccardThreshold""".stripMargin
+
   // --------------------------------------- q142/q143 governance audits
   /** Q142: per-source duplication audit — the corpus-health dashboard
     * row every curation pipeline publishes: per source, how many
@@ -1067,7 +1135,8 @@ object DedupQueries {
     "q138_lsh_recall" -> q138LshRecall _,
     "q141_minhash_est" -> q141MinhashEst _,
     "q142_dup_by_source" -> q142DupBySource _,
-    "q143_split_balance" -> q143SplitBalance _)
+    "q143_split_balance" -> q143SplitBalance _,
+    "q146_containment" -> q146Containment _)
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
@@ -1085,7 +1154,8 @@ object DedupQueries {
     "q138_lsh_recall" -> q138Sql,
     "q141_minhash_est" -> q141Sql,
     "q142_dup_by_source" -> q142Sql,
-    "q143_split_balance" -> q143Sql)
+    "q143_split_balance" -> q143Sql,
+    "q146_containment" -> q146Sql)
     // q40 and q76 have no oracle by design: xxhash64 is not
     // DuckDB-portable; the driver records rows-only checks and DedupSpec
     // cross-validates them against the md5 parity paths + exact pairs.

@@ -254,6 +254,30 @@ class DedupSpec extends SparkSpec {
       "the fused buffer must reproduce every signature bit-for-bit")
   }
 
+  // ----------------------------------------------------------- q146
+  test("q146: an excerpt is caught by containment exactly where Jaccard dedup is blind") {
+    // Doc 1 = 10 tokens, doc 2 = those 10 + 30 more: every shingle of
+    // doc 1 appears in doc 2 → containment 1.0, but J = 8/38 ≈ 0.21 —
+    // invisible to the q17/q18 threshold. Docs 3/4 are J=1 twins: the
+    // near-dup tier owns them, q146 must NOT report them. Doc 5 is
+    // unrelated.
+    import spark.implicits._
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val long = ((1 to 10) ++ (100 to 129)).map(i => s"w$i").mkString(" ")
+    val other = (200 to 220).map(i => s"w$i").mkString(" ")
+    val got = DedupQueries.q146ContainmentOn(Seq(
+      (1L, short), (2L, long), (3L, other), (4L, other),
+      (5L, (300 to 320).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5), r.getDouble(6)))
+    graft.core.Caches.releaseAll()
+    assert(got.length == 1, s"exactly the excerpt pair: ${got.mkString(";")}")
+    val (contained, container, cont, j) = got.head
+    assert(contained == 1L && container == 2L, got.head.toString)
+    assert(cont == 1.0, s"full containment: $cont")
+    assert(j < 0.8, s"and a Jaccard the near-dup tier ignores: $j")
+  }
+
   // ------------------------------------------------------ q142/q143
   test("q142: per-source dup audit conserves documents and bounds rates") {
     val rows = DedupQueries.q142DupBySource(spark, Dir).collect()
