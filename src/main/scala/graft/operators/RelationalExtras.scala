@@ -515,7 +515,46 @@ object RelationalExtras {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------------- q147 winsorize
+  /** Q147: per-group winsorization — clip `value` to its event-type's
+    * [p05, p95] band. The TRANSFORM counterpart to q94's MAD outlier
+    * DETECTION: feature pipelines don't drop extreme rows, they cap
+    * them so one sensor glitch can't dominate a mean/regression
+    * downstream. Emits original + clipped value + the flag, so the
+    * clip rate itself is auditable.
+    *
+    * Scale: one bounded-key percentile aggregation (|event_type| rows —
+    * exact interpolated `percentile`, the engine-parity q35 proved),
+    * broadcast back onto the stream; the clip is codegen'd
+    * `least`/`greatest` — no second shuffle, no sort of the fact
+    * table. NULL values are excluded up front (a clip of NULL is
+    * undefined; both engines' percentile would skip them anyway). */
+  def q147Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .select("event_id", "event_type", "value")
+    val bounds = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.05, 0.95))").as("b"))
+      .select(col("event_type"),
+        element_at(col("b"), 1).as("lo"), element_at(col("b"), 2).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(least(greatest(col("value"), col("lo")), col("hi")), 6).as("value_clipped"),
+        (col("value") < col("lo") || col("value") > col("hi")).as("was_clipped"))
+  }
+
+  val q147Sql: String =
+    """WITH e AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM e GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  round(least(greatest(value, lo), hi), 6) AS value_clipped,
+      |  (value < lo OR value > hi) AS was_clipped
+      |FROM e JOIN b USING (event_type)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_winsorize" -> q147Winsorize _,
     "q131_bucketed_join" -> q131BucketedJoin _,
     "q87_mode" -> q87Mode _,
     "q64_deciles" -> q64Deciles _,
@@ -534,6 +573,7 @@ object RelationalExtras {
     "q94_mad_outliers" -> q94MadOutliers _)
 
   val oracles: Map[String, String] = Map(
+    "q147_winsorize" -> q147Sql,
     "q131_bucketed_join" -> q131Sql,
     "q87_mode" -> q87Sql,
     "q64_deciles" -> q64Sql,

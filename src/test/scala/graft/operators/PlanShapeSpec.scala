@@ -442,6 +442,25 @@ class PlanShapeSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("q147: percentile bounds broadcast back; the fact stream is never re-shuffled for the clip") {
+    val df = RelationalExtras.q147Winsorize(spark, Dir)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |event_type|-row bounds must broadcast onto the stream:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact-side shuffle for the clip:\n$p")
+    // semantics: clipped values sit inside the band, flags match movement
+    val rows = df.collect().map(r =>
+      (r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, c, flagged) =>
+      if (!flagged) assert(math.abs(c - v) < 1e-6, s"unclipped must pass through: $v -> $c")
+      else assert(math.abs(c - v) > 0.0, s"clipped must move: $v -> $c")
+    }
+    val rate = rows.count(_._3).toDouble / rows.length
+    assert(rate > 0.02 && rate < 0.2, s"p05/p95 clips ~10%, got $rate")
+  }
+
   test("q129: sketches probe via a broadcast of the 10-row key list; tokens never re-shuffle for it") {
     val df = TextQueries.q129CmsFreq(spark, Dir)
     df.count()
