@@ -172,47 +172,57 @@ object Bench {
       -1.0
     }
     // Compact numbers keep the whole JSON line well under the driver's
-    // 2000-char stdout tail for 74+ queries (full nanosecond precision
-    // overflowed it in rounds 2-3 → parsed:null): 10 ms resolution per
-    // query, ms for the totals. Locale.ROOT: a comma decimal separator
-    // would corrupt the JSON.
+    // 2000-char stdout tail (full nanosecond precision overflowed it in
+    // rounds 2-3 → parsed:null; the r8 seconds-float format hit ~1793 of
+    // ~1900 at 147 queries — 8 more queries away from losing the whole
+    // perf channel). Locale.ROOT: a comma decimal separator would
+    // corrupt the JSON.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // Trailing zeros dropped ("0.30" → "0.3") — worth ~60 chars across
-    // 78+ entries, the difference between fitting the tail and not.
-    def fmtQ(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    // Per-query durations are CENTISECOND INTEGERS ("25" = 0.25 s),
+    // declared by the "qunit":"cs" field so readers (bench_diff.py,
+    // the judge) never have to guess. Ints cost ~3 fewer chars per
+    // entry than "0.25"-style floats at the same 10 ms resolution.
+    // A failed run (negative duration) must never round to 0 — 0 would
+    // read as "ran instantly" instead of "failed" — so clamp to ≤ -1.
+    def cs(v: Double): Long = {
+      val c = math.round(v * 100)
+      if (v < 0 && c >= 0) -1 else c
     }
     // "repeats" is deliberately NOT in the line (it's documented here:
     // median-of-SPARK_GRAFT_REPEATS, default 3) — every non-contract
     // field costs chars against the driver's 2000-char stdout tail,
-    // which at 80+ queries is nearly full (the sbt "[success]" trailer
-    // eats ~75 of it too).
-    // Row count in the transform entry name is stated in millions
-    // ("x_transform_3m_rows"), and sf is the directory basename — same
-    // information, ~26 fewer chars of tail budget.
-    val mRows = s"${ingest._1 / 1000000}m"
-    // Query keys compact to their qNN prefix: at 85+ entries the full
-    // names alone (~1 kB) blew the 2000-char tail. The number is the
-    // stable cross-reference (CORRECTNESS and SparkEntry keep full
-    // names); only q15 needs a disambiguating letter (q15a =
-    // q15_approx_distinct, q15d = q15_dedup).
+    // which the sbt "[success]" trailer also eats ~75 of.
+    // Query keys compact to their bare number: at 147+ entries even the
+    // qNN form (~11 chars/entry) blew past 94% of the tail budget. The
+    // number is the stable cross-reference (CORRECTNESS and SparkEntry
+    // keep full names); only q15 needs a disambiguating letter (15a =
+    // q15_approx_distinct, 15d = q15_dedup). The three x-entries shrink
+    // to fixed short codes bench_diff.py normalizes back.
     def short(name: String): String = {
+      def nz(digits: String): String = { // "05" → "5": zero-pad costs chars
+        val s = digits.dropWhile(_ == '0'); if (s.isEmpty) "0" else s
+      }
       val p = name.split("_")
-      if (p.head == "q15") "q15" + p(1).head
-      else if (p.head.startsWith("q")) p.head
+      if (p.head == "q15") "15" + p(1).head
+      else if (p.head.startsWith("q") && p.head.drop(1).forall(_.isDigit)) nz(p.head.drop(1))
       else name
     }
-    val qs = (results.map { case (k, v) => s"\"" + short(k) + "\":" + fmtQ(v) } ++
-      Seq(s""""x_transform_${mRows}_rows":${fmtQ(ingest._2)}""",
-        s""""x_incr_probe":${fmtQ(probe)}""",
-        s""""x_pagerank_tol":${fmtQ(prTol)}"""))
+    val qs = (results.map { case (k, v) => s"\"" + short(k) + "\":" + cs(v) } ++
+      Seq(s""""xt":${cs(ingest._2)}""",       // x_transform (3M-row enrichment write)
+        s""""xip":${cs(probe)}""",            // x_incr_probe
+        s""""xprt":${cs(prTol)}"""))          // x_pagerank_tol
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val sfName = new java.io.File(sfDir).getName
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars may overflow the driver's 2000-char tail")
+    // Budget arithmetic (r9, 147 queries + 3 x-entries at sf0.1 values):
+    // ~1350 chars ≈ 71% of the ~1900-char usable tail — ~60 more queries
+    // of headroom at ~9 chars each. The r8 seconds-float format was at
+    // ~1793 (8 queries from overflow). Next lever if ever needed:
+    // "qunit":"ds" (deciseconds) shaves another ~125 chars at the cost
+    // of 0.1 s resolution. Warn early, at 80% of budget, not at the edge.
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfName"}"""
+    if (line.length > 1520)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars is past 80% of the driver's ~1900-char tail budget")
     println(line)
     spark.stop()
   }

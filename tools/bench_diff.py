@@ -12,32 +12,49 @@ only in one file are listed as added/removed. Exit code 1 when any
 flagged regression exists (CI-friendly).
 """
 import json
+import re
 import sys
 
 
 def load(path: str) -> dict:
     """Accept either the raw Bench JSON line or the driver's BENCH_r{N}
-    wrapper, whose `tail` field embeds the line in captured stdout."""
+    wrapper, whose `tail` field embeds the line in captured stdout.
+    Rounds ≥9 emit per-query durations as centisecond ints declared by
+    "qunit":"cs" — convert back to seconds here so the rest of the
+    script (and the caller) always sees seconds."""
     with open(path) as f:
         text = f.read()
     d = json.loads(text)
     if "queries" not in d and "tail" in d:
         tail = d["tail"]
         d = json.loads(tail[tail.rindex('{"metric"'):].splitlines()[0])
+    if d.get("qunit") == "cs":
+        d["queries"] = {k: v / 100.0 for k, v in d["queries"].items()}
     return d
 
 
+# Round ≥9 fixed short codes for the non-query bench entries.
+X_CODES = {"xt": "x_transform", "xip": "x_incr_probe", "xprt": "x_pagerank_tol"}
+
+
 def norm(k: str) -> str:
-    """Rounds ≤6 used full query names, later rounds the qNN short form
-    (q15a/q15d disambiguated); transform-row counts also changed units.
-    Normalize both to the short form so cross-round diffs line up."""
+    """Rounds ≤6 used full query names, rounds 7-8 the qNN short form
+    (q15a/q15d disambiguated), rounds ≥9 the bare unpadded number
+    ("25", "15a") plus xt/xip/xprt codes; transform-row counts also
+    changed units. Normalize all to the unpadded qNN form ("q01" and
+    "1" both → "q1") so cross-round diffs line up."""
+    if k in X_CODES:
+        return X_CODES[k]
     if k.startswith("x_transform"):
         return "x_transform"
+    if k and k[0].isdigit():  # round ≥9 bare-number form
+        k = "q" + k
     p = k.split("_")
     if p[0] == "q15" and len(p) > 1:
         return "q15" + p[1][0]
-    if p[0].startswith("q") and p[0][1:].isdigit():
-        return p[0]
+    m = re.match(r"^q(\d+)([a-z]?)$", p[0])
+    if m:
+        return "q" + str(int(m.group(1))) + m.group(2)
     return k
 
 
@@ -53,8 +70,9 @@ def main() -> int:
     print(f"{'query':24s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for k in sorted(set(qo) & set(qn)):
         a, b = qo[k], qn[k]
-        if a <= 0 or b <= 0:  # negative = failed run; skip ratio math
-            print(f"{k:24s} {a:8.2f} {b:8.2f}    FAIL" if min(a, b) < 0 else "")
+        if a <= 0 or b <= 0:  # negative = failed run, 0 = not measured
+            marker = "FAIL" if min(a, b) < 0 else "SKIP"
+            print(f"{k:24s} {a:8.2f} {b:8.2f}    {marker}")
             continue
         r = b / a
         mark = ""
