@@ -168,8 +168,21 @@ object CountMin {
   def bucket(keyBytes: Array[Byte], row: Int, width: Int): Int =
     Math.floorMod(MurmurHash3.bytesHash(keyBytes, row), width)
 
+  /** Geometry guard shared by both probe kernels: a sketch built with
+    * different (depth, width) literals than the probe would silently
+    * read wrong offsets (an under-length array instead throws an opaque
+    * ArrayIndexOutOfBounds inside generated code) — fail loud with the
+    * mismatch spelled out. */
+  private def checkGeometry(sketch: ArrayData, depth: Int, width: Int, op: String): Unit =
+    if (sketch.numElements() != depth * width)
+      throw new IllegalArgumentException(
+        s"$op: sketch geometry mismatch — probe expects depth=$depth x width=$width " +
+          s"(${depth * width} counters) but the sketch has ${sketch.numElements()}; " +
+          "build and probe must use identical (depth, width) literals")
+
   /** The estimate kernel shared by interpreted eval and codegen. */
   def estimate(sketch: ArrayData, key: UTF8String, depth: Int, width: Int): Long = {
+    checkGeometry(sketch, depth, width, "cms_estimate")
     val bytes = key.getBytes
     var min = Long.MaxValue
     var r = 0
@@ -197,6 +210,8 @@ object CountMin {
 
   /** The join-size kernel shared by interpreted eval and codegen. */
   def joinSize(a: ArrayData, b: ArrayData, depth: Int, width: Int): Long = {
+    checkGeometry(a, depth, width, "cms_join_est(left)")
+    checkGeometry(b, depth, width, "cms_join_est(right)")
     var min = Long.MaxValue
     var r = 0
     while (r < depth) {

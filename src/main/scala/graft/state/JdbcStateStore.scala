@@ -141,7 +141,18 @@ class JdbcStateStore(url: String) extends AutoCloseable {
   /** Atomically record `batchId` as committed for `sinkId`. Returns
     * true exactly once — the PRIMARY KEY rejects the insert on a
     * replayed or racing commit, which is the whole idempotence
-    * guarantee ([[graft.streaming.TransactionalSink]]). */
+    * guarantee ([[graft.streaming.TransactionalSink]]).
+    *
+    * Duplicate-key detection is by SQLState class 23 (integrity
+    * constraint violation), not exception class: Derby/H2/MySQL raise
+    * SQLIntegrityConstraintViolationException, but Postgres
+    * (PSQLException, state 23505) and MSSQL (SQLServerException, state
+    * 2627 under class 23) signal it through plain SQLException
+    * subclasses — catching only the class would crash a replayed
+    * micro-batch into a retry loop on exactly the DBs this store
+    * documents. Anything outside class 23 (connection loss, syntax)
+    * is rethrown after a marker re-check, so a real failure still
+    * surfaces instead of masquerading as "already committed". */
   def markBatch(sinkId: String, batchId: Long): Boolean =
     try {
       val ps = conn.prepareStatement(
@@ -150,7 +161,12 @@ class JdbcStateStore(url: String) extends AutoCloseable {
       ps.setString(1, batchKey(sinkId, batchId))
       ps.setTimestamp(2, new Timestamp(System.currentTimeMillis()))
       ps.executeUpdate(); ps.close(); true
-    } catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+    } catch {
+      case e: java.sql.SQLException =>
+        val state = Option(e.getSQLState).getOrElse("")
+        if (state.startsWith("23") || batchCommitted(sinkId, batchId)) false
+        else throw e
+    }
 
   /** Whether `batchId` already committed for `sinkId`. */
   def batchCommitted(sinkId: String, batchId: Long): Boolean = {

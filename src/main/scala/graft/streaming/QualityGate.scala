@@ -44,8 +44,16 @@ object QualityGate {
       element_at(wMap,
         SamplingQueries.hashBucket(t, ClassifierQueries.LrBuckets)),
       lit(0.0)))
-    val margin = aggregate(tokW, lit(0.0), (acc, x) => acc + x) /
-      size(toks).cast("double") + lit(w.getOrElse(-1L, 0.0))
+    // Null text must score, not propagate null: the batch trainer gives
+    // a null-text doc ONLY its bias row (explode of its tokens emits
+    // nothing), so the serving-side equivalent is a zero token term —
+    // margin = bias. Letting null flow through instead made score and
+    // keep null, and the row silently fell out of BOTH the keep and
+    // quarantine streams (batch and stream disagreed on the edge).
+    val tokTerm = when(text.isNull, lit(0.0))
+      .otherwise(aggregate(tokW, lit(0.0), (acc, x) => acc + x) /
+        size(toks).cast("double"))
+    val margin = tokTerm + lit(w.getOrElse(-1L, 0.0))
     lit(1.0) / (lit(1.0) + exp(-margin))
   }
 

@@ -40,11 +40,41 @@ object TransactionalSink {
       outDir: String, batchId: Long): Boolean = {
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      df.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      // A racing duplicate invocation can lose the marker insert — both
-      // wrote the SAME directory with overwrite semantics, so output is
-      // still exactly-once; only the return value differs.
-      store.markBatch(sinkId, batchId)
+      // Write to a unique dot-prefixed temp directory, then RENAME into
+      // place. A plain `mode("overwrite")` on the final directory is
+      // delete + per-task file commits — NOT atomic — so two
+      // concurrently-live instances of the same query (zombie old
+      // driver racing the restarted one) could interleave task files
+      // and leave a MIX of both writers' output. Directory rename is
+      // atomic on HDFS/posix, so the final dir is always exactly one
+      // writer's complete output; if two zombies race the rename, each
+      // swap replaces the WHOLE directory with a complete batch (both
+      // render the same batchId, so either winner is correct), and the
+      // marker insert still decides the single true return value.
+      // Dot-prefixed temp dirs are invisible to parquet readers, so an
+      // orphan from a crash mid-write is garbage, never torn data.
+      val finalPath = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
+      val tmpPath = new org.apache.hadoop.fs.Path(
+        s"$outDir/.tmp-batch_id=$batchId-${java.util.UUID.randomUUID()}")
+      val fs = finalPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      df.write.mode("overwrite").parquet(tmpPath.toString)
+      var renamed = false
+      var attempts = 0
+      while (!renamed && attempts < 3) { // losing a delete/rename race re-tries
+        attempts += 1
+        if (fs.exists(finalPath)) fs.delete(finalPath, true)
+        renamed = fs.rename(tmpPath, finalPath)
+      }
+      if (!renamed) {
+        fs.delete(tmpPath, true)
+        // Couldn't swap in 3 tries — if a racing writer committed the
+        // marker meanwhile its complete directory stands and this is a
+        // clean replay-skip; otherwise fail the batch so streaming
+        // retries rather than silently dropping output.
+        if (store.batchCommitted(sinkId, batchId)) false
+        else throw new java.io.IOException(
+          s"TransactionalSink: rename to $finalPath failed after $attempts attempts")
+      } else store.markBatch(sinkId, batchId)
     }
   }
 

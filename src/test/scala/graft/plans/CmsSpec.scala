@@ -110,6 +110,26 @@ class CmsSpec extends SparkSpec {
     assert(z <= 50L, s"disjoint sketches must estimate near zero: $z")
   }
 
+  test("probing with mismatched geometry fails loud, not with wrong offsets") {
+    // A sketch built 4x256 probed with 4x512 literals would read wrong
+    // offsets (or throw an opaque AIOOBE inside generated code) — the
+    // kernels must instead name the mismatch.
+    val sk = sketchOf(Seq("a", "b", "c"), 4, 256)
+    val e = intercept[Exception] {
+      sk.select(CountMin.estimateCol(col("sk"), lit("a"), 4, 512)).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("geometry mismatch")),
+      s"want a clear geometry error, got: ${e.getMessage}")
+    val e2 = intercept[Exception] {
+      sk.crossJoin(sketchOf(Seq("x"), 8, 256).withColumnRenamed("sk", "sk2"))
+        .select(CountMin.joinSizeCol(col("sk"), col("sk2"), 4, 256)).collect()
+    }
+    assert(rootMessages(e2).exists(_.contains("geometry mismatch")),
+      s"want a clear geometry error, got: ${e2.getMessage}")
+  }
+
   test("cms_join_est collision-free regime is exact") {
     // truth: 10 shared users × 3 × 4 = 120; width 512 over 30 distinct
     // keys is collision-free for this fixed key set → exact.

@@ -50,6 +50,27 @@ class QualityGateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("null text scores through the bias row — every row lands in exactly one stream") {
+    // The batch trainer gives a null-text doc only its bias feature row,
+    // so its score is sigmoid(bias). The gate must match — a null score
+    // made keep null, and the row fell out of BOTH the keep and the
+    // quarantine filters silently.
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val w = ClassifierQueries.trainWeights(docs)
+    val bias = w.getOrElse(-1L, 0.0)
+    val gated = QualityGate.gate(
+      Seq((100L, null: String), (1L, "aa aa ab")).toDF("doc_id", "text"), w)
+    val rows = gated.collect().map(r =>
+      r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    val (nullScore, nullKeep) = rows(100L)
+    assert(math.abs(nullScore - 1.0 / (1.0 + math.exp(-bias))) < 1e-12,
+      s"null text must score sigmoid(bias), got $nullScore")
+    // keep is non-null either way — the row is in exactly one stream
+    assert(gated.where(col("keep") || !col("keep")).count() == 2,
+      "no row may have a null keep flag")
+    assert(nullKeep == (nullScore >= 0.5))
+  }
+
   test("the gate is stateless: the streaming plan carries no state operator") {
     implicit val sqlCtx = spark.sqlContext
     val docs = corpus.toDF("doc_id", "text", "lang")

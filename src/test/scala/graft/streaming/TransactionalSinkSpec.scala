@@ -62,6 +62,24 @@ class TransactionalSinkSpec extends SparkSpec {
     assert(store.batchCommitted("silver", 7L))
   }
 
+  test("writes go through atomic rename: no temp dirs survive, final dir is one writer's output") {
+    val store = newStore("txsink4")
+    val out = tmpDir("txsink_rename")
+    val wrote = TransactionalSink.writeBatch(
+      Seq(1L, 2L).toDF("v"), store, "silver", out, batchId = 0L)
+    assert(wrote)
+    val children = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(children.exists(_ == "batch_id=0"), children.mkString(","))
+    assert(!children.exists(_.startsWith(".tmp-")),
+      s"temp attempt dirs must be renamed or deleted, got: ${children.mkString(",")}")
+    // A zombie writer re-running the same batch AFTER commit: skipped,
+    // final dir untouched, still no temp droppings.
+    assert(!TransactionalSink.writeBatch(
+      Seq(1L, 2L).toDF("v"), store, "silver", out, batchId = 0L))
+    assert(spark.read.parquet(s"$out/batch_id=0").count() == 2)
+    assert(!new java.io.File(out).listFiles().map(_.getName).exists(_.startsWith(".tmp-")))
+  }
+
   test("racing marker inserts: exactly one caller wins across 16 threads") {
     val store = newStore("txsink3")
     import java.util.concurrent.Executors
