@@ -2,6 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Load sentinel (r9 post-mortem): a contended machine inflated every
+    // query 2-19x and cost a full adjudication cycle to rule NOT-a-
+    // regression. Sample the 1-min system load average at start and end
+    // ("la":[pre,post] centi-load) plus core count ("nc") and our own
+    // wall time ("w", centisec) so bench_diff.py can auto-flag a
+    // contaminated round instead of a human re-running nine queries.
+    // The pre sample lands before Spark does real work, so it reflects
+    // OTHER processes; post folds in our own local[N] run.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val laPre = osBean.getSystemLoadAverage // negative if unsupported
+    val tWall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -214,13 +225,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val sfName = new java.io.File(sfDir).getName
-    // Budget arithmetic (r9, 147 queries + 3 x-entries at sf0.1 values):
-    // ~1350 chars ≈ 71% of the ~1900-char usable tail — ~60 more queries
-    // of headroom at ~9 chars each. The r8 seconds-float format was at
+    // Budget arithmetic (r10, 147 queries + 3 x-entries + the ~40-char
+    // load sentinel at sf0.1 values): ~1390 chars ≈ 73% of the
+    // ~1900-char usable tail — ~55 more queries of headroom at ~9 chars
+    // each. The r8 seconds-float format was at
     // ~1793 (8 queries from overflow). Next lever if ever needed:
     // "qunit":"ds" (deciseconds) shaves another ~125 chars at the cost
     // of 0.1 s resolution. Warn early, at 80% of budget, not at the edge.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfName"}"""
+    val laPost = osBean.getSystemLoadAverage
+    def cl(v: Double): Long = if (v < 0) -1 else math.round(v * 100) // centi-load
+    val wallCs = cs((System.nanoTime() - tWall0) / 1e9)
+    val sentinel = s""""la":[${cl(laPre)},${cl(laPost)}],"nc":${Runtime.getRuntime.availableProcessors},"w":$wallCs"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfName",$sentinel}"""
     if (line.length > 1520)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars is past 80% of the driver's ~1900-char tail budget")
     println(line)

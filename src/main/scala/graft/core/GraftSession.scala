@@ -19,9 +19,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      // parquet TIMESTAMP(NANOS) (e.g. testdata events.ts) is otherwise
-      // rejected; read as long and truncate to µs in Tables — the same
-      // semantics DuckDB applies when reading nanos parquet.
+      // parquet TIMESTAMP(NANOS) is otherwise rejected outright; with
+      // this flag it reads as a raw long, which Tables.normalizeNanos
+      // truncates to a µs timestamp (DuckDB's nanos-read semantics).
+      // The testdata has shipped both ns- and µs-encoded `events.ts`
+      // over the project's life; keeping the flag means either encoding
+      // reads through the same seam (NanosEncodingSpec pins both).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
@@ -45,7 +48,10 @@ object Tables {
 
   /** Parquet TIMESTAMP(NANOS) columns arrive as raw long nanos (see the
     * `nanosAsLong` flag in [[GraftSession]]); truncate to µs wall-clock
-    * timestamps — identical to DuckDB's nanos→TIMESTAMP read semantics. */
+    * timestamps — identical to DuckDB's nanos→TIMESTAMP read semantics.
+    * µs-encoded data (the current testdata era) already reads as
+    * `timestamp_ntz` and passes through untouched — both encodings land
+    * identically (NanosEncodingSpec). */
   private[graft] def normalizeNanos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType

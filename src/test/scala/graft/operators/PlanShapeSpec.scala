@@ -16,12 +16,23 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  /** The column NAMES of the scan's ReadSchema. The physical type of
+    * `ts` is deliberately not pinned: the testdata has shipped both
+    * nanosecond-encoded parquet (surfacing as `bigint` under
+    * `nanosAsLong`) and native µs timestamps (`timestamp_ntz`), and the
+    * engine reads either. The test's claim is PRUNING, not encoding.
+    */
+  private def readSchemaCols(p: String): Set[String] =
+    "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1).split(",").map(_.takeWhile(_ != ':')).toSet)
+      .getOrElse(Set.empty)
+
   test("q01: IN-list filter reaches the parquet scan; schema is pruned") {
     val p = plan(CoreQueries.q01ScanFilter(spark, Dir))
     assert(p.contains("PushedFilters: [IsNotNull(ts), In(event_type"),
       s"filter not pushed:\n$p")
-    assert(p.contains("ReadSchema: struct<event_id:bigint,ts:bigint,user_id:bigint,event_type:string>"),
-      "scan must read only the 4 projected columns of 6")
+    assert(readSchemaCols(p) == Set("event_id", "ts", "user_id", "event_type"),
+      s"scan must read only the 4 projected columns of 6:\n$p")
   }
 
   test("q10: all dimension joins broadcast; the fact side never shuffles for them") {

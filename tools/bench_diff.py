@@ -12,6 +12,7 @@ only in one file are listed as added/removed. Exit code 1 when any
 flagged regression exists (CI-friendly).
 """
 import json
+import os
 import re
 import sys
 
@@ -21,7 +22,12 @@ def load(path: str) -> dict:
     wrapper, whose `tail` field embeds the line in captured stdout.
     Rounds ≥9 emit per-query durations as centisecond ints declared by
     "qunit":"cs" — convert back to seconds here so the rest of the
-    script (and the caller) always sees seconds."""
+    script (and the caller) always sees seconds.
+
+    If a sibling `<stem>_isolated.json` exists (an adjudicated
+    idle-machine re-run of a contaminated round, e.g.
+    BENCH_r09_isolated.json), its query values OVERLAY the round's —
+    preferring the numbers a human verified over the contended ones."""
     with open(path) as f:
         text = f.read()
     d = json.loads(text)
@@ -30,7 +36,33 @@ def load(path: str) -> dict:
         d = json.loads(tail[tail.rindex('{"metric"'):].splitlines()[0])
     if d.get("qunit") == "cs":
         d["queries"] = {k: v / 100.0 for k, v in d["queries"].items()}
+    iso_path = re.sub(r"\.json$", "_isolated.json", path)
+    if iso_path != path and os.path.exists(iso_path):
+        with open(iso_path) as f:
+            iso = json.load(f)
+        overlay = {norm(k): v for k, v in iso.get("queries", {}).items()}
+        d["queries"] = {
+            k: overlay.get(norm(k), v) for k, v in d["queries"].items()
+        }
+        print(f"note: {path} overlaid with {len(overlay)} adjudicated "
+              f"isolated re-run values from {iso_path}")
     return d
+
+
+def contamination_banner(path: str, d: dict) -> None:
+    """Rounds ≥10 carry a load sentinel: "la":[pre,post] centi-load
+    (1-min system load average sampled before Spark does real work and
+    again at the end) and "nc" cores. A pre-load above half the cores
+    means ANOTHER process was already saturating the machine when the
+    bench started — flag the round so nobody adjudicates phantom
+    regressions by hand (r9 cost a full cycle that way)."""
+    la, nc = d.get("la"), d.get("nc")
+    if not la or not nc or la[0] < 0:
+        return
+    if la[0] / 100.0 > 0.5 * nc:
+        print(f"*** CONTAMINATED: {path} started at load "
+              f"{la[0] / 100.0:.1f} on {nc} cores (ended {la[1] / 100.0:.1f}) "
+              f"— timings unreliable, re-run isolated before acting ***")
 
 
 # Round ≥9 fixed short codes for the non-query bench entries.
@@ -63,6 +95,8 @@ def main() -> int:
         print(__doc__)
         return 2
     old, new = load(sys.argv[1]), load(sys.argv[2])
+    contamination_banner(sys.argv[1], old)
+    contamination_banner(sys.argv[2], new)
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
     qo = {norm(k): v for k, v in old["queries"].items()}
     qn = {norm(k): v for k, v in new["queries"].items()}
