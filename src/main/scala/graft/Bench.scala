@@ -160,6 +160,57 @@ object Bench {
       System.err.println(s"[bench] incremental probe failed: ${e.getMessage}")
       -1.0
     }
+    // Signature-store reuse (the daily-pipeline shape behind the whole
+    // dedup tier): build the shared shingle/signature store ONCE
+    // (untimed — that cost amortizes over every dedup query of the
+    // ingest day), then time minhashLshFast WITH the store configured.
+    // The timed run includes the digest freshness scan — that is what
+    // a store-riding query actually pays. The delta vs the q40 entry
+    // (the same query, no store) is the materialization payoff.
+    val storeReuse = if (only.nonEmpty) 0.0 else try {
+      val d = graft.core.Tables(spark, sfDir, "documents")
+      val dirS = s"${System.getProperty("java.io.tmpdir")}/graft_bench_sigstore"
+      graft.sources.SignatureStore.build(d, dirS)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.SignatureStore.DirKey, dirS)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.DedupQueries.minhashLshFast(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.SignatureStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] signature-store reuse failed: ${e.getMessage}")
+      -1.0
+    }
+    // Containment probe (q146's production path): index the 80% corpus
+    // slice once (untimed), then time a day's work — shingle+sign the
+    // fresh 20%, r=1 band-join against the STORED signatures, exact
+    // containment verification of the candidate sliver.
+    val containProbe = if (only.nonEmpty) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val d = graft.core.Tables(spark, sfDir, "documents")
+      val dirC = s"${System.getProperty("java.io.tmpdir")}/graft_bench_containidx"
+      graft.sources.SignatureStore.build(d.where(pmod(col("doc_id"), lit(5)) =!= 0), dirC)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val idxSigs = spark.read.parquet(s"$dirC/sigs")
+        graft.operators.DedupQueries.containmentProbeIndexed(
+          d, d.where(pmod(col("doc_id"), lit(5)) === 0), idxSigs).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+        dt
+      }
+      times.sorted.apply((times.size - 1) / 2)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] containment probe failed: ${e.getMessage}")
+      -1.0
+    }
     // Tolerance-driven PageRank (the production loop behind q107's
     // fixed-round oracle face): data-dependent round count to L1 < 1e-7
     // with a per-round checkpoint + eager previous-round release — the
@@ -221,6 +272,8 @@ object Bench {
     val qs = (results.map { case (k, v) => s"\"" + short(k) + "\":" + cs(v) } ++
       Seq(s""""xt":${cs(ingest._2)}""",       // x_transform (3M-row enrichment write)
         s""""xip":${cs(probe)}""",            // x_incr_probe
+        s""""xss":${cs(storeReuse)}""",       // x_sigstore_lsh (q40 with the store)
+        s""""xcp":${cs(containProbe)}""",     // x_containment_probe
         s""""xprt":${cs(prTol)}"""))          // x_pagerank_tol
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum

@@ -48,6 +48,20 @@ object DedupQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
+  /** The capped shingle relation, read from the configured
+    * [[graft.sources.SignatureStore]] when one is present AND fresh for
+    * this exact corpus (digest match), computed directly otherwise.
+    * Every shingle consumer (q17/q18/q40/q138/q141/q146/q42-chain) goes
+    * through here, so a pipeline that maintains the store pays the
+    * corpus-wide explode+distinct+df-cap ONCE per ingest day instead of
+    * once per query. Correctness is unconditional: the store was
+    * written by [[shinglesOf]] itself, and a stale/missing/foreign
+    * store falls back to direct computation. */
+  private def shinglesShared(docRel: DataFrame): DataFrame =
+    graft.sources.SignatureStore.openFresh(docRel)
+      .map(s => Caches.persistTracked(s.shingles))
+      .getOrElse(shinglesOf(docRel))
+
   /** Distinct word-3-gram shingles per document, document-frequency
     * capped: (doc_id, sh).
     *
@@ -56,7 +70,7 @@ object DedupQueries {
     * materialization Spark re-runs the explode+distinct for each
     * reference — at 100 TB that's the difference between one corpus scan
     * and five. */
-  private[operators] def shinglesOf(docRel: DataFrame): DataFrame = {
+  private[graft] def shinglesOf(docRel: DataFrame): DataFrame = {
     val toks = TextExprs.tokens(col("text"))
     // The pre-cap relation persists too: it feeds BOTH the df-cap
     // aggregate and the join probe, and without its own materialization
@@ -136,7 +150,7 @@ object DedupQueries {
     * shingle sets, found via the shingle inverted index (pairs sharing
     * ≥1 surviving shingle). */
   private[operators] def ngramJaccardOn(docRel: DataFrame): DataFrame =
-    jaccardPairsOfSh(shinglesOf(docRel))
+    jaccardPairsOfSh(shinglesShared(docRel))
 
   private def jaccardPairsOfSh(sh: DataFrame): DataFrame = {
     // One self-join computes intersections directly — no separate
@@ -209,7 +223,7 @@ object DedupQueries {
     * aggregate expressions and 20 columns. The md5 parity path keeps
     * the column formulation its DuckDB oracle mirrors term-for-term;
     * `DedupSpec` pins the two formulations row-identical. */
-  private[operators] def sigsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
+  private[graft] def sigsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
     val hashed = shingleHashes(sh, fastHash)
     if (fastHash) {
       hashed.groupBy("doc_id")
@@ -223,8 +237,10 @@ object DedupQueries {
     }
   }
 
-  private[graft] def bandsOf(sh: DataFrame, fastHash: Boolean): DataFrame = {
-    val sigs = sigsOf(sh, fastHash)
+  /** 10×2 band keys folded from an existing signature relation
+    * (doc_id, s0..s19) — the seam that lets stored signatures skip the
+    * whole shingle→hash→20-minima pipeline. */
+  private[graft] def bandsOfSigs(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until MinhashSeeds / BandRows).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until BandRows).map(r => col(s"s${b * BandRows + r}")): _*).as("bk"))
@@ -234,20 +250,30 @@ object DedupQueries {
       .select(col("doc_id"), col("x.band").as("band"), col("x.bk").as("bk"))
   }
 
-  /** The banded candidate pair list for a shingle relation — the part
-    * of the LSH pipeline whose selectivity q138 audits. */
-  private def lshCandidatesOfSh(sh: DataFrame, fastHash: Boolean): DataFrame = {
-    val bands = bandsOf(sh, fastHash)
+  private[graft] def bandsOf(sh: DataFrame, fastHash: Boolean): DataFrame =
+    bandsOfSigs(sigsOf(sh, fastHash))
+
+  /** The banded candidate pair list — the part of the LSH pipeline
+    * whose selectivity q138 audits. */
+  private def lshCandidatesOfBands(bands: DataFrame): DataFrame =
     bands.select(col("doc_id").as("d1"), col("band"), col("bk"))
       .join(bands.select(col("doc_id").as("d2"), col("band"), col("bk")), Seq("band", "bk"))
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
-  }
 
   private[operators] def minhashLshOn(docRel: DataFrame,
       fastHash: Boolean = false): DataFrame = {
-    val sh = shinglesOf(docRel)
-    verifyJaccard(lshCandidatesOfSh(sh, fastHash), sh)
+    // Resolve the store ONCE (one digest scan) for both relations. The
+    // fast path reuses stored signatures outright; the md5 parity path
+    // recomputes its signatures from the (shared) shingles — the stored
+    // sigs are xxhash64, not the oracle-portable md5 formulation.
+    val store = graft.sources.SignatureStore.openFresh(docRel)
+    val sh = store.map(s => Caches.persistTracked(s.shingles))
+      .getOrElse(shinglesOf(docRel))
+    val bands =
+      if (fastHash) store.map(s => bandsOfSigs(s.sigs)).getOrElse(bandsOf(sh, fastHash))
+      else bandsOf(sh, fastHash)
+    verifyJaccard(lshCandidatesOfBands(bands), sh)
       .where(col("jaccard") >= JaccardThreshold)
   }
 
@@ -315,12 +341,12 @@ object DedupQueries {
     * (same verification, same threshold), so the semi-join numerator is
     * a contract check, not an approximation. */
   def q138LshRecall(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shinglesOf(docs(spark, dir))
+    val sh = shinglesShared(docs(spark, dir))
     // Pair lists persist: each feeds 2+ of the four count branches
     // below, and without materialization the shingle self-join / band
     // join / exact verification would re-run per branch.
     val exact = Caches.persistTracked(jaccardPairsOfSh(sh).select("d1", "d2"))
-    val cands = Caches.persistTracked(lshCandidatesOfSh(sh, fastHash = false))
+    val cands = Caches.persistTracked(lshCandidatesOfBands(bandsOf(sh, fastHash = false)))
     val found = Caches.persistTracked(verifyJaccard(cands, sh)
       .where(col("jaccard") >= JaccardThreshold).select("d1", "d2"))
     val hits = found.join(exact, Seq("d1", "d2"), "left_semi")
@@ -561,7 +587,7 @@ object DedupQueries {
     q141MinhashEstOn(docs(spark, dir))
 
   private[graft] def q141MinhashEstOn(docRel: DataFrame): DataFrame = {
-    val sh = shinglesOf(docRel)
+    val sh = shinglesShared(docRel)
     val pairs = jaccardPairsOfSh(sh).select("d1", "d2", "jaccard")
     val sigs = Caches.persistTracked(sigsOf(sh, fastHash = false))
     def side(as: String) = sigs.select(col("doc_id").as(as) +:
@@ -698,11 +724,11 @@ object DedupQueries {
     * n_contained, n_container, containment, jaccard).
     *
     * Scale: same capped-shingle self-join skeleton as q17 (fan-out
-    * bounded by the df cap) — and in production the candidate pass
-    * rides the SAME persisted LSH band index the near-dup tier already
-    * maintains (a contained doc's minima are a subsample of its
-    * container's, so band collisions still fire at these containment
-    * levels); the exhaustive arm here is the oracle-checkable face. */
+    * bounded by the df cap) — the exhaustive, oracle-checkable face.
+    * The production path is [[containmentProbeIndexed]]: fresh batch
+    * vs the persisted signature store, with r=1 banding over the same
+    * stored signatures (the geometry that keeps recall at excerpt-level
+    * Jaccards where the near-dup tier's 10×2 fold would miss). */
   def q146Containment(spark: SparkSession, dir: String): DataFrame =
     q146ContainmentOn(docs(spark, dir))
 
@@ -711,7 +737,7 @@ object DedupQueries {
     * in itself), so the sf oracle face verifies the empty result and
     * `DedupSpec` carries the positive cases on a constructed corpus. */
   private[graft] def q146ContainmentOn(docRel: DataFrame): DataFrame = {
-    val sh = shinglesOf(docRel)
+    val sh = shinglesShared(docRel)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("d1"), col("sh"))
       .join(sh.select(col("doc_id").as("d2"), col("sh")), "sh")
@@ -749,6 +775,79 @@ object DedupQueries {
        |FROM ws
        |WHERE inter * 1.0 / least(n1, n2) >= $ContainmentThreshold
        |  AND inter * 1.0 / (n1 + n2 - inter) < $JaccardThreshold""".stripMargin
+
+  /** Production containment probe: a fresh batch against the PERSISTED
+    * signature store — the scale path [[q146ContainmentOn]]'s doc
+    * promises, made literal. Candidates come from r=1 banding over the
+    * SAME 20 stored signatures the near-dup tier keeps (each signature
+    * its own band key): for an excerpt pair, the per-seed signature
+    * match probability is its Jaccard J ≈ n_contained/n_container —
+    * far below the 0.8 near-dup threshold — so a 10×2 band collides
+    * with probability ~1-(1-J²)^10 (≈ 0.36 at J=0.21: most excerpts
+    * missed), while 20×1 banding collides with ~1-(1-J)^20 (≈ 0.991 at
+    * J=0.21). Same stored index, different fold, no extra state; the
+    * looser geometry's extra false candidates are killed by exact
+    * verification, whose cost is bounded by the candidate list.
+    *
+    * Verification computes TRUE containment from raw (uncapped)
+    * shingles of candidate docs only — the corpus is never re-shingled
+    * (probeVerify's asymmetric shape). `corpus` is whatever relation
+    * holds the candidate docs' text (indexed + fresh); `idxSigs` is the
+    * store's signature relation. Cross-validated against the exhaustive
+    * [[q146ContainmentOn]] in DedupSpec (recall floor at the 0.9
+    * threshold); benched as `xcp`. */
+  private[graft] def containmentProbeIndexed(corpus: DataFrame,
+      fresh: DataFrame, idxSigs: DataFrame): DataFrame = {
+    val freshSigs = sigsOf(shinglesOf(fresh), fastHash = true)
+    def unitBands(sigs: DataFrame, as: String) = {
+      val bandStructs = (0 until MinhashSeeds).map(i =>
+        struct(lit(i).as("band"), col(s"s$i").as("bk")))
+      sigs.select(col("doc_id").as(as), explode(array(bandStructs: _*)).as("x"))
+        .select(col(as), col("x.band").as("band"), col("x.bk").as("bk"))
+    }
+    val cands = unitBands(freshSigs, "d1")
+      .join(unitBands(idxSigs, "d2"), Seq("band", "bk"))
+      .where(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    containmentVerify(corpus, cands)
+  }
+
+  /** Exact raw-shingle containment for an asymmetric candidate pair
+    * set — [[probeVerify]]'s skeleton with the q146 predicate and
+    * output shape. Raw sets (not df-capped): like probeVerify, the
+    * candidate sliver needs no bounding and the reported containment
+    * is the true value. */
+  private def containmentVerify(d: DataFrame, cands0: DataFrame): DataFrame = {
+    val cands = Caches.persistTracked(cands0)
+    val candIds = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id"))).distinct()
+    val raw = Caches.persistTracked(d
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextExprs.tokens(col("text")).as("w"))
+      .where(size(col("w")) >= ShingleN)
+      .select(col("doc_id"), explode(TextExprs.shingles(col("w"), ShingleN)).as("sh"))
+      .distinct())
+    val sizes = raw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(raw.select(col("doc_id").as("d1"), col("sh")), "d1")
+      .join(raw.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    val withSizes = inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    val nSmall = least(col("n1"), col("n2"))
+    val containment = col("inter") * lit(1.0) / nSmall
+    val jaccard = col("inter") * lit(1.0) / (col("n1") + col("n2") - col("inter"))
+    withSizes
+      .where(containment >= ContainmentThreshold && jaccard < JaccardThreshold)
+      .select(
+        when(col("n1") <= col("n2"), col("d1")).otherwise(col("d2")).as("contained"),
+        when(col("n1") <= col("n2"), col("d2")).otherwise(col("d1")).as("container"),
+        col("inter"), nSmall.as("n_contained"),
+        greatest(col("n1"), col("n2")).as("n_container"),
+        round(containment, 6).as("containment"),
+        round(jaccard, 6).as("jaccard"))
+  }
 
   // --------------------------------------- q142/q143 governance audits
   /** Q142: per-source duplication audit — the corpus-health dashboard
@@ -968,7 +1067,7 @@ object DedupQueries {
     incrementalNearDupOn(docs(spark, dir))
 
   private[graft] def incrementalNearDupOn(d: DataFrame): DataFrame = {
-    val bands = bandsOf(shinglesOf(d), fastHash = false)
+    val bands = bandsOf(shinglesShared(d), fastHash = false)
     probeIndex(d,
       bands.where(pmod(col("doc_id"), lit(5)) === 0),
       bands.where(pmod(col("doc_id"), lit(5)) =!= 0))

@@ -278,6 +278,46 @@ class DedupSpec extends SparkSpec {
     assert(j < 0.8, s"and a Jaccard the near-dup tier ignores: $j")
   }
 
+  test("containment probe vs the persisted store: recall floor at the 0.9 threshold") {
+    // Five excerpt families: container = 40 tokens, excerpt = its first
+    // 12 tokens (containment 1.0, J = 10/38 ≈ 0.26 — invisible to the
+    // near-dup tier). Plus a J=1 twin pair (the near-dup tier's case:
+    // the probe must NOT report it) and an unrelated fresh doc.
+    import spark.implicits._
+    import graft.sources.SignatureStore
+    def fam(f: Int) = (1 to 40).map(i => s"f${f}w$i")
+    val indexDocs = (1 to 5).map(f => (f.toLong, fam(f).mkString(" "))) ++ Seq(
+      (6L, (500 to 540).map(i => s"t$i").mkString(" ")),
+      (7L, (500 to 540).map(i => s"t$i").mkString(" ")))
+    val freshDocs = (1 to 5).map(f => (100L + f, fam(f).take(12).mkString(" "))) ++ Seq(
+      (106L, (600 to 620).map(i => s"t$i").mkString(" ")),
+      (107L, (500 to 540).map(i => s"t$i").mkString(" "))) // twin of 6/7: J=1, not containment
+    val index = indexDocs.toDF("doc_id", "text")
+    val fresh = freshDocs.toDF("doc_id", "text")
+    val all = index.unionByName(fresh)
+
+    val dir = tmpDir("sigstore_containment")
+    SignatureStore.build(index, dir)
+    graft.core.Caches.releaseAll()
+    val idxSigs = spark.read.parquet(s"$dir/sigs")
+
+    val exhaustive = DedupQueries.q146ContainmentOn(all)
+      .where(col("contained") >= 100L) // the fresh-vs-index slice the probe covers
+      .select("contained", "container").as[(Long, Long)].collect().toSet
+    graft.core.Caches.releaseAll()
+    assert(exhaustive.size == 5, s"fixture must plant 5 excerpt pairs: $exhaustive")
+
+    val probed = DedupQueries.containmentProbeIndexed(all, fresh, idxSigs)
+      .select("contained", "container").as[(Long, Long)].collect().toSet
+    graft.core.Caches.releaseAll()
+    assert(probed.subsetOf(exhaustive),
+      s"probe must report only true containment pairs: ${probed -- exhaustive}")
+    val recall = probed.size.toDouble / exhaustive.size
+    assert(recall >= 0.9, s"r=1 banding must clear the recall floor: $recall ($probed)")
+    assert(!probed.exists { case (a, b) => Set(a, b).intersect(Set(6L, 7L, 107L)).nonEmpty },
+      s"J=1 twins belong to the near-dup tier, not the containment probe: $probed")
+  }
+
   // ------------------------------------------------------ q142/q143
   test("q142: per-source dup audit conserves documents and bounds rates") {
     val rows = DedupQueries.q142DupBySource(spark, Dir).collect()

@@ -65,8 +65,11 @@ def contamination_banner(path: str, d: dict) -> None:
               f"— timings unreliable, re-run isolated before acting ***")
 
 
-# Round ≥9 fixed short codes for the non-query bench entries.
-X_CODES = {"xt": "x_transform", "xip": "x_incr_probe", "xprt": "x_pagerank_tol"}
+# Round ≥9 fixed short codes for the non-query bench entries
+# (xss/xcp added in round 10).
+X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
+           "xss": "x_sigstore_lsh", "xcp": "x_containment_probe",
+           "xprt": "x_pagerank_tol"}
 
 
 def norm(k: str) -> str:
