@@ -287,6 +287,26 @@ object DedupQueries {
   def minhashLshFast(spark: SparkSession, dir: String): DataFrame =
     minhashLshOn(docs(spark, dir), fastHash = true)
 
+  /** Q148: the shared-store read path under the ORACLE gate. Exactly
+    * q18's semantics, but the shingle relation is materialized to a
+    * [[graft.sources.SignatureStore]] (in the JVM temp dir) and read
+    * back through the freshness check before banding — so the
+    * build→digest→read→band→verify loop is hash-matched against the
+    * SAME DuckDB oracle as q18, not just spec-pinned. The store
+    * resolution happens eagerly at plan-construction time (openFresh
+    * runs its digest actions then), so the conf key is safely unset
+    * before the query executes. Uses the md5 parity hash: the stored
+    * shingles feed a recomputed oracle-portable signature pipeline. */
+  def q148StoreLsh(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q148_store_${new java.io.File(dir).getName}"
+    graft.sources.SignatureStore.build(d, storeDir)
+    Caches.releaseAll() // free build's internal shingle pins before the read path runs
+    spark.conf.set(graft.sources.SignatureStore.DirKey, storeDir)
+    try minhashLshOn(d, fastHash = false)
+    finally spark.conf.unset(graft.sources.SignatureStore.DirKey)
+  }
+
   /** The q18 banding CTEs (`h`/`sig`/`bands`/`cand`) — shared by the
     * q18 and q138 oracles so both face the identical candidate list. */
   private val lshCandCtes: String = {
@@ -1235,7 +1255,8 @@ object DedupQueries {
     "q141_minhash_est" -> q141MinhashEst _,
     "q142_dup_by_source" -> q142DupBySource _,
     "q143_split_balance" -> q143SplitBalance _,
-    "q146_containment" -> q146Containment _)
+    "q146_containment" -> q146Containment _,
+    "q148_store_lsh" -> q148StoreLsh _)
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
@@ -1254,7 +1275,10 @@ object DedupQueries {
     "q141_minhash_est" -> q141Sql,
     "q142_dup_by_source" -> q142Sql,
     "q143_split_balance" -> q143Sql,
-    "q146_containment" -> q146Sql)
+    "q146_containment" -> q146Sql,
+    // q148 IS q18 through the materialized store: same oracle, so a
+    // hash mismatch isolates store-path loss, not query semantics.
+    "q148_store_lsh" -> minhashLshSql)
     // q40 and q76 have no oracle by design: xxhash64 is not
     // DuckDB-portable; the driver records rows-only checks and DedupSpec
     // cross-validates them against the md5 parity paths + exact pairs.
