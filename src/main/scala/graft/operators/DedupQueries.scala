@@ -261,7 +261,7 @@ object DedupQueries {
       .where(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
 
-  private[operators] def minhashLshOn(docRel: DataFrame,
+  private[graft] def minhashLshOn(docRel: DataFrame,
       fastHash: Boolean = false): DataFrame = {
     // Resolve the store ONCE (one digest scan) for both relations. The
     // fast path reuses stored signatures outright; the md5 parity path

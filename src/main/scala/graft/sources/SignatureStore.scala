@@ -82,6 +82,10 @@ object SignatureStore {
       .write.mode(mode).partitionBy("day").parquet(s"$dir/shingles")
     DedupQueries.sigsOf(sh, fastHash = true).withColumn("day", lit(day))
       .write.mode(mode).partitionBy("day").parquet(s"$dir/sigs")
+    // Meta lands LAST — it is the commit point. A crash after the
+    // partition writes but before this row leaves day=N data the
+    // digest doesn't cover: openFresh correctly reports stale, and the
+    // replay's retire-then-rewrite converges.
     val (n, dg) = digestOf(docBatch)
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_docs", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
@@ -98,9 +102,18 @@ object SignatureStore {
 
   /** Append one ingest day: shingle + sign ONLY the batch, XOR its
     * digest into the meta. Prior days are not parameters and are never
-    * read — the whole history is the stored partitions. */
-  def advanceDay(docBatch: DataFrame, dir: String, day: Int): Unit =
-    writeDay(docBatch.sparkSession, dir, day, docBatch, "append")
+    * read — the whole history is the stored partitions.
+    *
+    * Idempotent per day: any existing `day=N` content — a torn write
+    * from a crashed run, or a full replay — is retired first, so
+    * re-running a day CONVERGES instead of duplicating. That is the
+    * property [[graft.streaming.SignatureMaintainer]]'s at-least-once
+    * `foreachBatch` replay relies on. */
+  def advanceDay(docBatch: DataFrame, dir: String, day: Int): Unit = {
+    val spark = docBatch.sparkSession
+    if (fs(spark, dir).exists(new Path(s"$dir/meta"))) retireDay(spark, dir, day)
+    writeDay(spark, dir, day, docBatch, "append")
+  }
 
   /** Retire one day (takedown/expiry): drop its partitions and XOR its
     * digest back out of the meta. After this the store is fresh for
