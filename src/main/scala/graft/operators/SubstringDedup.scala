@@ -1,0 +1,204 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Caches, Tables}
+
+/** Substring-level exact deduplication — the cross-document duplicated-
+  * SPAN detector/scrubber of Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better" (2021). The doc-level tier (q16 exact,
+  * q17/q18 near-dup, q146 containment) decides about whole documents;
+  * this tier finds the duplicated REGIONS — a license header, a quoted
+  * paragraph, a syndicated boilerplate block — inside otherwise-distinct
+  * documents, and can excise them while keeping one canonical copy.
+  *
+  * Semantics (both queries, and both DuckDB oracles, see each): a
+  * character position `p` (1-based) in document `d` is *duplicated* when
+  * the [[K]]-char gram starting at `p` occurs in at least one OTHER
+  * document. Overlapping/adjacent duplicated grams merge into maximal
+  * spans (gaps-and-islands: a new span starts when `p > prev + K`, so
+  * two grams whose windows touch end-to-start still fuse). Matching is
+  * exact — raw K-char substrings are the join keys, so there are no
+  * hash collisions to verify away.
+  *
+  * Scale: the gram relation is one narrow explode — |corpus chars| rows
+  * of (doc_id, pos, gram) — and everything downstream is linear: one
+  * groupBy(gram) with a two-column aggregate, one equi-join back (each
+  * position row matches at most once — the dup-gram side is distinct by
+  * construction), then per-document windows. No self-join, no pair
+  * enumeration: a gram shared by d documents costs d rows, not d².
+  * The K-fold byte blowup of materializing grams is the real 100 TB
+  * cost; the production mitigations are (a) key on `xxhash64(gram)`
+  * (8 bytes instead of K) exactly like q40's fast path, and (b) run
+  * q54's winnowing fingerprints first to select candidate documents and
+  * only gram-explode that subset — both leave these oracle-checked
+  * semantics unchanged on the selected rows.
+  */
+object SubstringDedup {
+
+  /** Minimum duplicated-run length, in characters. 40 chars ≈ 6-8 words:
+    * long enough that natural-language collisions are essentially only
+    * real reuse, short enough to catch one-sentence boilerplate. */
+  private[operators] val K = 40
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** (doc_id, p, g): every K-char gram of every document, 1-based.
+    * Persisted — both consumers reference it twice (the df aggregate
+    * and the join probe), and without materialization the corpus-wide
+    * explode would run once per reference. */
+  private def gramsOf(docRel: DataFrame): DataFrame =
+    Caches.persistTracked(docRel
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"), expr(s"substr(text, p, $K)").as("g")))
+
+  /** Grams occurring in ≥2 distinct documents, with the canonical
+    * (minimum) doc_id that the scrubber lets keep its copy. "≥2
+    * distinct docs" is `min(doc_id) ≠ max(doc_id)` — a deliberate
+    * rewrite of `count(DISTINCT doc_id) >= 2`, which Spark plans as a
+    * two-exchange distinct aggregate shuffling every (gram, doc_id)
+    * pair twice; min/max is one partial-aggregated shuffle of per-gram
+    * bounds. Same predicate, half the gram-relation shuffles. */
+  private def dupGramsOf(grams: DataFrame): DataFrame =
+    grams.groupBy("g")
+      .agg(min("doc_id").as("canon_doc"), max("doc_id").as("max_doc"))
+      .filter(col("canon_doc") =!= col("max_doc"))
+      .select("g", "canon_doc")
+
+  /** Maximal spans from duplicated positions: (doc_id, s, e1) with `e1`
+    * exclusive. One shuffle (by doc_id) serves both the lag window and
+    * the island groupBy. */
+  private def spansOf(dupPos: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    dupPos
+      .withColumn("prev", lag("p", 1).over(w))
+      .withColumn("island",
+        sum(when(col("prev").isNull || col("p") > col("prev") + K, 1)
+          .otherwise(0)).over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("p").as("s"), (max("p") + K).as("e1"))
+  }
+
+  /** Q149: every maximal cross-document duplicated span. */
+  def q149SubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOn(docs(spark, dir))
+
+  private[operators] def substringSpansOn(docRel: DataFrame): DataFrame = {
+    val grams = gramsOf(docRel)
+    val dupPos = grams.join(dupGramsOf(grams).select("g"), "g")
+      .select("doc_id", "p")
+    spansOf(dupPos).select(
+      col("doc_id"),
+      col("s").cast("long").as("span_start"),
+      (col("e1") - col("s")).cast("long").as("span_len"))
+  }
+
+  val substringSpansSql: String =
+    s"""WITH pg AS (
+       |  SELECT doc_id, p, substr(text, p, $K) AS g
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K)),
+       |dup AS (SELECT g FROM pg GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |dp AS (SELECT pg.doc_id, pg.p FROM pg JOIN dup USING (g)),
+       |lagged AS (SELECT doc_id, p,
+       |             lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+       |           FROM dp),
+       |isl AS (SELECT doc_id, p,
+       |          sum(CASE WHEN prev IS NULL OR p > prev + $K THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |        FROM lagged)
+       |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |  CAST(max(p) + $K - min(p) AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  /** Q150: scrub — excise every duplicated span from every document
+    * EXCEPT the canonical (minimum-doc_id) holder of each gram, which
+    * keeps its text untouched at those positions. Documents shorter
+    * than K, or with nothing duplicated, pass through unchanged. The
+    * cleaned text is rebuilt inside one codegen'd higher-order
+    * `aggregate` over the per-document sorted span array — no UDF, no
+    * driver round-trip, and the span array is as long as the number of
+    * distinct reused regions, not the text. */
+  def q150SubstringScrub(spark: SparkSession, dir: String): DataFrame =
+    substringScrubOn(docs(spark, dir))
+
+  private[operators] def substringScrubOn(docRel: DataFrame): DataFrame = {
+    val grams = gramsOf(docRel)
+    val excisePos = grams.join(dupGramsOf(grams), "g")
+      .filter(col("doc_id") =!= col("canon_doc"))
+      .select("doc_id", "p")
+    val spanArr = spansOf(excisePos)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("e1")))).as("spans"))
+    docRel.join(spanArr, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(
+            |  spans,
+            |  named_struct('cur', 1, 'acc', ''),
+            |  (st, sp) -> named_struct(
+            |    'cur', sp.e1,
+            |    'acc', concat(st.acc, substr(text, st.cur, sp.s - st.cur))),
+            |  st -> concat(st.acc,
+            |               substr(text, st.cur, length(text) - st.cur + 1)))"""
+            .stripMargin)).as("clean_text"),
+        col("text"))
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text")))
+          .cast("long").as("removed_chars"))
+  }
+
+  val substringScrubSql: String =
+    s"""WITH pg AS (
+       |  SELECT doc_id, p, substr(text, p, $K) AS g
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K)),
+       |dup AS (SELECT g, min(doc_id) AS canon_doc
+       |        FROM pg GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |dp AS (SELECT pg.doc_id, pg.p FROM pg JOIN dup USING (g)
+       |       WHERE pg.doc_id <> dup.canon_doc),
+       |lagged AS (SELECT doc_id, p,
+       |             lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+       |           FROM dp),
+       |isl AS (SELECT doc_id, p,
+       |          sum(CASE WHEN prev IS NULL OR p > prev + $K THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |        FROM lagged),
+       |spans AS (SELECT doc_id, min(p) AS s, max(p) + $K AS e1
+       |          FROM isl GROUP BY doc_id, island),
+       |segs AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(e1) OVER (PARTITION BY doc_id ORDER BY s), 1) AS b,
+       |         s AS e
+       |  FROM spans
+       |  UNION ALL
+       |  SELECT sp.doc_id, max(sp.e1) AS b, max(len(d.text)) + 1 AS e
+       |  FROM spans sp JOIN documents d USING (doc_id) GROUP BY sp.doc_id),
+       |clean AS (
+       |  SELECT segs.doc_id,
+       |         string_agg(substr(d.text, segs.b, segs.e - segs.b), ''
+       |                    ORDER BY segs.b) AS ct
+       |  FROM segs JOIN documents d USING (doc_id)
+       |  GROUP BY segs.doc_id)
+       |SELECT d.doc_id, coalesce(c.ct, d.text) AS clean_text,
+       |  CAST(len(d.text) - len(coalesce(c.ct, d.text)) AS BIGINT)
+       |    AS removed_chars
+       |FROM documents d LEFT JOIN clean c USING (doc_id)""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_substring_spans" -> q149SubstringSpans _,
+    "q150_substring_scrub" -> q150SubstringScrub _)
+
+  val oracles: Map[String, String] = Map(
+    "q149_substring_spans" -> substringSpansSql,
+    "q150_substring_scrub" -> substringScrubSql)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Constructed-positive semantics for the substring-dedup tier that the
+  * oracle compare can't pin: exact span boundaries around an injected
+  * shared passage, canonical-copy preservation, and the short-document
+  * pass-through.
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  private val K = SubstringDedup.K
+
+  // A 3×K shared passage embedded in three documents at different
+  // offsets, flanked by per-document unique filler so no gram straddling
+  // a passage boundary is itself duplicated — which makes the expected
+  // span EXACTLY the passage, not passage ± slack. The filler's LAST
+  // char is tag-specific: a shared trailing space before the passage
+  // would make "␣ + 39 passage chars" a duplicated gram of its own and
+  // legitimately widen the span by one (observed before the fix).
+  private val passage =
+    "all rights reserved worldwide under the berne convention and " +
+      "no part of this publication may be reproduced without permission "
+
+  private def filler(tag: String, n: Int): String = {
+    val s = Iterator.from(0).map(i => s"$tag$i ").take(n).mkString.take(n)
+    s.dropRight(1) + tag.head
+  }
+
+  private lazy val fixture: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, filler("ua", 60) + passage + filler("ub", 80)),
+      (2L, passage + filler("vc", 95)),
+      (3L, filler("wd", 200) + passage),
+      (4L, "too short to gram"),                  // < K chars
+      (5L, filler("xe", 150))                     // unique, no dup spans
+    ).toDF("doc_id", "text")
+  }
+
+  private def spans(df: DataFrame): Map[Long, Seq[(Long, Long)]] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(r => (r._2, r._3)).toSeq.sorted }
+
+  test("q149 finds exactly the injected passage at each offset") {
+    val got = spans(SubstringDedup.substringSpansOn(fixture))
+    val L = passage.length.toLong
+    assert(got == Map(
+      1L -> Seq((61L, L)),   // 1-based: passage starts after 60 filler chars
+      2L -> Seq((1L, L)),
+      3L -> Seq((201L, L))))
+  }
+
+  test("q150 keeps the canonical copy and excises the rest, exactly") {
+    val got = SubstringDedup.substringScrubOn(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1 is the minimum doc_id for every passage gram → untouched
+    assert(got(1L) == (filler("ua", 60) + passage + filler("ub", 80), 0L))
+    val L = passage.length.toLong
+    assert(got(2L) == (filler("vc", 95), L))
+    assert(got(3L) == (filler("wd", 200), L))
+    // short and unique docs pass through
+    assert(got(4L) == ("too short to gram", 0L))
+    assert(got(5L) == (filler("xe", 150), 0L))
+  }
+
+  test("spans are maximal: disjoint, sorted, each at least K chars") {
+    val real = SubstringDedup.q149SubstringSpans(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(real.forall(_._3 >= K), "a span shorter than the gram length")
+    real.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, s1, l1), (_, s2, _)) =>
+          // maximality: a gap of ≤ K between spans would have merged
+          assert(s2 > s1 + l1, s"overlapping spans in ${ss.head._1}")
+        case _ =>
+      }
+    }
+  }
+
+  test("scrub conserves characters: removed = original - clean, never negative") {
+    val rows = SubstringDedup.q150SubstringScrub(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L)
+      assert(!r.isNullAt(1))
+    }
+  }
+}
