@@ -85,12 +85,10 @@ object SubstringDedup {
       .agg(min("p").as("s"), (max("p") + K).as("e1"))
   }
 
-  /** Q149: every maximal cross-document duplicated span. */
-  def q149SubstringSpans(spark: SparkSession, dir: String): DataFrame =
-    substringSpansOn(docs(spark, dir))
-
-  private[operators] def substringSpansOn(docRel: DataFrame): DataFrame = {
-    val grams = gramsOf(docRel)
+  /** The shared back half of both detectors: duplicated positions →
+    * maximal spans, over any (doc_id, p, g) gram relation — raw-string
+    * keys (oracle path) or xxhash64 keys (fast path) alike. */
+  private def spansFromGrams(grams: DataFrame): DataFrame = {
     val dupPos = grams.join(dupGramsOf(grams).select("g"), "g")
       .select("doc_id", "p")
     spansOf(dupPos).select(
@@ -98,6 +96,13 @@ object SubstringDedup {
       col("s").cast("long").as("span_start"),
       (col("e1") - col("s")).cast("long").as("span_len"))
   }
+
+  /** Q149: every maximal cross-document duplicated span. */
+  def q149SubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansOn(docs(spark, dir))
+
+  private[operators] def substringSpansOn(docRel: DataFrame): DataFrame =
+    spansFromGrams(gramsOf(docRel))
 
   val substringSpansSql: String =
     s"""WITH pg AS (
@@ -194,9 +199,66 @@ object SubstringDedup {
        |    AS removed_chars
        |FROM documents d LEFT JOIN clean c USING (doc_id)""".stripMargin
 
+  // ------------------------------------------- q151 production fast path
+  /** Char-winnow fingerprint geometry. The window and gram length are
+    * pinned to the detector: FpW + FpK − 1 == K, so by the winnowing
+    * guarantee (Schleimer et al., MOSS) any two documents sharing a
+    * K-char run BOTH select at least one identical fingerprint — the
+    * candidate set below is a provable superset of every document with
+    * a cross-document duplicated K-gram, never a recall trade. */
+  private[operators] val FpK = 30
+  private[operators] val FpW = K - FpK + 1 // 11
+
+  /** Documents that could hold a cross-doc duplicated K-char run:
+    * winnowed char-gram fingerprints (~1/FpW the density of the full
+    * gram relation, 8-byte keys), min≠max bound per fingerprint, then
+    * the holders of any shared fingerprint. The `array(hs)` lambda
+    * wrapper stops project collapsing from inlining — and then
+    * re-evaluating — the hash chain once per sliding window (q54's
+    * trick): the winnow must cost O(chars) hashes, not O(chars × FpW). */
+  private[operators] def substringCandidatesOn(docRel: DataFrame): DataFrame = {
+    val fpRel = Caches.persistTracked(docRel
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"), expr(
+        s"transform(sequence(1, length(text) - ${FpK - 1}), " +
+          s"p -> xxhash64(substr(text, p, $FpK)))").as("hs"))
+      .select(col("doc_id"), explode(expr(
+        s"flatten(transform(array(hs), h -> array_distinct(transform(" +
+          s"sequence(1, size(h) - ${FpW - 1}), " +
+          s"i -> array_min(slice(h, i, $FpW))))))")).as("fp")))
+    val dupFp = fpRel.groupBy("fp")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("fp")
+    fpRel.join(dupFp, "fp").select("doc_id").distinct()
+  }
+
+  /** Q151: q149 as it runs at 100 TB — the winnow prefilter selects
+    * candidate documents, only those gram-explode, and the join keys
+    * are `xxhash64(gram)` (8 bytes) instead of the raw K-char string.
+    * Result-identical to q149 by the FpW+FpK−1==K guarantee (parity
+    * spec-pinned at sf0.001/sf0.01 and on constructed positives),
+    * modulo 64-bit hash collisions — hence rows-only at the oracle
+    * gate, exactly like q40/q76's fast paths. */
+  def q151SubstringFast(spark: SparkSession, dir: String): DataFrame =
+    substringSpansFastOn(docs(spark, dir))
+
+  private[operators] def substringSpansFastOn(docRel: DataFrame): DataFrame = {
+    val cand = docRel.join(substringCandidatesOn(docRel), Seq("doc_id"), "left_semi")
+    val grams = Caches.persistTracked(cand
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1))).as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        expr(s"xxhash64(substr(text, p, $K))").as("g")))
+    spansFromGrams(grams)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_substring_spans" -> q149SubstringSpans _,
-    "q150_substring_scrub" -> q150SubstringScrub _)
+    "q150_substring_scrub" -> q150SubstringScrub _,
+    "q151_substring_fast" -> q151SubstringFast _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,

@@ -83,6 +83,27 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q151 fast path returns exactly q149's spans (fixture + sf0.001 + sf0.01)") {
+    assert(spans(SubstringDedup.substringSpansFastOn(fixture)) ==
+      spans(SubstringDedup.substringSpansOn(fixture)))
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val fast = SubstringDedup.q151SubstringFast(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = SubstringDedup.q149SubstringSpans(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == exact, s"fast/exact divergence at $dir")
+    }
+  }
+
+  test("winnow prefilter keeps every passage holder and prunes unique docs") {
+    val cand = SubstringDedup.substringCandidatesOn(fixture)
+      .collect().map(_.getLong(0)).toSet
+    // the winnowing guarantee: every doc sharing a >=K-char run survives
+    assert(Set(1L, 2L, 3L).subsetOf(cand))
+    // doc 4 is shorter than K, doc 5 shares no 30-gram with anyone
+    assert(!cand.contains(4L) && !cand.contains(5L))
+  }
+
   test("scrub conserves characters: removed = original - clean, never negative") {
     val rows = SubstringDedup.q150SubstringScrub(spark, "/root/testdata/sf0.001")
       .collect()
