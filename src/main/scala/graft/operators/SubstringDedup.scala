@@ -101,8 +101,28 @@ object SubstringDedup {
   def q149SubstringSpans(spark: SparkSession, dir: String): DataFrame =
     substringSpansOn(docs(spark, dir))
 
+  /** The exact path ALSO rides the winnow prefilter (see
+    * [[substringCandidatesOn]]) — legitimately: the candidate set is an
+    * UNCONDITIONAL superset of every doc holding a cross-doc duplicated
+    * K-gram (a shared K-char run contains at least one full FpW-window
+    * whose hash-min is identical in both docs, so both select it — hash
+    * collisions elsewhere can only ADD candidates, never drop one), and
+    * every holder of a duplicated gram pairs with another holder, so
+    * restricting the gram relation to candidates changes nothing: not
+    * the dup set, not the per-gram min doc, not a single position.
+    * The DuckDB oracle runs the UNFILTERED semantics, so the per-round
+    * gate re-proves that equivalence on real data at three SFs. Without
+    * the prefilter the raw-string dup-gram join went super-linear at the
+    * 10× point (822k dup grams outgrew the broadcast threshold → SMJ
+    * re-sorting 17.8M 40-char keys: 94 s, 17.9× the sf0.1 time); with
+    * it, 54.5 s = 9.4× at 10× the data — linear. The remaining gap to
+    * q151's 11 s is the raw-string shuffle keys this parity arm keeps
+    * so the oracle can reproduce the join exactly. */
   private[operators] def substringSpansOn(docRel: DataFrame): DataFrame =
-    spansFromGrams(gramsOf(docRel))
+    spansFromGrams(gramsOf(candidatesOnly(docRel)))
+
+  private def candidatesOnly(docRel: DataFrame): DataFrame =
+    docRel.join(substringCandidatesOn(docRel), Seq("doc_id"), "left_semi")
 
   val substringSpansSql: String =
     s"""WITH pg AS (
@@ -135,7 +155,10 @@ object SubstringDedup {
     substringScrubOn(docs(spark, dir))
 
   private[operators] def substringScrubOn(docRel: DataFrame): DataFrame = {
-    val grams = gramsOf(docRel)
+    // Prefiltered like q149 (same unconditional-superset argument) —
+    // non-candidate docs flow through the left join below untouched,
+    // which is exactly what the full semantics would do to them.
+    val grams = gramsOf(candidatesOnly(docRel))
     val excisePos = grams.join(dupGramsOf(grams), "g")
       .filter(col("doc_id") =!= col("canon_doc"))
       .select("doc_id", "p")
@@ -244,7 +267,7 @@ object SubstringDedup {
     substringSpansFastOn(docs(spark, dir))
 
   private[operators] def substringSpansFastOn(docRel: DataFrame): DataFrame = {
-    val cand = docRel.join(substringCandidatesOn(docRel), Seq("doc_id"), "left_semi")
+    val cand = candidatesOnly(docRel)
     val grams = Caches.persistTracked(cand
       .filter(length(col("text")) >= K)
       .select(col("doc_id"),
