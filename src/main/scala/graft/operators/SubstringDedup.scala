@@ -239,8 +239,11 @@ object SubstringDedup {
     * wrapper stops project collapsing from inlining — and then
     * re-evaluating — the hash chain once per sliding window (q54's
     * trick): the winnow must cost O(chars) hashes, not O(chars × FpW). */
-  private[operators] def substringCandidatesOn(docRel: DataFrame): DataFrame = {
-    val fpRel = Caches.persistTracked(docRel
+  /** (doc_id, fp): the winnowed char-gram fingerprints — the relation a
+    * daily pipeline PERSISTS as its substring-dedup index (1/FpW the
+    * density of the corpus's positions, 8-byte values). */
+  private[operators] def charWinnowOf(docRel: DataFrame): DataFrame =
+    docRel
       .filter(length(col("text")) >= K)
       .select(col("doc_id"), expr(
         s"transform(sequence(1, length(text) - ${FpK - 1}), " +
@@ -248,7 +251,10 @@ object SubstringDedup {
       .select(col("doc_id"), explode(expr(
         s"flatten(transform(array(hs), h -> array_distinct(transform(" +
           s"sequence(1, size(h) - ${FpW - 1}), " +
-          s"i -> array_min(slice(h, i, $FpW))))))")).as("fp")))
+          s"i -> array_min(slice(h, i, $FpW))))))")).as("fp"))
+
+  private[operators] def substringCandidatesOn(docRel: DataFrame): DataFrame = {
+    val fpRel = Caches.persistTracked(charWinnowOf(docRel))
     val dupFp = fpRel.groupBy("fp")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -278,12 +284,63 @@ object SubstringDedup {
     spansFromGrams(grams)
   }
 
+  // --------------------------------------- q152 incremental daily probe
+  /** Q152: the daily shape — duplicated spans in a FRESH batch against
+    * an already-indexed history, without re-gramming the history. The
+    * history contributes only its persisted [[charWinnowOf]] fingerprint
+    * index; history TEXT is fetched solely for documents the index
+    * matched (a per-doc point lookup at scale, like q73's band-index
+    * probe). Exactness rides the same unconditional-superset argument as
+    * q149: a fresh doc sharing a K-char run with ANY doc — historical or
+    * same-batch — shares a winnow fingerprint with it, so the gram
+    * pipeline over {fresh candidates} ∪ {matched history docs} sees
+    * every holder of every gram duplicated from a fresh doc's
+    * perspective. The oracle models fresh = odd doc_id / history = even
+    * and runs the UNFILTERED corpus-wide semantics restricted to fresh
+    * ids — so the per-round gate re-proves probe ≡ full recompute. */
+  def q152SubstringProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val fresh = d.filter(col("doc_id") % 2 === 1)
+    val hist = d.filter(col("doc_id") % 2 === 0)
+    substringProbeOn(fresh, hist, charWinnowOf(hist))
+  }
+
+  private[operators] def substringProbeOn(fresh: DataFrame, hist: DataFrame,
+      histFpIndex: DataFrame): DataFrame = {
+    val freshFps = Caches.persistTracked(charWinnowOf(fresh))
+    // history docs the index matched — the only history text ever read
+    val histMatch = Caches.persistTracked(
+      histFpIndex.join(freshFps.select("fp").distinct(), "fp"))
+    // fingerprints duplicated within the fresh batch itself
+    val freshDup = freshFps.groupBy("fp")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("fp")
+    val dupFpSet = freshDup.union(histMatch.select("fp")).distinct()
+    val freshCand = freshFps.join(dupFpSet, "fp").select("doc_id").distinct()
+    val subset = fresh.join(freshCand, Seq("doc_id"), "left_semi")
+      .unionByName(hist.join(histMatch.select("doc_id").distinct(),
+        Seq("doc_id"), "left_semi"))
+    spansFromGrams(gramsOf(subset))
+      .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
+  private[operators] def matchedHistoryOf(fresh: DataFrame,
+      histFpIndex: DataFrame): DataFrame =
+    histFpIndex.join(charWinnowOf(fresh).select("fp").distinct(), "fp")
+      .select("doc_id").distinct()
+
+  val substringProbeSql: String =
+    s"SELECT * FROM (\n$substringSpansSql\n) WHERE doc_id % 2 = 1"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_substring_spans" -> q149SubstringSpans _,
     "q150_substring_scrub" -> q150SubstringScrub _,
-    "q151_substring_fast" -> q151SubstringFast _)
+    "q151_substring_fast" -> q151SubstringFast _,
+    "q152_substring_probe" -> q152SubstringProbe _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
-    "q150_substring_scrub" -> substringScrubSql)
+    "q150_substring_scrub" -> substringScrubSql,
+    "q152_substring_probe" -> substringProbeSql)
 }

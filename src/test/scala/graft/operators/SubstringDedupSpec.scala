@@ -104,6 +104,42 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!cand.contains(4L) && !cand.contains(5L))
   }
 
+  test("q152 probe equals full recompute restricted to the fresh batch") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val probe = SubstringDedup.q152SubstringProbe(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val full = SubstringDedup.q149SubstringSpans(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._1 % 2 == 1).toSet
+      assert(probe == full, s"probe/full divergence at $dir")
+    }
+  }
+
+  test("the probe fetches only index-matched history docs") {
+    import spark.implicits._
+    // history: doc 10 shares the passage with fresh doc 1; docs 12/14
+    // duplicate a DIFFERENT passage only between themselves; doc 16 is
+    // unique. A probe for the fresh batch must fetch ONLY doc 10 —
+    // history-internal duplication is yesterday's already-answered
+    // question, not part of today's batch delta.
+    val histPassage = filler("hp", 90)
+    val hist = Seq(
+      (10L, filler("ha", 50) + passage),
+      (12L, histPassage + filler("hb", 60)),
+      (14L, histPassage + filler("hc", 60)),
+      (16L, filler("hd", 120))).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, filler("fa", 40) + passage + filler("fb", 40)),
+      (3L, filler("fc", 130))).toDF("doc_id", "text")
+    val idx = SubstringDedup.charWinnowOf(hist)
+    val fetched = SubstringDedup.matchedHistoryOf(fresh, idx)
+      .collect().map(_.getLong(0)).toSet
+    assert(fetched == Set(10L))
+    // and the probe's spans for the batch: exactly the passage in doc 1
+    val got = spans(SubstringDedup.substringProbeOn(fresh, hist, idx))
+    assert(got == Map(1L -> Seq((41L, passage.length.toLong))))
+  }
+
   test("scrub conserves characters: removed = original - clean, never negative") {
     val rows = SubstringDedup.q150SubstringScrub(spark, "/root/testdata/sf0.001")
       .collect()
