@@ -59,6 +59,36 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Provenance sidecar (r9 ADVICE: CORRECTNESS_r09 was byte-identical to
+    // r08 with no way to tell a genuine re-run from a copied file). Record
+    // when this dump ran, against which code and which testdata bytes, so
+    // "zero drift" claims are auditable: identical results + different
+    // input fingerprints = real re-verification; identical fingerprints =
+    // same inputs, as expected. Input fingerprint = per-table (bytes,
+    // latest mtime) over every parquet part file — cheap metadata reads,
+    // no data scan. Git HEAD comes from plain file reads (no exec).
+    def tableFp(t: java.io.File): (Long, Long) = {
+      // testdata tables are flat .parquet files; handle a part-file
+      // directory layout too so the tool works on derived SF dirs.
+      val parts = if (t.isFile) Array(t)
+        else Option(t.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("."))
+      (parts.map(_.length).sum, if (parts.isEmpty) 0L else parts.map(_.lastModified / 1000).max)
+    }
+    val tables = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map { t => val (b, m) = tableFp(t); s"${q(t.getName)}:[$b,$m]" }
+    val gitHead = try {
+      val head = Files.readString(Paths.get("/root/repo/.git/HEAD")).trim
+      if (head.startsWith("ref: "))
+        Files.readString(Paths.get("/root/repo/.git/" + head.drop(5))).trim.take(12)
+      else head.take(12)
+    } catch { case _: Throwable => "unknown" }
+    val prov = s"""{"ran_at":${q(java.time.Instant.now.toString)},""" +
+      s""""git_head":${q(gitHead)},"sf_dir":${q(sfDir)},""" +
+      s""""n_queries":${selected.size},"spark":${q(spark.version)},""" +
+      s""""testdata":${tables.mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get(s"$outDir/provenance.json"), prov)
     spark.stop()
   }
 }
