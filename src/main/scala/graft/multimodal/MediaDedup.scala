@@ -1,0 +1,318 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.security.MessageDigest
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash deduplication for the image modality — the op a
+  * LAION-scale image corpus runs before training: exact byte dedup
+  * misses re-encoded / resized / slightly-edited copies, and the text
+  * tier's shingle machinery has nothing to shingle. The standard
+  * answer is a perceptual hash (dHash here: gradient-sign bits over a
+  * downsampled grayscale) plus a Hamming-radius candidate join.
+  *
+  * Two properties make this corpus-scale honest:
+  *
+  *  - **The hash is computed from REAL decoded pixels** (`javax.imageio`
+  *    — same JDK codec boundary as [[MediaOps]]): 9×8 exact block-mean
+  *    grayscale, one bit per horizontally-adjacent cell pair ("is the
+  *    left cell darker"), 64 bits into a `LongType` column. Undecodable
+  *    payloads fall back to a digest-derived hash so byte-identical
+  *    corrupt blobs still exact-match (Hamming 0) instead of crashing
+  *    the partition — corpus-scale media is always partly corrupt.
+  *  - **The candidate join is pigeonhole-EXACT, not probabilistic.**
+  *    The 64-bit hash splits into `radius + 1` disjoint bands
+  *    (multi-index Hamming); two hashes within Hamming distance
+  *    ≤ radius differ in at most `radius` bands, so at least one band
+  *    matches exactly. Unlike MinHash/SimHash banding (recall < 1 by
+  *    construction, q18/q19), every true pair at the radius is
+  *    guaranteed to surface as a candidate; false candidates die in
+  *    the O(1) `bit_count(xor)` verification. MediaDedupSpec pins
+  *    brute-force parity, not a recall floor.
+  *
+  * Scale: hashing is one `mapPartitions` pass over the binary column
+  * (no collect, no per-row codec init); downstream only the 16-byte
+  * (media_id, dhash) relation moves — the band explode is `radius+1`
+  * narrow rows per distinct hash and the self-join shuffles on
+  * (band, value), a key space of ~2^(64/(radius+1)) values per band
+  * (≈2M at radius 2) with per-key volume set by the corpus's hash
+  * distribution. A pathological key (millions of
+  * all-black thumbnails sharing every band) is the classic skew case:
+  * cap or salt the band groups, or route exact-duplicate hashes
+  * (dhash equality, a groupBy) out before pairing — q153 does the
+  * latter via the `dhash`-level pre-group so N byte-identical copies
+  * cost N rows, not N².
+  */
+object MediaDedup {
+
+  /** Grid geometry: dHash compares 8 adjacent-cell pairs per row over
+    * a 9×8 block-mean grid — 64 bits, the literature-standard size. */
+  private val Gw = 9
+  private val Gh = 8
+
+  /** Caption→image renderer side: 16×16 px, one pixel per byte-bigram
+    * histogram bucket. */
+  private[graft] val Side = 16
+
+  /** Rendered luminance is capped at 128 of 255 — strictly below white,
+    * so a rendered image can never collide with the all-white decoy the
+    * alignment audit (q154) plants for corrupted pairings. */
+  private[graft] val LumCap = 128
+
+  /** Deterministic caption→image renderer — the testdata adapter for
+    * the image modality (TESTDATA.md ships no binary column; a real
+    * lake reads the image bytes from its media table instead). Renders
+    * three n-gram histograms of the text as the three channels of a
+    * [[Side]]×[[Side]] PNG — R: unigrams (`131·c mod 256`), G: bigrams
+    * (`31·c₁+c₂ mod 256`), B: trigrams — each bucket one pixel, channel
+    * value 8·count capped at [[LumCap]]. The rendering is deliberately
+    * *smooth under small edits* (one changed character moves ≤ 6
+    * buckets by one step) so the documents table's planted near-dup
+    * texts become near-duplicate IMAGES, and the three channel orders
+    * give the luminance plane enough entropy that unrelated captions
+    * rarely collide: measured on sf0.001 (437 eligible docs, 124k
+    * pairs), the planted prefix-edit pairs land at dHash Hamming 0–2
+    * while only 0.03% of background pairs do.
+    */
+  private[graft] def renderImage(text: String): Array[Byte] = {
+    val r = new Array[Int](Side * Side)
+    val g = new Array[Int](Side * Side)
+    val b = new Array[Int](Side * Side)
+    if (text != null) {
+      val n = text.length
+      var i = 0
+      while (i < n) {
+        val c1 = text.charAt(i).toInt
+        r((c1 * 131) & 0xff) += 1
+        if (i + 1 < n) {
+          val c2 = text.charAt(i + 1).toInt
+          g((c1 * 31 + c2) & 0xff) += 1
+          if (i + 2 < n)
+            b(((c1 * 31 + c2) * 31 + text.charAt(i + 2).toInt) & 0xff) += 1
+        }
+        i += 1
+      }
+    }
+    val img = new BufferedImage(Side, Side, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < Side * Side) {
+      def ch(c: Array[Int]) = math.min(LumCap, c(p) * 8)
+      img.setRGB(p % Side, p / Side, (ch(r) << 16) | (ch(g) << 8) | ch(b))
+      p += 1
+    }
+    encodePng(img)
+  }
+
+  /** The corrupted-pairing stand-in for q154: an all-white frame, which
+    * [[renderImage]] can never produce (luminance cap [[LumCap]] < 255). */
+  private[graft] def whiteDecoy(): Array[Byte] = {
+    val img = new BufferedImage(Side, Side, BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < Side * Side) {
+      img.setRGB(p % Side, p / Side, 0xFFFFFF)
+      p += 1
+    }
+    encodePng(img)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val buf = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Exact block-mean Rec.601 grayscale over a `gw`×`gh` grid —
+    * the same cell-mean scheme as [[MediaOps.decodeImage]], sized for
+    * dHash. Row-major, values in [0, 1]. */
+  private def gridMeans(img: BufferedImage, gw: Int, gh: Int): Array[Double] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    Array.tabulate(gw * gh) { i =>
+      val (gx, gy) = (i % gw, i / gw)
+      val x0 = gx * w / gw; val x1 = math.max(x0 + 1, (gx + 1) * w / gw)
+      val y0 = gy * h / gh; val y1 = math.max(y0 + 1, (gy + 1) * h / gh)
+      var sum = 0.0; var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xff) * 0.299 +
+            ((rgb >> 8) & 0xff) * 0.587 + (rgb & 0xff) * 0.114) / 255.0
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      if (n == 0) 0.0 else sum / n
+    }
+  }
+
+  /** dHash of a decoded image: bit `y·8+x` set iff grid cell (x,y) is
+    * strictly darker than its right neighbour (x+1,y) on the 9×8 mean
+    * grid. Deterministic for a given payload on any JVM (exact integer
+    * pixel reads, fixed-order double summation). */
+  private[multimodal] def dHashOf(img: BufferedImage): Long = {
+    val m = gridMeans(img, Gw, Gh)
+    var h = 0L
+    var bit = 0
+    var y = 0
+    while (y < Gh) {
+      var x = 0
+      while (x < Gw - 1) {
+        if (m(y * Gw + x) < m(y * Gw + x + 1)) h |= 1L << bit
+        bit += 1; x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Digest fallback for undecodable payloads: first 8 bytes of MD5 as
+    * a Long. Byte-identical corrupt blobs still Hamming-0 match each
+    * other; they never collide meaningfully with real dHashes. */
+  private def digestHash(md: MessageDigest, content: Array[Byte]): Long = {
+    val d = md.digest(content)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
+  /** (media_id, dhash) for every row of `media` (columns: media_id
+    * LongType, content BinaryType). One decoder + digest per PARTITION;
+    * payload bytes never leave the executor. */
+  def hashImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (id, content) =>
+          val h =
+            try {
+              Option(ImageIO.read(new ByteArrayInputStream(content)))
+                .map(dHashOf)
+                .getOrElse(digestHash(md, content))
+            } catch { case _: Throwable => digestHash(md, content) }
+          (id, h)
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** All pairs (a, b, hamming) with a < b and Hamming(dhash_a, dhash_b)
+    * ≤ `maxHamming` — EXACT by the multi-index-Hamming pigeonhole
+    * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    * Hashing"): the 64 bits split into `maxHamming + 1` disjoint bands,
+    * so two hashes differing in ≤ maxHamming bits leave at least one
+    * band untouched — every true pair surfaces as a candidate, and the
+    * false ones die in the O(1) `bit_count(xor)` verification. Band
+    * width is what makes this corpus-scale: at radius 2 the 3 bands are
+    * 21–22 bits wide (≈2M join-key values per band), not the 256-value
+    * keys an 8-bit banding would shuffle the world onto.
+    *
+    * Shape: N byte-identical/hash-identical copies are collapsed to one
+    * representative per dhash BEFORE banding (groupBy dhash — the skew
+    * guard: a viral thumbnail costs its row count once, not squared),
+    * pairs are enumerated between distinct hash values only, then
+    * expanded back through the membership lists. Hash-equal pairs
+    * (hamming 0 within one group) are emitted straight from the
+    * membership lists without touching the band join.
+    */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"radius must be in [0, 63], got $maxHamming")
+    // One row per distinct hash value, with its (sorted) member ids.
+    val groups = graft.core.Caches.persistTracked(
+      hashes.groupBy("dhash")
+        .agg(sort_array(collect_list(col("media_id"))).as("ids")))
+
+    // maxHamming+1 disjoint bands covering all 64 bits, widths as equal
+    // as possible (the first `64 % b` bands get the extra bit).
+    val b = maxHamming + 1
+    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def bandCol(h: Column, i: Int): Column = {
+      // width 64 (radius 0, a single band) would overflow 1L << 64
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftrightunsigned(h, starts(i)).bitwiseAND(lit(mask))
+    }
+    val banded = groups.select(
+      col("dhash"),
+      explode(array((0 until b).map(i =>
+        struct(lit(i).as("band"), bandCol(col("dhash"), i).as("v"))): _*)).as("bv"))
+      .select(col("dhash"), col("bv.band"), col("bv.v"))
+    val l = banded.select(col("dhash").as("ha"), col("band"), col("v"))
+    val r = banded.select(col("dhash").as("hb"), col("band"), col("v"))
+    val crossHash = l.join(r, Seq("band", "v"))
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+
+    // Expand back: all (a, b) across the two membership lists…
+    val cross = crossHash
+      .join(groups.select(col("dhash").as("ha"), col("ids").as("ids_a")), "ha")
+      .join(groups.select(col("dhash").as("hb"), col("ids").as("ids_b")), "hb")
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("hamming"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("hamming"))
+      .select(least(col("id_a"), col("id_b")).as("media_a"),
+        greatest(col("id_a"), col("id_b")).as("media_b"), col("hamming"))
+    // …plus the hamming-0 pairs inside each hash group.
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), lit(0L).as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** Cross-modal alignment audit — the CLIP-score-filter shape of
+    * LAION-style image/caption curation, with the JDK-feasible scorer:
+    * does the STORED payload's decoded feature grid match what its
+    * caption says the image should look like? Input columns: doc_id
+    * (long), text (caption), content (binary payload). Output:
+    * (doc_id, align_dist) where align_dist is the L2 distance between
+    * the payload's decoded 4×4 luminance grid ([[MediaOps.decodeImage]],
+    * REAL pixels) and the grid of the caption's re-rendered reference
+    * image. Intact pairings score 0.0 exactly (PNG is lossless and the
+    * grid mean deterministic); a mismatched/corrupted payload scores by
+    * how far its pixels sit from the caption's — the all-white decoy
+    * lands in [4, 8]: every cell gaps by at least 0.996 ([[LumCap]]
+    * bounds rendered luminance strictly below white) and by 2.0 where
+    * the rendering is black, so 16 cells give √16 ≈ 4 at worst.
+    * Undecodable
+    * payloads score Double.MaxValue: a pairing you cannot verify is
+    * treated as misaligned, never silently passed.
+    *
+    * The auditor sees ONLY (text, content) — never the upstream
+    * pairing/corruption rule — so q154's oracle (the planted ground
+    * truth) genuinely tests detection, not bookkeeping. One renderer +
+    * decoder pass per partition; nothing leaves the executor but the
+    * 16-byte result row. */
+  def alignmentDistances(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("doc_id").cast("long"), col("text"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, text, content) =>
+        val dist = (for {
+          actual <- MediaOps.decodeImage(content)
+          expected <- MediaOps.decodeImage(renderImage(text))
+        } yield {
+          var s = 0.0
+          var i = 0
+          while (i < expected._3.length) {
+            val d = actual._3(i).toDouble - expected._3(i)
+            s += d * d; i += 1
+          }
+          math.sqrt(s)
+        }).getOrElse(Double.MaxValue)
+        (id, dist)
+      })
+      .toDF("doc_id", "align_dist")
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.multimodal.MediaDedup
+
+/** The multimodal tier's query surface: image near-dup dedup and the
+  * image/caption alignment audit, run end-to-end from the parquet
+  * testdata. The testdata ships no binary column (TESTDATA.md), so both
+  * queries first materialize an image column deterministically from the
+  * documents table via [[MediaDedup.renderImage]] — the adapter a real
+  * lake replaces with its media table scan. Everything downstream of
+  * that scan is the production dataflow: real PNG decode on executors,
+  * perceptual hashing, banded candidate joins, payload-vs-caption
+  * verification.
+  */
+object MediaQueries {
+
+  /** Docs eligible for the media tier: captions long enough that the
+    * rendered histogram is non-degenerate. Both oracles repeat the
+    * same predicate. */
+  private val MinChars = 50
+
+  private def eligibleDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(length(col("text")) >= MinChars)
+      .select(col("doc_id"), col("text"))
+
+  /** Q153: image near-duplicate pairs by perceptual hash — dHash over
+    * real decoded pixels, multi-index pigeonhole-exact Hamming join at
+    * radius [[MaxHamming]]. The documents table's planted near-dup
+    * texts render to near-dup images ([[MediaDedup.renderImage]] is
+    * smooth under small edits), so the output is the image-modality
+    * face of the q17/q18 family: measured at sf0.001, the planted
+    * prefix-edit pairs sit at Hamming 0–2 and only 0.03% of unrelated
+    * pairs do. No SQL oracle — DuckDB cannot decode PNG;
+    * MediaDedupSpec pins brute-force parity (the banding is exact,
+    * not probabilistic, so parity is equality not a recall floor).
+    */
+  val MaxHamming = 2
+
+  def q153ImageNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val media = eligibleDocs(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val hashed = MediaDedup.hashImages(renderAll(media))
+    MediaDedup.nearDupPairs(hashed, MaxHamming)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Render the image column: one deterministic PNG per caption. */
+  private def renderAll(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, MediaDedup.renderImage(text))
+      })
+      .toDF("media_id", "content")
+  }
+
+  /** Q154: cross-modal alignment audit with a planted corruption — the
+    * LAION-style "does this image match its caption" gate. The query
+    * CONSTRUCTS the corrupted corpus (docs with `doc_id % 7 = 3` get an
+    * all-white decoy payload instead of their caption's rendering — a
+    * stand-in for upstream pairing bugs / dead image links), then runs
+    * [[MediaDedup.alignmentDistances]], which sees only (caption,
+    * payload bytes) and never the plant rule, and flags every pairing
+    * whose payload-decoded features sit further than
+    * [[AlignThreshold]] from the caption's reference rendering. Intact
+    * pairs score exactly 0.0 and the decoy ≈4.0, so the threshold has
+    * ~4× margin on both sides — the gate is deterministic, not tuned.
+    *
+    * The DuckDB oracle is the planted ground truth (`doc_id % 7 = 3`
+    * over the same eligible set): it verifies the detector RECOVERS the
+    * corruption from payload bytes alone, the constructed-positive
+    * pattern of q146/q149.
+    */
+  val AlignThreshold = 1.0
+
+  def q154AlignmentAudit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedCorpus(eligibleDocs(spark, dir))
+    MediaDedup.alignmentDistances(corpus)
+      .filter(col("align_dist") > AlignThreshold)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** The corrupted-pairing plant, kept OUTSIDE the audit op: payloads
+    * are decided here, and [[MediaDedup.alignmentDistances]] receives
+    * only (doc_id, text, content). */
+  private def plantedCorpus(docRel: DataFrame): DataFrame = {
+    val spark = docRel.sparkSession
+    import spark.implicits._
+    docRel.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val content =
+          if (id % 7 == 3) MediaDedup.whiteDecoy()
+          else MediaDedup.renderImage(text)
+        (id, text, content)
+      })
+      .toDF("doc_id", "text", "content")
+  }
+
+  /** Q155: segment-level video dedup — documents become animated GIFs
+    * (one frame per q85 CDC segment, REAL `javax.imageio` sequence
+    * encode), frames are decoded back and their segment fingerprints
+    * recovered from the PIXELS, and video pairs sharing ≥1 non-trivial,
+    * non-viral segment surface with their shared count. See
+    * [[graft.multimodal.VideoSegDedup]] for why every byte of the
+    * answer survives the container roundtrip.
+    *
+    * The DuckDB oracle never sees a GIF: it re-derives the same answer
+    * from q85's SQL chunking — the oracle-checked claim is that the
+    * whole render→encode→decode→recover pipeline is lossless AND the
+    * JVM chunker matches the SQL chunker token-for-token.
+    */
+  def q155VideoSegdup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val videos = graft.multimodal.VideoSegDedup.renderVideos(docs)
+    val fps = graft.multimodal.VideoSegDedup.segmentFingerprints(videos)
+    graft.multimodal.VideoSegDedup.sharedSegmentPairs(fps)
+      .orderBy("video_a", "video_b")
+  }
+
+  private val videoSegdupSql: String =
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |w AS (SELECT doc_id, CAST(unnest(range(len(ws))) AS BIGINT) AS pos,
+       |    unnest(ws) AS word FROM w0),
+       |b AS (SELECT doc_id, pos, word,
+       |    CASE WHEN ('0x' || substr(md5(word), 1, 8))::BIGINT % 16 = 0
+       |      THEN 1 ELSE 0 END AS bf FROM w),
+       |c AS (SELECT doc_id, pos, word,
+       |    sum(bf) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk FROM b),
+       |ch AS (SELECT doc_id, chunk, count(*) AS n_tokens,
+       |    md5(string_agg(word, ' ' ORDER BY pos)) AS seg_fp
+       |  FROM c GROUP BY 1, 2),
+       |big AS (SELECT DISTINCT doc_id, seg_fp FROM ch
+       |  WHERE n_tokens >= ${graft.multimodal.VideoSegDedup.MinTokens}),
+       |ok AS (SELECT seg_fp FROM big GROUP BY 1
+       |  HAVING count(*) BETWEEN 2 AND ${graft.multimodal.VideoSegDedup.DfCap})
+       |SELECT a.doc_id AS video_a, b.doc_id AS video_b,
+       |  count(*) AS shared_segs
+       |FROM big a JOIN big b USING (seg_fp) JOIN ok USING (seg_fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |""".stripMargin
+
+  private val alignmentAuditSql: String =
+    s"""SELECT doc_id
+       |FROM documents
+       |WHERE length(text) >= $MinChars AND doc_id % 7 = 3
+       |""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_image_neardup" -> q153ImageNearDup _,
+    "q154_alignment_audit" -> q154AlignmentAudit _,
+    "q155_video_segdup" -> q155VideoSegdup _)
+
+  val oracles: Map[String, String] = Map(
+    "q154_alignment_audit" -> alignmentAuditSql,
+    "q155_video_segdup" -> videoSegdupSql)
+}

@@ -1,0 +1,114 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.MediaQueries
+
+class MediaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  private def hashOf(content: Array[Byte]): Long = {
+    val df = Seq((1L, content)).toDF("media_id", "content")
+    MediaDedup.hashImages(df).collect()(0).getLong(1)
+  }
+
+  test("renderImage: deterministic, decodable, never white") {
+    val t = "the quick brown fox jumps over the lazy dog, twice over"
+    val a = MediaDedup.renderImage(t)
+    val b = MediaDedup.renderImage(t)
+    assert(a.sameElements(b), "same caption must render identical bytes")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    assert(img.getWidth == MediaDedup.Side && img.getHeight == MediaDedup.Side)
+    // LumCap < 255: no rendered pixel can reach the decoy's pure white.
+    val pixels = for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      yield img.getRGB(x, y) & 0xffffff
+    assert(!pixels.contains(0xffffff))
+    val decoy = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(MediaDedup.whiteDecoy()))
+    assert((decoy.getRGB(0, 0) & 0xffffff) == 0xffffff)
+  }
+
+  test("dHash: identical payloads collide, small edits stay near, corrupt bytes fall back") {
+    val t = "a long enough caption describing some perfectly ordinary scene in detail"
+    val h1 = hashOf(MediaDedup.renderImage(t))
+    val h2 = hashOf(MediaDedup.renderImage(t))
+    assert(h1 == h2)
+    // one-character edit: the render is smooth, so the hash moves ≤ a few bits
+    val h3 = hashOf(MediaDedup.renderImage(t.replace("ordinary", "ordinery")))
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 6)
+    // corrupt payload: deterministic digest fallback, equal blobs still match
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    assert(hashOf(junk) == hashOf(junk.clone()))
+    assert(hashOf(junk) != hashOf(Array.tabulate[Byte](100)(i => (i + 1).toByte)))
+  }
+
+  test("nearDupPairs matches brute force EXACTLY at radius 2 (pigeonhole, not recall)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, MediaDedup.renderImage(t)) }
+      .toDF("media_id", "content")
+    val hashes = MediaDedup.hashImages(docs)
+    val got = MediaDedup.nearDupPairs(hashes, MediaQueries.MaxHamming)
+      .select("media_a", "media_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= MediaQueries.MaxHamming
+    } yield (a, b, d.toLong)).toSet
+
+    assert(got == want, s"banded=${got.size} brute=${want.size}")
+    assert(want.nonEmpty, "testdata's planted near-dup texts must surface as image pairs")
+    // no duplicate pair rows from the band explode
+    val rows = MediaDedup.nearDupPairs(hashes, MediaQueries.MaxHamming).count()
+    assert(rows == want.size.toLong)
+  }
+
+  test("nearDupPairs: hash-identical groups pair within AND across groups, once each") {
+    val img1 = MediaDedup.renderImage("first caption rendered into an image for the group test")
+    val img2 = MediaDedup.renderImage("a wholly different second caption with other letter patterns")
+    val media = Seq((1L, img1), (2L, img1), (3L, img1), (4L, img2))
+      .toDF("media_id", "content")
+    val pairs = MediaDedup.nearDupPairs(MediaDedup.hashImages(media), 2)
+      .filter(col("hamming") === 0)
+      .select("media_a", "media_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.intersect(Set((1L, 2L), (1L, 3L), (2L, 3L))) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("alignmentDistances: intact scores 0, decoy ≈4-8, undecodable flagged") {
+    val t1 = "an intact caption whose payload really is its own rendering"
+    val t2 = "a second caption whose stored payload was swapped for the decoy"
+    val rows = Seq(
+      (1L, t1, MediaDedup.renderImage(t1)),
+      (2L, t2, MediaDedup.whiteDecoy()),
+      (3L, t1, Array.tabulate[Byte](64)(_.toByte))) // undecodable
+      .toDF("doc_id", "text", "content")
+    val d = MediaDedup.alignmentDistances(rows).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(d(1L) == 0.0, "lossless PNG + deterministic grid ⇒ exact zero")
+    assert(d(2L) > 3.5 && d(2L) <= 8.0, s"white decoy must sit 4-8 away, got ${d(2L)}")
+    assert(d(3L) == Double.MaxValue)
+  }
+
+  test("q154 recovers the planted corruption exactly (and q153 runs end-to-end)") {
+    val got = MediaQueries.q154AlignmentAudit(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    val want = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) >= 50 && col("doc_id") % 7 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+    assert(want.nonEmpty)
+
+    val pairs = MediaQueries.q153ImageNearDup(spark, sf0001)
+    assert(pairs.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+    assert(pairs.count() > 0)
+  }
+}
