@@ -79,7 +79,13 @@ object MediaDedup {
     * pairs), the planted prefix-edit pairs land at dHash Hamming 0–2
     * while only 0.03% of background pairs do.
     */
-  private[graft] def renderImage(text: String): Array[Byte] = {
+  private[graft] def renderImage(text: String): Array[Byte] =
+    encodePng(renderFrame(text))
+
+  /** [[renderImage]] before the PNG encode — for consumers that keep
+    * working on the pixels (the GIF frame path), where an encode/decode
+    * roundtrip per frame would only burn CPU. */
+  private[multimodal] def renderFrame(text: String): BufferedImage = {
     val r = new Array[Int](Side * Side)
     val g = new Array[Int](Side * Side)
     val b = new Array[Int](Side * Side)
@@ -105,7 +111,7 @@ object MediaDedup {
       img.setRGB(p % Side, p / Side, (ch(r) << 16) | (ch(g) << 8) | ch(b))
       p += 1
     }
-    encodePng(img)
+    img
   }
 
   /** The corrupted-pairing stand-in for q154: an all-white frame, which

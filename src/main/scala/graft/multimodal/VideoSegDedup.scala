@@ -99,8 +99,7 @@ object VideoSegDedup {
     * pixel (15,14): min(255, token count). 256 pixels can hold at most
     * 256 distinct colors, so the GIF palette below stays exact. */
   private def frameOf(segment: String): BufferedImage = {
-    val png = MediaDedup.renderImage(segment)
-    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val img = MediaDedup.renderFrame(segment)
     val md5 = MessageDigest.getInstance("MD5").digest(segment.getBytes("UTF-8"))
     var x = 0
     while (x < 16) {
@@ -113,19 +112,21 @@ object VideoSegDedup {
     img
   }
 
-  /** Encode frames as one animated GIF via the JDK sequence writer. */
-  private[graft] def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+  /** Encode frames as one animated GIF via the JDK sequence writer.
+    * The writer is caller-supplied so a partition reuses ONE instance
+    * across all its videos (`getImageWritersByFormatName` is a registry
+    * lookup per call — the per-row-`getInstance` anti-pattern MediaOps
+    * documents for MessageDigest); `setOutput` fully re-targets it. */
+  private[graft] def encodeGif(frames: Seq[BufferedImage],
+      writer: ImageWriter = ImageIO.getImageWritersByFormatName("gif").next()): Array[Byte] = {
     val buf = new ByteArrayOutputStream()
     val ios: ImageOutputStream = ImageIO.createImageOutputStream(buf)
-    val writer: ImageWriter = ImageIO.getImageWritersByFormatName("gif").next()
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
       frames.foreach(f => writer.writeToSequence(new IIOImage(f, null, null), null))
       writer.endWriteSequence()
-    } finally {
-      writer.dispose(); ios.close()
-    }
+    } finally ios.close()
     buf.toByteArray
   }
 
@@ -164,11 +165,14 @@ object VideoSegDedup {
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .mapPartitions(_.flatMap { case (id, text) =>
-        val segs = cdcChunks(text)
-        if (segs.isEmpty) Iterator.empty
-        else Iterator.single((id, encodeGif(segs.map(frameOf))))
-      })
+      .mapPartitions { it =>
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        it.flatMap { case (id, text) =>
+          val segs = cdcChunks(text)
+          if (segs.isEmpty) Iterator.empty
+          else Iterator.single((id, encodeGif(segs.map(frameOf), writer)))
+        }
+      }
       .toDF("video_id", "content")
   }
 

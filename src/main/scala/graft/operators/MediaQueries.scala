@@ -157,12 +157,54 @@ object MediaQueries {
        |WHERE length(text) >= $MinChars AND doc_id % 7 = 3
        |""".stripMargin
 
+  /** Q156: audio-integrity audit (dead-air detection) with a planted
+    * corruption — the audio-modality twin of q154. The query renders a
+    * WAV per caption, swaps in pure digital silence for docs with
+    * `doc_id % 9 = 4` (the stand-in for muxing bugs / DRM-stripped
+    * tracks whose metadata still looks healthy), then flags every row
+    * whose DECODED loudest envelope bin ([[graft.multimodal.AudioIntegrity.loudestBin]],
+    * real `javax.sound.sampled` PCM decode) is indistinguishable from
+    * silence. Rendered clips are floored at RMS 0.25, silence decodes
+    * to exactly -1 — the gate is deterministic with ≥0.4 margin on both
+    * sides. The DuckDB oracle is the planted ground truth, verifying
+    * the detector recovers the corruption from payload bytes alone.
+    */
+  def q156AudioAudit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = plantedAudio(eligibleDocs(spark, dir))
+    graft.multimodal.AudioIntegrity.loudestBin(corpus)
+      .filter(col("max_env") < graft.multimodal.AudioIntegrity.SilenceThreshold)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private def plantedAudio(docRel: DataFrame): DataFrame = {
+    val spark = docRel.sparkSession
+    import spark.implicits._
+    docRel.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val content =
+          if (id % 9 == 4) graft.multimodal.AudioIntegrity.silence()
+          else graft.multimodal.AudioIntegrity.renderAudio(text)
+        (id, content)
+      })
+      .toDF("doc_id", "content")
+  }
+
+  private val audioAuditSql: String =
+    s"""SELECT doc_id
+       |FROM documents
+       |WHERE length(text) >= $MinChars AND doc_id % 9 = 4
+       |""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_image_neardup" -> q153ImageNearDup _,
     "q154_alignment_audit" -> q154AlignmentAudit _,
-    "q155_video_segdup" -> q155VideoSegdup _)
+    "q155_video_segdup" -> q155VideoSegdup _,
+    "q156_audio_audit" -> q156AudioAudit _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,
-    "q155_video_segdup" -> videoSegdupSql)
+    "q155_video_segdup" -> videoSegdupSql,
+    "q156_audio_audit" -> audioAuditSql)
 }
