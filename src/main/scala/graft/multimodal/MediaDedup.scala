@@ -276,6 +276,44 @@ object MediaDedup {
     cross.unionByName(within)
   }
 
+  /** The daily production shape for q153 — a fresh batch probes the
+    * PERSISTED corpus hash index instead of re-pairing the corpus
+    * (q73/q152's incremental pattern, image face): history-vs-history
+    * duplication is yesterday's already-answered question, so only
+    * fresh×index pairs are enumerated. Same multi-index banding, same
+    * pigeonhole exactness, cross-relation: `fresh` and `index` are
+    * (media_id, dhash) relations — the index side read back from its
+    * parquet store, whose only per-day maintenance is appending the
+    * day's fresh hashes (16 bytes/image; no rebuild, no re-decode).
+    * Returns (fresh_id, index_id, hamming). */
+  def nearDupProbe(fresh: DataFrame, index: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"radius must be in [0, 63], got $maxHamming")
+    val b = maxHamming + 1
+    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def bandsOf(hashes: DataFrame, side: String): DataFrame = {
+      def bandCol(h: Column, i: Int): Column = {
+        val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+        shiftrightunsigned(h, starts(i)).bitwiseAND(lit(mask))
+      }
+      hashes.groupBy("dhash")
+        .agg(sort_array(collect_list(col("media_id"))).as("ids"))
+        .select(col("dhash").as(s"h_$side"), col("ids").as(s"ids_$side"),
+          explode(array((0 until b).map(i =>
+            struct(lit(i).as("band"), bandCol(col("dhash"), i).as("v"))): _*)).as("bv"))
+        .select(col(s"h_$side"), col(s"ids_$side"), col("bv.band"), col("bv.v"))
+    }
+    // membership lists ride the band join (functionally determined by
+    // their hash, so the distinct stays a distinct over hash pairs) —
+    // no second lookup join, each side scanned exactly once
+    bandsOf(fresh, "f").join(bandsOf(index, "x"), Seq("band", "v"))
+      .select("h_f", "ids_f", "h_x", "ids_x").distinct()
+      .withColumn("hamming", bit_count(col("h_f").bitwiseXOR(col("h_x"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(explode(col("ids_f")).as("fresh_id"), col("ids_x"), col("hamming"))
+      .select(col("fresh_id"), explode(col("ids_x")).as("index_id"), col("hamming"))
+  }
+
   /** Cross-modal alignment audit — the CLIP-score-filter shape of
     * LAION-style image/caption curation, with the JDK-feasible scorer:
     * does the STORED payload's decoded feature grid match what its
@@ -305,20 +343,26 @@ object MediaDedup {
     rows.select(col("doc_id").cast("long"), col("text"), col("content"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.map { case (id, text, content) =>
-        val dist = (for {
-          actual <- MediaOps.decodeImage(content)
-          expected <- MediaOps.decodeImage(renderImage(text))
-        } yield {
-          var s = 0.0
-          var i = 0
-          while (i < expected._3.length) {
-            val d = actual._3(i).toDouble - expected._3(i)
-            s += d * d; i += 1
-          }
-          math.sqrt(s)
-        }).getOrElse(Double.MaxValue)
-        (id, dist)
+        (id, alignmentDistance(text, content))
       })
       .toDF("doc_id", "align_dist")
   }
+
+  /** One pairing's alignment distance (see [[alignmentDistances]]) —
+    * the per-row kernel, shared with the streaming gate
+    * (`streaming/MediaGate`) so batch audit and live gate can never
+    * disagree on a row. */
+  private[graft] def alignmentDistance(text: String, content: Array[Byte]): Double =
+    (for {
+      actual <- MediaOps.decodeImage(content)
+      expected <- MediaOps.decodeImage(renderImage(text))
+    } yield {
+      var s = 0.0
+      var i = 0
+      while (i < expected._3.length) {
+        val d = actual._3(i).toDouble - expected._3(i)
+        s += d * d; i += 1
+      }
+      math.sqrt(s)
+    }).getOrElse(Double.MaxValue)
 }

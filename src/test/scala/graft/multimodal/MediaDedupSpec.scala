@@ -70,6 +70,29 @@ class MediaDedupSpec extends SparkSpec {
     assert(rows == want.size.toLong)
   }
 
+  test("nearDupProbe matches brute-force fresh×index pairs exactly (the daily shape)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, MediaDedup.renderImage(t)) }
+      .toDF("media_id", "content")
+    val hashes = MediaDedup.hashImages(docs)
+    val fresh = hashes.filter(col("media_id") % 5 === 0)
+    val index = hashes.filter(col("media_id") % 5 =!= 0)
+    val got = MediaDedup.nearDupProbe(fresh, index, MediaQueries.MaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fh = fresh.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ih = index.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, ha) <- fh; (b, hb) <- ih
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= MediaQueries.MaxHamming
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want, s"probe=${got.size} brute=${want.size}")
+    assert(want.nonEmpty, "fresh/index split must cut across some near-dup pair")
+  }
+
   test("nearDupPairs: hash-identical groups pair within AND across groups, once each") {
     val img1 = MediaDedup.renderImage("first caption rendered into an image for the group test")
     val img2 = MediaDedup.renderImage("a wholly different second caption with other letter patterns")
