@@ -50,6 +50,11 @@ import org.apache.spark.sql.functions._
   */
 object MediaDedup {
 
+  // see MediaOps: disable ImageIO's disk-backed stream cache before any
+  // encode/decode on this JVM (each object sets it so whichever class
+  // loads first on an executor covers the rest)
+  ImageIO.setUseCache(false)
+
   /** Grid geometry: dHash compares 8 adjacent-cell pairs per row over
     * a 9×8 block-mean grid — 64 bits, the literature-standard size. */
   private val Gw = 9

