@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
+import graft.operators.GraphOps
 import graft.multimodal.MediaDedup
 
 /** The multimodal tier's query surface: image near-dup dedup and the
@@ -116,6 +117,33 @@ object MediaQueries {
       .toDF("doc_id", "text", "content")
   }
 
+  /** Q157: image-dedup canonical keep — the ACT face of q153's detect
+    * (the image-modality twin of q42's transitive text clusters and
+    * q150's canonical-keeping scrub): near-dup image pairs at the q153
+    * radius are closed transitively (perceptual similarity is not
+    * transitive, so A~B~C must dedup as ONE family or a re-encoded
+    * chain survives pairwise dedup), each cluster keeps its minimum
+    * doc_id as canonical, and the query returns the surviving corpus.
+    * Clustering rides [[GraphOps.connectedComponents]] — the same
+    * driver-union-find/pointer-jumping hybrid the text tier uses, the
+    * cross-tier reuse being the point. Rows-only like q153 (DuckDB
+    * cannot decode PNG); MediaDedupSpec pins survivor parity against a
+    * brute-force union-find over the exact pair set.
+    */
+  def q157ImageScrub(spark: SparkSession, dir: String): DataFrame = {
+    val docs = eligibleDocs(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val hashed = MediaDedup.hashImages(renderAll(docs))
+    val pairs = MediaDedup.nearDupPairs(hashed, MaxHamming)
+      .select(col("media_a").as("src"), col("media_b").as("dst"))
+    val labels = GraphOps.connectedComponents(pairs)
+    docs.select(col("media_id").as("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Q155: segment-level video dedup — documents become animated GIFs
     * (one frame per q85 CDC segment, REAL `javax.imageio` sequence
     * encode), frames are decoded back and their segment fingerprints
@@ -211,7 +239,8 @@ object MediaQueries {
     "q153_image_neardup" -> q153ImageNearDup _,
     "q154_alignment_audit" -> q154AlignmentAudit _,
     "q155_video_segdup" -> q155VideoSegdup _,
-    "q156_audio_audit" -> q156AudioAudit _)
+    "q156_audio_audit" -> q156AudioAudit _,
+    "q157_image_scrub" -> q157ImageScrub _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,

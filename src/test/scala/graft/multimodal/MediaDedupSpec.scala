@@ -106,6 +106,34 @@ class MediaDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("q157 survivors equal a brute-force union-find over the exact pair set") {
+    val eligible = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(length(col("text")) >= 50)
+    val got = MediaQueries.q157ImageScrub(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+
+    // reference: brute-force pairs at the q153 radius → union-find →
+    // keep component minima + untouched singletons
+    val hs = MediaDedup.hashImages(
+      eligible.select(col("doc_id").as("media_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, MediaDedup.renderImage(t)) }
+        .toDF("media_id", "content"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    for { (a, ha) <- hs; (b, hb) <- hs if a < b
+          if java.lang.Long.bitCount(ha ^ hb) <= MediaQueries.MaxHamming } {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = hs.map(_._1).filter(id => find(id) == id).sorted.toSeq
+    assert(got == want)
+    assert(got.size < hs.length, "the planted near-dup families must lose members")
+  }
+
   test("alignmentDistances: intact scores 0, decoy ≈4-8, undecodable flagged") {
     val t1 = "an intact caption whose payload really is its own rendering"
     val t2 = "a second caption whose stored payload was swapped for the decoy"
