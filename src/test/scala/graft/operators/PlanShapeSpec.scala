@@ -482,4 +482,24 @@ class PlanShapeSpec extends SparkSpec {
       s"the sketch must aggregate through the imperative-aggregate path:\n$p")
     graft.core.Caches.releaseAll()
   }
+
+  test("q153: the Hamming candidate join is an equi-join on bands — never a cartesian") {
+    val df = MediaQueries.q153ImageNearDup(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must make the pair join an equi-join:\n$p")
+    // the dedup tier reads only the two columns the renderer needs
+    assert(readSchemaCols(p).subsetOf(Set("doc_id", "text")),
+      s"documents scan must prune to (doc_id, text):\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q154/q156: the audit is map-only after the spread — no joins, no aggregates") {
+    for (q <- Seq(MediaQueries.q154AlignmentAudit _, MediaQueries.q156AudioAudit _)) {
+      val p = plan(q(spark, Dir))
+      assert(!p.contains("Join"), s"a per-row audit must not join:\n$p")
+      assert(!p.contains("HashAggregate"), s"a per-row audit must not aggregate:\n$p")
+    }
+  }
 }
