@@ -1051,6 +1051,58 @@ object SimilarityQueries {
       .toDF("label", "rank", "vec_id", "rel", "score")
   }
 
+  // --------------------------------------------- embedding-space outliers
+  /** Bottom-K most-outlying vectors — the embedding-space face of q92's
+    * scalar MAD audit: vectors least aligned with the corpus centroid
+    * are mislabeled/garbage/off-distribution candidates a curation pass
+    * reviews before training (SemDedup's complement: q130 removes
+    * what's too SIMILAR; this surfaces what's too ALIEN).
+    *
+    * Spark-first shape, and why it holds at 100 TB:
+    *  - The centroid is a per-dimension DECIMAL sum — `posexplode` into
+    *    (dim, x) feeds a hash aggregation with map-side combine, so the
+    *    shuffle carries ≤ partitions×[[EmbedDim]] partial rows, never
+    *    the corpus. Decimal summation makes the centroid bit-identical
+    *    under any partitioning (the repo-wide order-independence
+    *    contract), and cosine is scale-invariant, so the SUM vector
+    *    stands in for the mean — no division, no rounding drift.
+    *  - The collected centroid ([[EmbedDim]] doubles — codebook-sized,
+    *    like [[centroidList]]) returns as a literal: scoring is one
+    *    narrow codegen'd projection over a single corpus scan.
+    *  - Bottom-K extraction rides the bounded-buffer [[TopKAggregator]]
+    *    on the negated score — ≤ K rows per partition cross the wire,
+    *    no corpus-wide sort. */
+  private val OutlierK = 20
+
+  def q161EmbedOutliers(spark: SparkSession, dir: String): DataFrame =
+    embedOutliersOn(emb(spark, dir), OutlierK)
+
+  private[graft] def embedOutliersOn(e: DataFrame, k: Int): DataFrame = {
+    val cent = e.select(posexplode(col("embedding")))
+      .groupBy("pos")
+      .agg(sum(col("col").cast("double").cast("decimal(28,12)")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).doubleValue()))
+      .sortBy(_._1).map(_._2).toSeq
+    val scored = e.select(lit(0L).as("q_id"), col("vec_id").as("n_id"),
+      (-cosine(col("embedding"), typedlit(cent))).as("cos"))
+    topK(scored, k)
+      .select(col("n_id").as("vec_id"), col("rn"),
+        round(-col("sim"), 6).as("sim"))
+  }
+
+  val q161Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |d AS (SELECT dim, CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |      FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS dim FROM e)
+       |      GROUP BY dim),
+       |c AS (SELECT list(s ORDER BY dim) AS cv FROM d),
+       |p AS (SELECT vec_id,
+       |        list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos
+       |      FROM e CROSS JOIN c),
+       |r AS (SELECT vec_id, cos, row_number() OVER (ORDER BY cos ASC, vec_id) AS rn FROM p)
+       |SELECT vec_id, rn, round(cos, 6) AS sim FROM r WHERE rn <= $OutlierK""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_cosine_topk" -> cosineTopK _,
     "q21_ivf_ann" -> ivfAnn _,
@@ -1065,7 +1117,8 @@ object SimilarityQueries {
     "q123_mmr_diverse" -> q123MmrDiverse _,
     "q125_srp_lsh" -> q125SrpLsh _,
     "q136_ann_recall" -> q136AnnRecall _,
-    "q139_ivf_probe" -> q139IvfProbe _)
+    "q139_ivf_probe" -> q139IvfProbe _,
+    "q161_embed_outliers" -> q161EmbedOutliers _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -1080,5 +1133,6 @@ object SimilarityQueries {
     "q47_quantize_int8" -> quantizeInt8Sql,
     "q125_srp_lsh" -> srpLshSql,
     "q136_ann_recall" -> annRecallSql,
-    "q139_ivf_probe" -> q139Sql)
+    "q139_ivf_probe" -> q139Sql,
+    "q161_embed_outliers" -> q161Sql)
 }

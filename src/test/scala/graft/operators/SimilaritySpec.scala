@@ -252,4 +252,33 @@ class SimilaritySpec extends SparkSpec {
     // survive testdata regeneration.
     assert(mean >= 0.5, s"mean recall@5 collapsed: $got")
   }
+
+  test("q161: planted alien vectors occupy the lowest centroid-cosine ranks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 60 inliers near a common direction; 3 planted outliers pointing
+    // the opposite way — any centroid-alignment audit must rank the
+    // plants as the 3 most outlying, in antipodal-first order.
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val inliers = (0 until 60).map { i =>
+      (i.toLong, base.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val plants = Seq(
+      (100L, base.map(x => (-x).toFloat).toSeq),              // antipodal
+      (101L, base.map(x => (-x + 0.3).toFloat).toSeq),        // near-antipodal
+      (102L, base.zipWithIndex.map { case (x, j) =>           // orthogonal-ish
+        (if (j % 2 == 0) x else -x).toFloat }.toSeq))
+    val e = (inliers ++ plants).toDF("vec_id", "embedding")
+    val got = SimilarityQueries.embedOutliersOn(e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(100L, 101L, 102L),
+      s"plants must be the 3 most outlying: ${got.toSeq}")
+    assert(got.sortBy(_._2).head._1 == 100L, "the antipodal plant ranks first")
+    assert(got.forall(_._3 < 0.5), s"outlier cosines must sit low: ${got.toSeq}")
+    // decimal centroid sums ⇒ bit-identical under re-partitioning
+    val again = SimilarityQueries.embedOutliersOn(e.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.sortBy(_._2).sameElements(again.sortBy(_._2)),
+      "outlier audit must be partitioning-independent")
+  }
 }
