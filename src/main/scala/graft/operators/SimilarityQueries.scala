@@ -1077,13 +1077,22 @@ object SimilarityQueries {
   def q161EmbedOutliers(spark: SparkSession, dir: String): DataFrame =
     embedOutliersOn(emb(spark, dir), OutlierK)
 
-  private[graft] def embedOutliersOn(e: DataFrame, k: Int): DataFrame = {
-    val cent = e.select(posexplode(col("embedding")))
+  /** The corpus centroid as a per-dimension DECIMAL sum (cosine is
+    * scale-invariant, so the SUM vector stands in for the mean with no
+    * division or rounding drift). Map-side combine bounds the shuffle
+    * at partitions×dim partial rows; the result is bit-identical under
+    * any partitioning. Shared by the batch outlier audit (q161) and
+    * the streaming embedding gate. */
+  private[graft] def centroidSum(e: DataFrame): Seq[Double] =
+    e.select(posexplode(col("embedding")))
       .groupBy("pos")
       .agg(sum(col("col").cast("double").cast("decimal(28,12)")).as("s"))
       .collect()
       .map(r => (r.getInt(0), r.getDecimal(1).doubleValue()))
       .sortBy(_._1).map(_._2).toSeq
+
+  private[graft] def embedOutliersOn(e: DataFrame, k: Int): DataFrame = {
+    val cent = centroidSum(e)
     val scored = e.select(lit(0L).as("q_id"), col("vec_id").as("n_id"),
       (-cosine(col("embedding"), typedlit(cent))).as("cos"))
     topK(scored, k)
