@@ -20,6 +20,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Data-sized AQE starting width: wide only for large inputs (see
+      // GraftSession.initialPartitionNum for both measured regimes).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.core.GraftSession.initialPartitionNum(cpus.toInt, sfDir).toString)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

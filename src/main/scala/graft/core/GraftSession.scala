@@ -11,6 +11,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * deployment overrides `spark.sql.shuffle.partitions` per job).
   */
 object GraftSession {
+
+  /** How wide the input has to be before shuffles START wide. */
+  private val WideInputBytes = 512L << 20
+
+  /** AQE's starting shuffle width — the data-sized deployment knob.
+    *
+    * Shuffles begin at this many partitions and AQE COALESCES down to
+    * the data's actual size, so the number only costs tiny extra map
+    * tasks when it is too big — but when a shuffle is genuinely large,
+    * starting wide is what keeps per-task sort buffers out of spill.
+    * Two regimes, because both directions were measured to matter:
+    *  - small inputs (the per-round sf0.001–sf0.1 harness): width =
+    *    `shufflePartitions`. Starting 8× wide here taxed ITERATIVE
+    *    loops — x_pagerank_tol's 50 rounds × 3 stages × 224 extra tiny
+    *    map tasks took it 38 s → 83 s at sf0.1 — while winning nothing
+    *    (nothing spills at 17 MB).
+    *  - large inputs (`dataDir` ≥ 512 MB — the sf10 scale point, or a
+    *    real multi-TB run): width = 8×. q151's 205M-row hashed-gram
+    *    shuffle at sf10 ran 197 s at width 32 (6.4M rows per sorter →
+    *    spill thrash, occasional task page-allocation failure) and
+    *    139 s at width 256.
+    * `SPARK_GRAFT_IPN` overrides both (a cluster deployment sizes this
+    * per job, like `spark.sql.shuffle.partitions` itself). */
+  def initialPartitionNum(shufflePartitions: Int, dataDir: String = ""): Int =
+    sys.env.get("SPARK_GRAFT_IPN").map(_.toInt).getOrElse {
+      def bytes(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).iterator.map(bytes).sum
+        else f.length()
+      val wide = dataDir.nonEmpty && bytes(new java.io.File(dataDir)) >= WideInputBytes
+      if (wide) 8 * shufflePartitions else shufflePartitions
+    }
+
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -18,6 +51,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitionNum(shufflePartitions).toString)
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // parquet TIMESTAMP(NANOS) is otherwise rejected outright; with
       // this flag it reads as a raw long, which Tables.normalizeNanos

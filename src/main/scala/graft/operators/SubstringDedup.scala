@@ -50,13 +50,23 @@ object SubstringDedup {
     * Persisted — both consumers reference it twice (the df aggregate
     * and the join probe), and without materialization the corpus-wide
     * explode would run once per reference. */
+  /** NOT persisted, deliberately: the gram relation is proportional to
+    * corpus characters — the one thing a 100 TB run must never pin in
+    * storage memory. Its two consumers ([[dupGramsOf]] and the
+    * dup-position join) each recompute a narrow explode+substr
+    * projection, which costs one extra scan of the (prefiltered)
+    * candidate docs; caching it instead starved execution memory at
+    * the 100× scale point — q151 thrashed 11 s → ~218 s with task
+    * page-allocation failures, and dropping the persist returned it
+    * to linear. The relations that DO deserve persistence are the
+    * winnowed fingerprint index (1/FpW density) and per-doc outputs. */
   private def gramsOf(docRel: DataFrame): DataFrame =
-    Caches.persistTracked(docRel
+    docRel
       .filter(length(col("text")) >= K)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (K - 1))).as("p"),
         col("text"))
-      .select(col("doc_id"), col("p"), expr(s"substr(text, p, $K)").as("g")))
+      .select(col("doc_id"), col("p"), expr(s"substr(text, p, $K)").as("g"))
 
   /** Grams occurring in ≥2 distinct documents, with the canonical
     * (minimum) doc_id that the scrubber lets keep its copy. "≥2
@@ -121,8 +131,14 @@ object SubstringDedup {
   private[operators] def substringSpansOn(docRel: DataFrame): DataFrame =
     spansFromGrams(gramsOf(candidatesOnly(docRel)))
 
+  /** The persist lives HERE, not on the gram relation: candidate TEXT
+    * is ~K× (40×) smaller than the gram relation derived from it and
+    * bounded by the duplicated fraction of the corpus, so caching it
+    * keeps the candidate semi-join from re-running per gram consumer
+    * without pinning a corpus-sized relation in storage memory. */
   private def candidatesOnly(docRel: DataFrame): DataFrame =
-    docRel.join(substringCandidatesOn(docRel), Seq("doc_id"), "left_semi")
+    Caches.persistTracked(
+      docRel.join(substringCandidatesOn(docRel), Seq("doc_id"), "left_semi"))
 
   val substringSpansSql: String =
     s"""WITH pg AS (
@@ -273,14 +289,17 @@ object SubstringDedup {
     substringSpansFastOn(docs(spark, dir))
 
   private[operators] def substringSpansFastOn(docRel: DataFrame): DataFrame = {
+    // Like [[gramsOf]], the hashed gram relation is corpus-proportional
+    // and must NOT be persisted — recompute the narrow explode per
+    // consumer (see the memory-thrash note there).
     val cand = candidatesOnly(docRel)
-    val grams = Caches.persistTracked(cand
+    val grams = cand
       .filter(length(col("text")) >= K)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (K - 1))).as("p"),
         col("text"))
       .select(col("doc_id"), col("p"),
-        expr(s"xxhash64(substr(text, p, $K))").as("g")))
+        expr(s"xxhash64(substr(text, p, $K))").as("g"))
     spansFromGrams(grams)
   }
 
