@@ -1112,6 +1112,79 @@ object SimilarityQueries {
        |r AS (SELECT vec_id, cos, row_number() OVER (ORDER BY cos ASC, vec_id) AS rn FROM p)
        |SELECT vec_id, rn, round(cos, 6) AS sim FROM r WHERE rn <= $OutlierK""".stripMargin
 
+  // ------------------------------------------- ANN ranking-quality eval
+  /** Q164: MRR and binary nDCG@k of the IVF path against exact
+    * ground truth — the ranking-quality face of q136's recall@k (recall
+    * says the right neighbors were FOUND; nDCG says they surfaced in
+    * the right ORDER, and MRR says how deep a user digs for the true
+    * nearest neighbor). Per query: MRR = 1/rank of the exact top-1 in
+    * the IVF list (0 if pruned away); DCG = Σ 1/log2(rank+1) over IVF
+    * hits that are true top-k members, normalized by the exact list's
+    * own Σ — so a perfect probe scores 1.0 on both.
+    *
+    * Scale shape: both arms are the already-bounded q20/q21 pipelines
+    * (broadcast queries, partial top-k); the eval itself joins two
+    * k×|queries| relations — constant-sized work after the scans. The
+    * log-discount sums go through DECIMAL(18,12) so the metric is
+    * bit-identical under any partitioning (the repo-wide
+    * order-independence contract). */
+  def q164AnnRankEval(spark: SparkSession, dir: String): DataFrame = {
+    val truth = graft.core.Caches.persistTracked(cosineTopK(spark, dir))
+    val approx = graft.core.Caches.persistTracked(ivfAnn(spark, dir))
+    def discount(rn: Column): Column =
+      (lit(1.0) / log2(rn.cast("double") + lit(1.0))).cast("decimal(18,12)")
+    val idcg = truth.groupBy("q_id").agg(sum(discount(col("rn"))).as("idcg"))
+    val dcg = approx
+      .join(truth.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(sum(discount(col("rn"))).as("dcg"))
+    val mrr = truth.where(col("rn") === 1).select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id"), col("rn").as("arn")),
+        Seq("q_id", "n_id"), "left")
+      .select(col("q_id"),
+        coalesce(lit(1.0) / col("arn").cast("double"), lit(0.0)).as("mrr"))
+    idcg.join(dcg, Seq("q_id"), "left").join(mrr, Seq("q_id"))
+      .select(col("q_id"), round(col("mrr"), 6).as("mrr"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0))
+          / col("idcg").cast("double"), 6).as("ndcg"))
+  }
+
+  val q164Sql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+       |px AS (SELECT q_id, e.vec_id AS n_id,
+       |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS c
+       |  FROM q JOIN e ON q.q_id != e.vec_id),
+       |ex AS (SELECT q_id, n_id, rn FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM px)
+       |  WHERE rn <= $TopK),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       |ac AS (SELECT e.vec_id, e.v, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id AS n_id, v AS nv, c_id AS bkt FROM ac WHERE arn = 1),
+       |qp AS (SELECT q_id, qv, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY
+       |      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS prn
+       |  FROM q CROSS JOIN cent),
+       |probes AS (SELECT q_id, qv, c_id AS bkt FROM qp WHERE prn <= $NProbe),
+       |pa AS (SELECT q_id, n_id,
+       |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS c
+       |  FROM probes JOIN assign USING (bkt) WHERE q_id != n_id),
+       |ap AS (SELECT q_id, n_id, rn FROM (SELECT q_id, n_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM pa)
+       |  WHERE rn <= $TopK),
+       |idcg AS (SELECT q_id, SUM(CAST(1.0 / log2(rn + 1.0) AS DECIMAL(18,12))) AS idcg
+       |  FROM ex GROUP BY q_id),
+       |dcg AS (SELECT ap.q_id, SUM(CAST(1.0 / log2(ap.rn + 1.0) AS DECIMAL(18,12))) AS dcg
+       |  FROM ap JOIN ex USING (q_id, n_id) GROUP BY ap.q_id),
+       |mrr AS (SELECT ex1.q_id, coalesce(1.0 / ap.rn, 0.0) AS mrr
+       |  FROM (SELECT q_id, n_id FROM ex WHERE rn = 1) ex1
+       |  LEFT JOIN ap USING (q_id, n_id))
+       |SELECT idcg.q_id, round(mrr.mrr, 6) AS mrr,
+       |  round(CAST(coalesce(dcg.dcg, 0) AS DOUBLE) / CAST(idcg.idcg AS DOUBLE), 6) AS ndcg
+       |FROM idcg LEFT JOIN dcg USING (q_id) JOIN mrr USING (q_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_cosine_topk" -> cosineTopK _,
     "q21_ivf_ann" -> ivfAnn _,
@@ -1127,7 +1200,8 @@ object SimilarityQueries {
     "q125_srp_lsh" -> q125SrpLsh _,
     "q136_ann_recall" -> q136AnnRecall _,
     "q139_ivf_probe" -> q139IvfProbe _,
-    "q161_embed_outliers" -> q161EmbedOutliers _)
+    "q161_embed_outliers" -> q161EmbedOutliers _,
+    "q164_ann_rank_eval" -> q164AnnRankEval _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -1143,5 +1217,6 @@ object SimilarityQueries {
     "q125_srp_lsh" -> srpLshSql,
     "q136_ann_recall" -> annRecallSql,
     "q139_ivf_probe" -> q139Sql,
-    "q161_embed_outliers" -> q161Sql)
+    "q161_embed_outliers" -> q161Sql,
+    "q164_ann_rank_eval" -> q164Sql)
 }

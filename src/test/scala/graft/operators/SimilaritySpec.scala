@@ -253,6 +253,33 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean recall@5 collapsed: $got")
   }
 
+  test("q164: rank eval is internally consistent with q136's recall") {
+    val sf = "/root/testdata/sf0.001"
+    val recall = SimilarityQueries.q136AnnRecall(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    graft.core.Caches.releaseAll()
+    val eval = SimilarityQueries.q164AnnRankEval(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    graft.core.Caches.releaseAll()
+    assert(eval.length == 10)
+    eval.foreach { case (q, mrr, ndcg) =>
+      assert(mrr >= 0 && mrr <= 1 && ndcg >= 0 && ndcg <= 1, s"q$q: $mrr/$ndcg")
+      // MRR is 1/rank by construction: 0 or a unit fraction of rank ≤ 5
+      assert(mrr == 0.0 ||
+        (1 to 5).exists(r => math.abs(mrr - 1.0 / r) < 1e-6), s"q$q mrr=$mrr")
+      // binary-gain nDCG: full recall fills all top-k slots with hits,
+      // so DCG = IDCG exactly; zero recall zeroes it; partial sits
+      // strictly between
+      if (recall(q) == 1.0) assert(ndcg == 1.0, s"q$q: recall 1 but ndcg $ndcg")
+      if (recall(q) == 0.0) assert(ndcg == 0.0, s"q$q: recall 0 but ndcg $ndcg")
+      if (recall(q) > 0 && recall(q) < 1)
+        assert(ndcg > 0 && ndcg < 1, s"q$q: recall ${recall(q)} ndcg $ndcg")
+      // the true top-1 found at all ⇒ it contributes to DCG too
+      if (mrr > 0) assert(ndcg > 0, s"q$q: mrr $mrr but ndcg 0")
+    }
+    assert(eval.exists(_._2 > 0), "some query must find its true top-1")
+  }
+
   test("q161: planted alien vectors occupy the lowest centroid-cosine ranks") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
