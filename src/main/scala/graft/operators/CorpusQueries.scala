@@ -504,6 +504,73 @@ object CorpusQueries {
       |    / CAST(count(*) AS DOUBLE), 6) AS hapax_rate
       |FROM c GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------- q165 corpus card
+  /** Q165: the per-source DATA CARD — the one-page summary a corpus
+    * owner reads before training: volume (docs/words/chars), exact-dup
+    * exposure (the q16 measure folded in as a rate), and language
+    * makeup (distinct langs + dominant lang). This is the capstone
+    * audit a daily pipeline lands next to the corpus itself.
+    *
+    * Scale shape: every aggregate is bounded-key (|sources|,
+    * |sources|×|langs|); dup detection is q16's md5 hash-groupBy with
+    * only (hash) rows shuffling; the dominant-lang argmax is a window
+    * over the bounded (source, lang) count relation with a
+    * deterministic (count desc, lang asc) tie-break. Three narrow
+    * column-pruned corpus scans, nothing corpus-proportional persisted
+    * or collected. */
+  def q165CorpusCard(spark: SparkSession, dir: String): DataFrame =
+    corpusCardOn(Tables(spark, dir, "documents"))
+
+  private[operators] def corpusCardOn(d: DataFrame): DataFrame = {
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), "\\s+")).cast("long")).as("n_words"),
+      sum(length(col("text")).cast("long")).as("n_chars"))
+    val hashes = d.select(col("source"), md5(col("text").cast("binary")).as("h"))
+    val dupHashes = hashes.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select("h")
+    val dup = hashes.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("dup_docs"))
+    val langCounts = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val top = langCounts
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(desc("c"), asc("lang"))))
+      .where(col("rn") === 1).select(col("source"), col("lang").as("top_lang"))
+    val nLangs = langCounts.groupBy("source").agg(count(lit(1)).as("n_langs"))
+    base.join(dup, Seq("source"), "left")
+      .join(nLangs, Seq("source")).join(top, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_chars"),
+        round(col("n_words").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_words"),
+        coalesce(col("dup_docs"), lit(0L)).as("dup_docs"),
+        round(coalesce(col("dup_docs"), lit(0L)).cast("double")
+          / col("n_docs").cast("double"), 6).as("dup_rate"),
+        col("n_langs"), col("top_lang"))
+      .orderBy("source")
+  }
+
+  val q165Sql: String =
+    """WITH base AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT) AS n_words,
+      |    CAST(SUM(len(text)) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source),
+      |h AS (SELECT source, md5(text) AS h FROM documents),
+      |dh AS (SELECT h FROM (SELECT h, count(*) AS c FROM h GROUP BY h) WHERE c > 1),
+      |dup AS (SELECT source, count(*) AS dup_docs FROM h JOIN dh USING (h) GROUP BY source),
+      |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
+      |top AS (SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+      |    FROM lc) WHERE rn = 1),
+      |nl AS (SELECT source, count(*) AS n_langs FROM lc GROUP BY source)
+      |SELECT base.source, n_docs, n_words, n_chars,
+      |  round(CAST(n_words AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_words,
+      |  coalesce(dup_docs, 0) AS dup_docs,
+      |  round(CAST(coalesce(dup_docs, 0) AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+      |  n_langs, top_lang
+      |FROM base LEFT JOIN dup USING (source)
+      |JOIN nl USING (source) JOIN top USING (source)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_contamination" -> contamination _,
     "q49_packing" -> packing _,
@@ -514,7 +581,8 @@ object CorpusQueries {
     "q108_boilerplate" -> boilerplateStrip _,
     "q115_source_overlap" -> sourceOverlap _,
     "q144_heaps" -> q144Heaps _,
-    "q145_hapax" -> q145Hapax _)
+    "q145_hapax" -> q145Hapax _,
+    "q165_corpus_card" -> q165CorpusCard _)
 
   val oracles: Map[String, String] = Map(
     "q48_contamination" -> contaminationSql,
@@ -526,5 +594,6 @@ object CorpusQueries {
     "q108_boilerplate" -> boilerplateStripSql,
     "q115_source_overlap" -> sourceOverlapSql,
     "q144_heaps" -> q144Sql,
-    "q145_hapax" -> q145Sql)
+    "q145_hapax" -> q145Sql,
+    "q165_corpus_card" -> q165Sql)
 }

@@ -146,4 +146,35 @@ class CorpusSpec extends SparkSpec {
       assert((hapax == 0L) == (rate == 0.0))
     }
   }
+
+  test("q165 corpus card: planted dups, lang majority, and tie-breaks pin exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      // srcA: 4 docs, one exact-dup PAIR (both members count), langs en/en/de/de
+      (1L, "a b c", "en", "srcA"), (2L, "a b c", "en", "srcA"),
+      (3L, "d e", "de", "srcA"), (4L, "f g h i", "de", "srcA"),
+      // srcB: 2 docs, no dups, lang tie 1-1 → lexicographically first wins
+      (5L, "x y", "fr", "srcB"), (6L, "z w v", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = CorpusQueries.corpusCardOn(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("srcA")
+    // words 3+3+2+4 = 12; chars (with spaces) 5+5+3+7 = 20
+    assert(a.getLong(1) == 4 && a.getLong(2) == 12 && a.getLong(3) == 20,
+      s"srcA volume: $a")
+    assert(a.getLong(5) == 2 && a.getDouble(6) == 0.5,
+      s"srcA dup pair: both members count, rate 2/4: $a")
+    // en and de both appear twice → lang tie-break is lexicographic asc
+    assert(a.getLong(7) == 2 && a.getString(8) == "de", s"srcA langs: $a")
+    val b = got("srcB")
+    assert(b.getLong(5) == 0 && b.getDouble(6) == 0.0, s"srcB no dups: $b")
+    assert(b.getString(8) == "en", s"srcB 1-1 lang tie → 'en' wins: $b")
+    // cross-source: identical text in DIFFERENT sources still counts as
+    // corpus-level dup for both (dedup is corpus-wide, the card is per-source)
+    val got2 = CorpusQueries.corpusCardOn(docs.union(
+      Seq((7L, "a b c", "en", "srcB")).toDF("doc_id", "text", "lang", "source")))
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(got2("srcB") == 1 && got2("srcA") == 2,
+      s"corpus-wide dup detection attributes per source: $got2")
+  }
 }
