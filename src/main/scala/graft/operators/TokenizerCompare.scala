@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Q166: the tokenizer BAKE-OFF — all three trained subword algorithms
+  * (BPE q117/q122, unigram-LM q158/q159, WordPiece q162/q163) trained
+  * on the same corpus and compared on the two numbers that decide
+  * which tokenizer a training pipeline ships:
+  *
+  *  - **fertility** (pieces per word, lower = fewer tokens per word =
+  *    cheaper training/inference for the same text);
+  *  - **chars per piece** (higher = better compression of the byte
+  *    budget into the context window).
+  *
+  * One row per algorithm, aggregated from the SAME per-document encode
+  * relations the individual queries publish — so this query is pure
+  * composition: anything it says is cross-checkable row-for-row
+  * against q122/q159/q163 (the spec does exactly that), and its cost
+  * is theirs plus three bounded-key aggregations.
+  *
+  * Character totals come from the shared corpus scan (spaces excluded
+  * — all three tokenizers segment within words), so chars_per_piece is
+  * comparable across rows by construction. Sums ride longs (exact);
+  * the two ratios are rounded at the very end. Rows-only like its
+  * inputs (three iterative trainers have no SQL form).
+  */
+object TokenizerCompare {
+
+  def q166TokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables(spark, dir, "documents")
+      .select(sum(length(regexp_replace(col("text"), " ", ""))
+        .cast("long")).as("n_chars"))
+      .collect().head.getLong(0)
+    def card(algo: String, enc: DataFrame, words: org.apache.spark.sql.Column,
+        pieces: org.apache.spark.sql.Column): DataFrame =
+      enc.agg(sum(words).as("w"), sum(pieces).as("p"))
+        .select(lit(algo).as("algo"), col("w").as("n_words"),
+          col("p").as("n_pieces"), lit(chars).as("n_chars"),
+          round(col("p").cast("double") / col("w").cast("double"), 6)
+            .as("fertility"),
+          round(lit(chars).cast("double") / col("p").cast("double"), 6)
+            .as("chars_per_piece"))
+    val bpe = card("bpe", BpeQueries.q122BpeEncode(spark, dir),
+      col("n_words"), col("n_tokens"))
+    val uni = card("unigram", UnigramQueries.q159UnigramEncode(spark, dir),
+      col("n_words"), col("n_pieces"))
+    val wp = card("wordpiece", WordPieceQueries.q163WordPieceEncode(spark, dir),
+      col("n_words"), col("n_pieces"))
+    bpe.unionByName(uni).unionByName(wp).orderBy("algo")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_tokenizer_compare" -> q166TokenizerCompare _)
+
+  /** Rows-only: composes three iterative trainers (q117/q158/q162). */
+  val oracles: Map[String, String] = Map.empty
+}

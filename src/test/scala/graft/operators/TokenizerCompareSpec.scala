@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q166 is pure composition over q122/q159/q163 — every number it
+  * reports must re-derive from the individual encode relations, and
+  * the cross-algorithm invariants (shared word/char totals, fertility
+  * ≥ 1, fertility × chars_per_piece = chars/word identically) must
+  * hold because all three rows describe the same corpus.
+  */
+class TokenizerCompareSpec extends SparkSpec {
+
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  test("q166: rows re-derive from the per-tokenizer encodes; invariants hold") {
+    val rows = TokenizerCompare.q166TokenizerCompare(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    graft.core.Caches.releaseAll()
+    assert(rows.keySet == Set("bpe", "unigram", "wordpiece"))
+    // same whitespace-token convention everywhere → identical word and
+    // char totals across the three rows
+    assert(rows.values.map(_._1).toSet.size == 1, s"word totals differ: $rows")
+    assert(rows.values.map(_._3).toSet.size == 1, s"char totals differ: $rows")
+    rows.foreach { case (algo, (w, p, c, fert, cpp)) =>
+      assert(w > 0 && p >= w, s"$algo: every word yields ≥ 1 piece ($w, $p)")
+      assert(p <= c, s"$algo: pieces can never exceed characters ($p, $c)")
+      assert(math.abs(fert - p.toDouble / w) < 1e-6, s"$algo fertility: $fert")
+      assert(math.abs(cpp - c.toDouble / p) < 1e-6, s"$algo cpp: $cpp")
+    }
+    // cross-check against the individual encode queries, summed by hand
+    val bpe = BpeQueries.q122BpeEncode(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // n_words, n_tokens
+    graft.core.Caches.releaseAll()
+    assert(rows("bpe")._1 == bpe.map(_._1).sum && rows("bpe")._2 == bpe.map(_._2).sum,
+      s"bpe row must equal q122's sums: ${rows("bpe")} vs $bpe")
+    val wp = WordPieceQueries.q163WordPieceEncode(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    assert(rows("wordpiece")._1 == wp.map(_._1).sum &&
+      rows("wordpiece")._2 == wp.map(_._2).sum,
+      s"wordpiece row must equal q163's sums")
+  }
+}
