@@ -67,6 +67,38 @@ class WordPieceSpec extends SparkSpec {
     assert(WordPieceQueries.encodeWord("axb", vocab) == ((Seq("[UNK]"), true)))
   }
 
+  test("trainer matches a driver-side reference on a random corpus") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq.fill(60)(
+      Seq.fill(2 + rnd.nextInt(6))(('a' + rnd.nextInt(4)).toChar).mkString)
+    val got = wpMerges(words.mkString(" "))
+    // Reference: same likelihood-scored algorithm, plain Scala.
+    var vocab = words.groupBy(identity).map { case (w, g) =>
+      (WordPieceQueries.initSymbols(w), g.size.toLong)
+    }.toSeq
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+    for (_ <- 1 to WordPieceQueries.Rounds) {
+      val pairCounts = vocab.flatMap { case (toks, n) =>
+        toks.sliding(2).filter(_.size == 2).map(p => ((p.head, p(1)), n))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val unitCounts = vocab.flatMap { case (toks, n) => toks.map(u => (u, n)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      if (pairCounts.nonEmpty) {
+        val best = pairCounts.toSeq.map { case ((a, b), np) =>
+          (a, b, np, np.toDouble / (unitCounts(a).toDouble * unitCounts(b).toDouble))
+        }.minBy { case (a, b, _, sc) => (-sc, a, b) }
+        expect += ((best._1 + " " + best._2, best._3,
+          math.rint(best._4 * 1e9) / 1e9))
+        val m = WordPieceQueries.mergedSymbol(best._1, best._2)
+        vocab = vocab.map { case (toks, n) =>
+          (WordPieceQueries.mergeWith(toks, best._1, best._2, m), n)
+        }
+      }
+    }
+    assert(got.map(t => (t._2, t._3, t._4)) == expect.toSeq,
+      s"\n got=$got\n exp=$expect")
+  }
+
   test("q162/q163 at sf0.001: dense rounds, bounded scores, encode invariants hold") {
     val merges = WordPieceQueries.q162WordPieceMerges(spark, sf0001)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
