@@ -35,13 +35,23 @@ object GraftSession {
     * `SPARK_GRAFT_IPN` overrides both (a cluster deployment sizes this
     * per job, like `spark.sql.shuffle.partitions` itself). */
   def initialPartitionNum(shufflePartitions: Int, dataDir: String = ""): Int =
-    sys.env.get("SPARK_GRAFT_IPN").map(_.toInt).getOrElse {
-      def bytes(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).getOrElse(Array.empty).iterator.map(bytes).sum
-        else f.length()
-      val wide = dataDir.nonEmpty && bytes(new java.io.File(dataDir)) >= WideInputBytes
-      if (wide) 8 * shufflePartitions else shufflePartitions
+    sys.env.get("SPARK_GRAFT_IPN") match {
+      case Some(v) =>
+        v.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+          s"SPARK_GRAFT_IPN must be a positive integer, got '$v'"))
+      case None =>
+        def bytes(f: java.io.File): Long =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).iterator.map(bytes).sum
+          else f.length()
+        // The size probe is a local-FS walk (the harness always hands a
+        // local path). A remote URI (hdfs://, s3a://) can't be sized
+        // cheaply here — and only exists on the large deployments the
+        // wide regime targets — so any non-file scheme goes wide.
+        val remote = dataDir.contains("://") && !dataDir.startsWith("file:")
+        val wide = remote || (dataDir.nonEmpty &&
+          bytes(new java.io.File(dataDir)) >= WideInputBytes)
+        if (wide) 8 * shufflePartitions else shufflePartitions
     }
 
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =

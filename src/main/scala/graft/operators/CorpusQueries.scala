@@ -534,7 +534,7 @@ object CorpusQueries {
     val langCounts = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
     val top = langCounts
       .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(desc("c"), asc("lang"))))
+        .partitionBy("source").orderBy(desc("c"), asc_nulls_last("lang"))))
       .where(col("rn") === 1).select(col("source"), col("lang").as("top_lang"))
     val nLangs = langCounts.groupBy("source").agg(count(lit(1)).as("n_langs"))
     base.join(dup, Seq("source"), "left")
@@ -560,7 +560,7 @@ object CorpusQueries {
       |dup AS (SELECT source, count(*) AS dup_docs FROM h JOIN dh USING (h) GROUP BY source),
       |lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang),
       |top AS (SELECT source, lang AS top_lang FROM (
-      |    SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+      |    SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang NULLS LAST) AS rn
       |    FROM lc) WHERE rn = 1),
       |nl AS (SELECT source, count(*) AS n_langs FROM lc GROUP BY source)
       |SELECT base.source, n_docs, n_words, n_chars,

@@ -34,6 +34,17 @@ def load(path: str) -> dict:
     if "queries" not in d and "tail" in d:
         tail = d["tail"]
         d = json.loads(tail[tail.rindex('{"metric"'):].splitlines()[0])
+    # Rounds ≥11 self-adjudicate: a query flagged >3x the previous round
+    # mid-run is re-run alone after a gc+quiesce and ships BOTH numbers
+    # as a 2-array [suite_median, quiet_rerun]. The quiet re-run is the
+    # value to compare; note how many arrived adjudicated.
+    adjudicated = [k for k, v in d["queries"].items() if isinstance(v, list)]
+    if adjudicated:
+        print(f"note: {path} carries {len(adjudicated)} self-adjudicated "
+              f"entries (suite median replaced by quiet re-run): "
+              f"{', '.join(sorted(adjudicated))}")
+        d["queries"] = {k: (v[-1] if isinstance(v, list) else v)
+                        for k, v in d["queries"].items()}
     if d.get("qunit") == "cs":
         d["queries"] = {k: v / 100.0 for k, v in d["queries"].items()}
     iso_path = re.sub(r"\.json$", "_isolated.json", path)
@@ -59,17 +70,22 @@ def contamination_banner(path: str, d: dict) -> None:
     la, nc = d.get("la"), d.get("nc")
     if not la or not nc or la[0] < 0:
         return
-    if la[0] / 100.0 > 0.5 * nc:
+    # r10 post-mortem: a pre-load of just 3.9 on 32 cores (far below the
+    # original nc/2 threshold) was enough to poison median-of-3 up to
+    # 13x. ANY competing process (pre-load > 1.0) now flags the round;
+    # rounds ≥11 also self-adjudicate in-run (see load()).
+    if la[0] / 100.0 > 1.0:
         print(f"*** CONTAMINATED: {path} started at load "
               f"{la[0] / 100.0:.1f} on {nc} cores (ended {la[1] / 100.0:.1f}) "
-              f"— timings unreliable, re-run isolated before acting ***")
+              f"— timings unreliable; prefer the [_,quiet] adjudicated "
+              f"values or re-run isolated before acting ***")
 
 
 # Round ≥9 fixed short codes for the non-query bench entries
 # (xss/xcp added in round 10).
 X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xss": "x_sigstore_lsh", "xcp": "x_containment_probe",
-           "xprt": "x_pagerank_tol"}
+           "xmp": "x_media_probe", "xprt": "x_pagerank_tol"}
 
 
 def norm(k: str) -> str:
