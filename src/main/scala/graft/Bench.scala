@@ -238,12 +238,12 @@ object Bench {
             .map { case (id, t) => (id, graft.multimodal.MediaDedup.renderImage(t)) }
             .toDF("media_id", "content"))
       }
-      hashed(docs.where(pmod(col("media_id"), lit(5)) =!= 0))
-        .write.mode("overwrite").parquet(dirM)
+      graft.sources.MediaHashStore.build(
+        hashed(docs.where(pmod(col("media_id"), lit(5)) =!= 0)), dirM)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
-        val idx = spark.read.parquet(dirM)
+        val idx = graft.sources.MediaHashStore.open(spark, dirM)
         graft.multimodal.MediaDedup.nearDupProbe(
           hashed(docs.where(pmod(col("media_id"), lit(5)) === 0)), idx,
           graft.operators.MediaQueries.MaxHamming).count()
@@ -254,6 +254,33 @@ object Bench {
       times.sorted.apply((times.size - 1) / 2)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] image-dedup probe failed: ${e.getMessage}")
+      -1.0
+    }
+    // Tokenizer store reuse (train-once/serve-many): build the
+    // TokenizerStore ONCE (untimed — train-weekly economics), then time
+    // the q166 bake-off WITH the store configured. The timed run pays
+    // the digest freshness scans + artifact reads + the four encode
+    // passes — what a store-riding daily encode actually costs. The
+    // delta vs the q166 entry (same query, inline training) is the
+    // materialization payoff.
+    val tokReuse = if (only.nonEmpty) 0.0 else try {
+      val d = graft.core.Tables(spark, sfDir, "documents")
+      val dirT = s"$scratch/tokstore"
+      graft.sources.TokenizerStore.build(d, dirT)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.TokenizerStore.DirKey, dirT)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.TokenizerCompare.q166TokenizerCompare(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.TokenizerStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] tokenizer-store reuse failed: ${e.getMessage}")
       -1.0
     }
     // Tolerance-driven PageRank (the production loop behind q107's
@@ -388,6 +415,7 @@ object Bench {
         s""""xss":${cs(storeReuse)}""",       // x_sigstore_lsh (q40 with the store)
         s""""xcp":${cs(containProbe)}""",     // x_containment_probe
         s""""xmp":${cs(mediaProbe)}""",       // x_media_probe (image dhash)
+        s""""xts":${cs(tokReuse)}""",         // x_tokstore_bakeoff (q166 via store)
         s""""xprt":${cs(prTol)}"""))          // x_pagerank_tol
       .mkString("{", ",", "}")
     // Headline total prefers the adjudicated (quiet re-run) value where

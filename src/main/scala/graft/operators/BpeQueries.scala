@@ -57,7 +57,16 @@ object BpeQueries {
   def q117BpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOn(Tables(spark, dir, "documents"))
 
-  private[graft] def bpeMergesOn(docRel: DataFrame): DataFrame = {
+  private[graft] def bpeMergesOn(docRel: DataFrame): DataFrame =
+    trainMerges(docRel, Rounds, w => w.map(_.toString))
+
+  /** The trainer loop, parameterized on the initial symbolization (and
+    * round count) — characters for q117, UTF-8 bytes for q167. The
+    * dataflow is identical: the corpus collapses once to distinct
+    * (word, count) rows, and every round is one map-side-combined pair
+    * count + a 1-row driver argmax + a narrow merge map. */
+  private def trainMerges(docRel: DataFrame, rounds: Int,
+      init: String => Seq[String]): DataFrame = {
     val spark = docRel.sparkSession
     import spark.implicits._
     var vocab: Dataset[WordTokens] = Caches.persistTrackedDs(docRel
@@ -65,11 +74,11 @@ object BpeQueries {
       .where(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => WordTokens(w, n, w.map(_.toString)) })
+      .map { case (w, n) => WordTokens(w, n, init(w)) })
     val merges = mutable.ArrayBuffer.empty[(Int, String, Long)]
     var round = 1
     var exhausted = false
-    while (round <= Rounds && !exhausted) {
+    while (round <= rounds && !exhausted) {
       // Pair counts weighted by word frequency; overlapping positions
       // count (standard BPE: "aaa" contributes (a,a) twice).
       val best = vocab.flatMap(wt =>
@@ -126,8 +135,12 @@ object BpeQueries {
   private[graft] def bpeEncodeOn(docRel: DataFrame): DataFrame = {
     val spark = docRel.sparkSession
     import spark.implicits._
-    val merges = bpeMergesOn(docRel).orderBy("round")
-      .select("pair").as[String].collect().toSeq
+    // Train-once/serve-many: a fresh TokenizerStore supplies the merge
+    // table (k driver rows) without re-running the trainer; fallback is
+    // the inline train, so a stale store costs time, never correctness.
+    val merges = graft.sources.TokenizerStore.openBpeMerges(docRel).getOrElse(
+      bpeMergesOn(docRel).orderBy("round")
+        .select("pair").as[String].collect().toSeq)
     val words = Caches.persistTracked(docRel
       .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("word"))
       .where(length(col("word")) > 0))
@@ -157,11 +170,87 @@ object BpeQueries {
     out.toList
   }
 
+  // ---- Byte-level BPE (q167): GPT-2-style byte fallback ----------------
+
+  /** Byte-level merge rounds. More than the char trainer's [[Rounds]]:
+    * byte pieces start two-to-four× smaller than characters (UTF-8),
+    * so the same number of merges buys less compression; 16 keeps the
+    * trainer bounded while producing multi-byte pieces that actually
+    * span CJK/emoji codepoint boundaries (the property the tier is
+    * for). Part of the query contract like [[Rounds]]. */
+  val ByteRounds = 16
+
+  /** A word's UTF-8 bytes as two-hex-digit symbols ("é" →
+    * ["c3","a9"]) — the byte alphabet is CLOSED (256 symbols), so
+    * every string is encodable and nothing can be `[UNK]` (the gap
+    * BERT-faithful WordPiece q163 makes visible). Hex strings rather
+    * than GPT-2's printable-unicode remap: the remap exists so a
+    * byte-level vocab survives a TEXT file round-trip, which a parquet
+    * merge table doesn't need — and hex keeps the pair table ASCII and
+    * deterministic to sort. */
+  private[graft] def byteSymbols(word: String): Seq[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").toSeq
+
+  /** Inverse of [[byteSymbols]] ∘ merges: concatenated hex pieces back
+    * to the string — the round-trip ByteBpeSpec pins on CJK/emoji. */
+  private[graft] def decodeByteTokens(toks: Seq[String]): String = {
+    val hex = toks.mkString
+    val bytes = hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Q167: the learned byte-level merge table (round, pair, n) — the
+    * same trainer loop as q117 over UTF-8 byte symbols. A merge's
+    * product may end mid-codepoint (bytes, not chars, are the unit —
+    * that is what makes the alphabet closed); the ENCODER's output
+    * still always decodes, because the pieces partition the exact byte
+    * sequence of the word. */
+  def q167ByteBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    byteBpeMergesOn(Tables(spark, dir, "documents"))
+
+  private[graft] def byteBpeMergesOn(docRel: DataFrame): DataFrame =
+    trainMerges(docRel, ByteRounds, byteSymbols)
+
+  /** Byte-level encode of the corpus (the q122 shape over byte
+    * symbols): per doc, word count, byte-piece count under the learned
+    * merges, and raw UTF-8 byte count — q166's bake-off consumes this
+    * so the byte tokenizer competes on the same fertility /
+    * compression axes as the three char-level ones. */
+  private[graft] def byteBpeEncodeOn(docRel: DataFrame): DataFrame = {
+    val spark = docRel.sparkSession
+    import spark.implicits._
+    val merges = graft.sources.TokenizerStore.openByteBpeMerges(docRel).getOrElse(
+      byteBpeMergesOn(docRel).orderBy("round")
+        .select("pair").as[String].collect().toSeq)
+    val words = Caches.persistTracked(docRel
+      .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0))
+    val encoded = words.select("word").distinct().as[String]
+      .map { w =>
+        val toks = merges.foldLeft(byteSymbols(w)) { (ts, m) =>
+          val Array(a, b) = m.split(" ", 2)
+          mergeTokens(ts, a, b)
+        }
+        (w, toks.length.toLong, byteSymbols(w).length.toLong)
+      }
+      .toDF("word", "n_sub", "n_bytes")
+    words.join(encoded, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sub").as("n_tokens"),
+        sum("n_bytes").as("n_bytes"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"), col("n_bytes"),
+        round(col("n_bytes").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("bytes_per_token"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_bpe_merges" -> q117BpeMerges _,
-    "q122_bpe_encode" -> q122BpeEncode _)
+    "q122_bpe_encode" -> q122BpeEncode _,
+    "q167_bytebpe_merges" -> q167ByteBpeMerges _)
 
-  /** No oracle for either: iterative argmax selection has no tractable
+  /** No oracle for any: iterative argmax selection has no tractable
     * single-SQL formulation (and the string-replace approximation is
     * wrong on repeated pairs) — rows-only driver checks, spec-pinned. */
   val oracles: Map[String, String] = Map.empty

@@ -258,7 +258,7 @@ object SubstringDedup {
   /** (doc_id, fp): the winnowed char-gram fingerprints — the relation a
     * daily pipeline PERSISTS as its substring-dedup index (1/FpW the
     * density of the corpus's positions, 8-byte values). */
-  private[operators] def charWinnowOf(docRel: DataFrame): DataFrame =
+  private[graft] def charWinnowOf(docRel: DataFrame): DataFrame =
     docRel
       .filter(length(col("text")) >= K)
       .select(col("doc_id"), expr(
@@ -321,10 +321,15 @@ object SubstringDedup {
     val d = docs(spark, dir)
     val fresh = d.filter(col("doc_id") % 2 === 1)
     val hist = d.filter(col("doc_id") % 2 === 0)
-    substringProbeOn(fresh, hist, charWinnowOf(hist))
+    // A configured-and-fresh WinnowStore supplies the history index
+    // without re-winnowing (the maintained daily path); fallback is the
+    // direct winnow, so a stale store costs time, never a wrong span.
+    val idx = graft.sources.WinnowStore.openFresh(hist)
+      .getOrElse(charWinnowOf(hist))
+    substringProbeOn(fresh, hist, idx)
   }
 
-  private[operators] def substringProbeOn(fresh: DataFrame, hist: DataFrame,
+  private[graft] def substringProbeOn(fresh: DataFrame, hist: DataFrame,
       histFpIndex: DataFrame): DataFrame = {
     val freshFps = Caches.persistTracked(charWinnowOf(fresh))
     // history docs the index matched — the only history text ever read

@@ -45,11 +45,16 @@ object TokenizerCompare {
             .as("chars_per_piece"))
     val bpe = card("bpe", BpeQueries.q122BpeEncode(spark, dir),
       col("n_words"), col("n_tokens"))
+    // Byte-level BPE (q167) competes on the same axes — its pieces are
+    // byte spans, so chars_per_piece < 1 is possible on multi-byte text
+    // and the column stays honest (chars is the shared numerator).
+    val bb = card("bytebpe", BpeQueries.byteBpeEncodeOn(
+      Tables(spark, dir, "documents")), col("n_words"), col("n_tokens"))
     val uni = card("unigram", UnigramQueries.q159UnigramEncode(spark, dir),
       col("n_words"), col("n_pieces"))
     val wp = card("wordpiece", WordPieceQueries.q163WordPieceEncode(spark, dir),
       col("n_words"), col("n_pieces"))
-    bpe.unionByName(uni).unionByName(wp).orderBy("algo")
+    bpe.unionByName(bb).unionByName(uni).unionByName(wp).orderBy("algo")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

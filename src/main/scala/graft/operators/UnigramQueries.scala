@@ -160,10 +160,16 @@ object UnigramQueries {
     (vocab.iterator.filter(_._1.length == 1) ++ keepMulti).toMap
   }
 
-  /** Q158: the trained unigram vocabulary — (rank, piece, n_used),
-    * rank by (usage desc, piece asc) like every trainer artifact. */
-  def q158UnigramVocab(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = trainVocab(Tables(spark, dir, "documents"))
+  /** Train-once/serve-many: a fresh [[graft.sources.TokenizerStore]]
+    * supplies the vocabulary without re-running EM; fallback is the
+    * inline train (stale store costs time, never correctness). */
+  private[graft] def vocabFor(docRel: DataFrame): Map[String, Long] =
+    graft.sources.TokenizerStore.openUnigramVocab(docRel)
+      .getOrElse(trainVocab(docRel))
+
+  /** The shipped artifact as a relation: (rank, piece, n_used), rank
+    * by (usage desc, piece asc) like every trainer artifact. */
+  private[graft] def vocabToDf(spark: SparkSession, vocab: Map[String, Long]): DataFrame = {
     import spark.implicits._
     vocab.toSeq.sortBy { case (p, c) => (-c, p) }
       .zipWithIndex
@@ -171,13 +177,17 @@ object UnigramQueries {
       .toDF("rank", "piece", "n_used")
   }
 
+  /** Q158: the trained unigram vocabulary. */
+  def q158UnigramVocab(spark: SparkSession, dir: String): DataFrame =
+    vocabToDf(spark, vocabFor(Tables(spark, dir, "documents")))
+
   /** Q159: encode the corpus with the trained vocabulary — per doc,
     * the Viterbi piece count next to the whitespace and character
     * counts the budget planners use (q24's estimate, made exact).
     * Same batch-train/serve shape as q122's BPE encode. */
   def q159UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
     val docRel = Tables(spark, dir, "documents")
-    val vocab = trainVocab(docRel)
+    val vocab = vocabFor(docRel)
     val total = math.max(1L, vocab.valuesIterator.sum)
     val logp = vocab.map { case (p, c) => p -> math.log(c.toDouble / total) }
     val spark2 = docRel.sparkSession
@@ -273,7 +283,7 @@ object UnigramQueries {
     * sampled piece count next to the Viterbi count. */
   def q160UnigramSample(spark: SparkSession, dir: String): DataFrame = {
     val docRel = Tables(spark, dir, "documents")
-    val vocab = trainVocab(docRel)
+    val vocab = vocabFor(docRel)
     val total = math.max(1L, vocab.valuesIterator.sum)
     val logp = vocab.map { case (p, c) => p -> math.log(c.toDouble / total) }
     val spark2 = docRel.sparkSession

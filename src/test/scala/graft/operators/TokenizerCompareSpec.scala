@@ -2,7 +2,8 @@ package graft.operators
 
 import graft.SparkSpec
 
-/** q166 is pure composition over q122/q159/q163 — every number it
+/** q166 is pure composition over q122/q159/q163 (+ the q167 byte-level
+  * encode) — every number it
   * reports must re-derive from the individual encode relations, and
   * the cross-algorithm invariants (shared word/char totals, fertility
   * ≥ 1, fertility × chars_per_piece = chars/word identically) must
@@ -18,14 +19,19 @@ class TokenizerCompareSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
       .toMap
     graft.core.Caches.releaseAll()
-    assert(rows.keySet == Set("bpe", "unigram", "wordpiece"))
+    assert(rows.keySet == Set("bpe", "bytebpe", "unigram", "wordpiece"))
     // same whitespace-token convention everywhere → identical word and
-    // char totals across the three rows
+    // char totals across the four rows
     assert(rows.values.map(_._1).toSet.size == 1, s"word totals differ: $rows")
     assert(rows.values.map(_._3).toSet.size == 1, s"char totals differ: $rows")
     rows.foreach { case (algo, (w, p, c, fert, cpp)) =>
       assert(w > 0 && p >= w, s"$algo: every word yields ≥ 1 piece ($w, $p)")
-      assert(p <= c, s"$algo: pieces can never exceed characters ($p, $c)")
+      // byte-level pieces are byte spans: on multi-byte text they CAN
+      // outnumber characters (chars is the shared numerator, so its
+      // chars_per_piece < 1 is honest, not a bug) — the ≤ chars bound
+      // only holds for the three char-level tokenizers.
+      if (algo != "bytebpe")
+        assert(p <= c, s"$algo: pieces can never exceed characters ($p, $c)")
       assert(math.abs(fert - p.toDouble / w) < 1e-6, s"$algo fertility: $fert")
       assert(math.abs(cpp - c.toDouble / p) < 1e-6, s"$algo cpp: $cpp")
     }
@@ -41,5 +47,11 @@ class TokenizerCompareSpec extends SparkSpec {
     assert(rows("wordpiece")._1 == wp.map(_._1).sum &&
       rows("wordpiece")._2 == wp.map(_._2).sum,
       s"wordpiece row must equal q163's sums")
+    val bb = BpeQueries.byteBpeEncodeOn(graft.core.Tables(spark, sf0001, "documents"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    assert(rows("bytebpe")._1 == bb.map(_._1).sum &&
+      rows("bytebpe")._2 == bb.map(_._2).sum,
+      s"bytebpe row must equal the byte-encode sums")
   }
 }

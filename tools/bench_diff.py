@@ -85,7 +85,8 @@ def contamination_banner(path: str, d: dict) -> None:
 # (xss/xcp added in round 10).
 X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xss": "x_sigstore_lsh", "xcp": "x_containment_probe",
-           "xmp": "x_media_probe", "xprt": "x_pagerank_tol"}
+           "xmp": "x_media_probe", "xts": "x_tokstore_bakeoff",
+           "xprt": "x_pagerank_tol"}
 
 
 def norm(k: str) -> str:
