@@ -102,6 +102,12 @@ object Bench {
       // plausible-looking timing would corrupt baseline comparisons.
       if (ok) dt else -dt
     }
+    // Extras participate in the ONLY filter under their short codes
+    // (xt/xip/xss/xcp/xmp/xts/xprt), so a scale-point run can time the
+    // incremental probes without paying the whole 167-query suite:
+    // SPARK_GRAFT_ONLY=q148,xss,xcp runs two queries and two probes.
+    // No ONLY (the official round run) still runs everything.
+    def extraOn(code: String): Boolean = only.forall(_.exists(code.contains))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, fn) =>
@@ -117,7 +123,7 @@ object Bench {
     // Transform-class benchmark vs BASELINE.md "3M rows < 3 min": the
     // reference enrichment (epoch normalization + partition keys) over a
     // 3M-row batch, written as hive-partitioned snappy parquet.
-    val ingest = if (only.nonEmpty) (0L, 0.0) else try {
+    val ingest = if (!extraOn("xt")) (0L, 0.0) else try {
       import org.apache.spark.sql.functions._
       val ev = graft.core.Tables(spark, sfDir, "events")
       val n = ev.count()
@@ -147,7 +153,7 @@ object Bench {
     // only what a day actually runs: read the stored index, shingle and
     // sign the fresh batch, band-join, exact-verify the candidates.
     // Median-of-`repeats` like every query entry.
-    val probe = if (only.nonEmpty) 0.0 else try {
+    val probe = if (!extraOn("xip")) 0.0 else try {
       import org.apache.spark.sql.functions._
       val d = graft.core.Tables(spark, sfDir, "documents")
       val idxPath = s"$scratch/bandidx"
@@ -176,7 +182,7 @@ object Bench {
     // The timed run includes the digest freshness scan — that is what
     // a store-riding query actually pays. The delta vs the q40 entry
     // (the same query, no store) is the materialization payoff.
-    val storeReuse = if (only.nonEmpty) 0.0 else try {
+    val storeReuse = if (!extraOn("xss")) 0.0 else try {
       val d = graft.core.Tables(spark, sfDir, "documents")
       val dirS = s"$scratch/sigstore"
       graft.sources.SignatureStore.build(d, dirS)
@@ -200,7 +206,7 @@ object Bench {
     // slice once (untimed), then time a day's work — shingle+sign the
     // fresh 20%, r=1 band-join against the STORED signatures, exact
     // containment verification of the candidate sliver.
-    val containProbe = if (only.nonEmpty) 0.0 else try {
+    val containProbe = if (!extraOn("xcp")) 0.0 else try {
       import org.apache.spark.sql.functions._
       val d = graft.core.Tables(spark, sfDir, "documents")
       val dirC = s"$scratch/containidx"
@@ -225,7 +231,7 @@ object Bench {
     // per-day maintenance is an append), then time a day's work:
     // render+hash the fresh 20%, multi-index band-join against the
     // STORED hashes, exact Hamming verification.
-    val mediaProbe = if (only.nonEmpty) 0.0 else try {
+    val mediaProbe = if (!extraOn("xmp")) 0.0 else try {
       import org.apache.spark.sql.functions._
       val docs = graft.core.Tables(spark, sfDir, "documents")
         .filter(length(col("text")) >= 50)
@@ -263,7 +269,7 @@ object Bench {
     // passes — what a store-riding daily encode actually costs. The
     // delta vs the q166 entry (same query, inline training) is the
     // materialization payoff.
-    val tokReuse = if (only.nonEmpty) 0.0 else try {
+    val tokReuse = if (!extraOn("xts")) 0.0 else try {
       val d = graft.core.Tables(spark, sfDir, "documents")
       val dirT = s"$scratch/tokstore"
       graft.sources.TokenizerStore.build(d, dirT)
@@ -291,7 +297,7 @@ object Bench {
     // shot, not median-of-repeats: the ~50-round loop already averages
     // per-round noise internally (measured 51.9 s at sf0.1), and two
     // more repeats would add ~100 s of wall for no extra signal.
-    val prTol = if (only.nonEmpty) 0.0 else try {
+    val prTol = if (!extraOn("xprt")) 0.0 else try {
       import org.apache.spark.sql.functions.col
       val t0 = System.nanoTime()
       val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")

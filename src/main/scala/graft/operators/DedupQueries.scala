@@ -299,7 +299,10 @@ object DedupQueries {
     * shingles feed a recomputed oracle-portable signature pipeline. */
   def q148StoreLsh(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q148_store_${new java.io.File(dir).getName}"
+    // PID-suffixed like the bench scratch root: two concurrent harness
+    // JVMs on one machine must not overwrite each other's store mid-read.
+    val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q148_store_" +
+      s"${new java.io.File(dir).getName}_${ProcessHandle.current.pid}"
     graft.sources.SignatureStore.build(d, storeDir)
     Caches.releaseAll() // free build's internal shingle pins before the read path runs
     spark.conf.set(graft.sources.SignatureStore.DirKey, storeDir)

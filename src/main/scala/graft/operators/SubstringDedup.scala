@@ -288,20 +288,19 @@ object SubstringDedup {
   def q151SubstringFast(spark: SparkSession, dir: String): DataFrame =
     substringSpansFastOn(docs(spark, dir))
 
-  private[operators] def substringSpansFastOn(docRel: DataFrame): DataFrame = {
-    // Like [[gramsOf]], the hashed gram relation is corpus-proportional
-    // and must NOT be persisted — recompute the narrow explode per
-    // consumer (see the memory-thrash note there).
-    val cand = candidatesOnly(docRel)
-    val grams = cand
+  /** [[gramsOf]] on 8-byte xxhash64 keys — like the raw variant, NEVER
+    * persisted (corpus-proportional; see the memory-thrash note). */
+  private def hashedGramsOf(docRel: DataFrame): DataFrame =
+    docRel
       .filter(length(col("text")) >= K)
       .select(col("doc_id"),
         explode(sequence(lit(1), length(col("text")) - (K - 1))).as("p"),
         col("text"))
       .select(col("doc_id"), col("p"),
         expr(s"xxhash64(substr(text, p, $K))").as("g"))
-    spansFromGrams(grams)
-  }
+
+  private[operators] def substringSpansFastOn(docRel: DataFrame): DataFrame =
+    spansFromGrams(hashedGramsOf(candidatesOnly(docRel)))
 
   // --------------------------------------- q152 incremental daily probe
   /** Q152: the daily shape — duplicated spans in a FRESH batch against
@@ -330,7 +329,7 @@ object SubstringDedup {
   }
 
   private[graft] def substringProbeOn(fresh: DataFrame, hist: DataFrame,
-      histFpIndex: DataFrame): DataFrame = {
+      histFpIndex: DataFrame, hashedKeys: Boolean = false): DataFrame = {
     val freshFps = Caches.persistTracked(charWinnowOf(fresh))
     // history docs the index matched — the only history text ever read
     val histMatch = Caches.persistTracked(
@@ -345,7 +344,7 @@ object SubstringDedup {
     val subset = fresh.join(freshCand, Seq("doc_id"), "left_semi")
       .unionByName(hist.join(histMatch.select("doc_id").distinct(),
         Seq("doc_id"), "left_semi"))
-    spansFromGrams(gramsOf(subset))
+    spansFromGrams(if (hashedKeys) hashedGramsOf(subset) else gramsOf(subset))
       .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
@@ -357,11 +356,31 @@ object SubstringDedup {
   val substringProbeSql: String =
     s"SELECT * FROM (\n$substringSpansSql\n) WHERE doc_id % 2 = 1"
 
+  /** Q168: q152's probe as it runs at 100 TB — identical candidate
+    * selection and span semantics, but the probe-subset gram pipeline
+    * keys on `xxhash64(gram)` (8 bytes) instead of the raw K-char
+    * string. Exactly the q149→q151 move applied to the incremental
+    * face, and the sf10 scale point is what forced it: the raw-key
+    * parity arm measured 209.8 s at sf10 where the full-corpus hashed
+    * recompute (q151) took 138.6 s — the probe's advantage was being
+    * eaten entirely by 40-char shuffle keys. Rows-only like q151
+    * (64-bit collisions put it outside the oracle's exactness
+    * contract); SubstringDedupSpec pins span-set parity with q152. */
+  def q168SubstringProbeFast(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val fresh = d.filter(col("doc_id") % 2 === 1)
+    val hist = d.filter(col("doc_id") % 2 === 0)
+    val idx = graft.sources.WinnowStore.openFresh(hist)
+      .getOrElse(charWinnowOf(hist))
+    substringProbeOn(fresh, hist, idx, hashedKeys = true)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_substring_spans" -> q149SubstringSpans _,
     "q150_substring_scrub" -> q150SubstringScrub _,
     "q151_substring_fast" -> q151SubstringFast _,
-    "q152_substring_probe" -> q152SubstringProbe _)
+    "q152_substring_probe" -> q152SubstringProbe _,
+    "q168_substring_probe_fast" -> q168SubstringProbeFast _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,

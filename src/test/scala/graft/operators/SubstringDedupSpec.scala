@@ -115,6 +115,16 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q168 hashed-key probe returns exactly q152's spans (fixture + sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val fast = SubstringDedup.q168SubstringProbeFast(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = SubstringDedup.q152SubstringProbe(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == exact, s"hashed/raw probe divergence at $dir")
+    }
+  }
+
   test("the probe fetches only index-matched history docs") {
     import spark.implicits._
     // history: doc 10 shares the passage with fresh doc 1; docs 12/14
