@@ -32,10 +32,13 @@ import graft.functions.TextExprs
   *    scan over the token array ([[mergeTokens]]) — correct on
   *    repeated-pair runs ("aaa" + merge a·a → [aa, a]) where the
   *    string-replace shortcut silently corrupts adjacent matches.
-  *  - Each round's vocab persists (tracked) so the next round's count
-  *    doesn't recompute the whole merge chain; lineage stays k deep
-  *    for k rounds (tolerance-style longer runs would add GraphOps'
-  *    `localCheckpoint` cut, nothing else).
+  *  - Each round's vocab is `localCheckpoint`ed (tracked): the cut
+  *    both caches the round's rows AND truncates the typed-map plan
+  *    chain — measured necessary, not hygiene: with persist alone the
+  *    per-round planning cost DOUBLED past ~11 rounds (the 16-round
+  *    byte trainer hit 16.7 s on round 16 at sf0.001, flat in data),
+  *    with the cut every round is flat. GraphOps' iteration loops use
+  *    the same move.
   *
   * The merge selection (iterative argmax) has no tractable single-SQL
   * formulation, so q117 is a rows-only driver check like q40/q55/q76;
@@ -93,7 +96,16 @@ object BpeQueries {
         val pair = best.head.getString(0)
         merges += ((round, pair, best.head.getLong(1)))
         val Array(a, b) = pair.split(" ", 2)
-        vocab = Caches.persistTrackedDs(
+        // localCheckpoint, NOT persist: each round must CUT the typed
+        // map chain, not just cache it. With persist the logical plan
+        // kept every prior round's map/serde nodes and per-round cost
+        // doubled from ~round 11 (measured on the 16-round byte
+        // trainer: 0.4 s/round → 16.7 s at round 16, 43 s total at
+        // sf0.001 — pure planning/canonicalization, flat in data).
+        // The checkpoint pins the same bytes the persist did (tracked
+        // for release the same way) and rounds stay flat: 16 rounds
+        // ≈ 6 s. Same move as GraphOps' iteration loops.
+        vocab = Caches.localCheckpointTracked(
           vocab.map(wt => wt.copy(toks = mergeTokens(wt.toks, a, b))))
         round += 1
       }

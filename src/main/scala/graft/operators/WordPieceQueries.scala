@@ -120,7 +120,9 @@ object WordPieceQueries {
         val (a, b) = (best.head.getString(0), best.head.getString(1))
         merges += ((roundNo, a + " " + b, best.head.getLong(2), best.head.getDouble(3)))
         val m = mergedSymbol(a, b)
-        vocab = Caches.persistTrackedDs(
+        // Lineage cut per round, not persist — see BpeQueries.trainMerges:
+        // the typed map chain's planning cost doubles past ~11 rounds.
+        vocab = Caches.localCheckpointTracked(
           vocab.map(wt => wt.copy(toks = mergeWith(wt.toks, a, b, m))))
         roundNo += 1
       }
