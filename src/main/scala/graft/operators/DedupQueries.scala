@@ -303,6 +303,10 @@ object DedupQueries {
     // JVMs on one machine must not overwrite each other's store mid-read.
     val storeDir = s"${System.getProperty("java.io.tmpdir")}/graft_q148_store_" +
       s"${new java.io.File(dir).getName}_${ProcessHandle.current.pid}"
+    // Reclaimed at JVM exit, not in a finally: the returned plan reads
+    // the store's parquet lazily, so the files must outlive this method
+    // (see TempCleanup's scaladoc for the full lifetime argument).
+    graft.core.TempCleanup.registerForExit(storeDir)
     graft.sources.SignatureStore.build(d, storeDir)
     Caches.releaseAll() // free build's internal shingle pins before the read path runs
     spark.conf.set(graft.sources.SignatureStore.DirKey, storeDir)

@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object MediaHashStore {
 
+  /** Session conf: skip [[open]]'s digest verification and trust the
+    * store — the same deployment lever its siblings expose
+    * ([[WinnowStore.TrustKey]]/[[TokenizerStore.TrustKey]]). The
+    * verification is data-proportional (one scan of the full index per
+    * open), which an audit wants and a daily probe with external
+    * integrity guarantees does not. Default false: verify. */
+  val TrustKey = "spark.graft.mediastore.trust"
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -50,8 +58,15 @@ object MediaHashStore {
     hashedBatch.select("media_id", "dhash").withColumn("day", lit(day))
       .write.mode(mode).partitionBy("day").parquet(s"$dir/hashes")
     // Meta lands LAST — the commit point; a torn day isn't covered by
-    // the digest, so a replay's retire-then-rewrite converges.
-    val (n, dg) = digestOf(hashedBatch)
+    // the digest, so a replay's retire-then-rewrite converges. The
+    // digest is computed from the JUST-WRITTEN partition, not from
+    // `hashedBatch` again: a non-deterministic batch plan (sampled,
+    // raced, or re-decoded input) evaluated twice could persist a meta
+    // digest that never matches the stored rows, turning the store
+    // permanently "torn" with no recovery besides a rebuild. Reading
+    // back what parquet holds makes the digest provably cover the
+    // stored bytes.
+    val (n, dg) = digestOf(spark.read.parquet(s"$dir/hashes/day=$day"))
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_media", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
   }
@@ -86,18 +101,31 @@ object MediaHashStore {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** The stored index across all live days, verified self-consistent:
-    * the partitions' digest must equal the meta's composed digest —
-    * a torn write or external tampering surfaces here instead of as
-    * silently missing candidates. */
+  /** The stored index across all live days, verified self-consistent
+    * unless [[TrustKey]] is set: the partitions' digest must equal the
+    * meta's composed digest — a torn write or external tampering
+    * surfaces here instead of as silently missing candidates. The
+    * verify face is the audit path; trusted deployments (external
+    * checksums, immutable object store) skip the full-index scan.
+    *
+    * Retiring the LAST live day is a legal state (a total takedown):
+    * the meta then sums to zero media and the index is served as an
+    * empty (media_id, dhash) relation — not as Spark's
+    * unable-to-infer-schema error on the empty `hashes/` dir. */
   def open(spark: SparkSession, dir: String): DataFrame = {
-    val idx = spark.read.parquet(s"$dir/hashes").select("media_id", "dhash")
     val m = spark.read.parquet(s"$dir/meta")
       .agg(coalesce(sum("n_media"), lit(0L)),
         coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
     val stored = (m.getLong(0), m.getLong(1))
-    require(digestOf(idx) == stored,
-      s"media hash store $dir is torn: partition digest != meta digest $stored")
+    if (stored._1 == 0L) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long)].toDF("media_id", "dhash")
+    }
+    val idx = spark.read.parquet(s"$dir/hashes").select("media_id", "dhash")
+    val trusted = spark.conf.get(TrustKey, "false").toBoolean
+    if (!trusted)
+      require(digestOf(idx) == stored,
+        s"media hash store $dir is torn: partition digest != meta digest $stored")
     idx
   }
 }

@@ -47,15 +47,26 @@ object WinnowStore {
 
   private def writeDay(spark: SparkSession, dir: String, day: Int,
       docBatch: DataFrame, mode: String): Unit = {
-    graft.operators.SubstringDedup.charWinnowOf(docBatch)
-      .withColumn("day", lit(day))
-      .write.mode(mode).partitionBy("day").parquet(s"$dir/fps")
-    // Meta lands LAST — the commit point (same crash story as
-    // SignatureStore.writeDay: a torn day isn't covered by the digest,
-    // so openFresh reports stale and a replay converges).
-    val (n, dg) = SignatureStore.digestOf(docBatch)
-    spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_docs", "digest")
-      .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
+    // The batch is evaluated twice (the fps write, then the digest).
+    // Pin it across both so a non-deterministic batch plan (a sampled
+    // or raced source) cannot persist a digest that doesn't cover the
+    // rows the fps were winnowed from — that state is permanently
+    // "stale" with no recovery besides a rebuild. Unlike
+    // MediaHashStore the digest can't be recomputed from the written
+    // partition (it covers the SOURCE text, which openFresh re-digests
+    // from the offered history; the fps are a lossy derivation).
+    val pinned = docBatch.persist()
+    try {
+      graft.operators.SubstringDedup.charWinnowOf(pinned)
+        .withColumn("day", lit(day))
+        .write.mode(mode).partitionBy("day").parquet(s"$dir/fps")
+      // Meta lands LAST — the commit point (same crash story as
+      // SignatureStore.writeDay: a torn day isn't covered by the digest,
+      // so openFresh reports stale and a replay converges).
+      val (n, dg) = SignatureStore.digestOf(pinned)
+      spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_docs", "digest")
+        .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
+    } finally pinned.unpersist(blocking = false): Unit
   }
 
   /** Build a fresh store at `dir` from the full history (replacing any
@@ -97,13 +108,25 @@ object WinnowStore {
     val dir = spark.conf.get(DirKey, "")
     if (dir.isEmpty) return None
     try {
+      // coalesce: retiring the LAST live day leaves a zero-row meta,
+      // where a bare sum/bit_xor returns null and getLong NPEs — which
+      // used to surface as "unreadable (null)" instead of the legal
+      // empty-store state.
       val m = spark.read.parquet(s"$dir/meta")
-        .agg(sum("n_docs"), call_function("bit_xor", col("digest"))).head()
+        .agg(coalesce(sum("n_docs"), lit(0L)),
+          coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
       val stored = (m.getLong(0), m.getLong(1))
       val trusted = spark.conf.get(TrustKey, "false").toBoolean
       if (!trusted && SignatureStore.digestOf(histRel) != stored) {
         System.err.println(s"[winnowstore] $dir is stale for this history — re-winnowing directly")
         None
+      } else if (stored._1 == 0L) {
+        // zero live days AND the offered history digests empty (or the
+        // caller trusts the store): the index is legitimately empty —
+        // an empty `fps/` dir has no schema to infer, so serve the
+        // typed empty relation directly.
+        import spark.implicits._
+        Some(Seq.empty[(Long, Long)].toDF("doc_id", "fp"))
       } else Some(spark.read.parquet(s"$dir/fps").select("doc_id", "fp"))
     } catch {
       case NonFatal(e) =>

@@ -69,10 +69,27 @@ class MediaHashStoreSpec extends SparkSpec {
   test("open verifies the meta digest against the stored partitions") {
     val dir = tmpDir("mediastore_torn")
     MediaHashStore.build(day0, dir)
-    // Tamper: drop the data partition but keep the meta row.
+    MediaHashStore.advanceDay(day1, dir, day = 1)
+    // Tamper: drop one data partition but keep its meta row.
     val fsys = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/hashes/day=0"), true)
     intercept[Exception] { MediaHashStore.open(spark, dir).count() }
+    // Trusted fast path: same store, verification explicitly skipped —
+    // the probe deployment's lever when integrity is guaranteed
+    // upstream. It serves whatever partitions remain, no index scan.
+    spark.conf.set(MediaHashStore.TrustKey, "true")
+    try assert(MediaHashStore.open(spark, dir).count() == day1.count())
+    finally spark.conf.unset(MediaHashStore.TrustKey)
+  }
+
+  test("retiring the last live day serves an empty index, not a schema error") {
+    val dir = tmpDir("mediastore_empty")
+    MediaHashStore.build(day0, dir)
+    MediaHashStore.retireDay(spark, dir, day = 0)
+    val idx = MediaHashStore.open(spark, dir)
+    assert(idx.columns.toSeq == Seq("media_id", "dhash"))
+    assert(idx.count() == 0)
+    assert(probePairs(idx).isEmpty)
   }
 }

@@ -102,6 +102,27 @@ class WinnowStoreSpec extends SparkSpec {
     }
   }
 
+  test("retiring the last live day serves an empty index for an empty history") {
+    val dir = tmpDir("winnow_empty")
+    WinnowStore.build(day0, dir, day = 0)
+    Caches.releaseAll()
+    WinnowStore.retireDay(spark, dir, day = 0)
+    withStore(dir) {
+      // The store now has zero live days: meta sums to (0, 0). An empty
+      // offered history matches that digest, so the index is served as
+      // a typed empty relation (an empty fps/ dir has no schema to
+      // infer — this used to NPE inside the meta agg and log
+      // "unreadable (null)").
+      val emptyHist = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val idx = WinnowStore.openFresh(emptyHist)
+      assert(idx.isDefined, "zero live days + empty history = fresh empty index")
+      assert(idx.get.columns.toSeq == Seq("doc_id", "fp"))
+      assert(idx.get.count() == 0)
+      // A non-empty history is correctly stale against the empty store.
+      assert(WinnowStore.openFresh(day0).isEmpty)
+    }
+  }
+
   test("q152 consults the store when configured and fresh for its history half") {
     // q152's contract: fresh = odd doc_id, history = even. Build the
     // store for exactly the even half of the fixture corpus.
