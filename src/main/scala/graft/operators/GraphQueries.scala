@@ -123,7 +123,13 @@ object GraphQueries {
           (lit(1.0) / col("n").cast("double")).as("r")))
     var iter = 0
     var delta = Double.MaxValue
+    // Per-round observability for the xprt drift watch (VERDICT r11
+    // What's-wrong 2): SPARK_GRAFT_PR_VERBOSE=1 prints round wall time
+    // and delta to stderr so a drifting tolerance loop can be blamed on
+    // "more rounds" vs "slower rounds" without attaching a profiler.
+    val verbose = sys.env.contains("SPARK_GRAFT_PR_VERBOSE")
     while (iter < maxIter && delta > tol) {
+      val tRound = System.nanoTime()
       val next = Caches.localCheckpointTracked(wedges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
@@ -141,7 +147,10 @@ object GraphQueries {
       Caches.releaseCheckpoint(ranks)
       ranks = next
       iter += 1
+      if (verbose)
+        System.err.println(f"[pr] round $iter%2d delta=$delta%.3e ${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
+    if (verbose) System.err.println(s"[pr] converged after $iter rounds (tol=$tol)")
     ranks.select(
       concat(when(pmod(col("node"), lit(2L)) === 0L, lit("o")).otherwise(lit("p")),
         shiftright(col("node"), 1).cast("string")).as("node"),

@@ -135,10 +135,13 @@ object SubstringDedup {
     * is ~K× (40×) smaller than the gram relation derived from it and
     * bounded by the duplicated fraction of the corpus, so caching it
     * keeps the candidate semi-join from re-running per gram consumer
-    * without pinning a corpus-sized relation in storage memory. */
-  private def candidatesOnly(docRel: DataFrame): DataFrame =
+    * without pinning a corpus-sized relation in storage memory.
+    * `fpRelPre` lets a caller that already holds the corpus's persisted
+    * fingerprint relation (the arm picker) skip the second winnow pass. */
+  private def candidatesOnly(docRel: DataFrame,
+      fpRelPre: Option[DataFrame] = None): DataFrame =
     Caches.persistTracked(
-      docRel.join(substringCandidatesOn(docRel), Seq("doc_id"), "left_semi"))
+      docRel.join(substringCandidatesOn(docRel, fpRelPre), Seq("doc_id"), "left_semi"))
 
   val substringSpansSql: String =
     s"""WITH pg AS (
@@ -269,8 +272,9 @@ object SubstringDedup {
           s"sequence(1, size(h) - ${FpW - 1}), " +
           s"i -> array_min(slice(h, i, $FpW))))))")).as("fp"))
 
-  private[operators] def substringCandidatesOn(docRel: DataFrame): DataFrame = {
-    val fpRel = Caches.persistTracked(charWinnowOf(docRel))
+  private[operators] def substringCandidatesOn(docRel: DataFrame,
+      fpRelPre: Option[DataFrame] = None): DataFrame = {
+    val fpRel = fpRelPre.getOrElse(Caches.persistTracked(charWinnowOf(docRel)))
     val dupFp = fpRel.groupBy("fp")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -330,7 +334,19 @@ object SubstringDedup {
 
   private[graft] def substringProbeOn(fresh: DataFrame, hist: DataFrame,
       histFpIndex: DataFrame, hashedKeys: Boolean = false): DataFrame = {
-    val freshFps = Caches.persistTracked(charWinnowOf(fresh))
+    val (histMatch, freshCand) = probeParts(histFpIndex,
+      Caches.persistTracked(charWinnowOf(fresh)))
+    probeFromParts(fresh, hist, histMatch, freshCand, hashedKeys)
+  }
+
+  /** The probe's candidate relations, from the fingerprint relations
+    * alone (no gram ever materializes here): the index rows the fresh
+    * batch matched, and the fresh docs holding any duplicated
+    * fingerprint (batch-internal or cross-history). Split out so the
+    * arm picker can price the probe's gram set BEFORE committing to
+    * it, then hand the same persisted relations to the chosen arm. */
+  private def probeParts(histFpIndex: DataFrame,
+      freshFps: DataFrame): (DataFrame, DataFrame) = {
     // history docs the index matched — the only history text ever read
     val histMatch = Caches.persistTracked(
       histFpIndex.join(freshFps.select("fp").distinct(), "fp"))
@@ -341,6 +357,12 @@ object SubstringDedup {
       .select("fp")
     val dupFpSet = freshDup.union(histMatch.select("fp")).distinct()
     val freshCand = freshFps.join(dupFpSet, "fp").select("doc_id").distinct()
+    (histMatch, freshCand)
+  }
+
+  private def probeFromParts(fresh: DataFrame, hist: DataFrame,
+      histMatch: DataFrame, freshCand: DataFrame,
+      hashedKeys: Boolean): DataFrame = {
     val subset = fresh.join(freshCand, Seq("doc_id"), "left_semi")
       .unionByName(hist.join(histMatch.select("doc_id").distinct(),
         Seq("doc_id"), "left_semi"))
@@ -375,12 +397,133 @@ object SubstringDedup {
     substringProbeOn(fresh, hist, idx, hashedKeys = true)
   }
 
+  // ------------------------------- q169 probe-vs-recompute arm picker
+  /** Dispatch threshold on the gram-set char-mass ratio
+    * probeChars / recomputeChars. The NAIVE signal SCALE.md r11
+    * sketched — the matched-history-fingerprint fraction — turned out
+    * to mispick when actually measured: at the standard 50/50 split
+    * only 8.6% of sf0.1 history docs match the fresh batch, yet the
+    * probe still LOSES to the full recompute (q151 4.2 s vs q152/q168
+    * 6.6/6.8 s in BENCH_r11) because the fresh half is internally
+    * duplicate-saturated — the probe grams ~the whole fresh half
+    * anyway and pays its fingerprint-relation-sized machinery (index
+    * join, dup-fp union, extra semi-joins) on top. What actually
+    * predicts the winner is how many CHARACTERS each arm would
+    * gram-explode (the K-fold gram blowup is the dominant cost), and
+    * both masses are computable from the fingerprint relations plus
+    * one narrow length() scan — still zero grams materialized. The
+    * threshold sits below the measured losing point (ratio 0.54 at the
+    * 50/50 split, where the probe's overhead ate a 2× gram saving) and
+    * far above the realistic sparse daily batch (ratio ≲ 0.05): the
+    * probe must promise a ≥ ~3× gram-mass saving before its overhead
+    * is worth paying. */
+  private[graft] val ProbeCharRatio = 0.35
+
+  /** The arm the last [[probeOrRecompute]] call dispatched to, with its
+    * measured char-mass ratio — observability for specs and the bench
+    * (the result ROWS are identical either way; that equality is the
+    * whole point of the picker). */
+  private[graft] val lastArm =
+    new java.util.concurrent.atomic.AtomicReference[(String, Double)](("", -1.0))
+
+  /** Q169's engine: per-batch scheduler between q168's incremental
+    * probe and q151's full recompute (both hashed-key arms, both
+    * restricted to fresh-doc spans — result-identical by q152's
+    * probe ≡ recompute oracle property). A daily pipeline that blindly
+    * probes a saturated batch pays 1.4–2.2× the recompute cost
+    * (SCALE.md's sf10 table); one that blindly recomputes a sparse
+    * batch re-grams an entire history that contributed nothing. Both
+    * arms' candidate sets — and therefore their gram char masses — are
+    * known from the winnow fingerprints BEFORE any gram exists, so the
+    * picker prices both and dispatches. Signal cost: fp-relation-sized
+    * joins plus one length() aggregate per arm; the priced relations
+    * are persisted and handed to whichever arm runs, so nothing is
+    * paid twice. */
+  def probeOrRecompute(fresh: DataFrame, hist: DataFrame,
+      histFpIndexOpt: Option[DataFrame] = None,
+      crossover: Double = ProbeCharRatio): DataFrame = {
+    val idx = Caches.persistTracked(histFpIndexOpt
+      .orElse(graft.sources.WinnowStore.openFresh(hist))
+      .getOrElse(charWinnowOf(hist)))
+    val freshFps = Caches.persistTracked(charWinnowOf(fresh))
+    // ONE fingerprint groupBy serves both arms' candidates:
+    // winnow(union) ≡ winnow(fresh) ∪ winnow(hist) exactly (the winnow
+    // is per-document; a store-served index equals winnow(hist) by the
+    // digest freshness contract), so union-wide duplicated fingerprints
+    // give the recompute arm's candidates directly — and the probe
+    // arm's fresh candidates are the SAME relation restricted to fresh
+    // holders (a fresh doc's duplicated fp involves either another
+    // fresh doc or a matched history doc, never neither).
+    val dupFp = Caches.persistTracked(
+      freshFps.unionByName(idx).groupBy("fp")
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select("fp"))
+    val freshCand = Caches.persistTracked(
+      freshFps.join(dupFp, "fp").select("doc_id").distinct())
+    val histCand = Caches.persistTracked(
+      idx.join(dupFp, "fp").select("doc_id").distinct())
+    // history docs the probe would fetch: those sharing an fp with fresh
+    val histMatch = Caches.persistTracked(
+      idx.join(freshFps.select("fp").distinct(), "fp"))
+    val histMatchDocs = Caches.persistTracked(
+      histMatch.select("doc_id").distinct())
+    // Each arm's gram cost ∝ the chars it would explode. ONE text scan
+    // builds the (doc_id, len) relation; the three candidate masses are
+    // then joins against it — the signal never touches text again and
+    // never materializes a gram. The fresh-candidate mass is shared:
+    // probe = massF + matched history, recompute = massF + candidate
+    // history (candidates decompose per side because candidate sets do).
+    val docLens = Caches.persistTracked(
+      fresh.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .unionByName(hist.select(col("doc_id"),
+          length(col("text")).cast("long").as("len"))))
+    def charMass(cand: DataFrame): Long =
+      docLens.join(cand, Seq("doc_id"), "left_semi")
+        .agg(coalesce(sum("len"), lit(0L))).head().getLong(0)
+    val massF = charMass(freshCand)
+    val probeChars = massF + charMass(histMatchDocs)
+    val recompChars = massF + charMass(histCand)
+    val ratio =
+      if (recompChars == 0L) 0.0 // no candidates anywhere: both arms empty
+      else probeChars.toDouble / recompChars
+    if (ratio <= crossover) {
+      lastArm.set(("probe", ratio))
+      probeFromParts(fresh, hist, histMatch, freshCand, hashedKeys = true)
+    } else {
+      lastArm.set(("recompute", ratio))
+      val corpus = fresh.unionByName(hist.select(fresh.columns.map(col).toSeq: _*))
+      spansFromGrams(hashedGramsOf(Caches.persistTracked(
+        corpus.join(freshCand.unionByName(histCand).distinct(),
+          Seq("doc_id"), "left_semi"))))
+        .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+  }
+
+  /** Q169: the arm picker on the standard fresh/history split. On the
+    * dedup testdata — where the fresh half is internally
+    * duplicate-saturated, so the probe would gram nearly as many chars
+    * as the recompute while paying its machinery on top — it picks the
+    * recompute arm (the honest regime of this fixture, the one
+    * BENCH_r11 measured the probe losing). A sparse daily batch over a
+    * history with its own internal duplication picks the probe (both
+    * regimes spec-planted). Rows-only like q151/q168 (hashed keys in
+    * both arms), span-set parity with oracle-green q152 pinned in
+    * SubstringDedupSpec. */
+  def q169SubstringAuto(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    probeOrRecompute(
+      d.filter(col("doc_id") % 2 === 1),
+      d.filter(col("doc_id") % 2 === 0))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_substring_spans" -> q149SubstringSpans _,
     "q150_substring_scrub" -> q150SubstringScrub _,
     "q151_substring_fast" -> q151SubstringFast _,
     "q152_substring_probe" -> q152SubstringProbe _,
-    "q168_substring_probe_fast" -> q168SubstringProbeFast _)
+    "q168_substring_probe_fast" -> q168SubstringProbeFast _,
+    "q169_substring_auto" -> q169SubstringAuto _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,

@@ -57,6 +57,28 @@ object TokenizerStore {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** One freshness verdict per (session, store dir, corpus PLAN) —
+    * q166's bake-off opens four artifacts and previously digested the
+    * corpus once per open (4× the scan; VERDICT r11 missing item 3).
+    * Keyed by the ANALYZED plan's semantic hash: two opens against the
+    * same relational expression share a verdict; a different corpus
+    * (different plan) never does. The residual window — same plan,
+    * underlying files mutated mid-session — is accepted and bounded to
+    * one session, exactly the freshness risk [[TrustKey]] already lets
+    * deployments opt into wholesale; [[build]] drops the dir's entries
+    * so a rebuild re-verifies. [[digestScans]] counts actual corpus
+    * digests for the spec that pins the once-per-session behavior. */
+  private val verdicts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
+  private[graft] val digestScans = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def verdictKey(docRel: DataFrame, dir: String): (String, String, Int) =
+    (String.valueOf(System.identityHashCode(docRel.sparkSession)), dir,
+      docRel.queryExecution.analyzed.semanticHash())
+
+  private def invalidate(dir: String): Unit =
+    verdicts.keySet.removeIf(_._2 == dir): Unit
+
   /** Train all four artifacts from the corpus and write the store at
     * `dir` (replacing any prior content). The meta row lands last as
     * the commit point: a crash mid-build leaves a store [[openFresh]]
@@ -78,29 +100,47 @@ object TokenizerStore {
     val (n, dg) = SignatureStore.digestOf(docRel)
     Seq((n, dg)).toDF("n_docs", "digest")
       .coalesce(1).write.parquet(s"$dir/meta")
+    invalidate(dir) // a rebuilt store must re-verify, not serve old verdicts
   }
 
   /** The store root IF configured and fresh for this exact corpus —
     * None (driver-log line, never an error) on key unset, unreadable
-    * store, or digest mismatch. One narrow corpus scan per call; the
-    * per-artifact opens below share it via this single gate. */
+    * store, or digest mismatch. The freshness verdict is computed at
+    * most ONCE per (session, dir, corpus plan) — see [[verdicts]] —
+    * so a query that opens several artifacts (q166 opens four) pays
+    * one narrow corpus scan, not one per open. */
   private def freshDir(docRel: DataFrame): Option[String] = {
     val spark = docRel.sparkSession
     val dir = spark.conf.get(DirKey, "")
     if (dir.isEmpty) return None
-    try {
-      val m = spark.read.parquet(s"$dir/meta").head()
-      val stored = (m.getLong(0), m.getLong(1))
-      val trusted = spark.conf.get(TrustKey, "false").toBoolean
-      if (!trusted && SignatureStore.digestOf(docRel) != stored) {
-        System.err.println(s"[tokstore] $dir is stale for this corpus — retraining inline")
-        None
-      } else Some(dir)
-    } catch {
-      case NonFatal(e) =>
-        System.err.println(s"[tokstore] $dir unreadable (${e.getMessage}) — retraining inline")
-        None
+    val trusted = spark.conf.get(TrustKey, "false").toBoolean
+    if (trusted) {
+      // Deployment-level freshness guarantee: skip the corpus digest
+      // (and the verdict cache — a later un-trusted open must verify,
+      // not inherit a trust-mode pass), but keep the unreadable-store
+      // fallback contract: a torn store costs inline training, never
+      // an error.
+      return try { spark.read.parquet(s"$dir/meta").head(): Unit; Some(dir) }
+      catch {
+        case NonFatal(e) =>
+          System.err.println(s"[tokstore] $dir unreadable (${e.getMessage}) — retraining inline")
+          None
+      }
     }
+    val fresh = verdicts.computeIfAbsent(verdictKey(docRel, dir), _ =>
+      try {
+        val m = spark.read.parquet(s"$dir/meta").head()
+        digestScans.incrementAndGet(): Unit
+        val ok = SignatureStore.digestOf(docRel) == (m.getLong(0), m.getLong(1))
+        if (!ok)
+          System.err.println(s"[tokstore] $dir is stale for this corpus — retraining inline")
+        ok
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[tokstore] $dir unreadable (${e.getMessage}) — retraining inline")
+          false
+      })
+    if (fresh) Some(dir) else None
   }
 
   private def mergesAt(spark: SparkSession, path: String): Seq[String] = {

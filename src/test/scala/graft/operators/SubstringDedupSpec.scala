@@ -150,6 +150,65 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got == Map(1L -> Seq((41L, passage.length.toLong))))
   }
 
+  test("arm picker: a sparse batch dispatches to the probe, a saturated one to the recompute — same spans either way") {
+    import spark.implicits._
+    // SPARSE regime (the realistic daily shape): the fresh batch shares
+    // a passage with ONE history doc, while the history carries plenty
+    // of internal duplication of its own (four pairs sharing per-pair
+    // passages) — yesterday's already-answered question, which the
+    // recompute re-grams and the probe skips. The probe's gram set is a
+    // small fraction of the recompute's char mass → probe arm.
+    val histPassages = (1 to 4).map(i => filler(s"hq$i", 200))
+    val sparseHist = ((10L, filler("ha", 50) + passage) +:
+      (1 to 4).flatMap(i => Seq(
+        (10L + 2 * i, histPassages(i - 1) + filler(s"hx$i", 60)),
+        (20L + 2 * i, histPassages(i - 1) + filler(s"hy$i", 60))))
+      :+ (40L, filler("hz", 140))).toDF("doc_id", "text")
+    // SATURATED regime (this repo's dedup testdata in miniature): every
+    // history doc carries the passage, so the probe would gram the same
+    // char mass the recompute would (ratio ≈ 1) while paying the probe
+    // machinery on top → recompute arm.
+    val satHist = (0 until 10)
+      .map(i => (10L + 2 * i, filler(s"s$i", 30 + 7 * i) + passage))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, filler("fa", 40) + passage + filler("fb", 40)),
+      (3L, filler("fc", 130))).toDF("doc_id", "text")
+
+    for ((hist, arm, ratioCheck) <- Seq(
+        (sparseHist, "probe", (f: Double) => f > 0.0 && f <= 0.3),
+        (satHist, "recompute", (f: Double) => f >= 0.9))) {
+      val picked = spans(SubstringDedup.probeOrRecompute(fresh, hist))
+      val (chosen, ratio) = SubstringDedup.lastArm.get()
+      assert(chosen == arm, s"expected $arm at char-mass ratio $ratio")
+      assert(ratioCheck(ratio), s"ratio $ratio out of the $arm regime's band")
+      // Result parity with BOTH fixed arms — the picker changes cost,
+      // never a span. (The economics claim lives where wall-clock is
+      // measurable: the xsp bench entry and SCALE.md's sf10 rows —
+      // sparse probe ≪ recompute, saturated recompute 190.9→138.6 s.)
+      val viaProbe = spans(SubstringDedup.substringProbeOn(
+        fresh, hist, SubstringDedup.charWinnowOf(hist), hashedKeys = true))
+      val union = fresh.unionByName(hist)
+      val viaRecompute = spans(SubstringDedup.substringSpansFastOn(union)
+        .join(fresh.select("doc_id"), Seq("doc_id"), "left_semi"))
+      assert(picked == viaProbe, s"$arm regime: picker != probe arm")
+      assert(picked == viaRecompute, s"$arm regime: picker != recompute arm")
+      assert(picked.contains(1L), "fixture must surface doc 1's planted span")
+    }
+  }
+
+  test("q169 auto picker returns exactly q152's spans (sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val auto = SubstringDedup.q169SubstringAuto(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = SubstringDedup.q152SubstringProbe(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(auto == exact, s"picker/probe divergence at $dir")
+      // dedup testdata is saturated by construction — the honest arm
+      assert(SubstringDedup.lastArm.get()._1 == "recompute")
+    }
+  }
+
   test("scrub conserves characters: removed = original - clean, never negative") {
     val rows = SubstringDedup.q150SubstringScrub(spark, "/root/testdata/sf0.001")
       .collect()

@@ -91,6 +91,31 @@ class TokenizerStoreSpec extends SparkSpec {
     }
   }
 
+  test("freshness digests once per (corpus, dir) per session; a rebuild re-verifies") {
+    val corpus = corpusDf
+    val dir = tmpDir("tokstore_scans")
+    TokenizerStore.build(corpus, dir)
+    Caches.releaseAll()
+    withStore(dir) {
+      val before = TokenizerStore.digestScans.get()
+      // q166's shape: four artifact opens against one corpus — before
+      // the verdict cache this digested the corpus four times.
+      assert(TokenizerStore.openBpeMerges(corpus).isDefined)
+      assert(TokenizerStore.openByteBpeMerges(corpus).isDefined)
+      assert(TokenizerStore.openUnigramVocab(corpus).isDefined)
+      assert(TokenizerStore.openWordPiece(corpus).isDefined)
+      assert(TokenizerStore.digestScans.get() == before + 1,
+        "four opens must share ONE corpus digest scan")
+      // A rebuild drops the dir's cached verdicts: the next open must
+      // re-verify against the new meta, not serve the old verdict.
+      TokenizerStore.build(corpus, dir)
+      Caches.releaseAll()
+      assert(TokenizerStore.openBpeMerges(corpus).isDefined)
+      assert(TokenizerStore.digestScans.get() == before + 2,
+        "a rebuilt store must force re-verification")
+    }
+  }
+
   test("an unreadable store root falls back without error") {
     withStore(tmpDir("tokstore_missing") + "/never_written") {
       assert(TokenizerStore.openBpeMerges(corpusDf).isEmpty)

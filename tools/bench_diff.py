@@ -45,8 +45,20 @@ def load(path: str) -> dict:
               f"{', '.join(sorted(adjudicated))}")
         d["queries"] = {k: (v[-1] if isinstance(v, list) else v)
                         for k, v in d["queries"].items()}
+    # Rounds 9-11 emit centiseconds; rounds >=12 emit deciseconds on
+    # stdout (with sub-"qmin" entries elided from the line — the
+    # BENCH_DETAIL.json sidecar keeps every entry at cs precision, so
+    # prefer diffing that when both sides have one).
     if d.get("qunit") == "cs":
         d["queries"] = {k: v / 100.0 for k, v in d["queries"].items()}
+    elif d.get("qunit") == "ds":
+        d["queries"] = {k: v / 10.0 for k, v in d["queries"].items()}
+    if d.get("qmin") is not None and d.get("nq"):
+        elided = d["nq"] - sum(1 for k in d["queries"] if k[0].isdigit())
+        if elided > 0:
+            print(f"note: {path} elides {elided} sub-floor entries "
+                  f"(< {d['qmin']/10.0:.1f} s) from the stdout line; "
+                  f"full detail in its round's BENCH_DETAIL.json")
     iso_path = re.sub(r"\.json$", "_isolated.json", path)
     if iso_path != path and os.path.exists(iso_path):
         with open(iso_path) as f:
@@ -61,24 +73,29 @@ def load(path: str) -> dict:
 
 
 def contamination_banner(path: str, d: dict) -> None:
-    """Rounds ≥10 carry a load sentinel: "la":[pre,post] centi-load
-    (1-min system load average sampled before Spark does real work and
-    again at the end) and "nc" cores. A pre-load above half the cores
-    means ANOTHER process was already saturating the machine when the
-    bench started — flag the round so nobody adjudicates phantom
-    regressions by hand (r9 cost a full cycle that way)."""
+    """Rounds ≥10 carry a load sentinel: "la":[pre,post] centi-units and
+    "nc" cores. In rounds 10-11 la[0] was the 1-min system load average
+    sampled at start — which decays so slowly that the harness's own
+    just-finished sbt compile kept it at ~3.9 on an otherwise-idle
+    machine, firing this banner in r9, r10 AND r11 (a banner that always
+    fires trains readers to ignore it). Rounds ≥12 (qunit "ds") report
+    MEASURED FOREIGN CPU instead: (system cpu − bench JVM cpu) medianed
+    over ~1.2 s, in cores — ~0 after our own compile, ≈N when a genuine
+    N-core competitor runs. la[1] stays the 1-min load average at the
+    END of the run (context only; it folds in our own local[N] work).
+    Threshold unchanged: >1.0 competing cores flags the round so nobody
+    adjudicates phantom regressions by hand (r9 cost a full cycle)."""
     la, nc = d.get("la"), d.get("nc")
     if not la or not nc or la[0] < 0:
         return
-    # r10 post-mortem: a pre-load of just 3.9 on 32 cores (far below the
-    # original nc/2 threshold) was enough to poison median-of-3 up to
-    # 13x. ANY competing process (pre-load > 1.0) now flags the round;
-    # rounds ≥11 also self-adjudicate in-run (see load()).
+    foreign = d.get("qunit") == "ds"
     if la[0] / 100.0 > 1.0:
-        print(f"*** CONTAMINATED: {path} started at load "
-              f"{la[0] / 100.0:.1f} on {nc} cores (ended {la[1] / 100.0:.1f}) "
-              f"— timings unreliable; prefer the [_,quiet] adjudicated "
-              f"values or re-run isolated before acting ***")
+        kind = "foreign cpu" if foreign else "load"
+        print(f"*** CONTAMINATED: {path} started at {kind} "
+              f"{la[0] / 100.0:.1f} on {nc} cores (ended at load "
+              f"{la[1] / 100.0:.1f}) — timings unreliable; prefer the "
+              f"[_,quiet] adjudicated values or re-run isolated before "
+              f"acting ***")
 
 
 # Round ≥9 fixed short codes for the non-query bench entries
@@ -86,6 +103,7 @@ def contamination_banner(path: str, d: dict) -> None:
 X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xss": "x_sigstore_lsh", "xcp": "x_containment_probe",
            "xmp": "x_media_probe", "xts": "x_tokstore_bakeoff",
+           "xws": "x_winnowstore_probe", "xsp": "x_arm_picker",
            "xprt": "x_pagerank_tol"}
 
 
@@ -136,10 +154,18 @@ def main() -> int:
         elif r <= 1 / threshold and a >= 1.0:
             mark = " (improved)"
         print(f"{k:24s} {a:8.2f} {b:8.2f} {r:7.2f}{mark}")
+    # A key missing from a qmin-declaring (ds) artifact whose other-side
+    # value sits under that floor was ELIDED from the stdout line, not
+    # added/removed — label it so floor churn never reads as coverage
+    # churn.
+    floor_old = old.get("qmin", 0) / 10.0
+    floor_new = new.get("qmin", 0) / 10.0
     for k in sorted(set(qn) - set(qo)):
-        print(f"{k:24s} {'-':>8s} {qn[k]:8.2f}   added")
+        tag = "(sub-floor in old)" if floor_old and qn[k] < floor_old else "added"
+        print(f"{k:24s} {'-':>8s} {qn[k]:8.2f}   {tag}")
     for k in sorted(set(qo) - set(qn)):
-        print(f"{k:24s} {qo[k]:8.2f} {'-':>8s}   removed")
+        tag = "(sub-floor in new)" if floor_new and qo[k] < floor_new else "removed"
+        print(f"{k:24s} {qo[k]:8.2f} {'-':>8s}   {tag}")
     print(f"\ntotal: {old.get('value', '?')} -> {new.get('value', '?')} s"
           f"  ({len(qo)} -> {len(qn)} entries, threshold {threshold}x)")
     if flagged:

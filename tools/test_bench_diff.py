@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Fixture tests for bench_diff.py — run directly:
+
+    python3 tools/test_bench_diff.py      # prints OK per case, exits 0
+
+Covers the round-12 sentinel change (la[0] = measured foreign cpu, not
+the slow-decaying 1-min load average): an idle-machine r12 artifact
+must NOT trip the contamination banner even right after the harness's
+own compile, while a synthetic competing load still must. Also pins the
+ds-unit conversion, the qmin sub-floor labeling, and the cs wrapper
+path that rounds 9-11 emit.
+"""
+import io
+import json
+import os
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import bench_diff  # noqa: E402
+
+
+def capture(fn, *args):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out = fn(*args)
+    return out, buf.getvalue()
+
+
+def write_tmp(d):
+    f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+    json.dump(d, f)
+    f.close()
+    return f.name
+
+
+def main() -> int:
+    # --- contamination banner: idle r12 artifact (foreign cpu 0.1) is clean
+    idle = {"qunit": "ds", "queries": {"1": 3}, "la": [10, 2716], "nc": 32}
+    _, out = capture(bench_diff.contamination_banner, "idle.json", idle)
+    assert "CONTAMINATED" not in out, out
+    print("OK idle r12 artifact carries no banner")
+
+    # --- a synthetic competing load (2.5 foreign cores) still trips it
+    loaded = {"qunit": "ds", "queries": {"1": 3}, "la": [250, 2716], "nc": 32}
+    _, out = capture(bench_diff.contamination_banner, "loaded.json", loaded)
+    assert "CONTAMINATED" in out and "foreign cpu 2.5" in out, out
+    print("OK synthetic competing load trips the banner")
+
+    # --- r10/r11-era artifact (cs, load-average semantics) still flags
+    legacy = {"qunit": "cs", "queries": {"1": 30}, "la": [388, 1401], "nc": 32}
+    _, out = capture(bench_diff.contamination_banner, "r11.json", legacy)
+    assert "CONTAMINATED" in out and "load 3.9" in out, out
+    print("OK legacy load-average artifact still flags")
+
+    # --- ds unit conversion + qmin elision note on load()
+    ds_art = {"metric": "total", "qunit": "ds", "qmin": 2, "nq": 4,
+              "queries": {"1": 3, "2": 41, "xprt": 541}}
+    path = write_tmp(ds_art)
+    d, out = capture(bench_diff.load, path)
+    assert d["queries"]["1"] == 0.3 and d["queries"]["2"] == 4.1, d["queries"]
+    assert "elides 2 sub-floor entries" in out, out
+    os.unlink(path)
+    print("OK ds conversion and qmin elision note")
+
+    # --- cs driver wrapper (tail-embedded line) converts to seconds
+    tail = ('some stdout noise\n{"metric":"total","value":1.0,"unit":"sec",'
+            '"qunit":"cs","queries":{"3":41,"111":[482,55]},"sf":"sf0.1"}\n')
+    path = write_tmp({"tail": tail, "parsed": None})
+    d, out = capture(bench_diff.load, path)
+    assert d["queries"]["3"] == 0.41, d["queries"]
+    assert d["queries"]["111"] == 0.55, d["queries"]  # quiet re-run wins
+    os.unlink(path)
+    print("OK cs wrapper parses; adjudication array resolves to quiet value")
+
+    # --- sub-floor keys missing from a ds artifact label as elided
+    old = write_tmp({"qunit": "cs",
+                     "queries": {"1": 30, "2": 10, "90": 500}})
+    new = write_tmp({"qunit": "ds", "qmin": 2, "nq": 3,
+                     "queries": {"1": 3, "90": 50}})
+    argv, sys.argv = sys.argv, ["bench_diff.py", old, new]
+    try:
+        code, out = capture(bench_diff.main)
+    finally:
+        sys.argv = argv
+    assert code == 0, out
+    assert "(sub-floor in new)" in out and "removed" not in out, out
+    os.unlink(old)
+    os.unlink(new)
+    print("OK sub-floor elision labels instead of removed")
+
+    print("PASS: all bench_diff fixtures")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
