@@ -459,15 +459,16 @@ object Bench {
       if (v < 0 && c >= 0) -1 else c
     }
     // Stdout elision floor, declared in the line as "qmin": suite
-    // entries under 0.2 s are dropped from the LINE (never from the
+    // entries under 0.3 s are dropped from the LINE (never from the
     // sidecar) unless they failed or were adjudicated. Sub-floor
     // entries carry no decision weight anywhere — bench_diff flags
-    // need ≥1 s, self-adjudication needs ≥0.5 s — and at r11's
-    // distribution (95 of 175 entries under 0.5 s) the floor plus ds
-    // buys the tail budget back from 86% to ~60%. "nq" declares how
-    // many entries actually ran so an elided line never reads as lost
-    // coverage.
-    val QMinDs = 2L
+    // need ≥1 s, self-adjudication needs ≥0.5 s — and at the r12
+    // distribution (174 queries) the floor plus ds lands the line at
+    // ~1150 chars ≈ 60% of the ~1900-char tail (r11's cs format sat at
+    // 86%; floor 0.2 s measured 1353 = 71%, two past the 70% goal).
+    // "nq" declares how many entries actually ran so an elided line
+    // never reads as lost coverage.
+    val QMinDs = 3L
     // "repeats" is deliberately NOT in the line (it's documented here:
     // median-of-SPARK_GRAFT_REPEATS, default 3) — every non-contract
     // field costs chars against the driver's 2000-char stdout tail,

@@ -181,6 +181,16 @@ object SubstringDedup {
     val excisePos = grams.join(dupGramsOf(grams), "g")
       .filter(col("doc_id") =!= col("canon_doc"))
       .select("doc_id", "p")
+    scrubWithSpans(docRel, excisePos)
+  }
+
+  /** The shared scrub back half (q150 and q173's decontamination):
+    * excise positions → maximal spans → per-doc text rebuild inside
+    * one codegen'd higher-order `aggregate` over the sorted span
+    * array. Docs with nothing to excise pass through the left join
+    * unchanged. */
+  private def scrubWithSpans(docRel: DataFrame,
+      excisePos: DataFrame): DataFrame = {
     val spanArr = spansOf(excisePos)
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("s"), col("e1")))).as("spans"))
@@ -517,16 +527,146 @@ object SubstringDedup {
       d.filter(col("doc_id") % 2 === 0))
   }
 
+  // ------------------- q172/q173/q174 eval-set decontamination
+  /** The contamination-DIRECTIONAL face of the tier: a training corpus
+    * must be scrubbed of every span that duplicates a held-out
+    * benchmark (Lee et al. §5's decontamination use of the same
+    * machinery), which is NOT q150's symmetric dedup — here
+    * train-internal duplication is untouched (that is q149/q150's
+    * job), the eval set always wins (no canonical-keep: every train
+    * occurrence excises), and eval docs are never modified. The eval
+    * split is modeled as doc_id % 10 == 0 so the DuckDB oracle can
+    * reproduce the exact split.
+    *
+    * Scale shape: one winnow-fingerprint join computes BOTH sides'
+    * candidates (a train doc sharing a K-run with an eval doc shares a
+    * window fingerprint with it — the same unconditional-superset
+    * argument as q149, applied cross-corpus), so only the contaminated
+    * sliver of each corpus gram-explodes; the eval side is typically
+    * benchmark-sized (≪ train), so its distinct-gram relation is the
+    * small build side of the probe join. */
+  private def deconSplit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = docs(spark, dir)
+    (d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Contaminated positions in TRAIN: K-gram occurs anywhere in eval.
+    * Both corpora are winnow-prefiltered to their cross-matched docs
+    * from ONE shared-fingerprint join. */
+  private def deconPosOn(train: DataFrame, evalRel: DataFrame,
+      hashedKeys: Boolean): DataFrame = {
+    val tFps = Caches.persistTracked(charWinnowOf(train))
+    val eFps = Caches.persistTracked(charWinnowOf(evalRel))
+    val shared = Caches.persistTracked(
+      tFps.select("fp").distinct().join(eFps.select("fp").distinct(), "fp"))
+    val tCand = Caches.persistTracked(train.join(
+      tFps.join(shared, "fp").select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+    val eCand = Caches.persistTracked(evalRel.join(
+      eFps.join(shared, "fp").select("doc_id").distinct(), Seq("doc_id"), "left_semi"))
+    val g: DataFrame => DataFrame =
+      if (hashedKeys) hashedGramsOf else gramsOf
+    g(tCand).join(g(eCand).select("g").distinct(), "g").select("doc_id", "p")
+  }
+
+  private[operators] def deconSpansOn(train: DataFrame, evalRel: DataFrame,
+      hashedKeys: Boolean = false): DataFrame =
+    spansOf(deconPosOn(train, evalRel, hashedKeys)).select(
+      col("doc_id"),
+      col("s").cast("long").as("span_start"),
+      (col("e1") - col("s")).cast("long").as("span_len"))
+
+  /** Q172: every maximal train-side span duplicating the eval set. */
+  def q172DeconSpans(spark: SparkSession, dir: String): DataFrame = {
+    val (train, ev) = deconSplit(spark, dir)
+    deconSpansOn(train, ev)
+  }
+
+  /** Q173: the scrubbed training corpus — contaminated spans excised
+    * from every train doc (ALL occurrences; eval wins), clean and
+    * untouched docs pass through. Eval docs are not in the output. */
+  def q173DeconScrub(spark: SparkSession, dir: String): DataFrame = {
+    val (train, ev) = deconSplit(spark, dir)
+    deconScrubOn(train, ev)
+  }
+
+  private[operators] def deconScrubOn(train: DataFrame,
+      evalRel: DataFrame): DataFrame =
+    scrubWithSpans(train, deconPosOn(train, evalRel, hashedKeys = false))
+
+  /** Q174: q172 on 8-byte xxhash64 gram keys — the 100 TB face, the
+    * q149→q151 move applied to decontamination. Rows-only (64-bit
+    * collision caveat); span-set parity with oracle-green q172 pinned
+    * in SubstringDedupSpec. */
+  def q174DeconSpansFast(spark: SparkSession, dir: String): DataFrame = {
+    val (train, ev) = deconSplit(spark, dir)
+    deconSpansOn(train, ev, hashedKeys = true)
+  }
+
+  private val deconCtes: String =
+    s"""tg AS (
+       |  SELECT doc_id, p, substr(text, p, $K) AS g
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K AND doc_id % 10 <> 0)),
+       |eg AS (
+       |  SELECT DISTINCT substr(text, p, $K) AS g
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K AND doc_id % 10 = 0)),
+       |dp AS (SELECT tg.doc_id, tg.p FROM tg JOIN eg USING (g)),
+       |lagged AS (SELECT doc_id, p,
+       |             lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+       |           FROM dp),
+       |isl AS (SELECT doc_id, p,
+       |          sum(CASE WHEN prev IS NULL OR p > prev + $K THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |        FROM lagged)""".stripMargin
+
+  val deconSpansSql: String =
+    s"""WITH $deconCtes
+       |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       |  CAST(max(p) + $K - min(p) AS BIGINT) AS span_len
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  val deconScrubSql: String =
+    s"""WITH $deconCtes,
+       |spans AS (SELECT doc_id, min(p) AS s, max(p) + $K AS e1
+       |          FROM isl GROUP BY doc_id, island),
+       |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |segs AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(e1) OVER (PARTITION BY doc_id ORDER BY s), 1) AS b,
+       |         s AS e
+       |  FROM spans
+       |  UNION ALL
+       |  SELECT sp.doc_id, max(sp.e1) AS b, max(len(d.text)) + 1 AS e
+       |  FROM spans sp JOIN train d USING (doc_id) GROUP BY sp.doc_id),
+       |clean AS (
+       |  SELECT segs.doc_id,
+       |         string_agg(substr(d.text, segs.b, segs.e - segs.b), ''
+       |                    ORDER BY segs.b) AS ct
+       |  FROM segs JOIN train d USING (doc_id)
+       |  GROUP BY segs.doc_id)
+       |SELECT d.doc_id, coalesce(c.ct, d.text) AS clean_text,
+       |  CAST(len(d.text) - len(coalesce(c.ct, d.text)) AS BIGINT)
+       |    AS removed_chars
+       |FROM train d LEFT JOIN clean c USING (doc_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_substring_spans" -> q149SubstringSpans _,
     "q150_substring_scrub" -> q150SubstringScrub _,
     "q151_substring_fast" -> q151SubstringFast _,
     "q152_substring_probe" -> q152SubstringProbe _,
     "q168_substring_probe_fast" -> q168SubstringProbeFast _,
-    "q169_substring_auto" -> q169SubstringAuto _)
+    "q169_substring_auto" -> q169SubstringAuto _,
+    "q172_decon_spans" -> q172DeconSpans _,
+    "q173_decon_scrub" -> q173DeconScrub _,
+    "q174_decon_spans_fast" -> q174DeconSpansFast _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
     "q150_substring_scrub" -> substringScrubSql,
-    "q152_substring_probe" -> substringProbeSql)
+    "q152_substring_probe" -> substringProbeSql,
+    "q172_decon_spans" -> deconSpansSql,
+    "q173_decon_scrub" -> deconScrubSql)
 }

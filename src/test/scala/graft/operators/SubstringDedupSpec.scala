@@ -209,6 +209,53 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("decontamination excises ONLY eval-duplicated spans; train-internal dups survive") {
+    import spark.implicits._
+    // train docs 1 and 3 contain the benchmark passage (doc 20, eval);
+    // train docs 5 and 7 share a passage ONLY with each other — q150
+    // would scrub it, decontamination must NOT (train-internal dup is
+    // q149/q150's job, not contamination); doc 9 is clean.
+    val trainPassage = filler("tp", 90)
+    val train = Seq(
+      (1L, filler("da", 50) + passage + filler("db", 30)),
+      (3L, passage + filler("dc", 60)),
+      (5L, trainPassage + filler("dd", 40)),
+      (7L, filler("de", 55) + trainPassage),
+      (9L, filler("df", 120))).toDF("doc_id", "text")
+    val ev = Seq(
+      (20L, filler("ea", 35) + passage + filler("eb", 25)),
+      (30L, filler("ec", 100))).toDF("doc_id", "text")
+    val L = passage.length.toLong
+
+    val got = spans(SubstringDedup.deconSpansOn(train, ev))
+    assert(got == Map(1L -> Seq((51L, L)), 3L -> Seq((1L, L))),
+      s"decon spans must be exactly the benchmark passage: $got")
+
+    // hashed fast face: identical span set
+    assert(spans(SubstringDedup.deconSpansOn(train, ev, hashedKeys = true)) == got)
+
+    // scrub: passage excised from 1 and 3 (BOTH — eval wins, no
+    // canonical keep), 5/7/9 byte-identical pass-through, eval absent
+    val out = SubstringDedup.deconScrubOn(train, ev).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (filler("da", 50) + filler("db", 30), L))
+    assert(out(3L) == (filler("dc", 60), L))
+    assert(out(5L) == (trainPassage + filler("dd", 40), 0L))
+    assert(out(7L) == (filler("de", 55) + trainPassage, 0L))
+    assert(out(9L) == (filler("df", 120), 0L))
+    assert(!out.contains(20L) && !out.contains(30L), "eval docs must not be output")
+  }
+
+  test("q174 hashed decon face returns exactly q172's spans (sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val fast = SubstringDedup.q174DeconSpansFast(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = SubstringDedup.q172DeconSpans(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == exact, s"hashed/raw decon divergence at $dir")
+    }
+  }
+
   test("scrub conserves characters: removed = original - clean, never negative") {
     val rows = SubstringDedup.q150SubstringScrub(spark, "/root/testdata/sf0.001")
       .collect()
