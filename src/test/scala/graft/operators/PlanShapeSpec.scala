@@ -54,6 +54,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-N must not global-sort:\n$p")
   }
 
+  test("q171: the K-row boost table broadcasts; the corpus never shuffles for it") {
+    val df = MixtureQueries.q171TemperatureResample(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"boost join must broadcast the K-row mixture table:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the epoch expansion may sort-merge:\n$p")
+  }
+
+  test("q170: mixture aggregation is two-phase (map-side partial combine by lang)") {
+    val p = plan(MixtureQueries.q170DomainMixture(spark, Dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-domain agg must partial-combine before the shuffle:\n$p")
+    assert(readSchemaCols(p).subsetOf(Set("doc_id", "lang", "n_chars")),
+      s"mixture must never read text:\n$p")
+  }
+
   test("q17: the shingle df-cap is a map-side broadcast anti join, not a re-shuffle by shingle") {
     val df = DedupQueries.ngramJaccard(spark, Dir)
     df.count() // settle AQE
