@@ -68,6 +68,10 @@ object SubstringDedup {
         col("text"))
       .select(col("doc_id"), col("p"), expr(s"substr(text, p, $K)").as("g"))
 
+  /** [[gramsOf]] for the stores ([[graft.sources.DeconStore]] persists
+    * the eval side's distinct raw grams). */
+  private[graft] def rawGramsOf(docRel: DataFrame): DataFrame = gramsOf(docRel)
+
   /** Grams occurring in ≥2 distinct documents, with the canonical
     * (minimum) doc_id that the scrubber lets keep its copy. "≥2
     * distinct docs" is `min(doc_id) ≠ max(doc_id)` — a deliberate
@@ -628,6 +632,51 @@ object SubstringDedup {
        |  CAST(max(p) + $K - min(p) AS BIGINT) AS span_len
        |FROM isl GROUP BY doc_id, island""".stripMargin
 
+  /** Q175: the daily decon probe — today's batch (modeled as
+    * doc_id % 10 == 1, a tenth of the corpus) decontaminated against
+    * the benchmark (doc_id % 10 == 0), riding a configured-and-fresh
+    * [[graft.sources.DeconStore]]: the eval side's winnow fingerprints
+    * and pre-distinct RAW grams read straight from parquet, so the
+    * batch pays ONE winnow of itself + one gram-explode of its matched
+    * sliver and never re-derives anything eval-sided. Store resolution
+    * happens at plan-construction time (the digest freshness scan runs
+    * then); a stale/missing store falls back to the inline cross
+    * computation — cost, never correctness. Raw keys keep it
+    * oracle-green (the oracle runs the unfiltered cross semantics
+    * restricted to the batch). In production the eval side is
+    * benchmark-sized (MBs) and its gram relation broadcastable; on
+    * this fixture it is a tenth of the corpus, so the gram join is
+    * left to AQE rather than force-broadcast. */
+  def q175DeconProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    deconProbeOn(
+      d.filter(col("doc_id") % 10 === 1),
+      d.filter(col("doc_id") % 10 === 0))
+  }
+
+  private[graft] def deconProbeOn(fresh: DataFrame,
+      evalRel: DataFrame): DataFrame = {
+    val pos = graft.sources.DeconStore.openFresh(evalRel) match {
+      case Some((eFps, eGrams)) =>
+        val fFps = Caches.persistTracked(charWinnowOf(fresh))
+        val shared = Caches.persistTracked(
+          fFps.select("fp").distinct().join(eFps.select("fp").distinct(), "fp"))
+        val fCand = fresh.join(
+          fFps.join(shared, "fp").select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi")
+        gramsOf(fCand).join(eGrams.select("g").distinct(), "g")
+          .select("doc_id", "p")
+      case None => deconPosOn(fresh, evalRel, hashedKeys = false)
+    }
+    spansOf(pos).select(
+      col("doc_id"),
+      col("s").cast("long").as("span_start"),
+      (col("e1") - col("s")).cast("long").as("span_len"))
+  }
+
+  val deconProbeSql: String =
+    s"SELECT * FROM (\n$deconSpansSql\n) WHERE doc_id % 10 = 1"
+
   val deconScrubSql: String =
     s"""WITH $deconCtes,
        |spans AS (SELECT doc_id, min(p) AS s, max(p) + $K AS e1
@@ -661,12 +710,14 @@ object SubstringDedup {
     "q169_substring_auto" -> q169SubstringAuto _,
     "q172_decon_spans" -> q172DeconSpans _,
     "q173_decon_scrub" -> q173DeconScrub _,
-    "q174_decon_spans_fast" -> q174DeconSpansFast _)
+    "q174_decon_spans_fast" -> q174DeconSpansFast _,
+    "q175_decon_probe" -> q175DeconProbe _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
     "q150_substring_scrub" -> substringScrubSql,
     "q152_substring_probe" -> substringProbeSql,
     "q172_decon_spans" -> deconSpansSql,
-    "q173_decon_scrub" -> deconScrubSql)
+    "q173_decon_scrub" -> deconScrubSql,
+    "q175_decon_probe" -> deconProbeSql)
 }

@@ -246,6 +246,41 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!out.contains(20L) && !out.contains(30L), "eval docs must not be output")
   }
 
+  test("q175 probe rides a fresh DeconStore, matches inline exactly, and falls back when stale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import graft.sources.DeconStore
+    val fresh = Seq(
+      (1L, filler("da", 50) + passage + filler("db", 30)),
+      (11L, filler("dz", 130))).toDF("doc_id", "text")
+    val ev = Seq(
+      (20L, filler("ea", 35) + passage + filler("eb", 25)),
+      (30L, filler("ec", 100))).toDF("doc_id", "text")
+    val inline = spans(SubstringDedup.deconProbeOn(fresh, ev))
+    assert(inline == Map(1L -> Seq((51L, passage.length.toLong))))
+    graft.core.Caches.releaseAll()
+    val dir = tmpDir("deconstore")
+    DeconStore.build(ev, dir)
+    graft.core.Caches.releaseAll()
+    spark.conf.set(DeconStore.DirKey, dir)
+    try {
+      assert(DeconStore.openFresh(ev).isDefined, "store must be fresh for its own corpus")
+      assert(spans(SubstringDedup.deconProbeOn(fresh, ev)) == inline,
+        "the store-served probe must reproduce the inline spans exactly")
+      // a mutated eval suite (same row count) is stale: digest catches
+      // it and the probe recomputes inline — same answer for the
+      // OFFERED corpus, never stale spans from the stored one.
+      val mutated = ev.withColumn("text",
+        when(col("doc_id") === 30L, lit(filler("mm", 90))).otherwise(col("text")))
+      assert(DeconStore.openFresh(mutated).isEmpty, "digest must catch eval mutation")
+      assert(spans(SubstringDedup.deconProbeOn(fresh, mutated)) == inline,
+        "fallback must compute for the offered eval corpus")
+    } finally {
+      spark.conf.unset(DeconStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("q174 hashed decon face returns exactly q172's spans (sf0.001 + sf0.01)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val fast = SubstringDedup.q174DeconSpansFast(spark, dir).collect()
