@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsOfJoin, AuditQueries, BpeQueries, ChangeDataQueries, ClassifierQueries, CoreQueries, CorpusQueries, CurationQueries, DedupQueries, FunnelQueries, GraphQueries, LayoutQueries, MediaQueries, MixtureQueries, RangeJoin, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, SubstringDedup, TemporalQueries, TextQueries, TokenizerCompare, UnigramQueries, WordPieceQueries}
+import graft.operators.{AsOfJoin, AuditQueries, BpeQueries, ChangeDataQueries, ClassifierQueries, CoreQueries, CorpusQueries, CurationQueries, DedupQueries, FunnelQueries, GraphQueries, LayoutQueries, MediaQueries, MixtureQueries, RangeJoin, RepetitionQueries, RelationalExtras, SamplingQueries, SessionQueries, SimilarityQueries, SubstringDedup, TemporalQueries, TextQueries, TokenizerCompare, UnigramQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,7 +21,7 @@ object SparkEntry {
       TemporalQueries.all ++ LayoutQueries.all ++ AuditQueries.all ++
       GraphQueries.all ++ BpeQueries.all ++ ClassifierQueries.all ++
       SubstringDedup.all ++ MediaQueries.all ++ UnigramQueries.all ++
-      WordPieceQueries.all ++ TokenizerCompare.all ++ MixtureQueries.all ++
+      WordPieceQueries.all ++ TokenizerCompare.all ++ MixtureQueries.all ++ RepetitionQueries.all ++
       Map("q38_quality_checks" ->
         ((s: SparkSession, d: String) => graft.analytics.DataQuality.q38QualityChecks(s, d)))
 
@@ -34,6 +34,6 @@ object SparkEntry {
       CorpusQueries.oracles ++ CurationQueries.oracles ++ FunnelQueries.oracles ++
       ChangeDataQueries.oracles ++ TemporalQueries.oracles ++ LayoutQueries.oracles ++
       AuditQueries.oracles ++ GraphQueries.oracles ++ ClassifierQueries.oracles ++
-      SubstringDedup.oracles ++ MediaQueries.oracles ++ MixtureQueries.oracles ++
+      SubstringDedup.oracles ++ MediaQueries.oracles ++ MixtureQueries.oracles ++ RepetitionQueries.oracles ++
       Map("q38_quality_checks" -> graft.analytics.DataQuality.q38Sql)
 }
