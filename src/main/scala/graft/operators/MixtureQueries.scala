@@ -116,11 +116,111 @@ object MixtureQueries {
        |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
        |FROM n WHERE n_copies >= 1""".stripMargin
 
+  // ---------------------------------------- q177: epoch-capped budget
+  /** Q177: waterfilling allocation of a training char budget across
+    * domains under a max-epochs cap — the step AFTER q170 picks target
+    * weights: a tempered target can demand more repetition of a
+    * low-resource domain than is healthy (or available), so each
+    * domain's allocation is capped at `EpochCap` passes over its data
+    * and the freed budget redistributes proportionally among uncapped
+    * domains (the standard waterfilling solution, e.g. the data-
+    * constrained scaling setting of Muennighoff et al. 2023).
+    *
+    * Exact in one pass: sort domains by `ratio = cap_d / w_d` (the
+    * budget scale at which d saturates). Saturation is a PREFIX of
+    * that order — if row k fails `ratio_k ≤ λ_k` where
+    * `λ_k = (B − Σ_{j<k} cap_j) / Σ_{j≥k} w_j`, algebra gives
+    * `λ_{k+1} < λ_k < ratio_k ≤ ratio_{k+1}`, so every later row
+    * fails too — which makes the per-row check with window prefix
+    * sums equivalent to the iterative algorithm. The final water
+    * level `λ* = (B − Σ_sat cap) / Σ_unsat w` prices every uncapped
+    * domain, `alloc_d = min(cap_d, w_d · λ*)`.
+    *
+    * Scale shape: everything after the one domain aggregate is K rows
+    * (K = #domains, driver-scale by construction) — the
+    * single-partition windows are over K rows, never the corpus. */
+  /** 2.5 passes max over any domain's data; with `BudgetMult` = 2× the
+    * corpus char mass this splits the fixture's domains into both
+    * regimes at every SF (the tempered target asks ~2.5-2.8 epochs of
+    * every non-en domain, en ~1.2-1.3) with ≥0.01-epoch margins, so
+    * the saturation booleans are float-stable across engines. */
+  private[operators] val EpochCap = 2.5
+  private[operators] val BudgetMult = 2.0
+
+  def q177CappedMixture(spark: SparkSession, dir: String): DataFrame =
+    cappedMixtureOn(docs(spark, dir), BudgetMult, EpochCap)
+
+  private[operators] def cappedMixtureOn(
+      docRel: DataFrame, budgetMult: Double, epochCap: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mix = mixtureOn(docRel).select(col("lang"), col("chars"),
+      col("p_temp").as("w"))
+    val tot = mix.agg(sum("chars").as("tot"))
+    val base = mix.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tot") * budgetMult)
+      .withColumn("cap_chars", col("chars") * epochCap)
+      .withColumn("ratio", col("cap_chars") / col("w"))
+    val ord = Window.orderBy(col("ratio").asc, col("lang").asc)
+    val wf = base
+      .withColumn("prefix_cap", coalesce(sum("cap_chars").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("suffix_w", sum("w").over(
+        ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("saturated",
+        col("ratio") <= (col("budget") - col("prefix_cap")) / col("suffix_w"))
+    val lam = wf.agg(
+        sum(when(col("saturated"), col("cap_chars")).otherwise(0.0)).as("sc"),
+        sum(when(!col("saturated"), col("w")).otherwise(0.0)).as("uw"),
+        max("budget").as("b"))
+      .select(when(col("uw") > 0, (col("b") - col("sc")) / col("uw"))
+        .otherwise(lit(0.0)).as("lam_star"))
+    wf.crossJoin(broadcast(lam))
+      .withColumn("alloc_chars", when(col("saturated"), col("cap_chars"))
+        .otherwise(col("w") * col("lam_star")))
+      .select(col("lang"), col("chars"), col("w"), col("cap_chars"),
+        col("saturated"), col("alloc_chars"),
+        (col("alloc_chars") / col("chars")).as("epochs"))
+  }
+
+  val cappedMixtureSql: String =
+    s"""WITH $mixtureCtes,
+       |m AS (SELECT lang, chars, pow(p_nat, $MixAlpha) / zsum AS w
+       |      FROM p CROSS JOIN z),
+       |t2 AS (SELECT CAST(sum(chars) AS BIGINT) AS tot FROM m),
+       |bb AS (SELECT lang, chars, w, tot * $BudgetMult AS budget,
+       |         chars * $EpochCap AS cap_chars,
+       |         (chars * $EpochCap) / w AS ratio
+       |       FROM m CROSS JOIN t2),
+       |wf AS (SELECT *,
+       |         coalesce(sum(cap_chars) OVER (ORDER BY ratio ASC, lang ASC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS prefix_cap,
+       |         sum(w) OVER (ORDER BY ratio ASC, lang ASC
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |           AS suffix_w
+       |       FROM bb),
+       |s AS (SELECT *, ratio <= (budget - prefix_cap) / suffix_w AS saturated
+       |      FROM wf),
+       |l AS (SELECT CASE
+       |         WHEN sum(CASE WHEN NOT saturated THEN w ELSE 0 END) > 0
+       |         THEN (max(budget)
+       |               - sum(CASE WHEN saturated THEN cap_chars ELSE 0 END))
+       |              / sum(CASE WHEN NOT saturated THEN w ELSE 0 END)
+       |         ELSE 0 END AS lam_star FROM s)
+       |SELECT lang, chars, w, cap_chars, saturated,
+       |  CASE WHEN saturated THEN cap_chars ELSE w * lam_star END
+       |    AS alloc_chars,
+       |  (CASE WHEN saturated THEN cap_chars ELSE w * lam_star END) / chars
+       |    AS epochs
+       |FROM s CROSS JOIN l""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_domain_mixture" -> q170DomainMixture _,
-    "q171_temperature_resample" -> q171TemperatureResample _)
+    "q171_temperature_resample" -> q171TemperatureResample _,
+    "q177_capped_mixture" -> q177CappedMixture _)
 
   val oracles: Map[String, String] = Map(
     "q170_domain_mixture" -> domainMixtureSql,
-    "q171_temperature_resample" -> temperatureResampleSql)
+    "q171_temperature_resample" -> temperatureResampleSql,
+    "q177_capped_mixture" -> cappedMixtureSql)
 }

@@ -87,4 +87,67 @@ class MixtureSpec extends SparkSpec {
         s"$lang realized $share vs target $pTemp")
     }
   }
+
+  // ------------------------------------------------- q177 waterfilling
+
+  private def capped(budgetMult: Double, epochCap: Double) =
+    MixtureQueries.cappedMixtureOn(fixture, budgetMult, epochCap)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getDouble(5), r.getDouble(6))).toMap
+
+  test("q177 hand computation: rare domain caps, freed budget flows to big") {
+    // fixture: chars (900, 100), tot 1000, B = 2000, cap = 2.5x chars.
+    //   w = (0.9^a, 0.1^a)/Z; ratio = cap/w -> rare saturates first
+    //   (250/0.341 = 733 < lam_1 = 2000), big does not
+    //   (2250/0.659 = 3414 > lam_2 = (2000-250)/0.659 = 2655).
+    //   big's alloc is exactly the leftover budget: 2000 - 250 = 1750.
+    val got = capped(2.0, 2.5)
+    val z = math.pow(0.9, Alpha) + math.pow(0.1, Alpha)
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    val (wR, capR, satR, allocR, epR) = got("rare")
+    assert(close(wR, math.pow(0.1, Alpha) / z))
+    assert(satR && close(capR, 250.0) && close(allocR, 250.0)
+      && close(epR, 2.5))
+    val (wB, capB, satB, allocB, epB) = got("big")
+    assert(!satB && close(capB, 2250.0))
+    assert(close(allocB, 1750.0), s"big alloc $allocB")
+    assert(close(epB, 1750.0 / 900.0))
+    // conservation: allocations exhaust the budget exactly
+    assert(close(allocR + allocB, 2000.0))
+  }
+
+  test("q177 all-saturated: budget above total capacity allocates every cap") {
+    // B = 10x tot = 10000 > total cap 2500: both domains cap out and
+    // the lam* guard must not divide by the zero unsaturated weight.
+    val got = capped(10.0, 2.5)
+    assert(got.values.forall(_._3), "all domains must saturate")
+    assert(math.abs(got("big")._4 - 2250.0) < 1e-9)
+    assert(math.abs(got("rare")._4 - 250.0) < 1e-9)
+  }
+
+  test("q177 no-saturation: a loose cap reproduces the pure tempered split") {
+    // epoch cap 100 binds nothing: alloc_d = w_d * B.
+    val got = capped(2.0, 100.0)
+    assert(got.values.forall(!_._3))
+    got.foreach { case (lang, (w, _, _, alloc, _)) =>
+      assert(math.abs(alloc - w * 2000.0) < 1e-9, s"$lang alloc $alloc")
+    }
+  }
+
+  test("q177 real corpus: both regimes occur and the budget is conserved (sf0.001)") {
+    val rows = MixtureQueries.q177CappedMixture(spark, "/root/testdata/sf0.001")
+      .collect()
+    val sat = rows.count(_.getBoolean(4))
+    assert(sat > 0 && sat < rows.length,
+      s"expected a regime split, got $sat/${rows.length} saturated")
+    val totChars = rows.map(_.getLong(1)).sum.toDouble
+    val alloc = rows.map(_.getDouble(5)).sum
+    assert(math.abs(alloc - 2.0 * totChars) / totChars < 1e-9,
+      "unsaturated domains must absorb the full budget")
+    rows.foreach { r =>
+      assert(r.getDouble(6) <= 2.5 + 1e-9,
+        s"${r.getString(0)} exceeds the epoch cap: ${r.getDouble(6)}")
+    }
+  }
 }
