@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object AudioIntegrity {
 
-  /** Synthesis parameters for the caption→audio testdata adapter. */
+  /** Synthesis parameters for the caption→audio testdata adapter.
+    * `Samples` is graft-visible: the q178 oracle re-derives the
+    * rendered sample sequence in SQL. */
   private val SampleRate = 8000f
-  private val Samples = 2048
+  private[graft] val Samples = 2048
 
   /** Deterministic caption→audio renderer — the audio-modality twin of
     * [[MediaDedup.renderImage]] (TESTDATA.md ships no binary column).

@@ -167,6 +167,27 @@ object MediaOps {
   }
 
   private[multimodal] def decodeAudio(content: Array[Byte]): Option[(Float, Int, Long, Array[Float])] =
+    decodePcmSamples(content).map { case (rate, channels, durMs, samples) =>
+      val nSamples = samples.length
+      val feats = Array.tabulate(FeatureDim) { b =>
+        val s0 = (b.toLong * nSamples / FeatureDim).toInt
+        val s1 = math.max(s0 + 1, ((b + 1).toLong * nSamples / FeatureDim).toInt)
+        var sum2 = 0.0; var i = s0
+        while (i < s1 && i < nSamples) { val s = samples(i); sum2 += s * s; i += 1 }
+        val n = math.max(1, math.min(s1, nSamples) - s0)
+        (math.sqrt(sum2 / n) * 2 - 1).toFloat
+      }
+      (rate, channels, durMs, feats)
+    }
+
+  /** The shared PCM decode under [[decodeAudio]] and
+    * [[AudioDedup.aHash]]: (sample_rate, channels, duration_ms,
+    * normalized samples in [-1, 1], all channels interleaved as
+    * delivered). Exact integer sample reads — the array is
+    * deterministic for a given payload on any JVM. Same guarded
+    * reader path (sorted [[audioReaders]]), same None-on-undecodable
+    * contract. */
+  private[multimodal] def decodePcmSamples(content: Array[Byte]): Option[(Float, Int, Long, Array[Double])] =
     try {
       val in = openAudio(content)
       try {
@@ -196,19 +217,12 @@ object MediaOps {
                 v.toDouble / 32768.0
               }
             }
-            val feats = Array.tabulate(FeatureDim) { b =>
-              val s0 = (b.toLong * nSamples / FeatureDim).toInt
-              val s1 = math.max(s0 + 1, ((b + 1).toLong * nSamples / FeatureDim).toInt)
-              var sum2 = 0.0; var i = s0
-              while (i < s1 && i < nSamples) { val s = sampleAt(i); sum2 += s * s; i += 1 }
-              val n = math.max(1, math.min(s1, nSamples) - s0)
-              (math.sqrt(sum2 / n) * 2 - 1).toFloat
-            }
+            val samples = Array.tabulate(nSamples)(sampleAt)
             val frames =
               if (in.getFrameLength >= 0) in.getFrameLength
               else (bytes.length / math.max(1, fmt.getFrameSize)).toLong
             val durMs = math.round(frames * 1000.0 / fmt.getFrameRate)
-            Some((fmt.getSampleRate, fmt.getChannels, durMs, feats))
+            Some((fmt.getSampleRate, fmt.getChannels, durMs, samples))
           }
         }
       } finally in.close()

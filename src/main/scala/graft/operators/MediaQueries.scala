@@ -235,15 +235,92 @@ object MediaQueries {
        |WHERE length(text) >= $MinChars AND doc_id % 9 = 4
        |""".stripMargin
 
+  /** Q178: audio near-duplicate pairs — the audio-modality face of the
+    * q153/q17/q18 family, completing the dedup tier's modality
+    * symmetry. Captions render to WAV
+    * ([[graft.multimodal.AudioIntegrity.renderAudio]]), payloads are
+    * decoded back through the REAL `javax.sound.sampled` path, and each
+    * clip gets [[graft.multimodal.AudioDedup]]'s 64-bit
+    * amplitude-distribution hash; pairs within Hamming ≤ [[MaxHamming]]
+    * surface through the SAME multi-index pigeonhole-exact banding as
+    * images ([[MediaDedup.nearDupPairs]] — the relation is
+    * modality-agnostic). Planted near-dup captions land at Hamming 0-2;
+    * measured at sf0.001, <1% of unrelated pairs do.
+    *
+    * UNLIKE q153 (PNG decode is not SQL-expressible), this one is
+    * oracle-green in the q155 pattern: the render→WAV-encode→JDK-
+    * decode→quantize pipeline is exact integer math over the caption,
+    * so the DuckDB oracle re-derives every fingerprint from the TEXT
+    * alone and brute-forces the pairs — the oracle-checked claim is
+    * that the whole codec roundtrip is lossless and the banding exact.
+    */
+  def q178AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val media = eligibleDocs(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val hashed = graft.multimodal.AudioDedup.hashAudio(renderAllAudio(media))
+    MediaDedup.nearDupPairs(hashed, MaxHamming)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Render the audio column: one deterministic WAV per caption. */
+  private def renderAllAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, graft.multimodal.AudioIntegrity.renderAudio(text))
+      })
+      .toDF("media_id", "content")
+  }
+
+  private val audioNearDupSql: String = {
+    val n = graft.multimodal.AudioIntegrity.Samples
+    s"""WITH el AS (SELECT doc_id, text, len(text) AS lt
+       |            FROM documents WHERE len(text) >= $MinChars),
+       |idx AS (SELECT unnest(range($n)) AS i),
+       |q AS (SELECT doc_id, i,
+       |        CAST(round((0.25 + 0.5 * (ascii(substr(text,
+       |            CAST(i % lt AS INTEGER) + 1, 1)) / 255.0)) * 32767)
+       |          AS BIGINT) // 128 AS lv
+       |      FROM el CROSS JOIN idx),
+       |p AS (SELECT doc_id,
+       |        (31 * lag(lv) OVER (PARTITION BY doc_id ORDER BY i) + lv)
+       |          % 64 AS bucket
+       |      FROM q),
+       |hist AS (SELECT doc_id, bucket, count(*) AS c
+       |         FROM p WHERE bucket IS NOT NULL GROUP BY 1, 2),
+       |hb AS (SELECT e.doc_id, bb.b, coalesce(h.c, 0) AS c
+       |       FROM (SELECT DISTINCT doc_id FROM el) e
+       |       CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+       |       LEFT JOIN hist h ON h.doc_id = e.doc_id AND h.bucket = bb.b),
+       |fp AS (SELECT a.doc_id,
+       |         bit_or(CASE WHEN a.c > nx.c THEN
+       |           CASE WHEN a.b = 63 THEN (-9223372036854775807 - 1)::BIGINT
+       |                ELSE 1::BIGINT << CAST(a.b AS INTEGER) END
+       |           ELSE 0::BIGINT END) AS ahash
+       |       FROM hb a JOIN hb nx
+       |         ON nx.doc_id = a.doc_id AND nx.b = (a.b + 1) % 64
+       |       GROUP BY 1)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.ahash, y.ahash)) AS BIGINT) AS hamming
+       |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.ahash, y.ahash)) <= $MaxHamming
+       |""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_image_neardup" -> q153ImageNearDup _,
     "q154_alignment_audit" -> q154AlignmentAudit _,
     "q155_video_segdup" -> q155VideoSegdup _,
     "q156_audio_audit" -> q156AudioAudit _,
-    "q157_image_scrub" -> q157ImageScrub _)
+    "q157_image_scrub" -> q157ImageScrub _,
+    "q178_audio_neardup" -> q178AudioNearDup _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,
     "q155_video_segdup" -> videoSegdupSql,
-    "q156_audio_audit" -> audioAuditSql)
+    "q156_audio_audit" -> audioAuditSql,
+    "q178_audio_neardup" -> audioNearDupSql)
 }
