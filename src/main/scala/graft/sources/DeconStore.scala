@@ -7,15 +7,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Build-once / probe-daily store for eval-set decontamination
-  * (q172–q175) — the operational shape: a benchmark suite changes
-  * rarely while training batches arrive daily, so the eval side's
-  * derived relations are computed once and every batch probes them.
+  * (q172–q175), partitioned BY BENCHMARK — the operational shape: a
+  * benchmark suite changes rarely while training batches arrive
+  * daily, and when it does change it changes one benchmark at a time
+  * (a new eval lands, a deprecated one is dropped). Each benchmark's
+  * derived relations are computed once from that benchmark's docs
+  * alone and every batch probes the union.
   *
-  * Layout under one root:
+  * Layout under one root (one partition per benchmark, the same
+  * advance/retire contract as the day-partitioned sibling stores):
   * {{{
-  *   <dir>/fps/    (fp)              distinct eval winnow fingerprints
-  *   <dir>/grams/  (g)               distinct RAW K-char eval grams
-  *   <dir>/meta/   (n_docs, digest)  commit point, lands LAST
+  *   <dir>/fps/bench=<name>/    (fp)     distinct winnow fingerprints
+  *   <dir>/grams/bench=<name>/  (g)      distinct RAW K-char grams
+  *   <dir>/meta/bench=<name>/   (n_docs, digest)  commit point, LAST
   * }}}
   *
   * Raw grams (not hashes) are stored deliberately: the eval side is
@@ -25,14 +29,23 @@ import org.apache.spark.sql.functions._
   * deployment that wants 8-byte keys hashes the stored grams at read
   * time — an eval-sized map, not a re-gram of anything.
   *
-  * Freshness is [[SignatureStore.digestOf]] over the offered eval
-  * corpus, exactly the TokenizerStore contract (global rebuild per
-  * eval-suite change; no day partitions — benchmarks don't arrive
-  * daily). A stale or unreadable store costs inline recompute, never
-  * a wrong span. Unlike the sibling stores the GRAM relation is what
-  * makes this one pay: without it every daily batch re-explodes the
-  * eval corpus's positions; with it the probe's eval side is a
-  * pre-distinct broadcast-sized relation read straight from parquet.
+  * Relations are distinct WITHIN a benchmark partition and may repeat
+  * ACROSS partitions (two benchmarks can share a gram); the probe
+  * distincts its eval side anyway ([[graft.operators.SubstringDedup]]
+  * `deconProbeOn`), so the union is exactly the suite's gram/fp set.
+  * This is also why retire is sound where a global distinct store
+  * could not be: dropping one benchmark's partition cannot delete a
+  * gram another live benchmark still contributes.
+  *
+  * Freshness: per-benchmark [[SignatureStore.digestOf]] metas combine
+  * by (sum n, XOR digest) — doc-level XOR is subset-decomposable — and
+  * [[openFresh]] compares the combination against the OFFERED eval
+  * corpus, so advance/retire heal the store digest without touching
+  * other partitions' sources. [[advanceBenchmark]] never re-reads a
+  * prior benchmark; [[retireBenchmark]] never decodes anything. A
+  * torn advance (crash before its meta row) leaves the combined
+  * digest mismatched → stale → inline recompute: cost, never a wrong
+  * span.
   */
 object DeconStore {
 
@@ -45,45 +58,86 @@ object DeconStore {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Build the store from the eval corpus, replacing prior content.
-    * Meta lands LAST — the commit point; a torn build is unreadable
-    * and rejected by [[openFresh]]. */
+  /** Build the whole store from the full eval corpus, replacing prior
+    * content — the one-shot face (equivalently: advance of a single
+    * benchmark named `all` into an empty store). */
   def build(evalRel: DataFrame, dir: String): Unit = {
-    val spark = evalRel.sparkSession
-    fs(spark, dir).delete(new Path(dir), true): Unit
-    // Pinned across the three derivations (fps, grams, digest) so a
-    // non-deterministic eval plan cannot tear the store — same
-    // argument as WinnowStore.writeDay.
-    val pinned = evalRel.persist()
+    fs(evalRel.sparkSession, dir).delete(new Path(dir), true): Unit
+    advanceBenchmark("all", evalRel, dir)
+  }
+
+  /** Add (or replace) ONE benchmark's partitions from that benchmark's
+    * docs alone. Meta lands LAST — the commit point; replaying a
+    * crashed advance converges (retire-then-rewrite of one partition).
+    * The input is pinned across the three derivations so a
+    * non-deterministic eval plan cannot tear fps/grams/digest apart —
+    * same argument as WinnowStore.writeDay. */
+  def advanceBenchmark(name: String, benchRel: DataFrame, dir: String): Unit = {
+    val spark = benchRel.sparkSession
+    retireBenchmark(name, spark, dir)
+    val pinned = benchRel.persist()
     try {
       graft.operators.SubstringDedup.charWinnowOf(pinned)
         .select("fp").distinct()
-        .write.parquet(s"$dir/fps")
+        .write.parquet(s"$dir/fps/bench=$name")
       graft.operators.SubstringDedup.rawGramsOf(pinned)
         .select("g").distinct()
-        .write.parquet(s"$dir/grams")
+        .write.parquet(s"$dir/grams/bench=$name")
       val (n, dg) = SignatureStore.digestOf(pinned)
       spark.createDataFrame(Seq((n, dg))).toDF("n_docs", "digest")
-        .coalesce(1).write.parquet(s"$dir/meta")
+        .coalesce(1).write.parquet(s"$dir/meta/bench=$name")
     } finally pinned.unpersist(blocking = false): Unit
   }
 
-  /** The stored (fps, grams) pair IF configured and fresh for this
-    * exact eval corpus — None (driver-log line, never an error) on key
-    * unset, unreadable store, or digest mismatch. */
+  /** Drop ONE benchmark's partitions. Meta goes FIRST (the inverse
+    * commit order: a crash mid-retire leaves orphan fps/grams whose
+    * digest the combined meta no longer covers → stale → inline). */
+  def retireBenchmark(name: String, spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    f.delete(new Path(s"$dir/meta/bench=$name"), true): Unit
+    f.delete(new Path(s"$dir/fps/bench=$name"), true): Unit
+    f.delete(new Path(s"$dir/grams/bench=$name"), true): Unit
+  }
+
+  /** The stored (fps, grams) union IF configured and the per-benchmark
+    * metas combine to this exact eval corpus — None (driver-log line,
+    * never an error) on key unset, unreadable store, or digest
+    * mismatch. A store whose every benchmark was retired serves EMPTY
+    * relations against an empty eval corpus, not a schema error. */
   def openFresh(evalRel: DataFrame): Option[(DataFrame, DataFrame)] = {
     val spark = evalRel.sparkSession
     val dir = spark.conf.get(DirKey, "")
     if (dir.isEmpty) return None
     try {
-      val m = spark.read.parquet(s"$dir/meta").head()
-      val stored = (m.getLong(0), m.getLong(1))
+      val parts = fs(spark, dir).listStatus(new Path(s"$dir/meta"))
+        .filter(_.getPath.getName.startsWith("bench=")).map(_.getPath.toString)
       val trusted = spark.conf.get(TrustKey, "false").toBoolean
-      if (!trusted && SignatureStore.digestOf(evalRel) != stored) {
-        System.err.println(s"[deconstore] $dir is stale for this eval corpus — recomputing inline")
-        None
-      } else Some((spark.read.parquet(s"$dir/fps"),
-        spark.read.parquet(s"$dir/grams")))
+      if (parts.isEmpty) {
+        // zero live benchmarks: fresh iff the offered corpus is empty too
+        if (!trusted && SignatureStore.digestOf(evalRel) != ((0L, 0L))) {
+          System.err.println(s"[deconstore] $dir has no live benchmarks — recomputing inline")
+          None
+        } else Some((
+          spark.range(0).select(col("id").as("fp")),
+          spark.range(0).select(col("id").cast("string").as("g"))))
+      } else {
+        val m = spark.read.parquet(parts: _*)
+          .agg(coalesce(sum("n_docs"), lit(0L)),
+            coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
+        val stored = (m.getLong(0), m.getLong(1))
+        if (!trusted && SignatureStore.digestOf(evalRel) != stored) {
+          System.err.println(s"[deconstore] $dir is stale for this eval corpus — recomputing inline")
+          None
+        } else {
+          // Read ONLY partitions with a live meta: a crash mid-retire
+          // leaves orphan fps/grams whose meta is already gone, and
+          // serving them would report spans against a benchmark no
+          // longer in the suite — a wrong answer, not a cost.
+          val live = parts.map(_.split('/').last)
+          Some((spark.read.parquet(live.map(b => s"$dir/fps/$b").toIndexedSeq: _*),
+            spark.read.parquet(live.map(b => s"$dir/grams/$b").toIndexedSeq: _*)))
+        }
+      }
     } catch {
       case NonFatal(e) =>
         System.err.println(s"[deconstore] $dir unreadable (${e.getMessage}) — recomputing inline")

@@ -281,6 +281,72 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("DeconStore advance/retire: per-benchmark maintenance ≡ rebuild, orphans never serve") {
+    import spark.implicits._
+    import graft.sources.DeconStore
+    // Two benchmarks with disjoint passages; train docs hit each.
+    val passage2 =
+      "this work is licensed under a creative commons attribution " +
+        "share alike international license see the legal code for details "
+    val benchA = Seq((20L, filler("ea", 35) + passage + filler("eb", 25))).toDF("doc_id", "text")
+    val benchB = Seq((30L, filler("ec", 30) + passage2 + filler("ed", 20))).toDF("doc_id", "text")
+    val suite = benchA.unionByName(benchB)
+    val fresh = Seq(
+      (1L, filler("da", 50) + passage + filler("db", 30)),
+      (2L, filler("dc", 40) + passage2 + filler("dd", 35)),
+      (3L, filler("dz", 130))).toDF("doc_id", "text")
+    def probe(ev: org.apache.spark.sql.DataFrame) = {
+      graft.core.Caches.releaseAll()
+      spans(SubstringDedup.deconProbeOn(fresh, ev))
+    }
+    val inlineSuite = probe(suite) // DirKey unset → inline
+    val inlineA = probe(benchA)
+    assert(inlineSuite == Map(
+      1L -> Seq((51L, passage.length.toLong)),
+      2L -> Seq((41L, passage2.length.toLong))), s"fixture sanity: $inlineSuite")
+    assert(inlineA == Map(1L -> Seq((51L, passage.length.toLong))))
+
+    val dir = tmpDir("deconstore_maint")
+    DeconStore.advanceBenchmark("a", benchA, dir)
+    DeconStore.advanceBenchmark("b", benchB, dir) // never re-reads A's source
+    spark.conf.set(DeconStore.DirKey, dir)
+    try {
+      // combined metas == the union corpus digest; probe ≡ inline
+      assert(DeconStore.openFresh(suite).isDefined, "advanced store must be fresh for the suite")
+      assert(probe(suite) == inlineSuite, "store-served suite probe must equal inline")
+
+      // retire one benchmark: fresh for the remainder, exact spans,
+      // stale for the retired suite
+      DeconStore.retireBenchmark("b", spark, dir)
+      assert(DeconStore.openFresh(benchA).isDefined, "XOR-healed digest must match the remainder")
+      assert(DeconStore.openFresh(suite).isEmpty, "retired suite must read stale")
+      assert(probe(benchA) == inlineA, "post-retire probe ≡ rebuild without the benchmark")
+
+      // crash mid-retire: meta gone, fps/grams orphaned — the orphan
+      // partitions must not leak spans into a fresh open
+      DeconStore.advanceBenchmark("b", benchB, dir)
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/meta/bench=b"), true): Unit
+      assert(DeconStore.openFresh(benchA).isDefined)
+      assert(probe(benchA) == inlineA, "orphan b partitions must not serve")
+
+      // retire everything: the empty store serves empty relations for
+      // an empty suite (no schema error), and reads stale otherwise
+      DeconStore.retireBenchmark("a", spark, dir)
+      DeconStore.retireBenchmark("b", spark, dir)
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val opened = DeconStore.openFresh(empty)
+      assert(opened.isDefined, "zero live benchmarks + empty corpus = fresh empty store")
+      val (fps, grams) = opened.get
+      assert(fps.count() == 0 && grams.count() == 0)
+      assert(DeconStore.openFresh(benchA).isEmpty, "empty store is stale for a non-empty corpus")
+    } finally {
+      spark.conf.unset(DeconStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("q174 hashed decon face returns exactly q172's spans (sf0.001 + sf0.01)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val fast = SubstringDedup.q174DeconSpansFast(spark, dir).collect()
