@@ -116,6 +116,76 @@ object RepetitionQueries {
        |LEFT JOIN dup10 d USING (doc_id)""".stripMargin
   }
 
+  /** The same two metrics as ONE stateless per-row column — the
+    * streaming face's kernel ([[graft.streaming.RepetitionGate]]).
+    * The batch query explodes and partially aggregates because a
+    * corpus run wants map-side combine and codegen; a live gate wants
+    * zero shuffle and zero state, so here each row sorts its own gram
+    * arrays and run-length-scans them with `aggregate` lambdas:
+    *
+    *  - top bigram = longest run in the ASC-sorted bigram array with
+    *    strict `>` updates, so the first (= alphabetically smallest)
+    *    maximal run wins — exactly the batch argmax's
+    *    `(count desc, g asc)` tie-break;
+    *  - duplicated-10-gram positions = Σ run lengths ≥ 2 over the
+    *    sorted 10-gram array (runs flushed on change, finish lambda
+    *    flushes the last).
+    *
+    * Arithmetic mirrors the batch expressions shape-for-shape
+    * (`c * len(g) / n_chars`, `dup * 1.0 / (n_words - 9)`), so the
+    * verdicts are bit-identical — RepetitionSpec pins gate-vs-batch
+    * parity on the real corpus. Higher-order lambdas are
+    * CodegenFallback; that is the price of statelessness and it is
+    * paid per ROW with no shuffle, which is the right trade for a
+    * gate (the batch face keeps the codegen'd explode shape).
+    */
+  private[graft] def rowMetrics(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.Column
+    val w = split(text, " ")
+    val nullStr = lit(null).cast("string")
+    val bgs = sort_array(transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+    val top = aggregate(bgs,
+      struct(nullStr.as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), nullStr.as("bg")),
+      (a: Column, x: Column) => {
+        val run = when(x.eqNullSafe(a.getField("prev")),
+          a.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          when(run > a.getField("best"), run)
+            .otherwise(a.getField("best")).as("best"),
+          when(run > a.getField("best"), x)
+            .otherwise(a.getField("bg")).as("bg"))
+      },
+      (a: Column) => struct(a.getField("best").as("c"), a.getField("bg").as("g")))
+    val g10s = sort_array(transform(sequence(lit(1), size(w) - 9),
+      i => concat_ws(" ", slice(w, i, lit(10)))))
+    val dup = aggregate(g10s,
+      struct(nullStr.as("prev"), lit(0L).as("run"), lit(0L).as("dup")),
+      (a: Column, x: Column) => {
+        val run = when(x.eqNullSafe(a.getField("prev")),
+          a.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          (a.getField("dup") + when(!x.eqNullSafe(a.getField("prev"))
+            && a.getField("run") >= 2L, a.getField("run")).otherwise(0L))
+            .as("dup"))
+      },
+      (a: Column) => a.getField("dup") +
+        when(a.getField("run") >= 2L, a.getField("run")).otherwise(0L))
+    val nWords = size(w).cast("long")
+    val top2 = when(nWords >= 2,
+      least(lit(1.0), top.getField("c") * length(top.getField("g")) / length(text)))
+      .otherwise(lit(0.0))
+    val dup10 = when(nWords >= 10, dup * lit(1.0) / (nWords - 9))
+      .otherwise(lit(0.0))
+    struct(
+      nWords.as("n_words"),
+      top2.as("top2_frac"),
+      dup10.as("dup10_frac"),
+      (top2 < Top2Threshold && dup10 < Dup10Threshold).as("keep"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q176_gopher_repetition" -> q176GopherRepetition _)
 

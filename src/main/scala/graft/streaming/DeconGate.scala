@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.SubstringDedup
+import graft.state.JdbcStateStore
+
+/** Live eval-set decontamination gating — the streaming counterpart
+  * of the batch decon family (q172–q175): every micro-batch of
+  * arriving training documents is probed against the benchmark suite
+  * AT INGEST, so a freshly-scraped copy of a held-out benchmark is
+  * flagged the day it arrives instead of at the next full corpus
+  * decon run.
+  *
+  * Contract, matching the maintainer/gate tier:
+  *
+  *  - **Batch and stream share the kernel.** Each micro-batch rides
+  *    [[SubstringDedup.deconProbeOn]] — the SAME spans q172/q175
+  *    report, including the [[graft.sources.DeconStore]] fast path
+  *    when configured and fresh (the store is exactly what makes a
+  *    per-batch probe affordable: the eval side is read pre-derived,
+  *    never re-winnowed per batch). DeconGateSpec pins verdict parity
+  *    with the batch face.
+  *  - **Exactly-once verdicts.** The per-batch verdict partition is
+  *    written `batch=<id>` with a control-table marker
+  *    ([[WinnowMaintainer]]'s two moves): a replayed batch overwrites
+  *    its own partition (convergent) and a committed replay skips.
+  *  - **Every doc gets a verdict**, not only the contaminated ones: a
+  *    downstream shard-builder joins on `keep` without needing to
+  *    know which batch a doc arrived in.
+  *
+  * Per micro-batch the cost is one batch-sized winnow + the matched
+  * sliver's gram join (SCALE.md's q175 shape) — nothing scales with
+  * the stored suite beyond the shared-fingerprint join.
+  */
+object DeconGate {
+
+  /** Batch kernel: per-doc verdict over one batch. `contam_chars` is
+    * the total span mass duplicating the eval suite; `keep` = no
+    * contamination. */
+  def flag(batch: DataFrame, evalRel: DataFrame): DataFrame = {
+    val spans = SubstringDedup.deconProbeOn(batch, evalRel)
+      .groupBy("doc_id").agg(sum("span_len").as("contam_chars"))
+    batch.select("doc_id").join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"))
+      .withColumn("keep", col("contam_chars") === 0L)
+  }
+
+  /** Gate one micro-batch exactly once into `outDir/batch=<id>`;
+    * returns true when this call wrote (false = committed replay
+    * skipped). */
+  def gateBatch(batch: DataFrame, evalRel: DataFrame,
+      store: JdbcStateStore, sinkId: String, outDir: String,
+      batchId: Long): Boolean =
+    if (store.batchCommitted(sinkId, batchId)) false
+    else {
+      flag(batch, evalRel)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      graft.core.Caches.releaseAll()
+      store.markBatch(sinkId, batchId)
+    }
+
+  /** Wire a streaming document DataFrame (doc_id, text, …) into the
+    * gate. Caller starts it (and owns checkpointLocation, trigger). */
+  def exactlyOnce(stream: DataFrame, evalRel: DataFrame,
+      store: JdbcStateStore, sinkId: String, outDir: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
+      gateBatch(df, evalRel, store, sinkId, outDir, batchId)
+      ()
+    }
+}

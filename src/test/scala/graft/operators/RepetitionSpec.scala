@@ -51,6 +51,36 @@ class RepetitionSpec extends SparkSpec {
     assert(!r.getBoolean(4))
   }
 
+  test("streaming gate verdicts are bit-identical to batch q176 (sf0.001 + stream smoke)") {
+    // batch parity on the real corpus: same metrics, same tie-breaks,
+    // same doubles — not approximately, exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_words", "top2_frac", "dup10_frac", "keep")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    val batch = asMap(RepetitionQueries.q176GopherRepetition(spark, "/root/testdata/sf0.001"))
+    val gated = asMap(graft.streaming.RepetitionGate.gate(docs))
+    assert(gated == batch, "gate and batch face must agree on every document")
+
+    // and the gate runs as an actual append-mode stream (stateless)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val out = graft.streaming.RepetitionGate.gate(
+      input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("rep_gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, Array.fill(8)("x y").mkString(" ")), (2L, "a b c d e f g h i j k l"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rep_gate_out")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(streamed == Map(1L -> false, 2L -> true))
+  }
+
   test("real corpus: fractions are in [0,1] and both regimes occur (sf0.001)") {
     val rows = RepetitionQueries.q176GopherRepetition(spark, "/root/testdata/sf0.001")
       .collect()
