@@ -654,6 +654,85 @@ object SubstringDedup {
       d.filter(col("doc_id") % 10 === 0))
   }
 
+  /** Q179: the contamination ATTRIBUTION matrix — the report face of
+    * the decon tier (q172 answers "which spans", q173 removes them,
+    * this answers the governance question: WHICH benchmark leaked
+    * into WHICH ingest source, and how much). One row per
+    * (train source, eval doc) with the count of affected train docs
+    * and the total span mass, where spans are the q172 islands
+    * re-derived PER (train doc, eval doc) pair — a span that matches
+    * two benchmarks is attributed to both (attribution multiplies by
+    * matched benchmark, which is exactly what a leak report wants).
+    *
+    * Scale shape: same winnow prefilter as q172 (one shared-
+    * fingerprint join prunes BOTH corpora before any gram explodes);
+    * the position relation gains an eval_doc column, so its size is
+    * contamination volume × benchmarks sharing each span — bounded by
+    * the leak itself, not the corpus. Output is (sources ×
+    * benchmarks)-sized. */
+  def q179DeconMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    deconMatrixOn(
+      d.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0))
+  }
+
+  private[operators] def deconMatrixOn(train: DataFrame,
+      evalRel: DataFrame): DataFrame = {
+    val tFps = Caches.persistTracked(charWinnowOf(train))
+    val eFps = Caches.persistTracked(charWinnowOf(evalRel))
+    val shared = Caches.persistTracked(
+      tFps.select("fp").distinct().join(eFps.select("fp").distinct(), "fp"))
+    val tCand = train.join(
+      tFps.join(shared, "fp").select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val eCand = evalRel.join(
+      eFps.join(shared, "fp").select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+    val pos = gramsOf(tCand)
+      .join(gramsOf(eCand)
+        .select(col("doc_id").as("eval_doc"), col("g")).distinct(), "g")
+      .select("doc_id", "eval_doc", "p")
+    val w = Window.partitionBy("doc_id", "eval_doc").orderBy("p")
+    val spans = pos
+      .withColumn("prev", lag("p", 1).over(w))
+      .withColumn("island",
+        sum(when(col("prev").isNull || col("p") > col("prev") + K, 1)
+          .otherwise(0)).over(w))
+      .groupBy("doc_id", "eval_doc", "island")
+      .agg(min("p").as("s"), (max("p") + K).as("e1"))
+    spans.join(train.select("doc_id", "source"), "doc_id")
+      .groupBy("source", "eval_doc")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        sum(col("e1") - col("s")).cast("long").as("contam_chars"))
+  }
+
+  val deconMatrixSql: String =
+    s"""WITH tg AS (
+       |  SELECT doc_id, p, substr(text, p, $K) AS g
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K AND doc_id % 10 <> 0)),
+       |eg AS (
+       |  SELECT DISTINCT doc_id AS eval_doc, substr(text, p, $K) AS g
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K AND doc_id % 10 = 0)),
+       |dp AS (SELECT tg.doc_id, eg.eval_doc, tg.p FROM tg JOIN eg USING (g)),
+       |lagged AS (SELECT doc_id, eval_doc, p,
+       |             lag(p) OVER (PARTITION BY doc_id, eval_doc ORDER BY p)
+       |               AS prev
+       |           FROM dp),
+       |isl AS (SELECT doc_id, eval_doc, p,
+       |          sum(CASE WHEN prev IS NULL OR p > prev + $K THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id, eval_doc ORDER BY p) AS island
+       |        FROM lagged),
+       |sp AS (SELECT doc_id, eval_doc, min(p) AS s, max(p) + $K AS e1
+       |       FROM isl GROUP BY doc_id, eval_doc, island)
+       |SELECT d.source, sp.eval_doc,
+       |  CAST(count(DISTINCT sp.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(e1 - s) AS BIGINT) AS contam_chars
+       |FROM sp JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   private[graft] def deconProbeOn(fresh: DataFrame,
       evalRel: DataFrame): DataFrame = {
     val pos = graft.sources.DeconStore.openFresh(evalRel) match {
@@ -711,7 +790,8 @@ object SubstringDedup {
     "q172_decon_spans" -> q172DeconSpans _,
     "q173_decon_scrub" -> q173DeconScrub _,
     "q174_decon_spans_fast" -> q174DeconSpansFast _,
-    "q175_decon_probe" -> q175DeconProbe _)
+    "q175_decon_probe" -> q175DeconProbe _,
+    "q179_decon_matrix" -> q179DeconMatrix _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
@@ -719,5 +799,6 @@ object SubstringDedup {
     "q152_substring_probe" -> substringProbeSql,
     "q172_decon_spans" -> deconSpansSql,
     "q173_decon_scrub" -> deconScrubSql,
-    "q175_decon_probe" -> deconProbeSql)
+    "q175_decon_probe" -> deconProbeSql,
+    "q179_decon_matrix" -> deconMatrixSql)
 }

@@ -281,6 +281,37 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q179 matrix attributes each leak to its (source, benchmark) cell, multi-matched spans to both") {
+    import spark.implicits._
+    val passage2 =
+      "this work is licensed under a creative commons attribution " +
+        "share alike international license see the legal code for details "
+    // eval: two benchmarks; train: src1 leaks passage (two docs), src2
+    // leaks passage2 (one doc), src3 is clean. Doc 5 contains BOTH
+    // passages → attributed to both benchmarks.
+    val train = Seq(
+      (1L, "src1", filler("da", 50) + passage + filler("db", 30)),
+      (2L, "src1", passage + filler("dc", 40)),
+      (3L, "src2", filler("dd", 35) + passage2 + filler("de", 20)),
+      (5L, "src1", passage + filler("df", 25) + passage2),
+      (7L, "src3", filler("dg", 150))).toDF("doc_id", "source", "text")
+    val ev = Seq(
+      (20L, filler("ea", 35) + passage + filler("eb", 25)),
+      (30L, filler("ec", 30) + passage2 + filler("ed", 20)))
+      .toDF("doc_id", "text")
+    graft.core.Caches.releaseAll()
+    val got = SubstringDedup.deconMatrixOn(train, ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val L = passage.length.toLong
+    val L2 = passage2.length.toLong
+    assert(got == Map(
+      ("src1", 20L) -> (3L, 3 * L), // docs 1, 2, 5 each leak passage once
+      ("src1", 30L) -> (1L, L2),    // doc 5 also leaks passage2
+      ("src2", 30L) -> (1L, L2)),
+      s"matrix cells must be exactly the planted leaks: $got")
+  }
+
   test("DeconStore advance/retire: per-benchmark maintenance ≡ rebuild, orphans never serve") {
     import spark.implicits._
     import graft.sources.DeconStore
