@@ -57,8 +57,63 @@ object TokenizerCompare {
     bpe.unionByName(bb).unionByName(uni).unionByName(wp).orderBy("algo")
   }
 
+  /** Q180: tokenizer FERTILITY BY DOMAIN — the fairness audit q166's
+    * corpus-level bake-off can't see: a tokenizer whose corpus
+    * fertility looks fine can still make one language pay a multiple
+    * of another's tokens for the same text (the "tokenizer premium"
+    * documented across public multilingual-NLP work), which skews both
+    * the effective mixture (token budgets are spent per piece, not per
+    * char) and inference cost. One row per (algo, lang):
+    *
+    *  - `fertility` — pieces per word within the language;
+    *  - `chars_per_piece` — language chars (spaces excluded) per piece;
+    *  - `premium` — fertility / the algo's cheapest-language fertility
+    *    (1.0 = this lang tokenizes as cheaply as the best-served one).
+    *
+    * Two structurally-different tokenizers make the cut meaningful:
+    * unigram-LM (char-subword — fertility tracks word-shape frequency)
+    * and byte-level BPE (fertility tracks BYTES, the regime where
+    * non-Latin scripts famously pay multiples). Pure composition over
+    * the SAME per-doc encode relations q159/q167 publish (joined to
+    * the documents table's lang tag), so every cell is cross-checkable
+    * against the oracle-green-adjacent encodes; rows-only like its
+    * inputs (iterative trainers have no SQL form), aggregate
+    * consistency with q166 spec-pinned.
+    */
+  def q180TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val langs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
+    def card(algo: String, enc: DataFrame,
+        pieces: org.apache.spark.sql.Column): DataFrame =
+      enc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(sum("n_words").as("n_words"), sum(pieces).as("n_pieces"),
+          sum("nc").as("n_chars"))
+        .select(lit(algo).as("algo"), col("lang"), col("n_words"),
+          col("n_pieces"), col("n_chars"),
+          (col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .as("raw_fert"),
+          (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+            .as("raw_cpp"))
+    val uni = card("unigram", UnigramQueries.q159UnigramEncode(spark, dir),
+      col("n_pieces"))
+    val bb = card("bytebpe", BpeQueries.byteBpeEncodeOn(
+      Tables(spark, dir, "documents")), col("n_tokens"))
+    val w = Window.partitionBy("algo")
+    uni.unionByName(bb)
+      .withColumn("premium", col("raw_fert") / min("raw_fert").over(w))
+      .select(col("algo"), col("lang"), col("n_words"), col("n_pieces"),
+        round(col("raw_fert"), 6).as("fertility"),
+        round(col("raw_cpp"), 6).as("chars_per_piece"),
+        round(col("premium"), 6).as("premium"))
+      .orderBy("algo", "lang")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q166_tokenizer_compare" -> q166TokenizerCompare _)
+    "q166_tokenizer_compare" -> q166TokenizerCompare _,
+    "q180_tokenizer_fertility" -> q180TokenizerFertility _)
 
   /** Rows-only: composes three iterative trainers (q117/q158/q162). */
   val oracles: Map[String, String] = Map.empty

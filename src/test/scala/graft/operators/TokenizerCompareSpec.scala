@@ -54,4 +54,31 @@ class TokenizerCompareSpec extends SparkSpec {
       rows("bytebpe")._2 == bb.map(_._2).sum,
       s"bytebpe row must equal the byte-encode sums")
   }
+
+  test("q180: per-lang cells sum to q166's corpus totals; premiums floor at 1") {
+    val cells = TokenizerCompare.q180TokenizerFertility(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(6)))).toMap
+    graft.core.Caches.releaseAll()
+    val corpus = TokenizerCompare.q166TokenizerCompare(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.core.Caches.releaseAll()
+    val langs = Set("en", "es", "fr", "de", "zh")
+    for (algo <- Seq("unigram", "bytebpe")) {
+      val mine = cells.filter(_._1._1 == algo)
+      assert(mine.keySet.map(_._2) == langs, s"$algo must cover every lang")
+      // partition consistency: the fairness cut is a re-bucketing of
+      // the SAME encode relation q166 aggregates corpus-wide
+      assert(mine.values.map(_._1).sum == corpus(algo)._1,
+        s"$algo word totals must partition q166's")
+      assert(mine.values.map(_._2).sum == corpus(algo)._2,
+        s"$algo piece totals must partition q166's")
+      // premium semantics: min 1 (the best-served language), none below
+      val premiums = mine.values.map(_._4)
+      assert(premiums.min == 1.0, s"$algo cheapest lang must sit at 1.0")
+      assert(premiums.forall(_ >= 1.0))
+      // fertility ≥ 1 in every cell (a word is at least one piece)
+      assert(mine.values.forall(_._3 >= 1.0))
+    }
+  }
 }
