@@ -48,12 +48,22 @@ object SimilarityQueries {
     * bounded by construction (the IVF codebook is always
     * memory-resident, like a Faiss quantizer; this is NOT a corpus
     * collect). */
-  private def centroidList(e: DataFrame): Seq[(Long, Seq[Double])] =
+  private[graft] def centroidList(e: DataFrame): Seq[(Long, Seq[Double])] =
     e.where(col("vec_id") < NumCentroids)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1).toSeq
+
+  /** Bucket-assign an embedding batch against a given codebook —
+    * (n_id, n_vec, bkt), the IVF index relation q21/q139 join on and
+    * [[graft.sources.VectorIndexStore]] persists per day. */
+  private[graft] def ivfAssign(batch: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame =
+    batch
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), 1))
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        (-col("__c.negid")).as("bkt"))
 
   /** Per-row (cosine, -centroid_id) struct per codebook entry — a narrow
     * codegen'd projection against literal centroids; the literal-side
@@ -174,14 +184,26 @@ object SimilarityQueries {
     * only the probed buckets. */
   def q139IvfProbe(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cents = centroidList(e)
-    val idxSide = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
-    val freshSide = e.where(pmod(col("vec_id"), lit(5)) === 0)
-    val assign = idxSide
-      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), 1))
-      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
-        (-col("__c.negid")).as("bkt"))
-    val probes = freshSide
+    ivfProbeOn(e.where(pmod(col("vec_id"), lit(5)) === 0),
+      e.where(pmod(col("vec_id"), lit(5)) =!= 0), e)
+  }
+
+  /** The probe kernel behind q139, store-aware: when a
+    * [[graft.sources.VectorIndexStore]] is configured and fresh for
+    * (corpus, idx), the codebook and bucket assignments are READ
+    * (codebook = K driver rows, assignments = the persisted index
+    * relation) instead of re-derived — the persisted values are the
+    * same raw vectors/ids, so the store path stays inside q139's
+    * oracle contract. Fallback is the inline derivation: a stale
+    * store costs an assignment pass, never a wrong neighbor. */
+  private[graft] def ivfProbeOn(fresh: DataFrame, idx: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val (cents, assign) =
+      graft.sources.VectorIndexStore.openFresh(corpus, idx).getOrElse {
+        val c = centroidList(corpus)
+        (c, ivfAssign(idx, c))
+      }
+    val probes = fresh
       .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), NProbe))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         (-col("__c.negid")).as("bkt"))

@@ -1,0 +1,162 @@
+package graft.sources
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Day-partitioned store for the IVF vector index — the
+  * [[SignatureStore]]/[[WinnowStore]] maintenance contract applied to
+  * the similarity tier, the last heavy-artifact tier that still
+  * rebuilt its index per run. q139's daily probe reads a bucket-
+  * assigned corpus (n_id, n_vec, bkt); before this store that index
+  * was re-derived from the embeddings every run — the corpus-
+  * proportional rescan the incremental path exists to avoid, and
+  * exactly what Faiss-style deployments persist.
+  *
+  * Layout under one root:
+  * {{{
+  *   <dir>/codebook/      (c_id, cv)               written ONCE at build
+  *   <dir>/assign/day=N/  (n_id, n_vec, bkt)       bucket assignments
+  *   <dir>/meta/          (day, n_vecs, digest)    one row per day
+  * }}}
+  *
+  * **The codebook is a FROZEN model artifact.** [[advanceDay]] assigns
+  * its batch against the STORED codebook (K driver rows, never
+  * re-derived) — that is what makes the index incremental: day N+1's
+  * assignments are valid next to day ≤ N's because both used the same
+  * quantizer, the standard IVF operational contract (retraining the
+  * quantizer = a new index = [[build]]).
+  *
+  * Freshness covers BOTH halves: per-day digests over the indexed
+  * vectors `(count, XOR of xxhash64(vec_id, embedding))` XOR-compose
+  * on read and must match the offered index relation; and the stored
+  * codebook must equal the codebook the offered corpus implies (a K-row
+  * driver comparison — both sides are the same deterministic
+  * derivation, so equality is exact, not approximate). A stale store
+  * costs an inline re-assignment, never a wrong neighbor.
+  */
+object VectorIndexStore {
+
+  /** Session conf: root dir of the store. Unset (default) = no store. */
+  val DirKey = "spark.graft.vectorstore.dir"
+
+  /** Session conf: skip BOTH freshness checks and trust the store. */
+  val TrustKey = "spark.graft.vectorstore.trust"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Corpus digest over an embedding relation (vec_id, embedding) —
+    * the [[SignatureStore.digestOf]] shape for the vector tier.
+    * xxhash64 hashes the float array exactly, so the digest is
+    * bit-stable across partitionings and parquet roundtrips. */
+  def digestOf(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)).as("n"),
+      coalesce(call_function("bit_xor",
+        xxhash64(col("vec_id"), col("embedding"))), lit(0L)).as("dg"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeDay(spark: SparkSession, dir: String, day: Int,
+      batch: DataFrame, cents: Seq[(Long, Seq[Double])], mode: String): Unit = {
+    // Pinned across assignment write + digest (the WinnowStore.writeDay
+    // argument): a non-deterministic batch plan must not persist a
+    // digest that doesn't cover the assigned rows.
+    val pinned = batch.persist()
+    try {
+      graft.operators.SimilarityQueries.ivfAssign(pinned, cents)
+        .withColumn("day", lit(day))
+        .write.mode(mode).partitionBy("day").parquet(s"$dir/assign")
+      // Meta lands LAST — the commit point.
+      val (n, dg) = digestOf(pinned)
+      spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
+        .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  /** Build a fresh index at `dir`: train (collect) the codebook from
+    * `corpus`, assign `indexRel` as `day`. Replaces prior content. */
+  def build(corpus: DataFrame, indexRel: DataFrame, dir: String,
+      day: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    fs(spark, dir).delete(new Path(dir), true): Unit
+    val cents = graft.operators.SimilarityQueries.centroidList(corpus)
+    spark.createDataFrame(cents).toDF("c_id", "cv")
+      .coalesce(1).write.parquet(s"$dir/codebook")
+    writeDay(spark, dir, day, indexRel, cents, "errorifexists")
+  }
+
+  /** The stored codebook — K driver rows. */
+  def storedCodebook(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$dir/codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  /** Append one ingest day: assign ONLY the batch against the STORED
+    * codebook (never re-derived — the frozen-quantizer contract), XOR
+    * its digest into the meta. Idempotent per day (existing `day=N`
+    * content is retired first), so at-least-once replay converges. */
+  def advanceDay(batch: DataFrame, dir: String, day: Int): Unit = {
+    val spark = batch.sparkSession
+    val cents = storedCodebook(spark, dir)
+    retireDay(spark, dir, day)
+    writeDay(spark, dir, day, batch, cents, "append")
+  }
+
+  /** Retire one day (takedown/expiry): drop its partition, XOR its
+    * digest back out of the meta. The codebook stays — it is a model
+    * artifact, not data derived from the retired day. */
+  def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+    val f = fs(spark, dir)
+    f.delete(new Path(s"$dir/assign/day=$day"), true): Unit
+    if (!f.exists(new Path(s"$dir/meta"))) return
+    val kept = spark.read.parquet(s"$dir/meta")
+      .where(col("day") =!= day).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.createDataFrame(kept).toDF("day", "n_vecs", "digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The stored (codebook, assignments) IF configured and fresh for
+    * this exact (corpus, index) pair — None (driver-log line, never an
+    * error) on key unset, unreadable store, stored-vs-implied codebook
+    * mismatch, or index digest mismatch. */
+  def openFresh(corpus: DataFrame, idxRel: DataFrame)
+      : Option[(Seq[(Long, Seq[Double])], DataFrame)] = {
+    val spark = corpus.sparkSession
+    val dir = spark.conf.get(DirKey, "")
+    if (dir.isEmpty) return None
+    try {
+      val cents = storedCodebook(spark, dir)
+      val trusted = spark.conf.get(TrustKey, "false").toBoolean
+      if (!trusted &&
+        graft.operators.SimilarityQueries.centroidList(corpus) != cents) {
+        System.err.println(s"[vectorstore] $dir codebook differs from this corpus's — assigning inline")
+        return None
+      }
+      val m = spark.read.parquet(s"$dir/meta")
+        .agg(coalesce(sum("n_vecs"), lit(0L)),
+          coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
+      val stored = (m.getLong(0), m.getLong(1))
+      if (!trusted && digestOf(idxRel) != stored) {
+        System.err.println(s"[vectorstore] $dir is stale for this index — assigning inline")
+        None
+      } else if (stored._1 == 0L) {
+        // zero live days: the index is legitimately empty (empty
+        // assign/ has no schema to infer — serve the typed relation)
+        Some((cents, spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          idxRel.select(col("vec_id").as("n_id"),
+            col("embedding").as("n_vec"), lit(0L).as("bkt")).schema)))
+      } else Some((cents,
+        spark.read.parquet(s"$dir/assign").select("n_id", "n_vec", "bkt")))
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[vectorstore] $dir unreadable (${e.getMessage}) — assigning inline")
+        None
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SimilarityQueries
+
+/** The IVF index store's maintenance contract: day advance assigns
+  * only its batch against the FROZEN stored codebook, retire
+  * XOR-heals, freshness covers both the index digest and the
+  * codebook, the probe rides the store byte-identically, and a fully
+  * retired store serves an empty index rather than a schema error.
+  */
+class VectorIndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  private def emb: DataFrame =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  private def assignSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("n_id", "bkt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("probe rides a fresh store byte-identically; stale index or codebook falls back") {
+    val e = emb
+    val idx = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val inline = SimilarityQueries.q139IvfProbe(spark, sf0001).collect().toSeq
+    val dir = tmpDir("vectorstore")
+    VectorIndexStore.build(e, idx, dir)
+    spark.conf.set(VectorIndexStore.DirKey, dir)
+    try {
+      assert(VectorIndexStore.openFresh(e, idx).isDefined,
+        "store must be fresh for its own (corpus, index)")
+      val stored = SimilarityQueries.q139IvfProbe(spark, sf0001).collect().toSeq
+      assert(stored == inline,
+        "the store-served probe must reproduce the inline result exactly")
+
+      // index mutation (same count): digest catches it
+      val mutated = idx.withColumn("embedding",
+        when(col("vec_id") === 17L,
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")))
+      assert(VectorIndexStore.openFresh(e, mutated).isEmpty,
+        "index digest must catch vector mutation")
+
+      // codebook drift: same index side, different corpus low-ids
+      val corpusDrift = e.withColumn("embedding",
+        when(col("vec_id") === 3L,
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")))
+      assert(VectorIndexStore.openFresh(corpusDrift, idx).isEmpty,
+        "codebook comparison must catch quantizer drift")
+    } finally spark.conf.unset(VectorIndexStore.DirKey)
+  }
+
+  test("advance/retire: incremental days ≡ one build; the codebook stays frozen") {
+    val e = emb
+    val idx = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val day0 = idx.where(col("vec_id") % 2 === 1)
+    val day1 = idx.where(col("vec_id") % 2 === 0)
+    val dir = tmpDir("vectorstore_incr")
+    VectorIndexStore.build(e, day0, dir, day = 0)
+    VectorIndexStore.advanceDay(day1, dir, day = 1)
+
+    val dirFull = tmpDir("vectorstore_full")
+    VectorIndexStore.build(e, idx, dirFull)
+
+    spark.conf.set(VectorIndexStore.DirKey, dir)
+    try {
+      val opened = VectorIndexStore.openFresh(e, idx)
+      assert(opened.isDefined, "XOR-composed day digests must cover the union")
+      val (cents, assign) = opened.get
+      spark.conf.set(VectorIndexStore.DirKey, dirFull)
+      val (cents2, assign2) = VectorIndexStore.openFresh(e, idx).get
+      assert(cents == cents2, "codebook must be the same frozen artifact")
+      assert(assignSet(assign) == assignSet(assign2),
+        "two-day advance must equal the one-shot build")
+
+      // frozen-quantizer invariant: day1's batch contains vec_ids < 16
+      // (a would-be different codebook source); its stored assignments
+      // must come from the BUILD-time codebook, not a batch-local one
+      val expected = assignSet(SimilarityQueries.ivfAssign(day1, cents))
+      spark.conf.set(VectorIndexStore.DirKey, dir)
+      val day1Stored = assignSet(VectorIndexStore.openFresh(e, idx).get._2)
+        .filter(p => expected.exists(_._1 == p._1))
+      assert(day1Stored == expected, "advance must assign against the stored codebook")
+
+      // retire day1: fresh for day0 alone, stale for the union
+      VectorIndexStore.retireDay(spark, dir, 1)
+      assert(VectorIndexStore.openFresh(e, day0).isDefined)
+      assert(VectorIndexStore.openFresh(e, idx).isEmpty)
+
+      // retire the last day: empty index for an empty offered relation
+      VectorIndexStore.retireDay(spark, dir, 0)
+      val empty = idx.where(lit(false))
+      val openedEmpty = VectorIndexStore.openFresh(e, empty)
+      assert(openedEmpty.isDefined, "zero live days + empty index = legal empty store")
+      assert(openedEmpty.get._2.count() == 0)
+      assert(VectorIndexStore.openFresh(e, idx).isEmpty,
+        "an empty store is stale for a non-empty index")
+    } finally spark.conf.unset(VectorIndexStore.DirKey)
+  }
+}
