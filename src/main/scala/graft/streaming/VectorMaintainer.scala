@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.sources.VectorIndexStore
+import graft.state.JdbcStateStore
+
+/** Streaming maintenance of the IVF [[VectorIndexStore]] — the
+  * [[WinnowMaintainer]] contract for the vector tier: each micro-batch
+  * of freshly-embedded vectors is bucket-assigned against the FROZEN
+  * stored codebook and appended as its own day partition EXACTLY once,
+  * so q139's daily probe reads an index already current through the
+  * last committed batch — embeddings flow from the embedding service
+  * into the ANN index with no nightly re-assignment job in between.
+  *
+  * Exactly-once by the same two moves: `VectorIndexStore.advanceDay`
+  * is convergent under replay (retire-then-rewrite, meta commit point
+  * last) and the control-table batch marker makes a committed replay
+  * skip the work. Per micro-batch the cost is one batch-sized
+  * assignment pass (K·D flops/vector against the stored quantizer) +
+  * one partition write + one PK insert — nothing scales with the
+  * stored index.
+  */
+object VectorMaintainer {
+
+  /** Advance the store by one micro-batch exactly once; returns true
+    * when this call performed the advance (false = committed replay
+    * skipped). The batch id doubles as the store day — build the store
+    * with a day OUTSIDE the stream's batch-id range (e.g. day = -1 for
+    * the initial backfill) or batch 0 would retire-and-replace it. */
+  def advanceBatch(batch: DataFrame, store: JdbcStateStore, sinkId: String,
+      dir: String, batchId: Long): Boolean =
+    if (store.batchCommitted(sinkId, batchId)) false
+    else {
+      VectorIndexStore.advanceDay(batch, dir, batchId.toInt)
+      graft.core.Caches.releaseAll()
+      store.markBatch(sinkId, batchId)
+    }
+
+  /** Wire a streaming embedding DataFrame (vec_id, embedding, …) into
+    * the maintainer. Caller starts it (and owns checkpointLocation,
+    * trigger, etc.). The store must already exist ([[VectorIndexStore
+    * .build]]) — the codebook is a trained artifact, not something a
+    * micro-batch may invent. */
+  def exactlyOnce(stream: DataFrame, store: JdbcStateStore, sinkId: String,
+      dir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
+      advanceBatch(df, store, sinkId, dir, batchId)
+      ()
+    }
+}

@@ -27,14 +27,16 @@ class VectorIndexStoreSpec extends SparkSpec {
   test("probe rides a fresh store byte-identically; stale index or codebook falls back") {
     val e = emb
     val idx = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
-    val inline = SimilarityQueries.q139IvfProbe(spark, sf0001).collect().toSeq
+    val inline = SimilarityQueries.q139IvfProbe(spark, sf0001).collect()
+      .map(_.toString).toSet
     val dir = tmpDir("vectorstore")
     VectorIndexStore.build(e, idx, dir)
     spark.conf.set(VectorIndexStore.DirKey, dir)
     try {
       assert(VectorIndexStore.openFresh(e, idx).isDefined,
         "store must be fresh for its own (corpus, index)")
-      val stored = SimilarityQueries.q139IvfProbe(spark, sf0001).collect().toSeq
+      val stored = SimilarityQueries.q139IvfProbe(spark, sf0001).collect()
+        .map(_.toString).toSet
       assert(stored == inline,
         "the store-served probe must reproduce the inline result exactly")
 
