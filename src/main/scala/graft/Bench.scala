@@ -467,6 +467,30 @@ object Bench {
       System.err.println(s"[bench] vector-store probe failed: ${e.getMessage}")
       -1.0
     }
+    // q82 through a prebuilt compressed (IVF-PQ) index: the k-means
+    // training pass + full corpus encode are paid once at build and the
+    // query reads codes — the artifact whose derivation dominates at
+    // production K'·m·D shapes.
+    val pqProbe = if (!extraOn("xpq")) 0.0 else try {
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val dirP = s"$scratch/pqstore"
+      graft.sources.VectorIndexStore.buildPq(e, dirP)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirP)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.SimilarityQueries.ivfPqTopK(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pq-store probe failed: ${e.getMessage}")
+      -1.0
+    }
     // Tolerance-driven PageRank (the production loop behind q107's
     // fixed-round oracle face): data-dependent round count to L1 < 1e-7
     // with a per-round checkpoint + eager previous-round release — the
@@ -611,6 +635,7 @@ object Bench {
       "xsp" -> armPick,       // x_arm_picker (q169 via store)
       "xdc" -> deconProbe,    // x_deconstore_probe (q175 via store)
       "xvs" -> vecProbe,      // x_vectorstore_probe (q139 via store)
+      "xpq" -> pqProbe,       // x_pqstore_topk (q82 via store)
       "xprt" -> prTol)        // x_pagerank_tol
     def queriesBlock(unit: Double => Long, floor: Long): String =
       (results.flatMap { case (k, v) =>

@@ -819,12 +819,14 @@ object SimilarityQueries {
   /** The shared IVF-PQ candidate-scoring stage: (q_id, n_id, adc) for
     * every code stored in a probed bucket — q82 ranks it directly, q88
     * shortlists then exactly re-ranks. */
-  private def ivfPqAdc(e0: DataFrame): DataFrame = {
-    val spark = e0.sparkSession
-    import spark.implicits._
+  /** The complete PQ index: coarse codebook, per-subspace PQ
+    * codebooks, and the coded corpus (vec_id, bkt, sub, code) — the
+    * inline derivation [[ivfPqAdc]] uses and
+    * [[graft.sources.VectorIndexStore.buildPq]] persists. One corpus
+    * scan: the bucket tag rides through the subvector explode. */
+  private[graft] def pqIndexArtifacts(e0: DataFrame)
+      : (Seq[(Long, Seq[Double])], Map[Int, Seq[(Long, Seq[Double])]], DataFrame) = {
     val coarse = centroidList(e0)
-    // (vec_id, bkt, sub, sv): coarse bucket + PQ subvectors from one
-    // corpus scan — the generator carries the bucket column through.
     val e = e0
       .withColumn("__c", topCentroids(centroidScores(col("embedding"), coarse), 1))
       .select(col("vec_id"), (-col("__c.negid")).as("bkt"),
@@ -838,13 +840,44 @@ object SimilarityQueries {
     val cents = pqTrain(subs, PqIters)
     val codes = subs.select(col("vec_id"), col("bkt"), col("sub"),
       pqCode(col("sv"), col("sub"), cents).as("code"))
+    (coarse, cents, codes)
+  }
+
+  /** Encode one batch against FROZEN codebooks — the store's
+    * advance-day kernel: no training, one batch scan. */
+  private[graft] def pqEncodeWith(batch: DataFrame,
+      coarse: Seq[(Long, Seq[Double])],
+      cents: Map[Int, Seq[(Long, Seq[Double])]]): DataFrame = {
+    val e = batch
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), coarse), 1))
+      .select(col("vec_id"), (-col("__c.negid")).as("bkt"),
+        col("embedding").cast("array<double>").as("v"))
+    val d0 = e.select(size(col("v"))).head.getInt(0)
+    val w = d0 / PqSubspaces
+    e.select(col("vec_id"), col("bkt"), posexplode(
+        array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
+      .select(col("vec_id"), col("bkt"), col("pos").as("sub"),
+        pqCode(col("col"), col("pos"), cents).as("code"))
+  }
+
+  private def ivfPqAdc(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    // Store-or-inline: a configured-and-fresh VectorIndexStore PQ face
+    // supplies all three artifacts (codebooks = driver rows, codes =
+    // the persisted compressed index) and the training pass is skipped
+    // entirely; the stored values are the same deterministic
+    // derivation, so q82/q88 stay inside their oracle contracts.
+    val (coarse, cents, codes) =
+      graft.sources.VectorIndexStore.openFreshPq(e0)
+        .getOrElse(pqIndexArtifacts(e0))
     val centDf = cents.toSeq
       .flatMap { case (sub, cs) => cs.map { case (cid, cv) => (sub, cid, cv) } }
       .toDF("csub", "cid", "cv")
     val probes = e0.where(col("vec_id") < NumQueries)
       .withColumn("__c", topCentroids(centroidScores(col("embedding"), coarse), NProbe))
       .select(col("vec_id").as("q_id"), (-col("__c.negid")).as("pbkt"))
-    val qsubs = subs.where(col("vec_id") < NumQueries)
+    val qsubs = pqSubvectors(e0.where(col("vec_id") < NumQueries))
       .select(col("vec_id").as("qq_id"), col("sub").as("qsub"), col("sv").as("qv"))
     val d = codes
       .join(broadcast(probes), col("pbkt") === col("bkt") && col("q_id") =!= col("vec_id"))

@@ -112,12 +112,104 @@ object VectorIndexStore {
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/assign/day=$day"), true): Unit
+    f.delete(new Path(s"$dir/codes/day=$day"), true): Unit
     if (!f.exists(new Path(s"$dir/meta"))) return
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     spark.createDataFrame(kept).toDF("day", "n_vecs", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  // ------------------------------------------------------ PQ face
+  /** Build the COMPRESSED index (IVF-PQ): coarse codebook + per-
+    * subspace PQ codebooks (both frozen model artifacts, driver rows)
+    * + the coded corpus (vec_id, bkt, sub, code) as `day`. This is
+    * the artifact whose derivation is expensive at production shapes
+    * (a k-means training pass + a full encode per run); q82/q88 read
+    * it instead when configured and fresh. */
+  def buildPq(corpus: DataFrame, dir: String, day: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    fs(spark, dir).delete(new Path(dir), true): Unit
+    val pinned = corpus.persist()
+    try {
+      val (coarse, cents, codes) =
+        graft.operators.SimilarityQueries.pqIndexArtifacts(pinned)
+      spark.createDataFrame(coarse).toDF("c_id", "cv")
+        .coalesce(1).write.parquet(s"$dir/codebook")
+      cents.toSeq.flatMap { case (sub, cs) =>
+        cs.map { case (cid, cv) => (sub, cid, cv) }
+      }.toDF("sub", "cid", "cv")
+        .coalesce(1).write.parquet(s"$dir/pq_codebook")
+      codes.withColumn("day", lit(day))
+        .write.partitionBy("day").parquet(s"$dir/codes")
+      val (n, dg) = digestOf(pinned)
+      spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
+        .coalesce(1).write.parquet(s"$dir/meta")
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  /** The stored PQ codebooks — m × k' driver rows. */
+  def storedPqCodebook(spark: SparkSession, dir: String)
+      : Map[Int, Seq[(Long, Seq[Double])]] =
+    spark.read.parquet(s"$dir/pq_codebook")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).map { case (sub, rs) =>
+        sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      }
+
+  /** Append one day of PQ codes, encoded against BOTH frozen
+    * codebooks. Idempotent per day (retire-then-rewrite). */
+  def advanceDayPq(batch: DataFrame, dir: String, day: Int): Unit = {
+    val spark = batch.sparkSession
+    val coarse = storedCodebook(spark, dir)
+    val cents = storedPqCodebook(spark, dir)
+    retireDay(spark, dir, day)
+    val pinned = batch.persist()
+    try {
+      graft.operators.SimilarityQueries.pqEncodeWith(pinned, coarse, cents)
+        .withColumn("day", lit(day))
+        .write.mode("append").partitionBy("day").parquet(s"$dir/codes")
+      val (n, dg) = digestOf(pinned)
+      spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
+        .coalesce(1).write.mode("append").parquet(s"$dir/meta")
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  /** The stored (coarse codebook, PQ codebooks, codes) IF configured
+    * and the day digests compose to this exact corpus — None on key
+    * unset, unreadable store, coarse-codebook drift, or digest
+    * mismatch. Same freshness contract as [[openFresh]]: the digest
+    * covers every input row of the deterministic derivation, so a
+    * match means retraining would reproduce the stored artifacts. */
+  def openFreshPq(corpus: DataFrame)
+      : Option[(Seq[(Long, Seq[Double])], Map[Int, Seq[(Long, Seq[Double])]], DataFrame)] = {
+    val spark = corpus.sparkSession
+    val dir = spark.conf.get(DirKey, "")
+    if (dir.isEmpty) return None
+    try {
+      val coarse = storedCodebook(spark, dir)
+      val trusted = spark.conf.get(TrustKey, "false").toBoolean
+      if (!trusted &&
+        graft.operators.SimilarityQueries.centroidList(corpus) != coarse) {
+        System.err.println(s"[vectorstore] $dir codebook differs from this corpus's — deriving inline")
+        return None
+      }
+      val m = spark.read.parquet(s"$dir/meta")
+        .agg(coalesce(sum("n_vecs"), lit(0L)),
+          coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
+      val stored = (m.getLong(0), m.getLong(1))
+      if (!trusted && digestOf(corpus) != stored) {
+        System.err.println(s"[vectorstore] $dir is stale for this corpus — deriving inline")
+        None
+      } else Some((coarse, storedPqCodebook(spark, dir),
+        spark.read.parquet(s"$dir/codes").select("vec_id", "bkt", "sub", "code")))
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[vectorstore] $dir unreadable (${e.getMessage}) — deriving inline")
+        None
+    }
   }
 
   /** The stored (codebook, assignments) IF configured and fresh for

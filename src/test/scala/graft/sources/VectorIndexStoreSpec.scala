@@ -58,6 +58,55 @@ class VectorIndexStoreSpec extends SparkSpec {
     } finally spark.conf.unset(VectorIndexStore.DirKey)
   }
 
+  test("PQ face: q82 rides the stored compressed index exactly; advance ≡ build; stale falls back") {
+    val e = emb
+    val inline = SimilarityQueries.ivfPqTopK(spark, sf0001).collect()
+      .map(_.toString).toSet
+    graft.core.Caches.releaseAll()
+    val dir = tmpDir("pqstore")
+    VectorIndexStore.buildPq(e, dir)
+    spark.conf.set(VectorIndexStore.DirKey, dir)
+    try {
+      assert(VectorIndexStore.openFreshPq(e).isDefined,
+        "PQ store must be fresh for its own corpus")
+      val stored = SimilarityQueries.ivfPqTopK(spark, sf0001).collect()
+        .map(_.toString).toSet
+      graft.core.Caches.releaseAll()
+      assert(stored == inline,
+        "q82 through the stored codes must equal the inline derivation")
+
+      // two-day advance against the frozen codebooks ≡ the one-shot build
+      val dir2 = tmpDir("pqstore_incr")
+      val day0 = e.where(col("vec_id") % 2 === 1)
+      val day1 = e.where(col("vec_id") % 2 === 0)
+      // codebooks must come from the FULL corpus for q82 parity — build
+      // with the corpus, then replace the day with incremental advances
+      VectorIndexStore.buildPq(e, dir2, day = 0)
+      VectorIndexStore.retireDay(spark, dir2, 0)
+      VectorIndexStore.advanceDayPq(day0, dir2, day = 1)
+      VectorIndexStore.advanceDayPq(day1, dir2, day = 2)
+      spark.conf.set(VectorIndexStore.DirKey, dir2)
+      assert(VectorIndexStore.openFreshPq(e).isDefined,
+        "XOR-composed day digests must cover the union")
+      val incr = SimilarityQueries.ivfPqTopK(spark, sf0001).collect()
+        .map(_.toString).toSet
+      graft.core.Caches.releaseAll()
+      assert(incr == inline, "incremental PQ days must serve the same index")
+
+      // stale: a mutated corpus recomputes inline (same answer for the
+      // offered corpus, never stale codes)
+      val mutated = e.withColumn("embedding",
+        when(col("vec_id") === 21L,
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")))
+      assert(VectorIndexStore.openFreshPq(mutated).isEmpty,
+        "digest must catch corpus mutation")
+    } finally {
+      spark.conf.unset(VectorIndexStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("advance/retire: incremental days ≡ one build; the codebook stays frozen") {
     val e = emb
     val idx = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
