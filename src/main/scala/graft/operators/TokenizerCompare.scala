@@ -80,9 +80,12 @@ object TokenizerCompare {
     * inputs (iterative trainers have no SQL form), aggregate
     * consistency with q166 spec-pinned.
     */
-  def q180TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+  def q180TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    fertilityOn(Tables(spark, dir, "documents"))
+
+  private[graft] def fertilityOn(docRel: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val langs = Tables(spark, dir, "documents")
+    val langs = docRel
       .select(col("doc_id"), col("lang"),
         length(regexp_replace(col("text"), " ", "")).cast("long").as("nc"))
     def card(algo: String, enc: DataFrame,
@@ -97,10 +100,10 @@ object TokenizerCompare {
             .as("raw_fert"),
           (col("n_chars").cast("double") / col("n_pieces").cast("double"))
             .as("raw_cpp"))
-    val uni = card("unigram", UnigramQueries.q159UnigramEncode(spark, dir),
+    val uni = card("unigram", UnigramQueries.unigramEncodeOn(docRel),
       col("n_pieces"))
-    val bb = card("bytebpe", BpeQueries.byteBpeEncodeOn(
-      Tables(spark, dir, "documents")), col("n_tokens"))
+    val bb = card("bytebpe", BpeQueries.byteBpeEncodeOn(docRel),
+      col("n_tokens"))
     val w = Window.partitionBy("algo")
     uni.unionByName(bb)
       .withColumn("premium", col("raw_fert") / min("raw_fert").over(w))

@@ -185,8 +185,10 @@ object UnigramQueries {
     * the Viterbi piece count next to the whitespace and character
     * counts the budget planners use (q24's estimate, made exact).
     * Same batch-train/serve shape as q122's BPE encode. */
-  def q159UnigramEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docRel = Tables(spark, dir, "documents")
+  def q159UnigramEncode(spark: SparkSession, dir: String): DataFrame =
+    unigramEncodeOn(Tables(spark, dir, "documents"))
+
+  private[graft] def unigramEncodeOn(docRel: DataFrame): DataFrame = {
     val vocab = vocabFor(docRel)
     val total = math.max(1L, vocab.valuesIterator.sum)
     val logp = vocab.map { case (p, c) => p -> math.log(c.toDouble / total) }

@@ -81,4 +81,31 @@ class TokenizerCompareSpec extends SparkSpec {
       assert(mine.values.forall(_._3 >= 1.0))
     }
   }
+
+  test("q180 planted disparity: a CJK domain pays a byte-BPE premium an ASCII one doesn't") {
+    import spark.implicits._
+    // Same word count per doc; the zh domain's words are 3-byte CJK
+    // codepoints, so byte-level BPE starts at 3 bytes/char and its
+    // fertility premium over the ASCII domain must be substantial —
+    // the exact regime the audit exists to expose. (The unigram
+    // tokenizer is char-level, so its premium stays comparatively
+    // small: the disparity is STRUCTURAL to byte tokenizers, not an
+    // artifact of the fixture.)
+    val en = (1L to 6L).map(i => (i, "en", "data table merge scan filter " * 8))
+    val zh = (11L to 16L).map(i => (i, "zh", "数据 表格 合并 扫描 过滤 " * 8))
+    val docs = (en ++ zh).toDF("doc_id", "lang", "text")
+    val cells = TokenizerCompare.fertilityOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(4), r.getDouble(6)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    val (fertZhB, premZhB) = cells(("bytebpe", "zh"))
+    val (fertEnB, premEnB) = cells(("bytebpe", "en"))
+    assert(premEnB == 1.0 && premZhB > 1.3,
+      s"byte-BPE must charge the CJK domain a premium: en $premEnB zh $premZhB")
+    assert(fertZhB > fertEnB)
+    val premZhU = cells(("unigram", "zh"))._2
+    val premEnU = cells(("unigram", "en"))._2
+    assert(math.max(premZhU, premEnU) < premZhB,
+      s"the char-level tokenizer's premium ($premZhU/$premEnU) must sit below byte-BPE's ($premZhB)")
+  }
 }
