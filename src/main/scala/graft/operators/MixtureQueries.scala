@@ -214,13 +214,76 @@ object MixtureQueries {
        |    AS epochs
        |FROM s CROSS JOIN l""".stripMargin
 
+  // ------------------------------------------ q181: dedup mixture shift
+  /** Q181: how deduplication SHIFTS the domain mixture — the
+    * governance report between the dedup tier and q170's weighting:
+    * duplicates are never uniform across domains (a crawl's viral
+    * boilerplate concentrates in a few), so the post-dedup natural
+    * distribution differs from the raw one, and mixture weights tuned
+    * on raw shares silently re-weight the wrong corpus. One row per
+    * domain: char mass and share before/after q16's exact dedup
+    * (keeper = min doc_id per md5(text) — the SAME rule, so this
+    * report is cross-checkable against q16 row-for-row), and the
+    * share shift.
+    *
+    * A subtlety the left join handles: md5 groups can SPAN domains
+    * (the same text under two lang tags), and the keeper's domain
+    * takes the mass — a domain can legitimately lose everything.
+    *
+    * Scale shape: one md5 window over hash-sized groups + two K-sized
+    * aggregates; broadcast one-row totals. */
+  def q181DedupMixtureShift(spark: SparkSession, dir: String): DataFrame =
+    dedupMixtureShiftOn(docs(spark, dir))
+
+  private[operators] def dedupMixtureShiftOn(docRel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = docRel.groupBy("lang").agg(sum("n_chars").as("chars_before"))
+    val keepers = docRel
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val after = keepers.groupBy("lang").agg(sum("n_chars").as("chars_after"))
+    val tb = before.agg(sum("chars_before").as("tb"))
+    val ta = after.agg(sum("chars_after").as("ta"))
+    before.join(after, Seq("lang"), "left")
+      .na.fill(0L, Seq("chars_after"))
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(ta))
+      .select(col("lang"), col("chars_before"), col("chars_after"),
+        (col("chars_before").cast("double") / col("tb")).as("share_before"),
+        (col("chars_after").cast("double") / col("ta")).as("share_after"),
+        (col("chars_after").cast("double") / col("ta")
+          - col("chars_before").cast("double") / col("tb")).as("shift"))
+  }
+
+  val dedupMixtureShiftSql: String =
+    """WITH b AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars_before
+      |           FROM documents GROUP BY lang),
+      |k AS (SELECT lang, n_chars,
+      |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |      FROM documents),
+      |a AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars_after
+      |      FROM k WHERE rn = 1 GROUP BY lang),
+      |tb AS (SELECT CAST(sum(chars_before) AS BIGINT) AS tb FROM b),
+      |ta AS (SELECT CAST(sum(chars_after) AS BIGINT) AS ta FROM a)
+      |SELECT b.lang, chars_before,
+      |  CAST(coalesce(chars_after, 0) AS BIGINT) AS chars_after,
+      |  CAST(chars_before AS DOUBLE) / tb AS share_before,
+      |  CAST(coalesce(chars_after, 0) AS DOUBLE) / ta AS share_after,
+      |  CAST(coalesce(chars_after, 0) AS DOUBLE) / ta
+      |    - CAST(chars_before AS DOUBLE) / tb AS shift
+      |FROM b LEFT JOIN a USING (lang) CROSS JOIN tb CROSS JOIN ta""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q170_domain_mixture" -> q170DomainMixture _,
     "q171_temperature_resample" -> q171TemperatureResample _,
-    "q177_capped_mixture" -> q177CappedMixture _)
+    "q177_capped_mixture" -> q177CappedMixture _,
+    "q181_dedup_mixture_shift" -> q181DedupMixtureShift _)
 
   val oracles: Map[String, String] = Map(
     "q170_domain_mixture" -> domainMixtureSql,
     "q171_temperature_resample" -> temperatureResampleSql,
-    "q177_capped_mixture" -> cappedMixtureSql)
+    "q177_capped_mixture" -> cappedMixtureSql,
+    "q181_dedup_mixture_shift" -> dedupMixtureShiftSql)
 }

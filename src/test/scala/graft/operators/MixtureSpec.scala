@@ -135,6 +135,30 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("q181 dedup shift: cross-domain keepers move mass; shifts sum to zero") {
+    // big: two unique docs (200 chars). rare: one doc whose text
+    // DUPLICATES a big doc (keeper is the big copy, rare loses all
+    // mass) plus one unique doc.
+    val docs = Seq(
+      (1L, "big", "u" * 100, 100L),
+      (2L, "big", "v" * 100, 100L),
+      (3L, "rare", "u" * 100, 100L), // dup of doc 1 under another lang
+      (4L, "rare", "w" * 50, 50L)).toDF("doc_id", "lang", "text", "n_chars")
+    val got = MixtureQueries.dedupMixtureShiftOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    val (cbB, caB, sbB, saB, shB) = got("big")
+    assert(cbB == 200L && caB == 200L)
+    assert(close(sbB, 200.0 / 350) && close(saB, 200.0 / 250))
+    assert(close(shB, 200.0 / 250 - 200.0 / 350) && shB > 0)
+    val (cbR, caR, _, saR, shR) = got("rare")
+    assert(cbR == 150L && caR == 50L, "the cross-lang dup's mass goes to the keeper's domain")
+    assert(close(saR, 50.0 / 250) && shR < 0)
+    // shares are distributions on both sides → shifts sum to zero
+    assert(close(got.values.map(_._5).sum, 0.0))
+  }
+
   test("q177 real corpus: both regimes occur and the budget is conserved (sf0.001)") {
     val rows = MixtureQueries.q177CappedMixture(spark, "/root/testdata/sf0.001")
       .collect()
