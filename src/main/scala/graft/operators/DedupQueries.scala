@@ -698,6 +698,53 @@ object DedupQueries {
     s"""WITH RECURSIVE $ccCtes
        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_keeper FROM cc""".stripMargin
 
+  // ------------------------------------------- effective dataset size
+  /** Q182: the effective-dataset-size report — the number a scaling-law
+    * budget actually runs on: raw token mass per ingest source vs the
+    * mass that SURVIVES near-dup dedup (q42's transitive clusters, one
+    * keeper per component), and the duplication discount between them.
+    * A source can look like 10% of the corpus and contribute 2% of the
+    * unique tokens; mixture weights and acquisition decisions keyed on
+    * raw counts are keyed on the wrong number.
+    *
+    * Same keeper rule as q42 (cluster keeper = min doc_id, transitive
+    * closure included), so every cell cross-checks against the
+    * oracle-green q42 row-for-row; a cluster spanning sources credits
+    * its keeper's source — the q181 subtlety, here for near-dups.
+    * Cost IS q42's (banded edges + components) plus one narrow token
+    * count and a K-sized rollup. */
+  def q182EffectiveSize(spark: SparkSession, dir: String): DataFrame =
+    effectiveSizeOn(docs(spark, dir))
+
+  private[graft] def effectiveSizeOn(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val cc = dedupClustersOn(d).select("doc_id", "is_keeper")
+    toks.join(cc, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("raw_tokens"),
+        sum(when(col("is_keeper"), col("n_tokens")).otherwise(0L))
+          .as("effective_tokens"))
+      .withColumn("dup_discount",
+        lit(1.0) - col("effective_tokens").cast("double") / col("raw_tokens"))
+  }
+
+  val effectiveSizeSql: String =
+    s"""WITH RECURSIVE $ccCtes,
+       |tk AS (SELECT doc_id, source,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM documents)
+       |SELECT tk.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       |  CAST(sum(CASE WHEN cc.doc_id = cc.cluster_id THEN n_tokens
+       |           ELSE 0 END) AS BIGINT) AS effective_tokens,
+       |  1.0 - CAST(sum(CASE WHEN cc.doc_id = cc.cluster_id THEN n_tokens
+       |                 ELSE 0 END) AS DOUBLE)
+       |      / CAST(sum(n_tokens) AS DOUBLE) AS dup_discount
+       |FROM tk JOIN cc USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- cluster-aware split
   /** Q132: leakage-safe train/val/test split — the step between dedup
     * and packing in every pretraining pipeline. A plain per-document
@@ -1263,7 +1310,8 @@ object DedupQueries {
     "q142_dup_by_source" -> q142DupBySource _,
     "q143_split_balance" -> q143SplitBalance _,
     "q146_containment" -> q146Containment _,
-    "q148_store_lsh" -> q148StoreLsh _)
+    "q148_store_lsh" -> q148StoreLsh _,
+    "q182_effective_size" -> q182EffectiveSize _)
 
   val oracles: Map[String, String] = Map(
     "q72_bloom_prune" -> bloomNewContentSql,
@@ -1281,6 +1329,7 @@ object DedupQueries {
     "q138_lsh_recall" -> q138Sql,
     "q141_minhash_est" -> q141Sql,
     "q142_dup_by_source" -> q142Sql,
+    "q182_effective_size" -> effectiveSizeSql,
     "q143_split_balance" -> q143Sql,
     "q146_containment" -> q146Sql,
     // q148 IS q18 through the materialized store: same oracle, so a

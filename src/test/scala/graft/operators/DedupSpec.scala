@@ -341,4 +341,51 @@ class DedupSpec extends SparkSpec {
       rows("train")._3 > rows.getOrElse("test", (0L, 0L, 0.0))._3,
       s"the 90-bucket split should dominate tokens too: $rows")
   }
+
+  // ----------------------------------------------------------- q182
+  test("q182: effective size re-derives from q42 keepers; cross-source clusters credit the keeper") {
+    import spark.implicits._
+    // the real corpus: cells must re-derive from q42's keeper set
+    val cells = DedupQueries.q182EffectiveSize(spark, Dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    val docs = spark.read.parquet(s"$Dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val keepers = DedupQueries.dedupClusters(spark, Dir).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    graft.core.Caches.releaseAll()
+    val wantRaw = docs.values.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wantEff = docs.filter(kv => keepers(kv._1)).values
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    cells.foreach { case (src, (_, raw, eff)) =>
+      assert(raw == wantRaw(src), s"$src raw")
+      assert(eff == wantEff.getOrElse(src, 0L), s"$src effective")
+      assert(eff <= raw)
+    }
+    assert(cells.values.map(_._3).sum == wantEff.values.sum,
+      "effective mass is exactly the q42 keeper mass")
+
+    // hand fixture: a near-dup cluster spanning two sources credits the
+    // keeper's source; the duplicate-holding source is discounted
+    val base = Iterator.from(0).map(i => s"w$i").take(40).mkString(" ")
+    val nearDup = base.split(" ").dropRight(1).mkString(" ") + " zz"
+    val other = Iterator.from(100).map(i => s"v$i").take(40).mkString(" ")
+    val d = Seq(
+      (1L, "srcA", base),     // keeper (min doc_id in its cluster)
+      (2L, "srcB", nearDup),  // near-dup of 1 under another source
+      (3L, "srcB", other)     // unique
+    ).toDF("doc_id", "source", "text")
+    val got = DedupQueries.effectiveSizeOn(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    assert(got("srcA") == ((40L, 40L, 0.0)), s"srcA keeps everything: $got")
+    val (rawB, effB, discB) = got("srcB")
+    assert(rawB == 80L && effB == 40L,
+      s"srcB's duplicate mass credits the srcA keeper: $got")
+    assert(math.abs(discB - 0.5) < 1e-12)
+  }
 }
