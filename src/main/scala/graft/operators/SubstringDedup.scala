@@ -733,6 +733,62 @@ object SubstringDedup {
        |FROM sp JOIN documents d USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Q183: per-benchmark contamination RATE — the eval-side mirror of
+    * q172 and the number a model card reports: for each eval doc, how
+    * much of ITS text exists somewhere in the training corpus. Same
+    * kernel with the roles swapped ([[deconPosOn]] computes positions
+    * in its FIRST argument whose grams occur in the second, so the
+    * eval-side spans are `deconPosOn(eval, train)`); spans are maximal
+    * and disjoint, so their length sum is exact char coverage. Eval
+    * docs with zero contamination are reported at 0.0, not dropped —
+    * the audit's point is the clean rows as much as the dirty ones. */
+  def q183DeconCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val (train, ev) = deconSplit(spark, dir)
+    deconCoverageOn(train, ev)
+  }
+
+  private[operators] def deconCoverageOn(train: DataFrame,
+      evalRel: DataFrame): DataFrame = {
+    val covered = spansOf(deconPosOn(evalRel, train, hashedKeys = false))
+      .groupBy("doc_id")
+      .agg(sum(col("e1") - col("s")).cast("long").as("contam_chars"))
+    evalRel.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("contam_chars"))
+      .withColumn("contam_rate",
+        col("contam_chars").cast("double") / col("n_chars"))
+  }
+
+  val deconCoverageSql: String =
+    s"""WITH eg AS (
+       |  SELECT doc_id, p, substr(text, p, $K) AS g
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K AND doc_id % 10 = 0)),
+       |tg AS (
+       |  SELECT DISTINCT substr(text, p, $K) AS g
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K AND doc_id % 10 <> 0)),
+       |dp AS (SELECT eg.doc_id, eg.p FROM eg JOIN tg USING (g)),
+       |lagged AS (SELECT doc_id, p,
+       |             lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+       |           FROM dp),
+       |isl AS (SELECT doc_id, p,
+       |          sum(CASE WHEN prev IS NULL OR p > prev + $K THEN 1 ELSE 0 END)
+       |            OVER (PARTITION BY doc_id ORDER BY p) AS island
+       |        FROM lagged),
+       |sp AS (SELECT doc_id, min(p) AS s, max(p) + $K AS e1
+       |       FROM isl GROUP BY doc_id, island),
+       |cov AS (SELECT doc_id, CAST(sum(e1 - s) AS BIGINT) AS contam_chars
+       |        FROM sp GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(cov.contam_chars, 0) AS BIGINT) AS contam_chars,
+       |  CAST(coalesce(cov.contam_chars, 0) AS DOUBLE) / len(d.text)
+       |    AS contam_rate
+       |FROM documents d LEFT JOIN cov USING (doc_id)
+       |WHERE d.doc_id % 10 = 0""".stripMargin
+
   private[graft] def deconProbeOn(fresh: DataFrame,
       evalRel: DataFrame): DataFrame = {
     val pos = graft.sources.DeconStore.openFresh(evalRel) match {
@@ -791,7 +847,8 @@ object SubstringDedup {
     "q173_decon_scrub" -> q173DeconScrub _,
     "q174_decon_spans_fast" -> q174DeconSpansFast _,
     "q175_decon_probe" -> q175DeconProbe _,
-    "q179_decon_matrix" -> q179DeconMatrix _)
+    "q179_decon_matrix" -> q179DeconMatrix _,
+    "q183_decon_coverage" -> q183DeconCoverage _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
@@ -800,5 +857,6 @@ object SubstringDedup {
     "q172_decon_spans" -> deconSpansSql,
     "q173_decon_scrub" -> deconScrubSql,
     "q175_decon_probe" -> deconProbeSql,
-    "q179_decon_matrix" -> deconMatrixSql)
+    "q179_decon_matrix" -> deconMatrixSql,
+    "q183_decon_coverage" -> deconCoverageSql)
 }

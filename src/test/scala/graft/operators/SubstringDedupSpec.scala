@@ -281,6 +281,26 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q183 coverage: contaminated eval docs report exact char fractions, clean ones 0.0") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, filler("da", 50) + passage + filler("db", 30)),
+      (3L, filler("dz", 130))).toDF("doc_id", "text")
+    val ev = Seq(
+      (20L, filler("ea", 35) + passage + filler("eb", 25)), // passage leaked
+      (30L, filler("ec", 100)))                             // clean
+      .toDF("doc_id", "text")
+    graft.core.Caches.releaseAll()
+    val got = SubstringDedup.deconCoverageOn(train, ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val len20 = 35 + passage.length + 25
+    assert(got(20L) == ((len20.toLong, passage.length.toLong,
+      passage.length.toDouble / len20)),
+      s"the leaked benchmark's covered fraction must be exactly the passage: $got")
+    assert(got(30L) == ((100L, 0L, 0.0)), "clean eval docs report 0.0, not absence")
+  }
+
   test("q179 matrix attributes each leak to its (source, benchmark) cell, multi-matched spans to both") {
     import spark.implicits._
     val passage2 =
