@@ -266,6 +266,32 @@ object PipelineDemo {
     val committed = spark.read.parquet(sinkOut).count()
     println(s"[demo] transactional sink: first_write=$first replay_skipped=${!replay} rows=$committed")
 
+    // -- 13. ingest-time curation gates (round-12 tier): the Gopher
+    //        repetition gate (stateless per-row column) and eval-set
+    //        decontamination through a build-once benchmark store —
+    //        both verdicts at arrival, not at the next batch sweep
+    val passage = ("all rights reserved worldwide under the berne " +
+      "convention and no part may be reproduced without permission ") * 2
+    val repGated = graft.streaming.RepetitionGate.gate(Seq(
+      (20L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (21L, Array.fill(30)("spam spam").mkString(" ")))
+      .toDF("doc_id", "text"))
+      .collect().map(r => s"${r.getLong(0)}:keep=${r.getAs[Boolean]("keep")}")
+    println(s"[demo] repetition gate: ${repGated.mkString(",")}")
+    val evalSuite = Seq((90L, passage)).toDF("doc_id", "text")
+    val deconDir = s"$root/deconstore"
+    graft.sources.DeconStore.build(evalSuite, deconDir)
+    graft.core.Caches.releaseAll()
+    spark.conf.set(graft.sources.DeconStore.DirKey, deconDir)
+    val deconOut = graft.streaming.DeconGate.flag(Seq(
+      (30L, "a clean training document with entirely original words"),
+      (31L, "leaked prefix " + passage))
+      .toDF("doc_id", "text"), evalSuite)
+      .collect().map(r => s"${r.getLong(0)}:keep=${r.getBoolean(2)}")
+    spark.conf.unset(graft.sources.DeconStore.DirKey)
+    graft.core.Caches.releaseAll()
+    println(s"[demo] decon gate (store-served): ${deconOut.mkString(",")}")
+
     spark.stop()
     println("[demo] DONE")
   }
