@@ -733,6 +733,52 @@ object SubstringDedup {
        |FROM sp JOIN documents d USING (doc_id)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Q184: the NOVELTY CURVE — per ingest day, how much of the day's
+    * content the corpus has already seen: distinct K-grams in the
+    * day's docs, the subset whose FIRST day of appearance is earlier,
+    * and the novelty fraction. This is the trend a daily pipeline
+    * watches to schedule dedup aggressiveness and detect a crawler
+    * stuck re-fetching (novelty collapsing toward 0) — and it is the
+    * free signal behind q169's arm picker, made a first-class report.
+    * Days are modeled as doc_id % 10, the fixture's day convention.
+    *
+    * Scale shape: one gram explode (q149's relation), distinct-ed per
+    * (day, gram) with map-side combine, one groupBy(gram) for the
+    * first-day mins, one rollup by day. No pair enumeration — a gram
+    * seen on d days costs d rows. */
+  def q184NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val dayGrams = gramsOf(d)
+      .select((col("doc_id") % 10).as("day"), col("g"))
+      .distinct()
+    val firstDay = dayGrams.groupBy("g").agg(min("day").as("fd"))
+    dayGrams.join(firstDay, "g")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") < col("day"), 1L).otherwise(0L)).as("seen_grams"))
+      .select(col("day").cast("long").as("day"), col("n_grams"),
+        col("seen_grams"),
+        (lit(1.0) - col("seen_grams").cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
+
+  val noveltyCurveSql: String =
+    s"""WITH g0 AS (
+       |  SELECT doc_id % 10 AS day, substr(text, p, $K) AS g
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K)),
+       |dg AS (SELECT DISTINCT day, g FROM g0),
+       |fd AS (SELECT g, min(day) AS fd FROM dg GROUP BY g)
+       |SELECT CAST(dg.day AS BIGINT) AS day,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN fd.fd < dg.day THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS seen_grams,
+       |  1.0 - CAST(sum(CASE WHEN fd.fd < dg.day THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / count(*) AS novelty
+       |FROM dg JOIN fd USING (g)
+       |GROUP BY dg.day""".stripMargin
+
   /** Q183: per-benchmark contamination RATE — the eval-side mirror of
     * q172 and the number a model card reports: for each eval doc, how
     * much of ITS text exists somewhere in the training corpus. Same
@@ -848,7 +894,8 @@ object SubstringDedup {
     "q174_decon_spans_fast" -> q174DeconSpansFast _,
     "q175_decon_probe" -> q175DeconProbe _,
     "q179_decon_matrix" -> q179DeconMatrix _,
-    "q183_decon_coverage" -> q183DeconCoverage _)
+    "q183_decon_coverage" -> q183DeconCoverage _,
+    "q184_novelty_curve" -> q184NoveltyCurve _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
@@ -858,5 +905,6 @@ object SubstringDedup {
     "q173_decon_scrub" -> deconScrubSql,
     "q175_decon_probe" -> deconProbeSql,
     "q179_decon_matrix" -> deconMatrixSql,
-    "q183_decon_coverage" -> deconCoverageSql)
+    "q183_decon_coverage" -> deconCoverageSql,
+    "q184_novelty_curve" -> noveltyCurveSql)
 }

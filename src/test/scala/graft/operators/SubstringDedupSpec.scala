@@ -281,6 +281,25 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q184 novelty: first day is all-new; a re-fetching day's fraction is exact") {
+    import spark.implicits._
+    // sf0.001 smoke: 10 day rows, novelty in [0,1], day 0 (the first
+    // time every one of its grams can appear) is NOT forced to 1 —
+    // day = doc_id % 10, so "earlier day" is corpus order, not time
+    // order of ingestion; but day 0 has no earlier day by definition.
+    val rows = SubstringDedup.q184NoveltyCurve(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    assert(rows.size == 10)
+    assert(rows(0L)._2 == 0L && rows(0L)._3 == 1.0,
+      "day 0 has no earlier day — everything it holds is first-seen")
+    rows.values.foreach { case (n, seen, nov) =>
+      assert(seen <= n && nov >= 0.0 && nov <= 1.0)
+      assert(math.abs(nov - (1.0 - seen.toDouble / n)) < 1e-12)
+    }
+  }
+
   test("q183 coverage: contaminated eval docs report exact char fractions, clean ones 0.0") {
     import spark.implicits._
     val train = Seq(
