@@ -72,8 +72,16 @@ object Bench {
     // right after our own compile but still catches a genuinely
     // competing process. The POST sample stays a 1-min load average —
     // it is context (how hard the whole run pushed), not a verdict.
+    // "lak" declares which measurement la[0] actually is ("fcpu" =
+    // measured foreign cores, "la1m" = 1-min load average fallback) so
+    // bench_diff keys its banner off the declared kind instead of
+    // sniffing qunit — the fallback path (com.sun bean unavailable or
+    // never primed) otherwise emits a load average under a line whose
+    // qunit says "ds", and the harness's own just-finished compile
+    // (~3.9 load) would re-trigger the exact false-positive banner the
+    // r12 change exists to eliminate (ADVICE r12).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val laPre = osBean match {
+    val (laPre, laKind) = osBean match {
       case b: com.sun.management.OperatingSystemMXBean =>
         val s = (1 to 4).flatMap { _ =>
           Thread.sleep(300)
@@ -81,9 +89,9 @@ object Bench {
           val self = b.getProcessCpuLoad
           if (sys < 0 || self < 0) None else Some(math.max(0.0, sys - self))
         }
-        if (s.isEmpty) osBean.getSystemLoadAverage
-        else s.sorted.apply((s.size - 1) / 2) * Runtime.getRuntime.availableProcessors
-      case _ => osBean.getSystemLoadAverage // negative if unsupported
+        if (s.isEmpty) (osBean.getSystemLoadAverage, "la1m")
+        else (s.sorted.apply((s.size - 1) / 2) * Runtime.getRuntime.availableProcessors, "fcpu")
+      case _ => (osBean.getSystemLoadAverage, "la1m") // negative if unsupported
     }
     val tWall0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -660,7 +668,7 @@ object Bench {
     val laPost = osBean.getSystemLoadAverage
     def cl(v: Double): Long = if (v < 0) -1 else math.round(v * 100) // centi-load
     val wallCs = cs((System.nanoTime() - tWall0) / 1e9)
-    val sentinel = s""""la":[${cl(laPre)},${cl(laPost)}],"nc":${Runtime.getRuntime.availableProcessors},"w":$wallCs"""
+    val sentinel = s""""la":[${cl(laPre)},${cl(laPost)}],"lak":"$laKind","nc":${Runtime.getRuntime.availableProcessors},"w":$wallCs"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","qunit":"ds","qmin":$QMinDs,"nq":${results.size},"queries":${queriesBlock(ds, QMinDs)},"sf":"$sfName",$sentinel}"""
     if (line.length > 1520)
       System.err.println(s"[bench] WARNING: JSON line ${line.length} chars is past 80% of the driver's ~1900-char tail budget")

@@ -233,6 +233,74 @@ object SimilarityQueries {
        |r AS (SELECT q_id, n_id, c, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rn FROM p)
        |SELECT q_id, n_id, rn, round(c, 6) AS sim FROM r WHERE rn <= $TopK""".stripMargin
 
+  // ------------------------------------------- q188 data-scaled-K IVF
+  /** Q188: q139's daily IVF probe at DATA-SCALED codebook size
+    * K = max(16, ⌈√N⌉) — the Faiss sizing rule (K ∝ √N keeps expected
+    * bucket occupancy √N, so probe cost per query is nprobe·√N and the
+    * bucket join stays LINEAR in corpus where q139's oracle-pinned
+    * K=16 goes quadratic; VERDICT r12 what's-wrong 2: the production
+    * plan shape should be a tested artifact, not a SCALE.md paragraph).
+    * Rows-only by design — K is data-dependent, so no single SQL text
+    * expresses it across SFs; SimilaritySpec pins recall@k against the
+    * exact brute-force ground truth instead (the q136 pattern).
+    *
+    * The K-literal expression tree q21 builds would not survive K=√N
+    * (hundreds of struct literals per projection blow past codegen
+    * method limits), so scoring here loops at RUNTIME over ONE
+    * `typedlit` array-of-centroids via `transform` — still a narrow
+    * codegen'd projection with zero shuffle, but the generated code is
+    * K-independent. Centroids are unit-normalized ON THE DRIVER (K·D
+    * work) and every vector is normalized once, so each score is a
+    * plain dot. The probe side broadcasts; the final top-k is the
+    * bounded [[TopKAggregator]]. */
+  def q188IvfScaled(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    ivfProbeScaledOn(e.where(pmod(col("vec_id"), lit(5)) === 0),
+      e.where(pmod(col("vec_id"), lit(5)) =!= 0), e)
+  }
+
+  /** Unit-normalized codebook of the corpus's first k vectors —
+    * k·D driver floats, the Faiss-quantizer bound. */
+  private[graft] def scaledCodebook(e: DataFrame, k: Int): Seq[Seq[Double]] =
+    e.where(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map { case (_, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) v.map(_ / n) else v
+      }.toSeq
+
+  /** (cc, negid) structs for a unit vector against the whole codebook,
+    * computed by a runtime loop over one array literal — generated
+    * code size independent of K. Ordering convention matches
+    * [[topCentroids]]: sort asc on (cc, negid), reverse = cosine desc,
+    * centroid id asc. */
+  private def scaledScores(nv: Column, cents: Seq[Seq[Double]]): Column = {
+    val withIdx = cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) }
+    sort_array(transform(typedlit(withIdx),
+      c => struct(VectorExprs.dot(nv, c.getField("_2")).as("cc"),
+        (-c.getField("_1")).as("negid"))), asc = false)
+  }
+
+  private[graft] def ivfProbeScaledOn(fresh: DataFrame, idx: DataFrame,
+      corpus: DataFrame, nprobe: Int = NProbe): DataFrame = {
+    val k = math.max(NumCentroids,
+      math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    val cents = scaledCodebook(corpus, k)
+    val assign = VectorExprs.normalized(idx, "embedding", "nv", Seq("vec_id"))
+      .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
+      .select(col("vec_id").as("n_id"), col("nv").as("n_nv"),
+        (-col("__s.negid")).as("bkt"))
+    val probes = VectorExprs.normalized(fresh, "embedding", "nv", Seq("vec_id"))
+      .withColumn("__s", explode(slice(scaledScores(col("nv"), cents), 1, nprobe)))
+      .select(col("vec_id").as("q_id"), col("nv").as("q_nv"),
+        (-col("__s.negid")).as("bkt"))
+    val scored = assign.join(broadcast(probes), "bkt")
+      .select(col("q_id"), col("n_id"),
+        VectorExprs.dot(col("q_nv"), col("n_nv")).as("cos"))
+    topK(scored, TopK)
+  }
+
   // --------------------------------------------------- ANN recall eval
   /** Q136: recall@k of the IVF path (q21) against the exact top-k
     * (q20) — the number that justifies running the approximate index at
@@ -1167,6 +1235,102 @@ object SimilarityQueries {
        |r AS (SELECT vec_id, cos, row_number() OVER (ORDER BY cos ASC, vec_id) AS rn FROM p)
        |SELECT vec_id, rn, round(cos, 6) AS sim FROM r WHERE rn <= $OutlierK""".stripMargin
 
+  // -------------------------------------- q185 semantic decontamination
+  /** Cosine threshold above which a training vector counts as a
+    * semantic copy of an eval vector. Tuned to this corpus's pair-sim
+    * distribution exactly like [[SemDedupTau]] (max pairwise cosine
+    * ≈ 0.53 at sf0.1) so the decision is exercised at every SF;
+    * production corpora with real paraphrased benchmark copies run
+    * τ ≈ 0.9+. */
+  private[graft] val SemDeconTau = 0.35
+
+  /** Q185: SEMANTIC eval-set decontamination — the decon face the exact
+    * K-gram tier (q172–q179) cannot see: a lightly paraphrased benchmark
+    * copy shares no 40-char run with the eval set, so it sails through
+    * every gram gate, but its EMBEDDING still sits next to the eval
+    * doc's. This is the embedding-space probe that closes that hole
+    * (the documented failure mode of exact decontamination — Lee et
+    * al. 2021 §6 discuss exact-substring misses; SemDeDup's
+    * cosine-threshold semantics applied cross-corpus and DIRECTIONALLY,
+    * like q172: eval is never modified, train-internal duplication is
+    * not this query's business).
+    *
+    * Shape: one row per (train doc, eval doc) semantic match at
+    * τ = [[SemDeconTau]] — the governance relation q179's matrix rolls
+    * up, and the flag relation a curation pass anti-joins on.
+    *
+    * Scale shape, the q26 candidate generator made directional:
+    * both sides multi-assign to their [[NearDupProbes]] nearest coarse
+    * centroids (narrow literal-codebook projection, zero shuffle);
+    * candidates are bucket-equi-join pairs — volume ∝ Σ bucket_t ×
+    * bucket_e, never |train| × |eval| — and the eval side (benchmark-
+    * sized in production: MBs against TBs) BROADCASTS into both the
+    * candidate join and the exact verify, so the train corpus is
+    * scanned once and never shuffled. Every candidate is exactly
+    * verified with a pre-normalized codegen'd dot. Multi-assignment
+    * buys the recall argmax-only bucketing loses (two near vectors
+    * whose argmax centroids differ still meet in a second-choice
+    * bucket). Oracle-green: the whole pipeline — assignment, banding,
+    * verify — is deterministic dot-product math DuckDB reproduces
+    * exactly. */
+  def q185SemanticDecon(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    semanticDeconOn(
+      e.where(col("vec_id") % 10 =!= 0),
+      e.where(col("vec_id") % 10 === 0), SemDeconTau)
+  }
+
+  /** The kernel behind q185 and [[graft.streaming.DeconGate]]'s
+    * semantic face: directional semantic matches of `train` vectors
+    * against `evalRel` vectors at cosine ≥ `tau`. The coarse codebook
+    * is the union corpus's first [[NumCentroids]] vectors (the q21
+    * convention — at scale, a trained k-means artifact both sides
+    * share). */
+  private[graft] def semanticDeconOn(train: DataFrame, evalRel: DataFrame,
+      tau: Double, probes: Int = NearDupProbes): DataFrame = {
+    val cents = centroidList(train.unionByName(evalRel))
+    def assign(rel: DataFrame, as: String): DataFrame = rel
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), probes))
+      .select(col("vec_id").as(as), (-col("__c.negid")).as("bkt"))
+    // An empty codebook (a batch whose ids all sit past the codebook
+    // convention — possible for the streaming gate, never for q185)
+    // must NOT silently prune every candidate: fall back to the exact
+    // directional product against the broadcast benchmark-sized eval
+    // side — a cost, never a missed leak.
+    val cands =
+      if (cents.isEmpty)
+        train.select(col("vec_id").as("doc_id"))
+          .crossJoin(broadcast(evalRel.select(col("vec_id").as("eval_doc"))))
+      else assign(train, "doc_id")
+        .join(broadcast(assign(evalRel, "eval_doc")), "bkt")
+        .select("doc_id", "eval_doc").distinct()
+    val tN = VectorExprs.normalized(train, "embedding", "nv", Seq("vec_id"))
+    val eN = VectorExprs.normalized(evalRel, "embedding", "nv", Seq("vec_id"))
+    cands
+      .join(tN.select(col("vec_id").as("doc_id"), col("nv").as("tv")), "doc_id")
+      .join(broadcast(eN.select(col("vec_id").as("eval_doc"), col("nv").as("ev"))),
+        "eval_doc")
+      .withColumn("sim", VectorExprs.dot(col("tv"), col("ev")))
+      .where(col("sim") >= tau)
+      .select(col("doc_id"), col("eval_doc"), round(col("sim"), 6).as("sim"))
+  }
+
+  val semanticDeconSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
+       |ac AS (SELECT e.vec_id, c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC, c_id) AS arn
+       |  FROM e CROSS JOIN cent),
+       |assign AS (SELECT vec_id, c_id AS bkt FROM ac WHERE arn <= $NearDupProbes),
+       |cand AS (SELECT DISTINCT t.vec_id AS doc_id, ev.vec_id AS eval_doc
+       |  FROM assign t JOIN assign ev ON t.bkt = ev.bkt
+       |  WHERE t.vec_id % 10 <> 0 AND ev.vec_id % 10 = 0),
+       |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+       |p AS (SELECT doc_id, eval_doc, list_dot_product(a.nv, b.nv) AS c
+       |  FROM cand JOIN n a ON a.vec_id = doc_id JOIN n b ON b.vec_id = eval_doc)
+       |SELECT doc_id, eval_doc, round(c, 6) AS sim FROM p WHERE c >= $SemDeconTau""".stripMargin
+
   // ------------------------------------------- ANN ranking-quality eval
   /** Q164: MRR and binary nDCG@k of the IVF path against exact
     * ground truth — the ranking-quality face of q136's recall@k (recall
@@ -1256,7 +1420,9 @@ object SimilarityQueries {
     "q136_ann_recall" -> q136AnnRecall _,
     "q139_ivf_probe" -> q139IvfProbe _,
     "q161_embed_outliers" -> q161EmbedOutliers _,
-    "q164_ann_rank_eval" -> q164AnnRankEval _)
+    "q164_ann_rank_eval" -> q164AnnRankEval _,
+    "q185_semantic_decon" -> q185SemanticDecon _,
+    "q188_ivf_scaled" -> q188IvfScaled _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -1273,5 +1439,6 @@ object SimilarityQueries {
     "q136_ann_recall" -> annRecallSql,
     "q139_ivf_probe" -> q139Sql,
     "q161_embed_outliers" -> q161Sql,
-    "q164_ann_rank_eval" -> q164Sql)
+    "q164_ann_rank_eval" -> q164Sql,
+    "q185_semantic_decon" -> semanticDeconSql)
 }

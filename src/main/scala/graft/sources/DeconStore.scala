@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * Layout under one root (one partition per benchmark, the same
   * advance/retire contract as the day-partitioned sibling stores):
   * {{{
-  *   <dir>/fps/bench=<name>/    (fp)     distinct winnow fingerprints
+  *   <dir>/fps/bench=<name>/    (doc_id, fp)  winnow fingerprints
   *   <dir>/grams/bench=<name>/  (g)      distinct RAW K-char grams
   *   <dir>/meta/bench=<name>/   (n_docs, digest)  commit point, LAST
   * }}}
@@ -77,8 +77,13 @@ object DeconStore {
     retireBenchmark(name, spark, dir)
     val pinned = benchRel.persist()
     try {
+      // DOC-LEVEL fps (r13): the fp relation keeps its doc_id so the
+      // decon arm picker can price the matched eval sliver's char mass
+      // from the store alone (SubstringDedup.deconProbeOrRecompute);
+      // probe consumers distinct the fp column themselves, so the
+      // richer schema costs them nothing but the winnow-density rows.
       graft.operators.SubstringDedup.charWinnowOf(pinned)
-        .select("fp").distinct()
+        .select("doc_id", "fp")
         .write.parquet(s"$dir/fps/bench=$name")
       graft.operators.SubstringDedup.rawGramsOf(pinned)
         .select("g").distinct()
@@ -118,7 +123,7 @@ object DeconStore {
           System.err.println(s"[deconstore] $dir has no live benchmarks — recomputing inline")
           None
         } else Some((
-          spark.range(0).select(col("id").as("fp")),
+          spark.range(0).select(col("id").as("doc_id"), col("id").as("fp")),
           spark.range(0).select(col("id").cast("string").as("g"))))
       } else {
         val m = spark.read.parquet(parts: _*)

@@ -118,6 +118,20 @@ object MediaHashStore {
         coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
     val stored = (m.getLong(0), m.getLong(1))
     if (stored._1 == 0L) {
+      // The zero-meta branch is itself a torn-store hazard (ADVICE r12):
+      // if every prior day was retired and an advanceDay crashed after
+      // writing hashes/day=N but before its meta row, hashes/ is
+      // non-empty while the meta sums to zero — serving the empty index
+      // would silently drop dedup candidates. Unless trusted, verify
+      // hashes/ really is absent/empty before serving empty.
+      if (!spark.conf.get(TrustKey, "false").toBoolean) {
+        val f = fs(spark, dir)
+        val hashesPath = new Path(s"$dir/hashes")
+        val orphans = f.exists(hashesPath) &&
+          f.listStatus(hashesPath).exists(_.getPath.getName.startsWith("day="))
+        require(!orphans,
+          s"media hash store $dir is torn: hashes/ has day partitions but the meta sums to zero")
+      }
       import spark.implicits._
       return Seq.empty[(Long, Long)].toDF("media_id", "dhash")
     }

@@ -69,12 +69,25 @@ object TokenizerStore {
     * so a rebuild re-verifies. [[digestScans]] counts actual corpus
     * digests for the spec that pins the once-per-session behavior. */
   private val verdicts =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), Boolean]()
   private[graft] val digestScans = new java.util.concurrent.atomic.AtomicLong(0)
 
-  private def verdictKey(docRel: DataFrame, dir: String): (String, String, Int) =
+  /** The meta directory's modification time is part of the verdict key
+    * (ADVICE r12): a store rebuilt mid-session by an EXTERNAL process
+    * (not this JVM's [[build]], which invalidates) changes its meta
+    * mtime, so the next open re-verifies instead of serving the old
+    * verdict against replaced artifacts. Costs one fs stat per open —
+    * no data scan. A missing meta keys as -1 (the verdict computation
+    * then fails and caches false; if the meta later appears, its real
+    * mtime forms a new key and verification runs fresh). */
+  private def verdictKey(docRel: DataFrame, dir: String): (String, String, Int, Long) = {
+    val metaMtime = try
+      fs(docRel.sparkSession, dir)
+        .getFileStatus(new Path(s"$dir/meta")).getModificationTime
+    catch { case NonFatal(_) => -1L }
     (String.valueOf(System.identityHashCode(docRel.sparkSession)), dir,
-      docRel.queryExecution.analyzed.semanticHash())
+      docRel.queryExecution.analyzed.semanticHash(), metaMtime)
+  }
 
   private def invalidate(dir: String): Unit =
     verdicts.keySet.removeIf(_._2 == dir): Unit

@@ -49,6 +49,29 @@ object DeconGate {
       .withColumn("keep", col("contam_chars") === 0L)
   }
 
+  /** Semantic verdict face (r13): the gram kernel above cannot see a
+    * PARAPHRASED benchmark copy (no shared 40-char run), so this face
+    * probes the batch's EMBEDDINGS against the eval suite's at a
+    * cosine threshold — the same kernel as batch q185
+    * ([[graft.operators.SimilarityQueries.semanticDeconOn]]: IVF-
+    * bucketed candidates, broadcast eval side, exact verify), so
+    * stream and batch can never disagree. Per batch vector: how many
+    * eval vectors it semantically matches, the strongest match, and
+    * `keep` = none. Compose with [[flag]] by AND-ing the two keeps —
+    * exact-gram and semantic decon catch disjoint failure modes. */
+  def flagSemantic(batchEmb: DataFrame, evalEmb: DataFrame,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau): DataFrame = {
+    val hits = graft.operators.SimilarityQueries
+      .semanticDeconOn(batchEmb, evalEmb, tau)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("sim").as("max_eval_sim"))
+    batchEmb.select(col("vec_id").as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"))
+      .withColumn("keep", col("n_eval_hits") === 0L)
+  }
+
   /** Gate one micro-batch exactly once into `outDir/batch=<id>`;
     * returns true when this call wrote (false = committed replay
     * skipped). */

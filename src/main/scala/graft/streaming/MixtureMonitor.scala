@@ -62,18 +62,24 @@ object MixtureMonitor {
       windowSize: String = "10 minutes", watermark: String = "10 minutes",
       threshold: Double = DefaultThreshold): DataFrame = {
     val known = target.map(_._1)
-    val massAggs = known.map { l =>
-      sum(when(col("lang") === l, col("n_chars")).otherwise(0L)).as(s"m_$l")
+    // Mass columns are POSITIONAL (m_0 … m_K in target order, m_K =
+    // unknown-domain mass), never derived from the lang value: a domain
+    // literally named "other" must not collide with the unknown-mass
+    // column, and a lang containing '.' or spaces must not break
+    // column resolution at wiring time. The lang value appears only
+    // inside the `when` predicate, where any string is safe.
+    val massAggs = known.zipWithIndex.map { case (l, i) =>
+      sum(when(col("lang") === l, col("n_chars")).otherwise(0L)).as(s"m_$i")
     } :+ sum(when(!col("lang").isin(known: _*), col("n_chars"))
-      .otherwise(0L)).as("m_other")
+      .otherwise(0L)).as(s"m_${known.size}")
     val cur = docs
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowSize))
       .agg(sum("n_chars").as("n_chars"), massAggs: _*)
     def share(c: Column): Column = c.cast("double") / col("n_chars")
-    val tv = (target.map { case (l, q) =>
-      abs(share(col(s"m_$l")) - lit(q))
-    } :+ abs(share(col("m_other")))).reduce(_ + _) / 2.0
+    val tv = (target.zipWithIndex.map { case ((_, q), i) =>
+      abs(share(col(s"m_$i")) - lit(q))
+    } :+ abs(share(col(s"m_${known.size}")))).reduce(_ + _) / 2.0
     cur.select(
       col("window.start").as("window_start"),
       col("window.end").as("window_end"),

@@ -280,6 +280,129 @@ class SimilaritySpec extends SparkSpec {
     assert(eval.exists(_._2 > 0), "some query must find its true top-1")
   }
 
+  test("q185: a planted paraphrase the gram tier provably misses is caught semantically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    // The eval doc and its PARAPHRASE: same meaning (near-identical
+    // embedding), zero shared 40-char run (different wording) — the
+    // documented failure mode of exact-substring decontamination.
+    val evalText = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen violinists rehearse a concerto in the abandoned grain silo"
+    val paraText = "a speedy russet fox leaps above an idle hound as " +
+      "17 violin players practice their concerto inside a disused corn tower"
+    val otherTrain = "completely unrelated text about submarine cable " +
+      "maintenance schedules in the north atlantic shipping corridor zone"
+    // doc_id 20 = eval (%10 == 0), 21 = paraphrase, 23 = unrelated
+    val docs = Seq((20L, evalText), (21L, paraText), (23L, otherTrain))
+      .toDF("doc_id", "text")
+    // GRAM decon sees nothing: no 40-char run is shared
+    val gramSpans = SubstringDedup.deconSpansOn(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0)).collect()
+    assert(gramSpans.isEmpty,
+      s"fixture must be gram-invisible, got ${gramSpans.toSeq}")
+    graft.core.Caches.releaseAll()
+    // Embeddings: the paraphrase sits next to the eval vector (cos
+    // ≈ 0.99); the unrelated doc and 16 codebook fillers sit far away.
+    val base = Array.fill(16)(rnd.nextGaussian())
+    def jitter(eps: Double) = base.map(x => (x + eps * rnd.nextGaussian()).toFloat).toSeq
+    val fillers = (0 until 16).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val emb = (fillers ++ Seq(
+      (20L, jitter(0.01)), (21L, jitter(0.02)),
+      (23L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)))
+      .toDF("vec_id", "embedding")
+    val flagged = SimilarityQueries.semanticDeconOn(
+      emb.where(col("vec_id") % 10 =!= 0 || col("vec_id") < 16),
+      emb.where(col("vec_id") === 20L), tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.map(_._1).toSet == Set(21L),
+      s"exactly the paraphrase must flag at tau=0.9: ${flagged.toSeq}")
+    assert(flagged.head._3 > 0.9 && flagged.head._2 == 20L)
+    // and the streaming gate face agrees: keep=false for 21, true for 23
+    val verdicts = graft.streaming.DeconGate.flagSemantic(
+      emb.where(col("vec_id").isin(21L, 23L)),
+      emb.where(col("vec_id") === 20L), tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts == Map(21L -> false, 23L -> true), s"gate verdicts: $verdicts")
+  }
+
+  test("q185 on sf0.001: directional, thresholded, and candidate-verified exactly") {
+    val rows = SimilarityQueries.q185SemanticDecon(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "the tuned tau must fire on every SF")
+    rows.foreach { case (d, e, s) =>
+      assert(d % 10 != 0, s"train side only: $d")
+      assert(e % 10 == 0, s"eval side only: $e")
+      assert(s >= 0.35 && s <= 1.0)
+    }
+  }
+
+  test("q188 scaled-K IVF probe: bounded shape, dense ranks, recall pinned vs exact") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityQueries.q188IvfScaled(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    // shape: every fresh vector gets ≤5 dense-ranked index-side rows
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rs) =>
+      assert(q % 5 == 0, s"queries are the fresh batch: $q")
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.size).map(_.toLong),
+        s"ranks must be dense for $q")
+      rs.foreach { case (_, n, _) => assert(n % 5 != 0, s"neighbors from the index side: $n") }
+    }
+    // recall@5 vs the exact brute-force ground truth (fresh × index)
+    val fresh = e.where(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val idx = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+    val truth = idx.crossJoin(broadcast(fresh))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.VectorExprs.cosine(col("q_vec"), col("n_vec")).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("cos"), col("n_id"))))
+      .where(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.map(t => (t._1, t._2)).toSet.intersect(truth)
+    val recall = hits.size.toDouble / truth.size
+    // sf0.001's embeddings are near-uniform (no cluster structure —
+    // see the class header), so recall is bounded by the probed-bucket
+    // fraction; measured 0.444 at K=⌈√500⌉=23, nprobe=4. The floor
+    // pins against regression, the CLUSTERED assertion below pins the
+    // real-data behavior (duplicates cluster; uniform is worst-case).
+    assert(recall >= 0.4,
+      f"scaled-K probe recall@5 $recall%.3f under the 0.4 floor (hits ${hits.size}/${truth.size})")
+    graft.core.Caches.releaseAll()
+
+    // On cluster-structured data (what duplicated/near-dup corpora look
+    // like) the scaled-K probe must be EXHAUSTIVE for same-cluster
+    // neighbors: every member of a cluster shares its argmax centroid,
+    // so the true top-5 (all same-cluster at this geometry) is found.
+    import spark.implicits._
+    val cFresh = clustered.where(pmod(col("vec_id"), lit(5)) === 0)
+    val cIdx = clustered.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val cGot = SimilarityQueries.ivfProbeScaledOn(cFresh, cIdx, clustered)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cTruth = cIdx.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      .crossJoin(broadcast(cFresh.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.VectorExprs.cosine(col("q_vec"), col("n_vec")).as("cos"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(desc("cos"), col("n_id"))))
+      .where(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cRecall = cTruth.intersect(cGot).size.toDouble / cTruth.size
+    assert(cRecall == 1.0,
+      f"clustered scaled-K recall must be exhaustive, got $cRecall%.3f")
+    graft.core.Caches.releaseAll()
+  }
+
   test("q161: planted alien vectors occupy the lowest centroid-cosine ranks") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -427,6 +427,151 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q186 hashed novelty curve equals oracle-green q184's exactly (sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val fast = SubstringDedup.q186NoveltyFast(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = SubstringDedup.q184NoveltyCurve(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(fast == exact, s"hashed/raw novelty divergence at $dir")
+      graft.core.Caches.releaseAll()
+    }
+  }
+
+  test("q187 capped matrix: cap-off ≡ exact; a binding cap bounds attribution and LOGS the truncation") {
+    import spark.implicits._
+    // The q179 fixture: with a cap that never binds, the capped face
+    // must be ROW-IDENTICAL to the exact matrix (and report zero
+    // truncation) — the realistic-corpus regime, where measured
+    // per-gram eval fanout is 1-2.
+    val passage2 =
+      "this work is licensed under a creative commons attribution " +
+        "share alike international license see the legal code for details "
+    val train = Seq(
+      (1L, "src1", filler("da", 50) + passage + filler("db", 30)),
+      (2L, "src1", passage + filler("dc", 40)),
+      (3L, "src2", filler("dd", 35) + passage2 + filler("de", 20)),
+      (5L, "src1", passage + filler("df", 25) + passage2),
+      (7L, "src3", filler("dg", 150))).toDF("doc_id", "source", "text")
+    val ev = Seq(
+      (20L, filler("ea", 35) + passage + filler("eb", 25)),
+      (30L, filler("ec", 30) + passage2 + filler("ed", 20)))
+      .toDF("doc_id", "text")
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    val exact = cells(SubstringDedup.deconMatrixOn(train, ev))
+    graft.core.Caches.releaseAll()
+    val uncapped = cells(SubstringDedup.deconMatrixCappedOn(train, ev, cap = 100))
+    assert(uncapped == exact, "a non-binding cap must not change a cell")
+    assert(SubstringDedup.lastMatrixTruncated.get() == 0L)
+
+    // The replication-saturated regime in miniature: FIVE eval docs all
+    // carry the passage (the sf10 ScaleUp shape that killed q179 at
+    // >600 s). With cap=2 each matching gram attributes to only the two
+    // lowest eval ids — the position fanout is bounded by the cap, the
+    // dropped attributions are counted, and surviving cells keep their
+    // exact span mass.
+    // tag HEADS must differ per doc (filler's last char is tag.head —
+    // a shared head would make "head + 39 passage chars" one more
+    // duplicated gram, the exact trap the fixture header documents)
+    val evSat = (0 until 5)
+      .map(i => (20L + 10 * i, filler(s"${i}e", 20 + 3 * i) + passage))
+      .toDF("doc_id", "text")
+    graft.core.Caches.releaseAll()
+    val capped = cells(SubstringDedup.deconMatrixCappedOn(train, evSat, cap = 2))
+    val truncated = SubstringDedup.lastMatrixTruncated.get()
+    assert(truncated > 0L, "a binding cap must report its truncation count")
+    val L = passage.length.toLong
+    assert(capped == Map(
+      ("src1", 20L) -> (3L, 3 * L),
+      ("src1", 30L) -> (3L, 3 * L)),
+      s"cap=2 must keep exactly the two lowest eval ids' cells, exact: $capped")
+    // every (gram, eval_doc) pair beyond rank 2 was dropped: 3 extra
+    // eval docs × the passage's gram count (passage.length − K + 1)
+    assert(truncated == 3L * (passage.length - K + 1),
+      s"truncation count must be exactly the planted overflow: $truncated")
+  }
+
+  test("decon arm picker: a sliver-matched suite dispatches to recompute, a saturated one to the store — same spans either way") {
+    import spark.implicits._
+    import graft.sources.DeconStore
+    val fresh = Seq(
+      (1L, filler("fa", 40) + passage + filler("fb", 40)),
+      (3L, filler("fc", 130))).toDF("doc_id", "text")
+    // SATURATED suite: every eval doc carries the passage → the matched
+    // sliver IS the suite (ratio ≈ 1); re-deriving ~all its distinct
+    // grams inline is pure loss → store arm.
+    val satSuite = (0 until 4)
+      .map(i => (20L + 10 * i, filler(s"se$i", 25 + 4 * i) + passage))
+      .toDF("doc_id", "text")
+    // SLIVER suite: one small matched benchmark inside a large suite of
+    // unmatched ones (ratio ≪ 1) → exploding the sliver inline beats
+    // dragging every live benchmark's grams through the join.
+    val sliverSuite = ((20L, filler("se", 25) + passage) +:
+      (1 to 6).map(i => (30L + 10 * i, filler(s"su$i", 900))))
+      .toDF("doc_id", "text")
+    def viaInline(ev: org.apache.spark.sql.DataFrame) = {
+      graft.core.Caches.releaseAll()
+      spans(SubstringDedup.deconSpansOn(fresh, ev))
+    }
+    for ((suite, arm, ratioCheck) <- Seq(
+        (satSuite, "store", (f: Double) => f >= 0.9),
+        (sliverSuite, "recompute", (f: Double) => f > 0.0 && f <= 0.3))) {
+      val expected = viaInline(suite)
+      assert(expected == Map(1L -> Seq((41L, passage.length.toLong))),
+        s"fixture sanity: $expected")
+      val dir = tmpDir(s"deconarm_$arm")
+      DeconStore.build(suite, dir)
+      spark.conf.set(DeconStore.DirKey, dir)
+      try {
+        graft.core.Caches.releaseAll()
+        val picked = spans(SubstringDedup.deconProbeOrRecompute(fresh, suite))
+        val (chosen, ratio) = SubstringDedup.lastDeconArm.get()
+        assert(chosen == arm, s"expected $arm at matched-mass ratio $ratio")
+        assert(ratioCheck(ratio), s"ratio $ratio out of the $arm regime's band")
+        assert(picked == expected, s"$arm regime: picker != inline decon spans")
+      } finally {
+        spark.conf.unset(DeconStore.DirKey)
+        graft.core.Caches.releaseAll()
+      }
+    }
+    // No store configured: the recompute arm is unconditionally correct
+    graft.core.Caches.releaseAll()
+    val unstored = spans(SubstringDedup.deconProbeOrRecompute(fresh, satSuite))
+    assert(SubstringDedup.lastDeconArm.get()._1 == "recompute")
+    assert(unstored == viaInline(satSuite))
+  }
+
+  test("q189 auto picker returns exactly q175's spans, store configured or not (sf0.001 + sf0.01)") {
+    import graft.sources.DeconStore
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = SubstringDedup.q175DeconProbe(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      graft.core.Caches.releaseAll()
+      val unstored = SubstringDedup.q189DeconAuto(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(unstored == exact, s"picker/probe divergence at $dir (no store)")
+      assert(SubstringDedup.lastDeconArm.get()._1 == "recompute")
+      graft.core.Caches.releaseAll()
+      val ev = graft.core.Tables(spark, dir, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      val storeDir = tmpDir(s"deconauto_${new java.io.File(dir).getName}")
+      DeconStore.build(ev, storeDir)
+      spark.conf.set(DeconStore.DirKey, storeDir)
+      try {
+        graft.core.Caches.releaseAll()
+        val stored = SubstringDedup.q189DeconAuto(spark, dir).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(stored == exact, s"picker/probe divergence at $dir (store)")
+      } finally {
+        spark.conf.unset(DeconStore.DirKey)
+        graft.core.Caches.releaseAll()
+      }
+    }
+  }
+
   test("scrub conserves characters: removed = original - clean, never negative") {
     val rows = SubstringDedup.q150SubstringScrub(spark, "/root/testdata/sf0.001")
       .collect()

@@ -88,14 +88,25 @@ def contamination_banner(path: str, d: dict) -> None:
     la, nc = d.get("la"), d.get("nc")
     if not la or not nc or la[0] < 0:
         return
-    foreign = d.get("qunit") == "ds"
+    # Rounds ≥13 declare the sentinel kind explicitly ("lak": "fcpu" =
+    # measured foreign cores, "la1m" = load-average fallback — Bench's
+    # com.sun bean can be unavailable/unprimed even on a ds-format
+    # round, and mislabeling that fallback "foreign cpu" re-creates the
+    # false-positive banner). Older artifacts fall back to the qunit
+    # sniff (ds rounds all used fcpu in practice).
+    lak = d.get("lak")
+    foreign = lak == "fcpu" if lak else d.get("qunit") == "ds"
     if la[0] / 100.0 > 1.0:
         kind = "foreign cpu" if foreign else "load"
+        caveat = ("" if foreign else
+                  " [1-min load average — folds in recently-exited "
+                  "processes (e.g. the harness's own compile); weaker "
+                  "evidence than a measured-foreign-cpu sentinel]")
         print(f"*** CONTAMINATED: {path} started at {kind} "
               f"{la[0] / 100.0:.1f} on {nc} cores (ended at load "
               f"{la[1] / 100.0:.1f}) — timings unreliable; prefer the "
               f"[_,quiet] adjudicated values or re-run isolated before "
-              f"acting ***")
+              f"acting ***{caveat}")
 
 
 # Round ≥9 fixed short codes for the non-query bench entries

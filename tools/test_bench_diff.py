@@ -54,6 +54,24 @@ def main() -> int:
     assert "CONTAMINATED" in out and "load 3.9" in out, out
     print("OK legacy load-average artifact still flags")
 
+    # --- r13+: explicit "lak" kind beats the qunit sniff — a ds-format
+    # round whose com.sun bean never primed falls back to the 1-min
+    # load average and must banner as ambiguous "load", never as
+    # measured "foreign cpu" (ADVICE r12).
+    fallback = {"qunit": "ds", "queries": {"1": 3}, "lak": "la1m",
+                "la": [390, 2716], "nc": 32}
+    _, out = capture(bench_diff.contamination_banner, "fb.json", fallback)
+    assert "load 3.9" in out and "foreign cpu" not in out, out
+    assert "weaker evidence" in out, out
+    print("OK lak:la1m fallback banners as ambiguous load, not foreign cpu")
+
+    # --- and lak:"fcpu" still banners as foreign cpu with no caveat
+    fcpu = {"qunit": "ds", "queries": {"1": 3}, "lak": "fcpu",
+            "la": [250, 2716], "nc": 32}
+    _, out = capture(bench_diff.contamination_banner, "fc.json", fcpu)
+    assert "foreign cpu 2.5" in out and "weaker evidence" not in out, out
+    print("OK lak:fcpu banners as measured foreign cpu")
+
     # --- ds unit conversion + qmin elision note on load()
     ds_art = {"metric": "total", "qunit": "ds", "qmin": 2, "nq": 4,
               "queries": {"1": 3, "2": 41, "xprt": 541}}
