@@ -449,6 +449,63 @@ object Bench {
       System.err.println(s"[bench] decon-store probe failed: ${e.getMessage}")
       -1.0
     }
+    // Decon arm picker through the same prebuilt DeconStore — q189's
+    // production shape: the picker prices the matched eval sliver from
+    // the store's doc-level fps and dispatches between the stored-gram
+    // probe and the inline sliver recompute. The delta vs xdc (q175
+    // blindly probing the store) is the dispatch's value on this
+    // fixture.
+    val deconArm = if (!extraOn("xda")) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val ev = graft.core.Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+      val dirA = s"$scratch/deconstore_arm"
+      graft.sources.DeconStore.build(ev, dirA)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.DeconStore.DirKey, dirA)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.SubstringDedup.q189DeconAuto(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.DeconStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] decon arm picker failed: ${e.getMessage}")
+      -1.0
+    }
+    // Video segment index through a prebuilt VideoSegStore: q155's
+    // daily path — the corpus's segment fingerprints decode ONCE at
+    // store build (untimed; per-day maintenance is advanceDay), then a
+    // day's pair query reads the stored 24-byte fingerprint rows. The
+    // delta vs the q155 entry (same pairs, render+encode+decode every
+    // run) is the store's payoff — the decode is the media tier's
+    // dominant cost.
+    val videoSeg = if (!extraOn("xvg")) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.operators.MediaQueries.spread(
+        graft.core.Tables(spark, sfDir, "documents").select("doc_id", "text"))
+      val dirG = s"$scratch/videosegstore"
+      graft.sources.VideoSegStore.build(
+        graft.multimodal.VideoSegDedup.segmentFingerprints(
+          graft.multimodal.VideoSegDedup.renderVideos(docs)), dirG)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        graft.multimodal.VideoSegDedup.sharedSegmentPairs(
+          graft.sources.VideoSegStore.open(spark, dirG)).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+        dt
+      }
+      times.sorted.apply((times.size - 1) / 2)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] video segment store failed: ${e.getMessage}")
+      -1.0
+    }
     // q139 through a prebuilt VectorIndexStore: the IVF probe reading
     // persisted bucket assignments + frozen codebook instead of
     // re-assigning the corpus per run (build cost paid once, amortized
@@ -642,6 +699,8 @@ object Bench {
       "xws" -> winnowReuse,   // x_winnowstore_probe (q168 via store)
       "xsp" -> armPick,       // x_arm_picker (q169 via store)
       "xdc" -> deconProbe,    // x_deconstore_probe (q175 via store)
+      "xda" -> deconArm,      // x_decon_arm (q189 via store)
+      "xvg" -> videoSeg,      // x_videoseg_store (q155 pairs via store)
       "xvs" -> vecProbe,      // x_vectorstore_probe (q139 via store)
       "xpq" -> pqProbe,       // x_pqstore_topk (q82 via store)
       "xprt" -> prTol)        // x_pagerank_tol

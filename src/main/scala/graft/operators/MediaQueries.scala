@@ -36,7 +36,7 @@ object MediaQueries {
     * on two cores: measured 9.5 s → 1.9 s at the 10× point from this
     * one repartition. One narrow shuffle of (id, text) buys full-width
     * parallelism for every downstream mapPartitions. */
-  private def spread(df: DataFrame): DataFrame =
+  private[graft] def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Q153: image near-duplicate pairs by perceptual hash — dHash over

@@ -92,4 +92,20 @@ class MediaHashStoreSpec extends SparkSpec {
     assert(idx.count() == 0)
     assert(probePairs(idx).isEmpty)
   }
+
+  test("zero-meta with orphan day partitions is torn, not an empty index") {
+    // A crashed advanceDay (hashes written, meta row not) after every
+    // prior day was retired leaves a zero-sum meta over live data —
+    // serving the empty index would silently drop dedup candidates.
+    val dir = tmpDir("mediastore_orphan")
+    MediaHashStore.build(day0, dir)
+    MediaHashStore.retireDay(spark, dir, day = 0)
+    day1.withColumn("day", org.apache.spark.sql.functions.lit(2))
+      .write.partitionBy("day").mode("append").parquet(s"$dir/hashes")
+    intercept[Exception] { MediaHashStore.open(spark, dir).count() }
+    // the trusted lever still opts out of the check
+    spark.conf.set(MediaHashStore.TrustKey, "true")
+    try assert(MediaHashStore.open(spark, dir).count() == 0)
+    finally spark.conf.unset(MediaHashStore.TrustKey)
+  }
 }

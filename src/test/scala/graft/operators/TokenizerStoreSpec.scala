@@ -113,6 +113,18 @@ class TokenizerStoreSpec extends SparkSpec {
       assert(TokenizerStore.openBpeMerges(corpus).isDefined)
       assert(TokenizerStore.digestScans.get() == before + 2,
         "a rebuilt store must force re-verification")
+      // An EXTERNAL rebuild (another process replacing the artifacts —
+      // this JVM's build() never runs, so no invalidate fires) changes
+      // the meta's mtime, which is part of the verdict key: the next
+      // open must re-verify instead of serving the old verdict.
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Thread.sleep(1100) // HDFS-API mtime granularity is one second
+      fsys.setTimes(new org.apache.hadoop.fs.Path(s"$dir/meta"),
+        System.currentTimeMillis(), -1)
+      assert(TokenizerStore.openBpeMerges(corpus).isDefined)
+      assert(TokenizerStore.digestScans.get() == before + 3,
+        "an externally rebuilt store (meta mtime moved) must re-verify")
     }
   }
 

@@ -76,6 +76,80 @@ class VideoSegDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("VideoSegStore: advance/retire serves pairs as an index rebuilt without the day, zero re-decodes") {
+    import graft.sources.VideoSegStore
+    def isBoundary(w: String): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h % 16 == 0
+    }
+    val words = (0 until 3000).map(i => s"v$i")
+    val bounds = words.filter(isBoundary).take(4)
+    val fillers = words.filterNot(isBoundary)
+    assert(bounds.size == 4)
+    def run(b: Int, off: Int) =
+      (bounds(b) +: fillers.slice(off, off + 10) :+ bounds(b + 1)).mkString("", " ", " ")
+    val sharedA = run(0, 0)   // the clip day-0 video 10 shares with fresh video 1
+    val sharedB = run(2, 20)  // the clip day-1 video 20 shares with fresh video 2
+    def fpsOf(rows: (Long, String)*) =
+      VideoSegDedup.segmentFingerprints(
+        VideoSegDedup.renderVideos(rows.toSeq.toDF("doc_id", "text")))
+    val day0 = fpsOf(
+      (10L, s"day zero intro segment here ${sharedA}and day zero outro"),
+      (11L, "entirely unique day zero content with nothing shared anywhere"))
+    val day1 = fpsOf(
+      (20L, s"day one lead material ${sharedB}day one closing remarks"),
+      (21L, "more unique day one material sharing no clip with anything"))
+    val fresh = fpsOf(
+      (1L, s"fresh upload first ${sharedA}fresh upload tail one"),
+      (2L, s"fresh upload second ${sharedB}fresh upload tail two"))
+
+    def pairsAgainst(idx: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val out = VideoSegDedup.sharedSegmentPairs(fresh.unionByName(idx))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.Caches.releaseAll()
+      out
+    }
+
+    val dir = tmpDir("videosegstore")
+    VideoSegStore.build(day0, dir, day = 0)
+    VideoSegStore.advanceDay(day1, dir, day = 1)
+    val both = pairsAgainst(VideoSegStore.open(spark, dir))
+    assert(both.contains((1L, 10L)) && both.contains((2L, 20L)), both.toString)
+
+    // Takedown day 0: pairs equal an index REBUILT from day 1 alone —
+    // the retired day's videos unfindable, day 1 never re-decoded.
+    VideoSegStore.retireDay(spark, dir, day = 0)
+    val retired = pairsAgainst(VideoSegStore.open(spark, dir))
+    val rebuiltDir = tmpDir("videosegstore_rebuilt")
+    VideoSegStore.build(day1, rebuiltDir, day = 1)
+    assert(retired == pairsAgainst(VideoSegStore.open(spark, rebuiltDir)),
+      "retired-day pairs must equal a from-scratch index without that day")
+    assert(!retired.exists(p => p._1 == 10L || p._2 == 10L),
+      "the taken-down video must be unfindable")
+
+    // replayed advance converges; torn stores refuse to serve
+    VideoSegStore.advanceDay(day1, dir, day = 1)
+    assert(pairsAgainst(VideoSegStore.open(spark, dir)) == retired)
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fsys.delete(new org.apache.hadoop.fs.Path(s"$dir/segs/day=1"), true)
+    intercept[Exception] { VideoSegStore.open(spark, dir).count() }
+
+    // zero-meta torn hazard: retire everything, then plant an orphan
+    // day partition (a crashed advance) — open must raise, not serve
+    // an empty index over live data; absent orphans it serves empty.
+    val dir2 = tmpDir("videosegstore_empty")
+    VideoSegStore.build(day0, dir2, day = 0)
+    VideoSegStore.retireDay(spark, dir2, day = 0)
+    assert(VideoSegStore.open(spark, dir2).count() == 0L,
+      "a fully-retired store serves an empty relation, not a schema error")
+    day1.withColumn("day", lit(3))
+      .write.partitionBy("day").mode("append").parquet(s"$dir2/segs")
+    intercept[Exception] { VideoSegStore.open(spark, dir2).count() }
+  }
+
   test("q155 end-to-end equals the pure-SQL-side reference at sf0.001") {
     val got = MediaQueries.q155VideoSegdup(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

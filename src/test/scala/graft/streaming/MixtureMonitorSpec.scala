@@ -67,4 +67,34 @@ class MixtureMonitorSpec extends SparkSpec {
         s"unknown-domain mass must count as drift: ${third.head}")
     } finally q.stop()
   }
+
+  test("hostile domain names wire cleanly: a target domain named 'other', one with a dot") {
+    implicit val sqlCtx = spark.sqlContext
+    // Positional mass columns (r13): a domain literally named "other"
+    // must not collide with the unknown-mass column, and "pt.br" must
+    // not break column resolution — both broke the lang-derived m_$l
+    // naming this test pins the fix for.
+    val target = MixtureMonitor.train(
+      Seq(("other", 100L), ("pt.br", 100L)).toDF("lang", "n_chars"))
+    assert(target == Seq(("other", 0.5), ("pt.br", 0.5)))
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val out = MixtureMonitor.driftStream(
+      input.toDF().toDF("ts", "lang", "n_chars"), target)
+    val q = out.writeStream.format("memory").queryName("mix_hostile")
+      .outputMode("append").start()
+    try {
+      // on-plan window, plus mass in a genuinely unknown domain "xx":
+      // shares (other .25, pt.br .25, unknown .5) vs (.5, .5, 0)
+      // → tv = (.25 + .25 + .5)/2 = 0.5 — the named-"other" target
+      // mass and the unknown mass must NOT pool together.
+      input.addData((ts(1), "other", 50L), (ts(2), "pt.br", 50L), (ts(3), "xx", 100L))
+      input.addData((Timestamp.valueOf("2026-01-01 01:05:00"), "other", 1L))
+      q.processAllAvailable()
+      val rows = spark.table("mix_hostile")
+        .where(col("window_start") === ts(0)).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getDouble(3) == 0.5 && rows.head.getBoolean(4),
+        s"named-'other' domain must stay distinct from unknown mass: ${rows.head}")
+    } finally q.stop()
+  }
 }

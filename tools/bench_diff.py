@@ -115,7 +115,9 @@ X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xss": "x_sigstore_lsh", "xcp": "x_containment_probe",
            "xmp": "x_media_probe", "xts": "x_tokstore_bakeoff",
            "xws": "x_winnowstore_probe", "xsp": "x_arm_picker",
-           "xdc": "x_deconstore_probe",
+           "xdc": "x_deconstore_probe", "xda": "x_decon_arm",
+           "xvg": "x_videoseg_store",
+           "xvs": "x_vectorstore_probe", "xpq": "x_pqstore_topk",
            "xprt": "x_pagerank_tol"}
 
 
