@@ -292,6 +292,22 @@ object PipelineDemo {
     graft.core.Caches.releaseAll()
     println(s"[demo] decon gate (store-served): ${deconOut.mkString(",")}")
 
+    // ...and the SEMANTIC decon face (r13): a paraphrased benchmark
+    // copy shares no 40-char run — the gram gate above keeps it — but
+    // its embedding sits next to the eval doc's, so the embedding gate
+    // quarantines it. The two gates compose: keep = gramKeep ∧ semKeep.
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val semOut = graft.streaming.DeconGate.flagSemantic(
+      Seq((40L, base.map(x => (x + 0.01).toFloat).toSeq),            // paraphrase
+        (41L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))     // clean
+        .toDF("vec_id", "embedding"),
+      Seq((90L, base.map(_.toFloat).toSeq)).toDF("vec_id", "embedding"),
+      tau = 0.9)
+      .collect().map(r => s"${r.getLong(0)}:keep=${r.getBoolean(3)}")
+    graft.core.Caches.releaseAll()
+    println(s"[demo] semantic decon gate: ${semOut.mkString(",")}")
+
     spark.stop()
     println("[demo] DONE")
   }

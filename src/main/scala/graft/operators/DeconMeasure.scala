@@ -45,6 +45,85 @@ object DeconMeasure {
     }
     time("matrix_sat_10pct", 10)
     time("matrix_bench_0.1pct", 1000)
+
+    // q187's capped face at the same splits — the bounded matrix must
+    // track q179 where the cap never binds and stay bounded where the
+    // saturated fixture's replication makes q179 blow up.
+    def timeCapped(label: String, evalMod: Int): Unit = {
+      if (!only.forall(_.exists(label.contains))) return
+      val t0 = System.nanoTime()
+      val n = SubstringDedup.deconMatrixCappedOn(
+        d.filter(col("doc_id") % evalMod =!= 0),
+        d.filter(col("doc_id") % evalMod === 0),
+        SubstringDedup.MatrixEvalFanoutCap).count()
+      println(f"DECON $label rows=$n trunc=${SubstringDedup.lastMatrixTruncated.get()} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+    timeCapped("capped_sat_10pct", 10)
+    timeCapped("capped_bench_0.1pct", 1000)
+
+    // q189's two arms, each FORCED in each regime, plus the picker's
+    // own dispatch — reproduces the SCALE.md decon-arm table.
+    //  - sat: the daily split (fresh 10%, suite 10%) on this
+    //    duplicate-saturated fixture — the batch matches most of the
+    //    suite's mass;
+    //  - sliver: a tiny batch (0.1%) against a LARGE suite (50% of the
+    //    corpus) — the matched sliver is a small fraction.
+    def timeArm(label: String, freshMod: (Int, Int), evalMod: (Int, Int),
+        crossover: Double): Unit = {
+      if (!only.forall(_.exists(label.contains))) return
+      val fresh = d.filter(col("doc_id") % freshMod._1 === freshMod._2)
+      val ev = d.filter(col("doc_id") % evalMod._1 === evalMod._2)
+      val dirD = s"${System.getProperty("java.io.tmpdir")}/graft_deconarm_${ProcessHandle.current.pid}"
+      graft.sources.DeconStore.build(ev, dirD)
+      Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.DeconStore.DirKey, dirD)
+      try {
+        val t0 = System.nanoTime()
+        val n = SubstringDedup.deconProbeOrRecompute(fresh, ev, crossover).count()
+        val (arm, ratio) = SubstringDedup.lastDeconArm.get()
+        println(f"DECON $label rows=$n arm=$arm ratio=$ratio%.3f " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      } finally {
+        spark.conf.unset(graft.sources.DeconStore.DirKey)
+        Caches.releaseAll(); spark.catalog.clearCache()
+      }
+    }
+    def timeArmOn(label: String, fresh: org.apache.spark.sql.DataFrame,
+        ev: org.apache.spark.sql.DataFrame, crossover: Double): Unit = {
+      if (!only.forall(_.exists(label.contains))) return
+      val dirD = s"${System.getProperty("java.io.tmpdir")}/graft_deconarm_${ProcessHandle.current.pid}"
+      graft.sources.DeconStore.build(ev, dirD)
+      Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.DeconStore.DirKey, dirD)
+      try {
+        val t0 = System.nanoTime()
+        val n = SubstringDedup.deconProbeOrRecompute(fresh, ev, crossover).count()
+        val (arm, ratio) = SubstringDedup.lastDeconArm.get()
+        println(f"DECON $label rows=$n arm=$arm ratio=$ratio%.3f " +
+          f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      } finally {
+        spark.conf.unset(graft.sources.DeconStore.DirKey)
+        Caches.releaseAll(); spark.catalog.clearCache()
+      }
+    }
+    for ((regime, fm, em) <- Seq(
+        ("daily", (10, 1), (10, 0)),    // the q175/q189 declared split
+        ("backfill", (2, 1), (10, 0)))) { // half-corpus batch vs the suite
+      timeArm(s"arm_${regime}_store", fm, em, crossover = -1.0) // force store
+      timeArm(s"arm_${regime}_recompute", fm, em, crossover = 2.0) // force recompute
+      timeArm(s"arm_${regime}_auto", fm, em, SubstringDedup.DeconEvalRatio)
+    }
+    // recrawl: the batch re-ingests verbatim copies of the suite itself
+    // (benchmarks get crawled) — matched mass ≡ suite mass, the store
+    // arm's home regime.
+    val ev10 = d.filter(col("doc_id") % 10 === 0)
+    val recrawl = ev10.withColumn("doc_id", col("doc_id") + 100000000L)
+    timeArmOn("arm_recrawl_store", recrawl, ev10, crossover = -1.0)
+    timeArmOn("arm_recrawl_recompute", recrawl, ev10, crossover = 2.0)
+    timeArmOn("arm_recrawl_auto", recrawl, ev10, SubstringDedup.DeconEvalRatio)
     spark.stop()
   }
 }

@@ -998,18 +998,25 @@ object SubstringDedup {
     *  - **recompute arm**: gram-explode + distinct only the MATCHED
     *    eval sliver — pays the explode, but the join side shrinks to
     *    the sliver.
-    * When the batch matches most of the suite (saturated), re-deriving
-    * ~the whole suite's distinct grams just to shrink the join is pure
-    * loss — the store arm wins. When the batch matches a sliver of a
-    * large suite, dragging every live benchmark's grams through the
-    * join loses to exploding the sliver. Threshold 0.5 sits between
-    * the regimes (DeconMeasure's arm table in SCALE.md prices both on
-    * the fixture). Both arms are result-identical by the q149
+    * Measured (DeconMeasure's arm table, sf1 = the 10×-replicated
+    * fixture, whose replication cross-saturates the deciles): the
+    * recompute arm wins every regime where ANY meaningful fraction of
+    * the suite goes unmatched — daily split ratio 0.642: 5.7 s vs
+    * 7.4 s store; half-corpus backfill ratio 0.892: 8.9 s vs 11.6 s —
+    * because distinct-ing the matched sliver's grams inline is cheaper
+    * than shuffling the whole suite's stored gram relation through the
+    * join until the sliver IS the suite. The store arm wins only at
+    * ratio ≈ 1.0 (a re-crawl re-ingesting verbatim benchmark copies:
+    * 6.7 s store vs 7.5 s recompute), where the stored pre-distinct
+    * grams save BOTH the explode and the distinct of the entire suite.
+    * Hence the high bar: the probe must match essentially everything
+    * before reading the store beats recomputing the sliver. Both arms
+    * are result-identical by the q149
     * unconditional-superset argument applied cross-corpus: a fresh
     * gram matching eval doc e implies a shared winnow fp, so e is a
     * candidate and its grams are in the sliver — the store arm's
     * extra (unmatched) grams can only add non-matching join rows. */
-  private[graft] val DeconEvalRatio = 0.5
+  private[graft] val DeconEvalRatio = 0.95
 
   /** The arm the last [[deconProbeOrRecompute]] call dispatched to,
     * with its measured matched-mass ratio — observability for specs
