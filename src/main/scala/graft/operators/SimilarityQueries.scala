@@ -1315,6 +1315,49 @@ object SimilarityQueries {
       .select(col("doc_id"), col("eval_doc"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Multi-probe assignment with the unit-normalized vector carried —
+    * the relation [[graft.sources.SemanticDeconStore]] persists per
+    * benchmark: one row per (vec, probe), (vec_id, nv, bkt).
+    * Assignment runs on the RAW embedding exactly like
+    * [[semanticDeconOn]]'s (cosine is scale-invariant mathematically,
+    * but float op order is not — matching the inline arm bit-for-bit
+    * is what makes store/inline parity exact, not approximate). */
+  private[graft] def multiAssignWithNv(rel: DataFrame,
+      cents: Seq[(Long, Seq[Double])], probes: Int = NearDupProbes): DataFrame = {
+    val assigned = rel
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), probes))
+      .select(col("vec_id"), (-col("__c.negid")).as("bkt"))
+    VectorExprs.normalized(rel, "embedding", "nv", Seq("vec_id"))
+      .join(assigned, "vec_id")
+      .select("vec_id", "nv", "bkt")
+  }
+
+  /** [[semanticDeconOn]] against a PRE-ASSIGNED eval index (frozen
+    * codebook + per-benchmark (vec_id, nv, bkt) rows — the
+    * SemanticDeconStore face): the batch assigns against the STORED
+    * codebook, so two different batches give a shared vector the SAME
+    * verdict — the batch-independence the inline union-codebook
+    * derivation cannot promise. Result ≡ inline whenever the stored
+    * codebook equals the union derivation's (spec-pinned). */
+  private[graft] def semanticDeconVia(train: DataFrame,
+      cents: Seq[(Long, Seq[Double])], evalIdx: DataFrame, tau: Double,
+      probes: Int = NearDupProbes): DataFrame = {
+    val tAssign = train
+      .withColumn("__c", topCentroids(centroidScores(col("embedding"), cents), probes))
+      .select(col("vec_id").as("doc_id"), (-col("__c.negid")).as("bkt"))
+    val cands = tAssign
+      .join(broadcast(evalIdx.select(col("vec_id").as("eval_doc"), col("bkt"))), "bkt")
+      .select("doc_id", "eval_doc").distinct()
+    val tN = VectorExprs.normalized(train, "embedding", "nv", Seq("vec_id"))
+    val eN = evalIdx.select(col("vec_id").as("eval_doc"), col("nv").as("ev")).distinct()
+    cands
+      .join(tN.select(col("vec_id").as("doc_id"), col("nv").as("tv")), "doc_id")
+      .join(broadcast(eN), "eval_doc")
+      .withColumn("sim", VectorExprs.dot(col("tv"), col("ev")))
+      .where(col("sim") >= tau)
+      .select(col("doc_id"), col("eval_doc"), round(col("sim"), 6).as("sim"))
+  }
+
   val semanticDeconSql: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),

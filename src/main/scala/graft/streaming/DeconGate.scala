@@ -61,8 +61,20 @@ object DeconGate {
     * exact-gram and semantic decon catch disjoint failure modes. */
   def flagSemantic(batchEmb: DataFrame, evalEmb: DataFrame,
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau): DataFrame = {
-    val hits = graft.operators.SimilarityQueries
-      .semanticDeconOn(batchEmb, evalEmb, tau)
+    // A configured-and-fresh SemanticDeconStore supplies the FROZEN
+    // codebook + the pre-assigned eval index: the batch assigns
+    // against the stored codebook, so a vector's verdict cannot
+    // depend on what else shares its micro-batch (the inline
+    // union-codebook derivation cannot promise that); stale/missing
+    // store falls back inline — cost, never a missed leak.
+    val matches = graft.sources.SemanticDeconStore.openFresh(evalEmb) match {
+      case Some((cents, evalIdx)) =>
+        graft.operators.SimilarityQueries
+          .semanticDeconVia(batchEmb, cents, evalIdx, tau)
+      case None =>
+        graft.operators.SimilarityQueries.semanticDeconOn(batchEmb, evalEmb, tau)
+    }
+    val hits = matches
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_eval_hits"), max("sim").as("max_eval_sim"))
     batchEmb.select(col("vec_id").as("doc_id")).join(hits, Seq("doc_id"), "left")

@@ -78,4 +78,60 @@ class DeconGateSpec extends SparkSpec {
       Caches.releaseAll()
     }
   }
+
+  test("semantic gate: store-served verdicts equal inline when codebooks agree, and are batch-INDEPENDENT") {
+    import graft.sources.SemanticDeconStore
+    val rnd = new scala.util.Random(23)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    // Eval suite: the 16 codebook-eligible fillers (vec_id < 16) PLUS
+    // the benchmark vector 20 — so the inline union codebook equals
+    // the store's eval-derived one whenever the batch carries no
+    // id < 16, which is what makes exact parity provable.
+    val fillers = (0 until 16).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+    val ev = (fillers :+ ((20L, base.map(_.toFloat).toSeq)))
+      .toDF("vec_id", "embedding")
+    val para = (100L, base.map(x => (x + 0.01).toFloat).toSeq)    // paraphrase of 20
+    val clean = (101L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    def verdicts(batch: Seq[(Long, Seq[Float])]): Map[Long, Boolean] = {
+      val out = DeconGate.flagSemantic(
+        batch.toDF("vec_id", "embedding"), ev, tau = 0.9)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      Caches.releaseAll()
+      out
+    }
+    val inlineV = verdicts(Seq(para, clean))
+    assert(inlineV == Map(100L -> false, 101L -> true), s"inline sanity: $inlineV")
+
+    val dir = tmpDir("semdecon_store")
+    SemanticDeconStore.build(ev, dir)
+    Caches.releaseAll()
+    spark.conf.set(SemanticDeconStore.DirKey, dir)
+    try {
+      assert(SemanticDeconStore.openFresh(ev).isDefined,
+        "store must be fresh for its own suite")
+      // parity: same batch, same verdicts, store or inline
+      assert(verdicts(Seq(para, clean)) == inlineV,
+        "store-served verdicts must equal inline when codebooks agree")
+      // batch-independence: the paraphrase's verdict cannot change when
+      // an id-below-codebook vector joins its micro-batch (inline
+      // union-codebook derivation would swap codebook entry 5 for the
+      // batch's; the frozen store codebook cannot)
+      val adversary = (5L, base.map(x => (-x).toFloat).toSeq)
+      val withAdv = verdicts(Seq(para, clean, adversary))
+      assert(withAdv(100L) == inlineV(100L) && withAdv(101L) == inlineV(101L),
+        s"frozen-codebook verdicts must not depend on batch composition: $withAdv")
+
+      // retire the suite's only partition: stale for the suite → the
+      // gate falls back inline and still flags the paraphrase
+      SemanticDeconStore.retireBenchmark("all", spark, dir)
+      assert(SemanticDeconStore.openFresh(ev).isEmpty,
+        "retired store must read stale for a non-empty suite")
+      assert(verdicts(Seq(para, clean)) == inlineV,
+        "stale store must cost a recompute, never a missed leak")
+    } finally {
+      spark.conf.unset(SemanticDeconStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
 }
