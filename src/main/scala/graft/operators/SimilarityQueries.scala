@@ -1374,6 +1374,67 @@ object SimilarityQueries {
        |  FROM cand JOIN n a ON a.vec_id = doc_id JOIN n b ON b.vec_id = eval_doc)
        |SELECT doc_id, eval_doc, round(c, 6) AS sim FROM p WHERE c >= $SemDeconTau""".stripMargin
 
+  // -------------------------- q190/q191 semantic decon report + act faces
+  /** Q190: per-benchmark SEMANTIC contamination coverage — the q183
+    * mirror for the embedding face, and the model-card number exact
+    * coverage cannot see: for each eval doc, how many training docs
+    * sit within cosine τ of it, and the strongest match. Eval docs
+    * with zero semantic matches are reported at 0 — the audit's point
+    * is the clean rows as much as the dirty ones. Pure rollup of
+    * q185's bounded match relation plus one narrow eval-id scan. */
+  def q190SemanticCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val ev = e.where(col("vec_id") % 10 === 0)
+    val m = semanticDeconOn(e.where(col("vec_id") % 10 =!= 0), ev, SemDeconTau)
+      .groupBy("eval_doc")
+      .agg(count(lit(1)).as("n"), max("sim").as("mx"))
+    ev.select(col("vec_id").as("eval_doc")).join(m, Seq("eval_doc"), "left")
+      .select(col("eval_doc"),
+        coalesce(col("n"), lit(0L)).as("n_matches"),
+        coalesce(col("mx"), lit(0.0)).as("max_sim"))
+  }
+
+  val semanticCoverageSql: String =
+    s"""WITH m AS ($semanticDeconSql)
+       |SELECT e.vec_id AS eval_doc,
+       |  CAST(coalesce(g.cnt, 0) AS BIGINT) AS n_matches,
+       |  coalesce(g.mx, 0.0) AS max_sim
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) e
+       |LEFT JOIN (SELECT eval_doc, count(*) AS cnt, max(sim) AS mx
+       |           FROM m GROUP BY 1) g ON e.vec_id = g.eval_doc""".stripMargin
+
+  /** Q191: the semantic decon ACT face — the keep/drop decision a
+    * curation pass filters on, q173's counterpart where excision is
+    * impossible (there is no "span" of an embedding: a semantic
+    * benchmark copy drops WHOLE, with its witness recorded for the
+    * audit trail). One row per training vector: keep = no eval vector
+    * within τ; flagged rows carry the smallest witnessing eval id and
+    * the strongest similarity. Same bounded shapes as q185 — the
+    * decision join is match-relation-sized, the keep column rides a
+    * left join over one train scan. */
+  def q191SemanticScrub(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val train = e.where(col("vec_id") % 10 =!= 0)
+    val m = semanticDeconOn(train, e.where(col("vec_id") % 10 === 0), SemDeconTau)
+      .groupBy("doc_id")
+      .agg(min("eval_doc").as("w"), count(lit(1)).as("n"), max("sim").as("mx"))
+    train.select(col("vec_id").as("doc_id")).join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("w").isNull.as("keep"),
+        col("w").as("witness_eval"),
+        coalesce(col("mx"), lit(0.0)).as("max_sim"))
+  }
+
+  val semanticScrubSql: String =
+    s"""WITH m AS ($semanticDeconSql)
+       |SELECT t.vec_id AS doc_id,
+       |  g.doc_id IS NULL AS keep,
+       |  g.w AS witness_eval,
+       |  coalesce(g.mx, 0.0) AS max_sim
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0) t
+       |LEFT JOIN (SELECT doc_id, min(eval_doc) AS w, max(sim) AS mx
+       |           FROM m GROUP BY 1) g ON t.vec_id = g.doc_id""".stripMargin
+
   // ------------------------------------------- ANN ranking-quality eval
   /** Q164: MRR and binary nDCG@k of the IVF path against exact
     * ground truth — the ranking-quality face of q136's recall@k (recall
@@ -1465,7 +1526,9 @@ object SimilarityQueries {
     "q161_embed_outliers" -> q161EmbedOutliers _,
     "q164_ann_rank_eval" -> q164AnnRankEval _,
     "q185_semantic_decon" -> q185SemanticDecon _,
-    "q188_ivf_scaled" -> q188IvfScaled _)
+    "q188_ivf_scaled" -> q188IvfScaled _,
+    "q190_semantic_coverage" -> q190SemanticCoverage _,
+    "q191_semantic_scrub" -> q191SemanticScrub _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -1483,5 +1546,7 @@ object SimilarityQueries {
     "q139_ivf_probe" -> q139Sql,
     "q161_embed_outliers" -> q161Sql,
     "q164_ann_rank_eval" -> q164Sql,
-    "q185_semantic_decon" -> semanticDeconSql)
+    "q185_semantic_decon" -> semanticDeconSql,
+    "q190_semantic_coverage" -> semanticCoverageSql,
+    "q191_semantic_scrub" -> semanticScrubSql)
 }

@@ -520,4 +520,33 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("HashAggregate"), s"a per-row audit must not aggregate:\n$p")
     }
   }
+
+  test("q185: the benchmark-sized eval side broadcasts into candidates AND verify — never an SMJ or cartesian") {
+    val df = SimilarityQueries.q185SemanticDecon(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both eval-side joins (bucket candidates, exact verify) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketing must make the candidate join an equi-join:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q188: runtime-codebook assignment stays inside codegen; the probe side broadcasts") {
+    val df = SimilarityQueries.q188IvfScaled(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe join must broadcast the fresh side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scaled-K scoring must never degrade to a pair product:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q186: the novelty curve's join keys are 8-byte hashes, never raw 40-char grams") {
+    val p = plan(SubstringDedup.q186NoveltyFast(spark, Dir))
+    assert(p.contains("xxhash64"), s"gram keys must be hashed in the plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-day distinct must partial-aggregate map-side:\n$p")
+  }
 }

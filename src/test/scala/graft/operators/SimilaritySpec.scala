@@ -403,6 +403,41 @@ class SimilaritySpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("q190/q191: semantic report and act faces partition q185's matches exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val matches = SimilarityQueries.q185SemanticDecon(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.core.Caches.releaseAll()
+    val cov = SimilarityQueries.q190SemanticCoverage(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    graft.core.Caches.releaseAll()
+    val scrub = SimilarityQueries.q191SemanticScrub(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getDouble(3)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    // coverage: every eval doc reported; counts/maxes re-derive from q185
+    val byEval = matches.groupBy(_._2)
+    assert(cov.values.map(_._1).sum == matches.length,
+      "coverage counts must partition the match relation")
+    byEval.foreach { case (e, ms) =>
+      assert(cov(e) == ((ms.length.toLong, ms.map(_._3).max)), s"eval $e cell")
+    }
+    assert(cov.count(_._2._1 == 0L) == cov.size - byEval.size,
+      "clean eval docs report 0, not absence")
+    // scrub: exactly the matched train docs drop, with min witness/max sim
+    val byTrain = matches.groupBy(_._1)
+    scrub.foreach { case (d, (keep, w, mx)) =>
+      byTrain.get(d) match {
+        case Some(ms) =>
+          assert(!keep && w.contains(ms.map(_._2).min) && mx == ms.map(_._3).max,
+            s"train $d must drop with its witness")
+        case None => assert(keep && w.isEmpty && mx == 0.0, s"train $d must keep")
+      }
+    }
+    assert(scrub.count(!_._2._1) == byTrain.size, "drops == matched train docs")
+  }
+
   test("q161: planted alien vectors occupy the lowest centroid-cosine ranks") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
