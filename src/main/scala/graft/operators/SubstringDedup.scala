@@ -907,6 +907,57 @@ object SubstringDedup {
        |FROM dg JOIN fd USING (g)
        |GROUP BY dg.day""".stripMargin
 
+  /** Q192: the novelty curve BY SOURCE — the ops report q184's
+    * corpus-wide curve cannot resolve: one crawler stuck re-fetching
+    * (its novelty collapsing toward 0) hides inside a healthy corpus
+    * average when the other sources stay novel. Per (source, day):
+    * distinct K-grams the source contributed that day, the subset the
+    * CORPUS had already seen on an earlier day (any source — a source
+    * re-crawling another source's content is exactly as redundant as
+    * re-crawling its own), and the novelty fraction.
+    *
+    * Scale shape: q184's exactly — one gram explode with the source
+    * tag carried THROUGH it (never joined back onto the corpus-sized
+    * position relation), distinct per (source, day, gram) with
+    * map-side combine, one groupBy(gram) for the corpus first-day
+    * mins, one rollup. A gram fetched by s sources over d days costs
+    * ≤ s·d rows, never a pair enumeration. */
+  def q192NoveltyBySource(spark: SparkSession, dir: String): DataFrame = {
+    val sdGrams = docs(spark, dir)
+      .filter(length(col("text")) >= K)
+      .select(col("source"), (col("doc_id") % 10).as("day"),
+        explode(sequence(lit(1), length(col("text")) - (K - 1))).as("p"),
+        col("text"))
+      .select(col("source"), col("day"), expr(s"substr(text, p, $K)").as("g"))
+      .distinct()
+    val firstDay = sdGrams.groupBy("g").agg(min("day").as("fd"))
+    sdGrams.join(firstDay, "g")
+      .groupBy("source", "day")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fd") < col("day"), 1L).otherwise(0L)).as("seen_grams"))
+      .select(col("source"), col("day").cast("long").as("day"),
+        col("n_grams"), col("seen_grams"),
+        (lit(1.0) - col("seen_grams").cast("double") / col("n_grams"))
+          .as("novelty"))
+  }
+
+  val noveltyBySourceSql: String =
+    s"""WITH g0 AS (
+       |  SELECT source, doc_id % 10 AS day, substr(text, p, $K) AS g
+       |  FROM (SELECT source, doc_id, text,
+       |          unnest(generate_series(1, len(text) - ${K - 1})) AS p
+       |        FROM documents WHERE len(text) >= $K)),
+       |dg AS (SELECT DISTINCT source, day, g FROM g0),
+       |fd AS (SELECT g, min(day) AS fd FROM dg GROUP BY g)
+       |SELECT dg.source, CAST(dg.day AS BIGINT) AS day,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN fd.fd < dg.day THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS seen_grams,
+       |  1.0 - CAST(sum(CASE WHEN fd.fd < dg.day THEN 1 ELSE 0 END)
+       |             AS DOUBLE) / count(*) AS novelty
+       |FROM dg JOIN fd USING (g)
+       |GROUP BY dg.source, dg.day""".stripMargin
+
   /** Q183: per-benchmark contamination RATE — the eval-side mirror of
     * q172 and the number a model card reports: for each eval doc, how
     * much of ITS text exists somewhere in the training corpus. Same
@@ -1128,7 +1179,8 @@ object SubstringDedup {
     "q184_novelty_curve" -> q184NoveltyCurve _,
     "q186_novelty_fast" -> q186NoveltyFast _,
     "q187_decon_matrix_capped" -> q187DeconMatrixCapped _,
-    "q189_decon_auto" -> q189DeconAuto _)
+    "q189_decon_auto" -> q189DeconAuto _,
+    "q192_novelty_by_source" -> q192NoveltyBySource _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
@@ -1141,5 +1193,6 @@ object SubstringDedup {
     "q183_decon_coverage" -> deconCoverageSql,
     "q184_novelty_curve" -> noveltyCurveSql,
     "q187_decon_matrix_capped" -> deconMatrixCappedSql,
-    "q189_decon_auto" -> deconProbeSql)
+    "q189_decon_auto" -> deconProbeSql,
+    "q192_novelty_by_source" -> noveltyBySourceSql)
 }

@@ -84,6 +84,30 @@ object DeconGate {
       .withColumn("keep", col("n_eval_hits") === 0L)
   }
 
+  /** The composed verdict — exact-gram AND semantic decon in one
+    * relation, because the two faces catch DISJOINT failure modes (a
+    * verbatim copy has the grams, a paraphrase has the embedding).
+    * One row per batch doc: both faces' evidence columns and
+    * `keep` = clean under BOTH. Docs present in only one input (a
+    * text-only doc with no embedding yet, or vice versa) keep their
+    * available verdict — absence of evidence is not contamination. */
+  def flagCombined(batch: DataFrame, evalRel: DataFrame,
+      batchEmb: DataFrame, evalEmb: DataFrame,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau): DataFrame = {
+    val g = flag(batch, evalRel)
+      .select(col("doc_id"), col("contam_chars"), col("keep").as("gram_keep"))
+    val s = flagSemantic(batchEmb, evalEmb, tau)
+      .select(col("doc_id"), col("n_eval_hits"), col("max_eval_sim"),
+        col("keep").as("sem_keep"))
+    g.join(s, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"),
+        (coalesce(col("gram_keep"), lit(true)) &&
+          coalesce(col("sem_keep"), lit(true))).as("keep"))
+  }
+
   /** Gate one micro-batch exactly once into `outDir/batch=<id>`;
     * returns true when this call wrote (false = committed replay
     * skipped). */

@@ -572,6 +572,46 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q192: a stuck source's collapsed novelty is invisible in q184's corpus average") {
+    import spark.implicits._
+    // srcA fetches fresh content both days; srcB re-fetches day 0's
+    // passage on day 1 (the stuck crawler). The corpus-wide day-1
+    // novelty stays high; srcB's day-1 row must read exactly 0.
+    val fresh0 = filler("na", 120)
+    val fresh1 = filler("nb", 120)
+    val d = Seq(
+      (10L, "srcA", fresh0),              // day 0
+      (20L, "srcB", passage),             // day 0
+      (11L, "srcA", fresh1),              // day 1
+      (21L, "srcB", passage))             // day 1: pure re-fetch
+      .toDF("doc_id", "source", "text")
+    // run the declared kernel by writing the fixture as a one-off table
+    val dir = tmpDir("q192_fixture")
+    d.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SubstringDedup.q192NoveltyBySource(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    graft.core.Caches.releaseAll()
+    assert(out(("srcB", 1L))._2 == 0.0 && out(("srcB", 1L))._1 > 0L,
+      s"the stuck source's day-1 novelty must be exactly 0: $out")
+    assert(out(("srcA", 1L))._2 == 1.0,
+      s"the healthy source's day-1 novelty must stay 1.0: $out")
+    // and the per-source rows partition q184's corpus day totals is
+    // NOT generally true (two sources sharing a gram on one day each
+    // count it once) — pin the relationship on sf0.001 instead:
+    // per-day corpus n_grams ≤ Σ per-source n_grams, novelty bounds hold
+    val corpus = SubstringDedup.q184NoveltyCurve(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.Caches.releaseAll()
+    val bySrc = SubstringDedup.q192NoveltyBySource(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    val sums = bySrc.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    corpus.foreach { case (day, n) =>
+      assert(sums(day) >= n, s"day $day: per-source distincts must cover the corpus distinct count")
+    }
+  }
+
   test("scrub conserves characters: removed = original - clean, never negative") {
     val rows = SubstringDedup.q150SubstringScrub(spark, "/root/testdata/sf0.001")
       .collect()

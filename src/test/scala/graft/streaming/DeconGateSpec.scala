@@ -79,6 +79,37 @@ class DeconGateSpec extends SparkSpec {
     }
   }
 
+  test("combined gate: gram and semantic faces catch disjoint leaks; keep = clean under both") {
+    val rnd = new scala.util.Random(31)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val evText = Seq((90L, filler("ea", 35) + passage + filler("eb", 25)))
+      .toDF("doc_id", "text")
+    val evEmb = ((0 until 16).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)) :+
+      ((90L, base.map(_.toFloat).toSeq))).toDF("vec_id", "embedding")
+    // doc 30: verbatim gram leak, embedding far (semantic face blind to it);
+    // doc 31: paraphrase — no shared gram, embedding next to the benchmark;
+    // doc 32: clean on both faces.
+    val batchText = Seq(
+      (30L, filler("da", 50) + passage + filler("db", 30)),
+      (31L, filler("dz", 130)),
+      (32L, filler("dy", 110))).toDF("doc_id", "text")
+    val batchEmb = Seq(
+      (30L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq),
+      (31L, base.map(x => (x + 0.01).toFloat).toSeq),
+      (32L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val got = DeconGate.flagCombined(batchText, evText, batchEmb, evEmb, tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    Caches.releaseAll()
+    val L = passage.length.toLong
+    assert(got(30L) == ((L, 0L, false)), s"gram leak must drop with zero semantic hits: $got")
+    assert(got(31L)._1 == 0L && got(31L)._2 >= 1L && !got(31L)._3,
+      s"the paraphrase must drop on the semantic face alone: $got")
+    assert(got(32L) == ((0L, 0L, true)), s"the clean doc keeps: $got")
+  }
+
   test("semantic gate: store-served verdicts equal inline when codebooks agree, and are batch-INDEPENDENT") {
     import graft.sources.SemanticDeconStore
     val rnd = new scala.util.Random(23)
