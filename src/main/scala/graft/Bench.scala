@@ -532,6 +532,34 @@ object Bench {
       System.err.println(s"[bench] vector-store probe failed: ${e.getMessage}")
       -1.0
     }
+    // q188 through the prebuilt SCALED-K index face: the √N-dot
+    // assignment pass (the probe's corpus-sided term) is paid once at
+    // build and the probe reads (vec_id, nv, bkt). The delta vs the
+    // q188 entry (same probe, inline assignment) is where the vector
+    // store's economics flip positive on this fixture — the base
+    // face's K=16 honest negative (xvs) predicted exactly this.
+    val scaledProbe = if (!extraOn("xsk")) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val dirK = s"$scratch/scaledstore"
+      graft.sources.VectorIndexStore.buildScaled(
+        e, e.where(pmod(col("vec_id"), lit(5)) =!= 0), dirK)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirK)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.SimilarityQueries.q188IvfScaled(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scaled-index probe failed: ${e.getMessage}")
+      -1.0
+    }
     // q82 through a prebuilt compressed (IVF-PQ) index: the k-means
     // training pass + full corpus encode are paid once at build and the
     // query reads codes — the artifact whose derivation dominates at
@@ -702,6 +730,7 @@ object Bench {
       "xda" -> deconArm,      // x_decon_arm (q189 via store)
       "xvg" -> videoSeg,      // x_videoseg_store (q155 pairs via store)
       "xvs" -> vecProbe,      // x_vectorstore_probe (q139 via store)
+      "xsk" -> scaledProbe,   // x_scaled_index_probe (q188 via store)
       "xpq" -> pqProbe,       // x_pqstore_topk (q82 via store)
       "xprt" -> prTol)        // x_pagerank_tol
     def queriesBlock(unit: Double => Long, floor: Long): String =

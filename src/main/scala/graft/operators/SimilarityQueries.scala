@@ -282,15 +282,36 @@ object SimilarityQueries {
         (-c.getField("_1")).as("negid"))), asc = false)
   }
 
+  /** The Faiss sizing rule, as a function of the corpus. */
+  private[graft] def scaledK(corpus: DataFrame): Int =
+    math.max(NumCentroids,
+      math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+
+  /** q188's argmax assignment with the normalized vector carried —
+    * (vec_id, nv, bkt), the relation
+    * [[graft.sources.VectorIndexStore.buildScaled]] persists per day.
+    * The √N-dot assignment is q188's corpus-sided cost — the term the
+    * store amortizes (the xsk/q188 bench pair prices the split). */
+  private[graft] def scaledAssign(rel: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame =
+    VectorExprs.normalized(rel, "embedding", "nv", Seq("vec_id"))
+      .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
+      .select(col("vec_id"), col("nv"), (-col("__s.negid")).as("bkt"))
+
   private[graft] def ivfProbeScaledOn(fresh: DataFrame, idx: DataFrame,
       corpus: DataFrame, nprobe: Int = NProbe): DataFrame = {
-    val k = math.max(NumCentroids,
-      math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
-    val cents = scaledCodebook(corpus, k)
-    val assign = VectorExprs.normalized(idx, "embedding", "nv", Seq("vec_id"))
-      .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
-      .select(col("vec_id").as("n_id"), col("nv").as("n_nv"),
-        (-col("__s.negid")).as("bkt"))
+    // Store-or-inline: a configured-and-fresh scaled face supplies the
+    // √N codebook and the persisted assignments (the corpus-sided
+    // assignment pass skipped entirely); the stored values are the
+    // same deterministic derivation, so results stay byte-identical —
+    // spec-pinned. Stale ⇒ inline: cost, never a wrong neighbor.
+    val (cents, assign0) =
+      graft.sources.VectorIndexStore.openFreshScaled(corpus, idx).getOrElse {
+        val c = scaledCodebook(corpus, scaledK(corpus))
+        (c, scaledAssign(idx, c))
+      }
+    val assign = assign0.select(col("vec_id").as("n_id"),
+      col("nv").as("n_nv"), col("bkt"))
     val probes = VectorExprs.normalized(fresh, "embedding", "nv", Seq("vec_id"))
       .withColumn("__s", explode(slice(scaledScores(col("nv"), cents), 1, nprobe)))
       .select(col("vec_id").as("q_id"), col("nv").as("q_nv"),

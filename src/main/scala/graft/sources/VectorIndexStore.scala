@@ -212,6 +212,107 @@ object VectorIndexStore {
     }
   }
 
+  // ------------------------------------------- scaled-K face (r13)
+  /** Build the DATA-SCALED index face: the q188 shape — a FROZEN
+    * unit-normalized codebook at the Faiss K = ⌈√N⌉ sizing plus the
+    * (vec_id, nv, bkt) assignments as `day`. This is the face where
+    * the store's economics flip POSITIVE on this very fixture (unlike
+    * the K=16 base face, whose honest negative SCALE.md documents):
+    * at K = √N the assignment is K dots per vector — the dominant,
+    * corpus-sided term of every probe — and the digest-verify scan it
+    * pays instead is one hash per vector. Lives beside the base/PQ
+    * faces under the same [[DirKey]] (own subpaths + meta). */
+  def buildScaled(corpus: DataFrame, indexRel: DataFrame, dir: String,
+      day: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    val f = fs(spark, dir)
+    f.delete(new Path(s"$dir/codebook_scaled"), true): Unit
+    f.delete(new Path(s"$dir/assign_scaled"), true): Unit
+    f.delete(new Path(s"$dir/meta_scaled"), true): Unit
+    val cents = graft.operators.SimilarityQueries.scaledCodebook(
+      corpus, graft.operators.SimilarityQueries.scaledK(corpus))
+    spark.createDataFrame(cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
+      .toDF("c_id", "cv")
+      .coalesce(1).write.parquet(s"$dir/codebook_scaled")
+    writeDayScaled(spark, dir, day, indexRel, cents, "errorifexists")
+  }
+
+  /** The stored scaled codebook — ⌈√N⌉ driver rows, index-ordered. */
+  def storedScaledCodebook(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/codebook_scaled")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2).toSeq
+
+  private def writeDayScaled(spark: SparkSession, dir: String, day: Int,
+      batch: DataFrame, cents: Seq[Seq[Double]], mode: String): Unit = {
+    val pinned = batch.persist()
+    try {
+      graft.operators.SimilarityQueries.scaledAssign(pinned, cents)
+        .withColumn("day", lit(day))
+        .write.mode(mode).partitionBy("day").parquet(s"$dir/assign_scaled")
+      val (n, dg) = digestOf(pinned)
+      spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
+        .coalesce(1).write.mode(mode).parquet(s"$dir/meta_scaled")
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  /** Append one day against the FROZEN scaled codebook (the same
+    * frozen-quantizer contract as [[advanceDay]] — note K froze at
+    * build-time corpus size; a corpus that outgrows its √N codebook
+    * re-[[buildScaled]]s, the Faiss retrain event). Idempotent. */
+  def advanceDayScaled(batch: DataFrame, dir: String, day: Int): Unit = {
+    val spark = batch.sparkSession
+    val cents = storedScaledCodebook(spark, dir)
+    retireDayScaled(spark, dir, day)
+    writeDayScaled(spark, dir, day, batch, cents, "append")
+  }
+
+  /** Retire one scaled-face day: partition drop + XOR-heal. */
+  def retireDayScaled(spark: SparkSession, dir: String, day: Int): Unit = {
+    val f = fs(spark, dir)
+    f.delete(new Path(s"$dir/assign_scaled/day=$day"), true): Unit
+    if (!f.exists(new Path(s"$dir/meta_scaled"))) return
+    val kept = spark.read.parquet(s"$dir/meta_scaled")
+      .where(col("day") =!= day).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.createDataFrame(kept).toDF("day", "n_vecs", "digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_scaled")
+  }
+
+  /** The stored (scaled codebook, assignments) IF configured and fresh
+    * for this exact (corpus, index) pair — the [[openFresh]] contract
+    * for the scaled face: the stored codebook must equal the one the
+    * offered corpus implies at ITS √N sizing (so a grown corpus reads
+    * stale, forcing the retrain), and the index digest must compose. */
+  def openFreshScaled(corpus: DataFrame, idxRel: DataFrame)
+      : Option[(Seq[Seq[Double]], DataFrame)] = {
+    val spark = corpus.sparkSession
+    val dir = spark.conf.get(DirKey, "")
+    if (dir.isEmpty) return None
+    try {
+      val cents = storedScaledCodebook(spark, dir)
+      val trusted = spark.conf.get(TrustKey, "false").toBoolean
+      if (!trusted && graft.operators.SimilarityQueries.scaledCodebook(
+          corpus, graft.operators.SimilarityQueries.scaledK(corpus)) != cents) {
+        System.err.println(s"[vectorstore] $dir scaled codebook differs from this corpus's — assigning inline")
+        return None
+      }
+      val m = spark.read.parquet(s"$dir/meta_scaled")
+        .agg(coalesce(sum("n_vecs"), lit(0L)),
+          coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
+      val stored = (m.getLong(0), m.getLong(1))
+      if (!trusted && digestOf(idxRel) != stored) {
+        System.err.println(s"[vectorstore] $dir scaled face is stale for this index — assigning inline")
+        None
+      } else Some((cents,
+        spark.read.parquet(s"$dir/assign_scaled").select("vec_id", "nv", "bkt")))
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[vectorstore] $dir scaled face unreadable (${e.getMessage}) — assigning inline")
+        None
+    }
+  }
+
   /** The stored (codebook, assignments) IF configured and fresh for
     * this exact (corpus, index) pair — None (driver-log line, never an
     * error) on key unset, unreadable store, stored-vs-implied codebook

@@ -154,4 +154,58 @@ class VectorIndexStoreSpec extends SparkSpec {
         "an empty store is stale for a non-empty index")
     } finally spark.conf.unset(VectorIndexStore.DirKey)
   }
+
+  test("scaled-K face: q188 rides the stored √N index byte-identically; growth and mutation read stale; advance ≡ build") {
+    val e = emb
+    val idx = e.where(pmod(col("vec_id"), lit(5)) =!= 0)
+    val inline = SimilarityQueries.q188IvfScaled(spark, sf0001).collect()
+      .map(_.toString).toSet
+    graft.core.Caches.releaseAll()
+    val dir = tmpDir("vectorstore_scaled")
+    VectorIndexStore.buildScaled(e, idx, dir)
+    spark.conf.set(VectorIndexStore.DirKey, dir)
+    try {
+      assert(VectorIndexStore.openFreshScaled(e, idx).isDefined,
+        "scaled face must be fresh for its own (corpus, index)")
+      val stored = SimilarityQueries.q188IvfScaled(spark, sf0001).collect()
+        .map(_.toString).toSet
+      graft.core.Caches.releaseAll()
+      assert(stored == inline,
+        "the store-served scaled probe must reproduce the inline result exactly")
+
+      // index mutation (same count): the digest catches it
+      val mutated = idx.withColumn("embedding",
+        when(col("vec_id") === 17L,
+          transform(col("embedding"), x => x + lit(1.0f)))
+          .otherwise(col("embedding")))
+      assert(VectorIndexStore.openFreshScaled(e, mutated).isEmpty,
+        "a mutated index must read stale")
+
+      // corpus growth changes ⌈√N⌉ → the implied codebook differs →
+      // stale, forcing the retrain (the Faiss rebuild event)
+      val grown = e.unionByName(e.withColumn("vec_id", col("vec_id") + 100000L))
+      assert(VectorIndexStore.openFreshScaled(grown, idx).isEmpty,
+        "a corpus past its build-time √N must read stale")
+
+      // two-day advance against the FROZEN scaled codebook ≡ one build
+      val day0 = idx.where(col("vec_id") % 2 === 1)
+      val day1 = idx.where(col("vec_id") % 2 === 0)
+      val dirIncr = tmpDir("vectorstore_scaled_incr")
+      VectorIndexStore.buildScaled(e, day0, dirIncr, day = 0)
+      VectorIndexStore.advanceDayScaled(day1, dirIncr, day = 1)
+      spark.conf.set(VectorIndexStore.DirKey, dirIncr)
+      val incr = VectorIndexStore.openFreshScaled(e, idx)
+      assert(incr.isDefined, "XOR-composed scaled-day digests must cover the union")
+      spark.conf.set(VectorIndexStore.DirKey, dir)
+      val full = VectorIndexStore.openFreshScaled(e, idx).get
+      assert(incr.get._1 == full._1, "scaled codebook must be the same frozen artifact")
+      def aset(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "bkt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(aset(incr.get._2) == aset(full._2),
+        "two-day scaled advance must equal the one-shot build")
+    } finally {
+      spark.conf.unset(VectorIndexStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
 }

@@ -118,6 +118,7 @@ X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xdc": "x_deconstore_probe", "xda": "x_decon_arm",
            "xvg": "x_videoseg_store",
            "xvs": "x_vectorstore_probe", "xpq": "x_pqstore_topk",
+           "xsk": "x_scaled_index_probe",
            "xprt": "x_pagerank_tol"}
 
 
