@@ -71,26 +71,6 @@ object DeconMeasure {
     //    suite's mass;
     //  - sliver: a tiny batch (0.1%) against a LARGE suite (50% of the
     //    corpus) — the matched sliver is a small fraction.
-    def timeArm(label: String, freshMod: (Int, Int), evalMod: (Int, Int),
-        crossover: Double): Unit = {
-      if (!only.forall(_.exists(label.contains))) return
-      val fresh = d.filter(col("doc_id") % freshMod._1 === freshMod._2)
-      val ev = d.filter(col("doc_id") % evalMod._1 === evalMod._2)
-      val dirD = s"${System.getProperty("java.io.tmpdir")}/graft_deconarm_${ProcessHandle.current.pid}"
-      graft.sources.DeconStore.build(ev, dirD)
-      Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.DeconStore.DirKey, dirD)
-      try {
-        val t0 = System.nanoTime()
-        val n = SubstringDedup.deconProbeOrRecompute(fresh, ev, crossover).count()
-        val (arm, ratio) = SubstringDedup.lastDeconArm.get()
-        println(f"DECON $label rows=$n arm=$arm ratio=$ratio%.3f " +
-          f"t=${(System.nanoTime() - t0) / 1e9}%.2f")
-      } finally {
-        spark.conf.unset(graft.sources.DeconStore.DirKey)
-        Caches.releaseAll(); spark.catalog.clearCache()
-      }
-    }
     def timeArmOn(label: String, fresh: org.apache.spark.sql.DataFrame,
         ev: org.apache.spark.sql.DataFrame, crossover: Double): Unit = {
       if (!only.forall(_.exists(label.contains))) return
@@ -109,6 +89,12 @@ object DeconMeasure {
         Caches.releaseAll(); spark.catalog.clearCache()
       }
     }
+    // The modulus-split face delegates to the explicit-relation face —
+    // they differ only in how (fresh, ev) are derived (ADVICE r13).
+    def timeArm(label: String, freshMod: (Int, Int), evalMod: (Int, Int),
+        crossover: Double): Unit =
+      timeArmOn(label, d.filter(col("doc_id") % freshMod._1 === freshMod._2),
+        d.filter(col("doc_id") % evalMod._1 === evalMod._2), crossover)
     for ((regime, fm, em) <- Seq(
         ("daily", (10, 1), (10, 0)),    // the q175/q189 declared split
         ("backfill", (2, 1), (10, 0)))) { // half-corpus batch vs the suite

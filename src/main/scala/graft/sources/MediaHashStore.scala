@@ -84,16 +84,21 @@ object MediaHashStore {
     * converges. */
   def advanceDay(hashedBatch: DataFrame, dir: String, day: Int): Unit = {
     val spark = hashedBatch.sparkSession
-    if (fs(spark, dir).exists(new Path(s"$dir/meta"))) retireDay(spark, dir, day)
+    // Unconditional retire (ADVICE r13): a crashed build leaves
+    // hashes/day=N without a meta — a meta-guarded retire would append
+    // into that orphan and double its rows.
+    retireDay(spark, dir, day)
     writeDay(spark, dir, day, hashedBatch, "append")
   }
 
   /** Retire one day (takedown/expiry): drop its partition, XOR its
     * digest out. After this [[open]] serves the index exactly as if
-    * that day had never been ingested — no decode, no rebuild. */
+    * that day had never been ingested — no decode, no rebuild. Safe on
+    * a torn store (no meta ⇒ partition drop only). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/hashes/day=$day"), true): Unit
+    if (!f.exists(new Path(s"$dir/meta"))) return
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq

@@ -111,17 +111,21 @@ object SignatureStore {
     * `foreachBatch` replay relies on. */
   def advanceDay(docBatch: DataFrame, dir: String, day: Int): Unit = {
     val spark = docBatch.sparkSession
-    if (fs(spark, dir).exists(new Path(s"$dir/meta"))) retireDay(spark, dir, day)
+    // Unconditional retire (ADVICE r13): never append into an orphan
+    // partition a crashed build left behind without its meta.
+    retireDay(spark, dir, day)
     writeDay(spark, dir, day, docBatch, "append")
   }
 
   /** Retire one day (takedown/expiry): drop its partitions and XOR its
     * digest back out of the meta. After this the store is fresh for
-    * the corpus WITHOUT that day's documents. */
+    * the corpus WITHOUT that day's documents. Safe on a torn store
+    * (no meta ⇒ partition drops only). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/shingles/day=$day"), true)
     f.delete(new Path(s"$dir/sigs/day=$day"), true)
+    if (!f.exists(new Path(s"$dir/meta"))) return
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq

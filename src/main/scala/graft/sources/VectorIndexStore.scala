@@ -48,6 +48,25 @@ object VectorIndexStore {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** The meta rows (day, n, digest) and their composed (Σn, XOR)
+    * digest — collected to the driver (one row per day, bounded).
+    * Open faces read ONLY `day=` partitions named here: a crashed
+    * advance (partition written, meta row not) leaves an orphan day
+    * the digest no longer covers, and reading the whole directory
+    * would silently serve those extra rows past a digest check made
+    * against the pre-advance meta (ADVICE r13 — the
+    * SemanticDeconStore live-meta orphan rule, applied to all three
+    * faces here). */
+  private def liveMeta(spark: SparkSession,
+      metaPath: String): (Seq[(Int, Long, Long)], (Long, Long)) = {
+    val rows = spark.read.parquet(metaPath).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // Zero-row days hold no data and XOR a zero digest — skip them so
+    // a day whose empty write produced no partition dir stays readable.
+    (rows.filter(_._2 > 0L),
+      (rows.map(_._2).sum, rows.map(_._3).foldLeft(0L)(_ ^ _)))
+  }
+
   /** Corpus digest over an embedding relation (vec_id, embedding) —
     * the [[SignatureStore.digestOf]] shape for the vector tier.
     * xxhash64 hashes the float array exactly, so the digest is
@@ -196,15 +215,17 @@ object VectorIndexStore {
         System.err.println(s"[vectorstore] $dir codebook differs from this corpus's — deriving inline")
         return None
       }
-      val m = spark.read.parquet(s"$dir/meta")
-        .agg(coalesce(sum("n_vecs"), lit(0L)),
-          coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
-      val stored = (m.getLong(0), m.getLong(1))
+      val (days, stored) = liveMeta(spark, s"$dir/meta")
       if (!trusted && digestOf(corpus) != stored) {
         System.err.println(s"[vectorstore] $dir is stale for this corpus — deriving inline")
         None
+      } else if (days.isEmpty) {
+        Some((coarse, storedPqCodebook(spark, dir),
+          spark.range(0).select(col("id").as("vec_id"), col("id").as("bkt"),
+            col("id").cast("int").as("sub"), col("id").as("code"))))
       } else Some((coarse, storedPqCodebook(spark, dir),
-        spark.read.parquet(s"$dir/codes").select("vec_id", "bkt", "sub", "code")))
+        spark.read.parquet(days.map(d => s"$dir/codes/day=${d._1}"): _*)
+          .select("vec_id", "bkt", "sub", "code")))
     } catch {
       case NonFatal(e) =>
         System.err.println(s"[vectorstore] $dir unreadable (${e.getMessage}) — deriving inline")
@@ -297,15 +318,16 @@ object VectorIndexStore {
         System.err.println(s"[vectorstore] $dir scaled codebook differs from this corpus's — assigning inline")
         return None
       }
-      val m = spark.read.parquet(s"$dir/meta_scaled")
-        .agg(coalesce(sum("n_vecs"), lit(0L)),
-          coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
-      val stored = (m.getLong(0), m.getLong(1))
+      val (days, stored) = liveMeta(spark, s"$dir/meta_scaled")
       if (!trusted && digestOf(idxRel) != stored) {
         System.err.println(s"[vectorstore] $dir scaled face is stale for this index — assigning inline")
         None
+      } else if (days.isEmpty) {
+        Some((cents, spark.range(0).select(col("id").as("vec_id"),
+          array().cast("array<double>").as("nv"), col("id").as("bkt"))))
       } else Some((cents,
-        spark.read.parquet(s"$dir/assign_scaled").select("vec_id", "nv", "bkt")))
+        spark.read.parquet(days.map(d => s"$dir/assign_scaled/day=${d._1}"): _*)
+          .select("vec_id", "nv", "bkt")))
     } catch {
       case NonFatal(e) =>
         System.err.println(s"[vectorstore] $dir scaled face unreadable (${e.getMessage}) — assigning inline")
@@ -330,14 +352,11 @@ object VectorIndexStore {
         System.err.println(s"[vectorstore] $dir codebook differs from this corpus's — assigning inline")
         return None
       }
-      val m = spark.read.parquet(s"$dir/meta")
-        .agg(coalesce(sum("n_vecs"), lit(0L)),
-          coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
-      val stored = (m.getLong(0), m.getLong(1))
+      val (days, stored) = liveMeta(spark, s"$dir/meta")
       if (!trusted && digestOf(idxRel) != stored) {
         System.err.println(s"[vectorstore] $dir is stale for this index — assigning inline")
         None
-      } else if (stored._1 == 0L) {
+      } else if (days.isEmpty) {
         // zero live days: the index is legitimately empty (empty
         // assign/ has no schema to infer — serve the typed relation)
         Some((cents, spark.createDataFrame(
@@ -345,7 +364,8 @@ object VectorIndexStore {
           idxRel.select(col("vec_id").as("n_id"),
             col("embedding").as("n_vec"), lit(0L).as("bkt")).schema)))
       } else Some((cents,
-        spark.read.parquet(s"$dir/assign").select("n_id", "n_vec", "bkt")))
+        spark.read.parquet(days.map(d => s"$dir/assign/day=${d._1}"): _*)
+          .select("n_id", "n_vec", "bkt")))
     } catch {
       case NonFatal(e) =>
         System.err.println(s"[vectorstore] $dir unreadable (${e.getMessage}) — assigning inline")

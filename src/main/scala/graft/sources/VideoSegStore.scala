@@ -75,20 +75,27 @@ object VideoSegStore {
   }
 
   /** Append one ingest day of segment fingerprints (the day's videos
-    * decode exactly once, here). Idempotent per day, so at-least-once
-    * replay converges. */
+    * decode exactly once, here). Idempotent per day — the retire is
+    * UNCONDITIONAL (not meta-guarded), so a replayed advance after a
+    * crashed build (segs/day=N written, meta never committed) rewrites
+    * the orphan partition instead of appending duplicate rows into it
+    * (ADVICE r13). */
   def advanceDay(fpBatch: DataFrame, dir: String, day: Int): Unit = {
     val spark = fpBatch.sparkSession
-    if (fs(spark, dir).exists(new Path(s"$dir/meta"))) retireDay(spark, dir, day)
+    retireDay(spark, dir, day)
     writeDay(spark, dir, day, fpBatch, "append")
   }
 
   /** Retire one day (takedown/expiry): drop its partition, XOR its
     * digest out — the retired day's videos become unfindable with zero
-    * decodes and zero touches of other days. */
+    * decodes and zero touches of other days. Safe on a torn store: the
+    * partition drop never needs the meta, and the XOR-heal is skipped
+    * when no meta was ever committed (ADVICE r13 — retire must be able
+    * to REPAIR a crashed build, not throw on it). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/segs/day=$day"), true): Unit
+    if (!f.exists(new Path(s"$dir/meta"))) return
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq

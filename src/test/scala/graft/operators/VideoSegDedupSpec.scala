@@ -148,6 +148,27 @@ class VideoSegDedupSpec extends SparkSpec {
     day1.withColumn("day", lit(3))
       .write.partitionBy("day").mode("append").parquet(s"$dir2/segs")
     intercept[Exception] { VideoSegStore.open(spark, dir2).count() }
+
+    // crashed-BUILD repair (ADVICE r13): segs/day=N written, meta never
+    // committed. A replayed advance must REWRITE the orphan, not append
+    // duplicate (video_id, seg_fp) rows into it; and retireDay must be
+    // able to repair the torn store instead of throwing on missing meta.
+    val dir3 = tmpDir("videosegstore_torn")
+    day0.withColumn("day", lit(0))
+      .write.partitionBy("day").mode("append").parquet(s"$dir3/segs")
+    VideoSegStore.advanceDay(day0, dir3, day = 0)
+    val healed = VideoSegStore.open(spark, dir3)
+    assert(healed.count() == healed.distinct().count(),
+      "replayed advance over a crashed build must not duplicate rows")
+    assert(healed.count() == day0.select("video_id", "seg_fp").count())
+    val dir4 = tmpDir("videosegstore_torn2")
+    day0.withColumn("day", lit(0))
+      .write.partitionBy("day").mode("append").parquet(s"$dir4/segs")
+    VideoSegStore.retireDay(spark, dir4, day = 0) // must not throw
+    VideoSegStore.advanceDay(day1, dir4, day = 1)
+    assert(VideoSegStore.open(spark, dir4).count() ==
+      day1.select("video_id", "seg_fp").count(),
+      "retire must repair a torn store so later advances serve cleanly")
   }
 
   test("q155 end-to-end equals the pure-SQL-side reference at sf0.001") {

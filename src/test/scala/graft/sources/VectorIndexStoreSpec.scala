@@ -203,6 +203,23 @@ class VectorIndexStoreSpec extends SparkSpec {
         df.select("vec_id", "bkt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(aset(incr.get._2) == aset(full._2),
         "two-day scaled advance must equal the one-shot build")
+
+      // orphan-day hazard (ADVICE r13): a crashed advanceDayScaled
+      // writes assign_scaled/day=N but never its meta row. A reader
+      // offering the PRE-advance index passes the digest check (the
+      // meta still describes exactly that index) — it must be served
+      // ONLY the live-meta days, never the orphan's extra neighbors.
+      val orphan = e.where(pmod(col("vec_id"), lit(5)) === 0)
+      graft.operators.SimilarityQueries
+        .scaledAssign(orphan, VectorIndexStore.storedScaledCodebook(spark, dirIncr))
+        .withColumn("day", lit(7))
+        .write.mode("append").partitionBy("day").parquet(s"$dirIncr/assign_scaled")
+      spark.conf.set(VectorIndexStore.DirKey, dirIncr)
+      val afterOrphan = VectorIndexStore.openFreshScaled(e, idx)
+      assert(afterOrphan.isDefined,
+        "the pre-advance index is still exactly covered by the live metas")
+      assert(aset(afterOrphan.get._2) == aset(full._2),
+        "an orphan day (partition without meta) must not be served")
     } finally {
       spark.conf.unset(VectorIndexStore.DirKey)
       graft.core.Caches.releaseAll()
