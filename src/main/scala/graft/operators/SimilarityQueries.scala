@@ -35,7 +35,7 @@ object SimilarityQueries {
 
   private val NumQueries = 10
   private val TopK = 5
-  private val NumCentroids = 16
+  private[graft] val NumCentroids = 16
   private val NProbe = 4
   private val NearDupThreshold = 0.4
   private val NearDupProbes = 2
@@ -310,6 +310,17 @@ object SimilarityQueries {
         val c = scaledCodebook(corpus, scaledK(corpus))
         (c, scaledAssign(idx, c))
       }
+    ivfProbeScaledWith(fresh, cents, assign0, nprobe)
+  }
+
+  /** The scaled probe against an EXPLICIT (codebook, assignments) pair
+    * — the kernel [[ivfProbeScaledOn]] dispatches to, split out so a
+    * trained codebook ([[scaledCodebookTrained]]) can be compared
+    * against the first-K convention on the same index
+    * (TrainedCodebookSpec's recall pin). */
+  private[graft] def ivfProbeScaledWith(fresh: DataFrame,
+      cents: Seq[Seq[Double]], assign0: DataFrame,
+      nprobe: Int = NProbe): DataFrame = {
     val assign = assign0.select(col("vec_id").as("n_id"),
       col("nv").as("n_nv"), col("bkt"))
     val probes = VectorExprs.normalized(fresh, "embedding", "nv", Seq("vec_id"))
@@ -608,6 +619,58 @@ object SimilarityQueries {
       cents = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
         (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
       }.toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  // ------------------------------------------- trained coarse codebooks
+  /** The q43 Lloyd trainer as a CODEBOOK factory (VERDICT r13 next-1):
+    * the first-K-vectors convention every IVF face defaults to is the
+    * fixture's stand-in for "the output of a k-means training job" —
+    * this IS that job, [[kmeansCodebook]] at arbitrary (k, iters) with
+    * the surviving centroids renumbered to dense ids 0..n−1 (seed
+    * vec_ids are training incidentals, not codebook identity; dense
+    * ids keep bucket ids meaningless outside the index, like Faiss).
+    * On clustered corpora whose low vec_ids happen to sit in one
+    * cluster, a first-K codebook leaves other clusters centroid-less
+    * and the bucketed candidate joins under-recall in ways a recall
+    * spec pinned on THIS corpus cannot see; a trained codebook moves
+    * centroids into every mass concentration (TrainedCodebookSpec
+    * constructs exactly that failure and pins the repair). Feed the
+    * result to [[graft.sources.SemanticDeconStore.build]]
+    * (`trained = true`) or anywhere a `Seq[(Long, Seq[Double])]`
+    * codebook is consumed. */
+  private[graft] def trainedCodebook(e: DataFrame, k: Int,
+      iters: Int = KmeansIters): Seq[(Long, Seq[Double])] =
+    kmeansCodebook(e, k, iters).map(_._2).zipWithIndex
+      .map { case (cv, i) => (i.toLong, cv) }
+
+  /** [[trainedCodebook]] for the data-scaled face: SPHERICAL k-means
+    * (Lloyd's over unit-normalized vectors, decimal-exact means
+    * re-normalized each round — the cosine-geometry variant) scored
+    * with q188's runtime-looped [[scaledScores]], so the generated
+    * code stays K-independent at K = ⌈√N⌉ where [[kmeansCodebook]]'s
+    * K-literal expression tree would blow past codegen limits. Seeds
+    * are the first-k convention; only K·D values ever reach the
+    * driver per round. Deterministic, so a store build and a spec
+    * re-derivation agree exactly. */
+  private[graft] def scaledCodebookTrained(e: DataFrame, k: Int,
+      iters: Int = KmeansIters): Seq[Seq[Double]] = {
+    var cents = scaledCodebook(e, k)
+    val eN = VectorExprs.normalized(e, "embedding", "nv", Seq("vec_id"))
+    for (_ <- 0 until iters) {
+      val means = eN
+        .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
+        .select((-col("__s.negid")).as("cluster"), posexplode(col("nv")))
+        .groupBy("cluster", "pos")
+        .agg(graft.functions.AggExprs.decAvg(col("col")).as("mv"))
+        .collect()
+      cents = means.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          val v = rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          val n = math.sqrt(v.map(x => x * x).sum)
+          if (n > 0) v.map(_ / n) else v
+        }
     }
     cents
   }
@@ -968,6 +1031,17 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), (-col("__c.negid")).as("pbkt"))
     val qsubs = pqSubvectors(e0.where(col("vec_id") < NumQueries))
       .select(col("vec_id").as("qq_id"), col("sub").as("qsub"), col("sv").as("qv"))
+    adcOf(codes, probes, centDf, qsubs)
+  }
+
+  /** The ADC candidate-scoring stage, coarse-quantizer-agnostic:
+    * (q_id, n_id, adc) for every code in a probed bucket. `probes` is
+    * (q_id, pbkt), `centDf` the broadcastable k'·m PQ-centroid
+    * relation, `qsubs` the raw query subvectors — shared by the K=16
+    * oracle faces (q82/q88) and the data-scaled face (q195), which
+    * differ ONLY in how buckets were assigned. */
+  private def adcOf(codes: DataFrame, probes: DataFrame, centDf: DataFrame,
+      qsubs: DataFrame): DataFrame = {
     val d = codes
       .join(broadcast(probes), col("pbkt") === col("bkt") && col("q_id") =!= col("vec_id"))
       .join(broadcast(centDf), col("sub") === col("csub") && col("code") === col("cid"))
@@ -1040,8 +1114,15 @@ object SimilarityQueries {
   def pqRefine(spark: SparkSession, dir: String): DataFrame =
     pqRefineOn(emb(spark, dir))
 
-  private[operators] def pqRefineOn(e0: DataFrame): DataFrame = {
-    val adc = ivfPqAdc(e0)
+  private[operators] def pqRefineOn(e0: DataFrame): DataFrame =
+    refineOf(ivfPqAdc(e0), e0)
+
+  /** The exact re-rank stage over an ADC relation — q88's second stage,
+    * shared with the data-scaled serving face (q195): shortlist
+    * [[RefineShortlist]] per query on ADC distance, fetch ONLY those
+    * raw vectors (broadcast semi-join into one corpus pass), exact
+    * cosine to the final [[TopK]]. */
+  private def refineOf(adc: DataFrame, e0: DataFrame): DataFrame = {
     val short = udaf(new TopKAggregator(RefineShortlist),
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
     val shortlist = adc.groupBy("q_id")
@@ -1056,6 +1137,101 @@ object SimilarityQueries {
       .select(col("q_id"), col("n_id"),
         VectorExprs.dot(col("q_nv"), col("n_nv")).as("cos"))
     topK(scored, TopK)
+  }
+
+  // ------------------------------------- q195 data-scaled IVF-PQ serving
+  /** The complete SCALED compressed index: the K=⌈√N⌉ coarse codebook
+    * (unit-normalized, [[scaledCodebook]] — or its trained sibling via
+    * the store), the per-subspace PQ codebooks, and the coded corpus
+    * (vec_id, bkt, sub, code). One corpus scan: the scaled bucket tag
+    * is computed in the same projection that explodes the PQ
+    * subvectors, [[pqIndexArtifacts]]'s move at √N K (where the
+    * K-literal `centroidScores` tree would blow past codegen limits —
+    * bucketing rides [[scaledScores]]' runtime loop instead). */
+  private[graft] def pqScaledIndexArtifacts(e0: DataFrame)
+      : (Seq[Seq[Double]], Map[Int, Seq[(Long, Seq[Double])]], DataFrame) =
+    pqScaledIndexArtifactsWith(e0, scaledCodebook(e0, scaledK(e0)))
+
+  /** The artifacts against an EXPLICIT coarse codebook — the store
+    * build's entry point (first-K or trained, its caller's choice). */
+  private[graft] def pqScaledIndexArtifactsWith(e0: DataFrame,
+      cents: Seq[Seq[Double]])
+      : (Seq[Seq[Double]], Map[Int, Seq[(Long, Seq[Double])]], DataFrame) = {
+    val subs = graft.core.Caches.persistTracked(
+      pqScaledSubvectors(e0, cents))
+    val pqCents = pqTrain(subs, PqIters)
+    val codes = subs.select(col("vec_id"), col("bkt"), col("sub"),
+      pqCode(col("sv"), col("sub"), pqCents).as("code"))
+    (cents, pqCents, codes)
+  }
+
+  /** (vec_id, bkt, sub, sv) with the SCALED bucket tag riding through
+    * the subvector explode — one scan of the batch. */
+  private def pqScaledSubvectors(batch: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val e = VectorExprs.normalized(
+      batch.withColumn("v", col("embedding").cast("array<double>")),
+      "embedding", "nv", Seq("vec_id", "v"))
+      .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
+      .select(col("vec_id"), (-col("__s.negid")).as("bkt"), col("v"))
+    val d0 = e.select(size(col("v"))).head.getInt(0)
+    val w = d0 / PqSubspaces
+    e.select(col("vec_id"), col("bkt"), posexplode(
+        array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
+      .select(col("vec_id"), col("bkt"), col("pos").as("sub"), col("col").as("sv"))
+  }
+
+  /** Encode one batch against FROZEN scaled + PQ codebooks — the
+    * advance-day kernel of [[graft.sources.VectorIndexStore]]'s scaled
+    * PQ face: no training, one batch scan. */
+  private[graft] def pqEncodeScaledWith(batch: DataFrame,
+      cents: Seq[Seq[Double]],
+      pqCents: Map[Int, Seq[(Long, Seq[Double])]]): DataFrame =
+    pqScaledSubvectors(batch, cents)
+      .select(col("vec_id"), col("bkt"), col("sub"),
+        pqCode(col("sv"), col("sub"), pqCents).as("code"))
+
+  /** Q195: the 100 TB ANN SERVING shape as one tested artifact —
+    * IVF-PQ at DATA-SCALED K (VERDICT r13 next-2): q188 fixed the flat
+    * index's production geometry (K = ⌈√N⌉ keeps the bucket join
+    * linear in corpus where the oracle-pinned K=16 goes
+    * fixture-quadratic), q79/q80/q88 fixed the compression (codes
+    * travel, never raw vectors), but their composition — the shape a
+    * billion-vector deployment actually serves — existed only as a
+    * SCALE.md paragraph. Here: scaled coarse pruning decides WHICH
+    * codes a query meets, ADC scores them from the broadcast k'·m
+    * centroid table, and the [[RefineShortlist]]-deep exact re-rank
+    * repairs quantization misordering to the final [[TopK]].
+    *
+    * Rows-only by design, doubly: K is data-dependent (q188's reason)
+    * and ADC distances are quantized (q80's reason would still hold) —
+    * no single SQL text expresses it across SFs. SimilaritySpec pins
+    * recall@k against the exact brute-force ground truth (the q136
+    * pattern) and byte-parity through the store face; the xpk bench
+    * pair prices what the store amortizes (the N·√N assignment + PQ
+    * train + encode — everything but the probe). */
+  def q195IvfPqScaled(spark: SparkSession, dir: String): DataFrame =
+    ivfPqScaledOn(emb(spark, dir))
+
+  private[graft] def ivfPqScaledOn(e0: DataFrame): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    // Store-or-inline, the q82/q88 contract: a configured-and-fresh
+    // scaled PQ face supplies all three artifacts and the assignment +
+    // training + encode passes are skipped entirely. Stale ⇒ inline.
+    val (cents, pqCents, codes) =
+      graft.sources.VectorIndexStore.openFreshPqScaled(e0)
+        .getOrElse(pqScaledIndexArtifacts(e0))
+    val centDf = pqCents.toSeq
+      .flatMap { case (sub, cs) => cs.map { case (cid, cv) => (sub, cid, cv) } }
+      .toDF("csub", "cid", "cv")
+    val q0 = e0.where(col("vec_id") < NumQueries)
+    val probes = VectorExprs.normalized(q0, "embedding", "nv", Seq("vec_id"))
+      .withColumn("__s", explode(slice(scaledScores(col("nv"), cents), 1, NProbe)))
+      .select(col("vec_id").as("q_id"), (-col("__s.negid")).as("pbkt"))
+    val qsubs = pqSubvectors(q0)
+      .select(col("vec_id").as("qq_id"), col("sub").as("qsub"), col("sv").as("qv"))
+    refineOf(adcOf(codes, probes, centDf, qsubs), e0)
   }
 
   val pqRefineSql: String =
@@ -1379,7 +1555,10 @@ object SimilarityQueries {
       .select(col("doc_id"), col("eval_doc"), round(col("sim"), 6).as("sim"))
   }
 
-  val semanticDeconSql: String =
+  /** The q185 match relation at an arbitrary τ — q185's own oracle is
+    * the [[SemDeconTau]] instance; q194's sensitivity face needs the
+    * grid's floor. */
+  private def semanticDeconSqlAt(tau: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < $NumCentroids),
        |ac AS (SELECT e.vec_id, c_id,
@@ -1393,7 +1572,62 @@ object SimilarityQueries {
        |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
        |p AS (SELECT doc_id, eval_doc, list_dot_product(a.nv, b.nv) AS c
        |  FROM cand JOIN n a ON a.vec_id = doc_id JOIN n b ON b.vec_id = eval_doc)
-       |SELECT doc_id, eval_doc, round(c, 6) AS sim FROM p WHERE c >= $SemDeconTau""".stripMargin
+       |SELECT doc_id, eval_doc, round(c, 6) AS sim FROM p WHERE c >= $tau""".stripMargin
+
+  val semanticDeconSql: String = semanticDeconSqlAt(SemDeconTau)
+
+  // ------------------------------------ q194 τ sensitivity report face
+  /** The τ grid the sensitivity report sweeps — brackets [[SemDeconTau]]
+    * (0.35) symmetrically so the report shows the decision's
+    * neighborhood, floor low enough to expose the match-volume cliff. */
+  private[graft] val SemTauGrid = Seq(0.25, 0.3, 0.35, 0.4, 0.45, 0.5)
+
+  /** Q194: semantic-decon τ SENSITIVITY — the report a governance owner
+    * reads before moving the threshold (VERDICT r13 next-1: τ = 0.35 is
+    * a fixture convention; the way a deployment picks ITS τ is exactly
+    * this sweep against its own corpus). Per grid τ: how many
+    * (train, eval) matches survive, how many train docs would be
+    * dropped, how many eval docs are implicated — zeros reported, not
+    * omitted (a τ that kills every match is the finding). One kernel
+    * pass at the grid FLOOR feeds every row: the match relation is
+    * already bounded (bucket-candidate pairs), so the sweep is a
+    * 6×-explode of a bounded relation plus one aggregate — the
+    * threshold never re-runs the candidate join. Oracle-green rollup
+    * of q185's relation at the floor τ. */
+  def q194SemTauSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val m = semanticDeconOn(
+      e.where(col("vec_id") % 10 =!= 0),
+      e.where(col("vec_id") % 10 === 0), SemTauGrid.min)
+    val agg = m
+      .select(explode(typedlit(SemTauGrid)).as("tau"),
+        col("doc_id"), col("eval_doc"), col("sim"))
+      .where(col("sim") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct("doc_id").as("n_train_flagged"),
+        countDistinct("eval_doc").as("n_eval_hit"))
+    spark.createDataFrame(SemTauGrid.map(Tuple1(_))).toDF("tau")
+      .join(agg, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("n_train_flagged"), lit(0L)).as("n_train_flagged"),
+        coalesce(col("n_eval_hit"), lit(0L)).as("n_eval_hit"))
+  }
+
+  val semTauSensitivitySql: String = {
+    val grid = SemTauGrid.map(t => s"$t::DOUBLE").mkString(", ")
+    s"""WITH m AS (${semanticDeconSqlAt(SemTauGrid.min)}),
+       |grid AS (SELECT unnest([$grid]) AS tau),
+       |f AS (SELECT tau, count(*) AS cnt,
+       |        count(DISTINCT doc_id) AS ntf, count(DISTINCT eval_doc) AS neh
+       |      FROM grid JOIN m ON m.sim >= grid.tau GROUP BY tau)
+       |SELECT g.tau,
+       |  CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_matches,
+       |  CAST(coalesce(f.ntf, 0) AS BIGINT) AS n_train_flagged,
+       |  CAST(coalesce(f.neh, 0) AS BIGINT) AS n_eval_hit
+       |FROM grid g LEFT JOIN f ON g.tau = f.tau""".stripMargin
+  }
 
   // -------------------------- q190/q191 semantic decon report + act faces
   /** Q190: per-benchmark SEMANTIC contamination coverage — the q183
@@ -1549,7 +1783,9 @@ object SimilarityQueries {
     "q185_semantic_decon" -> q185SemanticDecon _,
     "q188_ivf_scaled" -> q188IvfScaled _,
     "q190_semantic_coverage" -> q190SemanticCoverage _,
-    "q191_semantic_scrub" -> q191SemanticScrub _)
+    "q191_semantic_scrub" -> q191SemanticScrub _,
+    "q194_sem_tau_sensitivity" -> q194SemTauSensitivity _,
+    "q195_ivfpq_scaled" -> q195IvfPqScaled _)
 
   val oracles: Map[String, String] = Map(
     "q20_cosine_topk" -> cosineTopKSql,
@@ -1569,5 +1805,6 @@ object SimilarityQueries {
     "q164_ann_rank_eval" -> q164Sql,
     "q185_semantic_decon" -> semanticDeconSql,
     "q190_semantic_coverage" -> semanticCoverageSql,
-    "q191_semantic_scrub" -> semanticScrubSql)
+    "q191_semantic_scrub" -> semanticScrubSql,
+    "q194_sem_tau_sensitivity" -> semTauSensitivitySql)
 }

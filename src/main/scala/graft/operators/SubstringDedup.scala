@@ -922,13 +922,24 @@ object SubstringDedup {
     * map-side combine, one groupBy(gram) for the corpus first-day
     * mins, one rollup. A gram fetched by s sources over d days costs
     * ≤ s·d rows, never a pair enumeration. */
-  def q192NoveltyBySource(spark: SparkSession, dir: String): DataFrame = {
-    val sdGrams = docs(spark, dir)
+  def q192NoveltyBySource(spark: SparkSession, dir: String): DataFrame =
+    noveltyBySourceOn(docs(spark, dir), hashedKeys = false)
+
+  /** The per-(source, day) curve from the documents relation — raw
+    * 40-char gram keys (q192, the oracle path) or 8-byte xxhash64 keys
+    * (q193, the 100 TB path) through BOTH distincts and the first-day
+    * join. */
+  private def noveltyBySourceOn(docRel: DataFrame,
+      hashedKeys: Boolean): DataFrame = {
+    val gramKey =
+      if (hashedKeys) expr(s"xxhash64(substr(text, p, $K))")
+      else expr(s"substr(text, p, $K)")
+    val sdGrams = docRel
       .filter(length(col("text")) >= K)
       .select(col("source"), (col("doc_id") % 10).as("day"),
         explode(sequence(lit(1), length(col("text")) - (K - 1))).as("p"),
         col("text"))
-      .select(col("source"), col("day"), expr(s"substr(text, p, $K)").as("g"))
+      .select(col("source"), col("day"), gramKey.as("g"))
       .distinct()
     val firstDay = sdGrams.groupBy("g").agg(min("day").as("fd"))
     sdGrams.join(firstDay, "g")
@@ -940,6 +951,19 @@ object SubstringDedup {
         (lit(1.0) - col("seen_grams").cast("double") / col("n_grams"))
           .as("novelty"))
   }
+
+  /** Q193: q192 on 8-byte xxhash64 gram keys — the q184→q186 move
+    * applied to the per-source curve (VERDICT r13 what's-missing 3),
+    * and for the same reason: the report is a per-(source, day)
+    * FRACTION over millions of grams, so a 64-bit collision
+    * (≈ n²/2⁶⁵ expected) moves it below its own rounding, while the
+    * raw 40-char UTF-8 keys q192's oracle needs are 5× the shuffle
+    * bytes through two distincts and the corpus-wide first-day join.
+    * Rows-only (collisions put it outside the oracle's exactness
+    * contract); SubstringDedupSpec pins curve parity with oracle-green
+    * q192 at two SFs and the xns/q192 bench pair prices the key move. */
+  def q193NoveltyBySourceFast(spark: SparkSession, dir: String): DataFrame =
+    noveltyBySourceOn(docs(spark, dir), hashedKeys = true)
 
   val noveltyBySourceSql: String =
     s"""WITH g0 AS (
@@ -1163,6 +1187,61 @@ object SubstringDedup {
        |    AS removed_chars
        |FROM train d LEFT JOIN clean c USING (doc_id)""".stripMargin
 
+  // ------------------------------------ q196 composed two-eye verdict
+  /** Q196: the COMPOSED decontamination verdict — exact-gram AND
+    * semantic in one per-doc relation, [[graft.streaming.DeconGate]]'s
+    * gate kernel promoted to a declared query (VERDICT r13 next-6):
+    * the two eyes catch DISJOINT failure modes (a verbatim benchmark
+    * copy shares the 40-char grams q172 sees; a paraphrase shares only
+    * the embedding q185 sees), so the shippable keep/drop decision is
+    * their conjunction, with each eye's evidence carried for the audit
+    * trail. One row per training doc: gram span mass, semantic hit
+    * count + strongest similarity + smallest witnessing eval id
+    * (q191's convention), and keep = clean under BOTH. Docs present in
+    * only one input (no embedding yet, or vice versa) keep their
+    * available verdict — absence of evidence is not contamination.
+    *
+    * Scale shape: exactly the two kernels' (each already audited —
+    * winnow-prefiltered sliver gram join; broadcast-eval bucketed
+    * cosine verify) plus one doc-keyed full-outer join of two
+    * train-sized verdict relations. Oracle-green: both halves have
+    * hash-green oracles (q175's spans, q185's matches) and the
+    * composition is two LEFT JOIN rollups + one FULL OUTER JOIN. */
+  def q196DeconVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val (train, ev) = deconSplit(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    graft.streaming.DeconGate.flagCombined(train, ev,
+      e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
+  }
+
+  val deconVerdictSql: String =
+    s"""WITH $deconCtes,
+       |vsp AS (SELECT doc_id, min(p) AS s, max(p) + $K AS e1
+       |        FROM isl GROUP BY doc_id, island),
+       |vgc AS (SELECT doc_id, CAST(sum(e1 - s) AS BIGINT) AS contam_chars
+       |        FROM vsp GROUP BY doc_id),
+       |vg AS (SELECT d.doc_id, coalesce(vgc.contam_chars, 0) AS contam_chars
+       |       FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |       LEFT JOIN vgc USING (doc_id)),
+       |vm AS (${graft.operators.SimilarityQueries.semanticDeconSql}),
+       |vsh AS (SELECT doc_id, count(*) AS n_eval_hits, max(sim) AS max_sim,
+       |          min(eval_doc) AS witness_eval
+       |        FROM vm GROUP BY doc_id),
+       |vs AS (SELECT t.vec_id AS doc_id,
+       |         coalesce(vsh.n_eval_hits, 0) AS n_eval_hits,
+       |         coalesce(vsh.max_sim, 0.0) AS max_eval_sim,
+       |         vsh.witness_eval
+       |       FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0) t
+       |       LEFT JOIN vsh ON t.vec_id = vsh.doc_id)
+       |SELECT doc_id,
+       |  CAST(coalesce(vg.contam_chars, 0) AS BIGINT) AS contam_chars,
+       |  CAST(coalesce(vs.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+       |  coalesce(vs.max_eval_sim, 0.0) AS max_eval_sim,
+       |  (coalesce(vg.contam_chars, 0) = 0 AND coalesce(vs.n_eval_hits, 0) = 0)
+       |    AS keep,
+       |  vs.witness_eval
+       |FROM vg FULL OUTER JOIN vs USING (doc_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_substring_spans" -> q149SubstringSpans _,
     "q150_substring_scrub" -> q150SubstringScrub _,
@@ -1180,7 +1259,9 @@ object SubstringDedup {
     "q186_novelty_fast" -> q186NoveltyFast _,
     "q187_decon_matrix_capped" -> q187DeconMatrixCapped _,
     "q189_decon_auto" -> q189DeconAuto _,
-    "q192_novelty_by_source" -> q192NoveltyBySource _)
+    "q192_novelty_by_source" -> q192NoveltyBySource _,
+    "q193_novelty_by_source_fast" -> q193NoveltyBySourceFast _,
+    "q196_decon_verdict" -> q196DeconVerdict _)
 
   val oracles: Map[String, String] = Map(
     "q149_substring_spans" -> substringSpansSql,
@@ -1194,5 +1275,6 @@ object SubstringDedup {
     "q184_novelty_curve" -> noveltyCurveSql,
     "q187_decon_matrix_capped" -> deconMatrixCappedSql,
     "q189_decon_auto" -> deconProbeSql,
-    "q192_novelty_by_source" -> noveltyBySourceSql)
+    "q192_novelty_by_source" -> noveltyBySourceSql,
+    "q196_decon_verdict" -> deconVerdictSql)
 }

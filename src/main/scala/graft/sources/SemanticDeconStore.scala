@@ -48,13 +48,26 @@ object SemanticDeconStore {
   /** Build the store from the full eval-suite embeddings, replacing
     * prior content. The codebook freezes HERE — from `codebookFrom`
     * (a reference corpus) or the suite itself; an empty codebook is an
-    * explicit build error, never a silently-candidate-free store. */
+    * explicit build error, never a silently-candidate-free store.
+    * `trained = true` runs the k-means training job
+    * ([[graft.operators.SimilarityQueries.trainedCodebook]]) on the
+    * codebook source instead of taking its first K vectors — the
+    * production setting (VERDICT r13 next-1): on a clustered corpus
+    * whose low ids share a cluster, first-K leaves other clusters
+    * centroid-less and the candidate join under-recalls;
+    * TrainedCodebookSpec plants that corpus and pins the repair. The
+    * stored artifact's CONTRACT is unchanged either way — every later
+    * advance assigns against exactly these frozen centroids. */
   def build(evalEmb: DataFrame, dir: String,
-      codebookFrom: Option[DataFrame] = None): Unit = {
+      codebookFrom: Option[DataFrame] = None,
+      trained: Boolean = false): Unit = {
     val spark = evalEmb.sparkSession
     fs(spark, dir).delete(new Path(dir), true): Unit
-    val cents = graft.operators.SimilarityQueries
-      .centroidList(codebookFrom.getOrElse(evalEmb))
+    val src = codebookFrom.getOrElse(evalEmb)
+    val cents =
+      if (trained) graft.operators.SimilarityQueries
+        .trainedCodebook(src, graft.operators.SimilarityQueries.NumCentroids)
+      else graft.operators.SimilarityQueries.centroidList(src)
     require(cents.nonEmpty,
       s"semantic decon store $dir: codebook source has no vec_id below the codebook size")
     spark.createDataFrame(cents).toDF("c_id", "cv")

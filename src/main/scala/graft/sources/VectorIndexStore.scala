@@ -244,18 +244,38 @@ object VectorIndexStore {
     * pays instead is one hash per vector. Lives beside the base/PQ
     * faces under the same [[DirKey]] (own subpaths + meta). */
   def buildScaled(corpus: DataFrame, indexRel: DataFrame, dir: String,
-      day: Int = 0): Unit = {
+      day: Int = 0, trained: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/codebook_scaled"), true): Unit
+    f.delete(new Path(s"$dir/codebook_meta_scaled"), true): Unit
     f.delete(new Path(s"$dir/assign_scaled"), true): Unit
     f.delete(new Path(s"$dir/meta_scaled"), true): Unit
-    val cents = graft.operators.SimilarityQueries.scaledCodebook(
-      corpus, graft.operators.SimilarityQueries.scaledK(corpus))
-    spark.createDataFrame(cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
-      .toDF("c_id", "cv")
-      .coalesce(1).write.parquet(s"$dir/codebook_scaled")
-    writeDayScaled(spark, dir, day, indexRel, cents, "errorifexists")
+    // Pinned: the codebook meta's digest must cover exactly the rows
+    // the codebook was derived from.
+    val pinned = corpus.persist()
+    try {
+      val k = graft.operators.SimilarityQueries.scaledK(pinned)
+      val cents =
+        if (trained)
+          graft.operators.SimilarityQueries.scaledCodebookTrained(pinned, k)
+        else graft.operators.SimilarityQueries.scaledCodebook(pinned, k)
+      spark.createDataFrame(cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
+        .toDF("c_id", "cv")
+        .coalesce(1).write.parquet(s"$dir/codebook_scaled")
+      // Codebook freshness artifact: (corpus count, corpus digest,
+      // trained?) — [[openFreshScaled]] verifies the OFFERED corpus
+      // digests to this instead of re-deriving the codebook, which for
+      // a trained codebook would mean re-running the training job on
+      // every open (and for first-K was a collect of the same cost
+      // class anyway). A grown/mutated corpus digests differently →
+      // stale → the Faiss retrain event, same contract as before.
+      val (n, dg) = digestOf(pinned)
+      spark.createDataFrame(Seq((n, dg, trained)))
+        .toDF("n_vecs", "digest", "trained")
+        .coalesce(1).write.parquet(s"$dir/codebook_meta_scaled")
+      writeDayScaled(spark, dir, day, indexRel, cents, "errorifexists")
+    } finally pinned.unpersist(blocking = false): Unit
   }
 
   /** The stored scaled codebook — ⌈√N⌉ driver rows, index-ordered. */
@@ -313,8 +333,17 @@ object VectorIndexStore {
     try {
       val cents = storedScaledCodebook(spark, dir)
       val trusted = spark.conf.get(TrustKey, "false").toBoolean
-      if (!trusted && graft.operators.SimilarityQueries.scaledCodebook(
-          corpus, graft.operators.SimilarityQueries.scaledK(corpus)) != cents) {
+      // Codebook freshness: the build-time corpus digest (one hash pass
+      // over the offered corpus) — re-deriving the codebook would mean
+      // re-running the k-means job for a trained store. Pre-meta stores
+      // (no codebook_meta_scaled) fall back to the first-K comparison.
+      val cbFresh =
+        if (fs(spark, dir).exists(new Path(s"$dir/codebook_meta_scaled"))) {
+          val m = spark.read.parquet(s"$dir/codebook_meta_scaled").head()
+          (m.getLong(0), m.getLong(1)) == digestOf(corpus)
+        } else graft.operators.SimilarityQueries.scaledCodebook(
+          corpus, graft.operators.SimilarityQueries.scaledK(corpus)) == cents
+      if (!trusted && !cbFresh) {
         System.err.println(s"[vectorstore] $dir scaled codebook differs from this corpus's — assigning inline")
         return None
       }
@@ -334,6 +363,140 @@ object VectorIndexStore {
         None
     }
   }
+
+  // --------------------------------------- scaled-K PQ face (r14)
+  /** Build the DATA-SCALED compressed index — the q195 serving shape:
+    * K=⌈√N⌉ coarse codebook (`trained = true` runs the spherical
+    * k-means job instead of first-K), per-subspace PQ codebooks, and
+    * the coded corpus, all under the same [[DirKey]] root (own
+    * subpaths + metas). This face is where the store's economics are
+    * strongest: it amortizes the N·√N coarse assignment AND the PQ
+    * train + encode — everything q195 pays except the probe itself
+    * (the xpk bench pair prices the split). Freshness is the scaled
+    * face's: a build-time corpus digest for the codebooks (one hash
+    * pass on open — no retraining to verify a trained codebook) plus
+    * XOR-composed day digests for the codes. */
+  def buildPqScaled(corpus: DataFrame, dir: String, day: Int = 0,
+      trained: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val f = fs(spark, dir)
+    Seq("codebook_pqs", "pq_codebook_pqs", "codes_pqs", "meta_pqs",
+      "codebook_meta_pqs")
+      .foreach(p => f.delete(new Path(s"$dir/$p"), true): Unit)
+    val pinned = corpus.persist()
+    try {
+      val sq = graft.operators.SimilarityQueries
+      val k = sq.scaledK(pinned)
+      val cents =
+        if (trained) sq.scaledCodebookTrained(pinned, k)
+        else sq.scaledCodebook(pinned, k)
+      spark.createDataFrame(cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
+        .toDF("c_id", "cv")
+        .coalesce(1).write.parquet(s"$dir/codebook_pqs")
+      // PQ codebooks train on the corpus's subvectors exactly like the
+      // inline derivation — same math, so store ≡ inline byte-exact.
+      val (_, pqCents, codes) = sq.pqScaledIndexArtifactsWith(pinned, cents)
+      pqCents.toSeq.flatMap { case (sub, cs) =>
+        cs.map { case (cid, cv) => (sub, cid, cv) }
+      }.toDF("sub", "cid", "cv")
+        .coalesce(1).write.parquet(s"$dir/pq_codebook_pqs")
+      codes.withColumn("day", lit(day))
+        .write.partitionBy("day").parquet(s"$dir/codes_pqs")
+      val (n, dg) = digestOf(pinned)
+      spark.createDataFrame(Seq((n, dg, trained)))
+        .toDF("n_vecs", "digest", "trained")
+        .coalesce(1).write.parquet(s"$dir/codebook_meta_pqs")
+      spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
+        .coalesce(1).write.parquet(s"$dir/meta_pqs")
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  /** The stored scaled coarse codebook — ⌈√N⌉ driver rows. */
+  def storedPqScaledCodebook(spark: SparkSession, dir: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$dir/codebook_pqs")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).map(_._2).toSeq
+
+  /** Append one day of scaled PQ codes, encoded against BOTH frozen
+    * codebooks. Idempotent per day (unconditional retire-then-write). */
+  def advanceDayPqScaled(batch: DataFrame, dir: String, day: Int): Unit = {
+    val spark = batch.sparkSession
+    val cents = storedPqScaledCodebook(spark, dir)
+    val pqCents = spark.read.parquet(s"$dir/pq_codebook_pqs")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).map { case (sub, rs) =>
+        sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      }
+    retireDayPqScaled(spark, dir, day)
+    val pinned = batch.persist()
+    try {
+      graft.operators.SimilarityQueries
+        .pqEncodeScaledWith(pinned, cents, pqCents)
+        .withColumn("day", lit(day))
+        .write.mode("append").partitionBy("day").parquet(s"$dir/codes_pqs")
+      val (n, dg) = digestOf(pinned)
+      spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
+        .coalesce(1).write.mode("append").parquet(s"$dir/meta_pqs")
+    } finally pinned.unpersist(blocking = false): Unit
+  }
+
+  /** Retire one scaled-PQ day: partition drop + XOR-heal (safe on a
+    * torn store — no meta ⇒ partition drop only). */
+  def retireDayPqScaled(spark: SparkSession, dir: String, day: Int): Unit = {
+    val f = fs(spark, dir)
+    f.delete(new Path(s"$dir/codes_pqs/day=$day"), true): Unit
+    if (!f.exists(new Path(s"$dir/meta_pqs"))) return
+    val kept = spark.read.parquet(s"$dir/meta_pqs")
+      .where(col("day") =!= day).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.createDataFrame(kept).toDF("day", "n_vecs", "digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_pqs")
+  }
+
+  /** The stored (scaled codebook, PQ codebooks, codes) IF configured
+    * and fresh for this exact corpus: the build-time codebook digest
+    * AND the XOR-composed day digests must both equal the offered
+    * corpus's. Only live-meta day partitions are read. */
+  def openFreshPqScaled(corpus: DataFrame)
+      : Option[(Seq[Seq[Double]], Map[Int, Seq[(Long, Seq[Double])]], DataFrame)] = {
+    val spark = corpus.sparkSession
+    val dir = spark.conf.get(DirKey, "")
+    if (dir.isEmpty) return None
+    try {
+      val cents = storedPqScaledCodebook(spark, dir)
+      val trusted = spark.conf.get(TrustKey, "false").toBoolean
+      val offered = if (trusted) (0L, 0L) else digestOf(corpus)
+      val cb = spark.read.parquet(s"$dir/codebook_meta_pqs").head()
+      if (!trusted && (cb.getLong(0), cb.getLong(1)) != offered) {
+        System.err.println(s"[vectorstore] $dir scaled-PQ codebook predates this corpus — deriving inline")
+        return None
+      }
+      val (days, stored) = liveMeta(spark, s"$dir/meta_pqs")
+      if (!trusted && offered != stored) {
+        System.err.println(s"[vectorstore] $dir scaled-PQ codes are stale for this corpus — deriving inline")
+        None
+      } else if (days.isEmpty) {
+        Some((cents, storedPqCodebookAt(spark, s"$dir/pq_codebook_pqs"),
+          spark.range(0).select(col("id").as("vec_id"), col("id").as("bkt"),
+            col("id").cast("int").as("sub"), col("id").as("code"))))
+      } else Some((cents, storedPqCodebookAt(spark, s"$dir/pq_codebook_pqs"),
+        spark.read.parquet(days.map(d => s"$dir/codes_pqs/day=${d._1}"): _*)
+          .select("vec_id", "bkt", "sub", "code")))
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[vectorstore] $dir scaled-PQ face unreadable (${e.getMessage}) — deriving inline")
+        None
+    }
+  }
+
+  private def storedPqCodebookAt(spark: SparkSession, path: String)
+      : Map[Int, Seq[(Long, Seq[Double])]] =
+    spark.read.parquet(path)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .groupBy(_._1).map { case (sub, rs) =>
+        sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq
+      }
 
   /** The stored (codebook, assignments) IF configured and fresh for
     * this exact (corpus, index) pair — None (driver-log line, never an

@@ -76,12 +76,16 @@ object DeconGate {
     }
     val hits = matches
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_eval_hits"), max("sim").as("max_eval_sim"))
+      .agg(count(lit(1)).as("n_eval_hits"), max("sim").as("max_eval_sim"),
+        min("eval_doc").as("witness_eval"))
+    // witness_eval (the smallest witnessing eval id, q191's convention)
+    // rides AFTER keep so existing positional readers are unmoved.
     batchEmb.select(col("vec_id").as("doc_id")).join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
-        coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"))
-      .withColumn("keep", col("n_eval_hits") === 0L)
+        coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"),
+        (coalesce(col("n_eval_hits"), lit(0L)) === 0L).as("keep"),
+        col("witness_eval"))
   }
 
   /** The composed verdict — exact-gram AND semantic decon in one
@@ -98,14 +102,15 @@ object DeconGate {
       .select(col("doc_id"), col("contam_chars"), col("keep").as("gram_keep"))
     val s = flagSemantic(batchEmb, evalEmb, tau)
       .select(col("doc_id"), col("n_eval_hits"), col("max_eval_sim"),
-        col("keep").as("sem_keep"))
+        col("keep").as("sem_keep"), col("witness_eval"))
     g.join(s, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
         coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
         coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"),
         (coalesce(col("gram_keep"), lit(true)) &&
-          coalesce(col("sem_keep"), lit(true))).as("keep"))
+          coalesce(col("sem_keep"), lit(true))).as("keep"),
+        col("witness_eval"))
   }
 
   /** Gate one micro-batch exactly once into `outDir/batch=<id>`;

@@ -438,6 +438,17 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("q193 hashed per-source curve equals oracle-green q192's exactly (sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val fast = SubstringDedup.q193NoveltyBySourceFast(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val exact = SubstringDedup.q192NoveltyBySource(spark, dir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(fast == exact, s"hashed/raw per-source novelty divergence at $dir")
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("q187 capped matrix: cap-off ≡ exact; a binding cap bounds attribution and LOGS the truncation") {
     import spark.implicits._
     // The q179 fixture: with a cap that never binds, the capped face

@@ -225,4 +225,49 @@ class VectorIndexStoreSpec extends SparkSpec {
       graft.core.Caches.releaseAll()
     }
   }
+
+  test("scaled-PQ face: q195 rides the stored compressed index exactly; advance ≡ build; stale falls back") {
+    val e = emb
+    val inline = SimilarityQueries.q195IvfPqScaled(spark, sf0001).collect()
+      .map(_.toString).toSet
+    graft.core.Caches.releaseAll()
+    val dir = tmpDir("pqstore_scaled")
+    VectorIndexStore.buildPqScaled(e, dir)
+    spark.conf.set(VectorIndexStore.DirKey, dir)
+    try {
+      assert(VectorIndexStore.openFreshPqScaled(e).isDefined,
+        "scaled-PQ store must be fresh for its own corpus")
+      val stored = SimilarityQueries.q195IvfPqScaled(spark, sf0001).collect()
+        .map(_.toString).toSet
+      graft.core.Caches.releaseAll()
+      assert(stored == inline,
+        "q195 through the stored scaled codes must equal the inline derivation")
+
+      // two-day advance against BOTH frozen codebooks ≡ the one-shot
+      // build (codebooks from the FULL corpus, then day replacement)
+      val dir2 = tmpDir("pqstore_scaled_incr")
+      VectorIndexStore.buildPqScaled(e, dir2, day = 0)
+      VectorIndexStore.retireDayPqScaled(spark, dir2, 0)
+      VectorIndexStore.advanceDayPqScaled(e.where(col("vec_id") % 2 === 1), dir2, day = 1)
+      VectorIndexStore.advanceDayPqScaled(e.where(col("vec_id") % 2 === 0), dir2, day = 2)
+      spark.conf.set(VectorIndexStore.DirKey, dir2)
+      assert(VectorIndexStore.openFreshPqScaled(e).isDefined,
+        "XOR-composed scaled-PQ day digests must cover the union")
+      val incr = SimilarityQueries.q195IvfPqScaled(spark, sf0001).collect()
+        .map(_.toString).toSet
+      graft.core.Caches.releaseAll()
+      assert(incr == inline, "incremental scaled-PQ days must serve the same index")
+
+      // stale: a mutated corpus digests differently on BOTH checks
+      val mutated = e.withColumn("embedding",
+        when(col("vec_id") === 21L,
+          transform(col("embedding"), x => x * lit(2.0f)))
+          .otherwise(col("embedding")))
+      assert(VectorIndexStore.openFreshPqScaled(mutated).isEmpty,
+        "digest must catch corpus mutation")
+    } finally {
+      spark.conf.unset(VectorIndexStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
 }
