@@ -560,6 +560,63 @@ object Bench {
       System.err.println(s"[bench] scaled-index probe failed: ${e.getMessage}")
       -1.0
     }
+    // q195 through the prebuilt SCALED-PQ face: the N·√N coarse
+    // assignment + PQ training + full encode are paid once at build;
+    // the serve reads codes and pays only the probe + ADC + refine.
+    // The delta vs the q195 suite entry is the xsk amortization curve
+    // carried to the compressed serving shape — the actual 100 TB
+    // deployment's store payoff.
+    val pqScaledProbe = if (!extraOn("xpk")) 0.0 else try {
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val dirPk = s"$scratch/pqstore_scaled"
+      graft.sources.VectorIndexStore.buildPqScaled(e, dirPk)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirPk)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.SimilarityQueries.q195IvfPqScaled(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] scaled-PQ store probe failed: ${e.getMessage}")
+      -1.0
+    }
+    // The semantic decon gate through a prebuilt SemanticDeconStore:
+    // the eval suite's assignments are read pre-derived (frozen
+    // codebook, per-benchmark partitions) instead of re-deriving the
+    // union codebook + eval assignment per batch. The delta vs the
+    // q185-family inline kernel prices what the store buys every
+    // micro-batch — and the store path is ALSO the batch-independence
+    // guarantee, so this is the gate's deployed shape.
+    val semDeconGate = if (!extraOn("xsd")) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      val ev = e.filter(col("vec_id") % 10 === 0)
+      val train = e.filter(col("vec_id") % 10 =!= 0)
+      val dirS = s"$scratch/semdeconstore"
+      graft.sources.SemanticDeconStore.build(ev, dirS,
+        codebookFrom = Some(e))
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.SemanticDeconStore.DirKey, dirS)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.streaming.DeconGate.flagSemantic(train, ev).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.SemanticDeconStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] semantic decon gate failed: ${e.getMessage}")
+      -1.0
+    }
     // q82 through a prebuilt compressed (IVF-PQ) index: the k-means
     // training pass + full corpus encode are paid once at build and the
     // query reads codes — the artifact whose derivation dominates at
@@ -732,6 +789,8 @@ object Bench {
       "xvs" -> vecProbe,      // x_vectorstore_probe (q139 via store)
       "xsk" -> scaledProbe,   // x_scaled_index_probe (q188 via store)
       "xpq" -> pqProbe,       // x_pqstore_topk (q82 via store)
+      "xpk" -> pqScaledProbe, // x_pqstore_scaled (q195 via store)
+      "xsd" -> semDeconGate,  // x_semdecon_gate (flagSemantic via store)
       "xprt" -> prTol)        // x_pagerank_tol
     def queriesBlock(unit: Double => Long, floor: Long): String =
       (results.flatMap { case (k, v) =>

@@ -143,6 +143,25 @@ def norm(k: str) -> str:
     return k
 
 
+def drift_of(qo: dict, qn: dict) -> float:
+    """Calibration-anchor ratio (VERDICT r13 what's-wrong 1): the two
+    artifacts come from different days on a machine whose absolute
+    speed drifts (SCALE.md measured the UNCHANGED sf10 recompute arm
+    1.4x slower across rounds) — so a same-key ratio mixes machine
+    state with real change. The MEDIAN ratio over every comparable
+    shared entry estimates the machine-state component (a real
+    regression moves one entry, not the median), and flags use the
+    drift-CORRECTED ratio. Needs >=8 comparable entries (>=0.5 s both
+    sides) to be meaningful; returns 1.0 otherwise."""
+    ratios = sorted(qn[k] / qo[k] for k in set(qo) & set(qn)
+                    if qo[k] >= 0.5 and qn[k] >= 0.5)
+    if len(ratios) < 8:
+        return 1.0
+    mid = len(ratios) // 2
+    return (ratios[mid] if len(ratios) % 2
+            else (ratios[mid - 1] + ratios[mid]) / 2)
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -153,6 +172,10 @@ def main() -> int:
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
     qo = {norm(k): v for k, v in old["queries"].items()}
     qn = {norm(k): v for k, v in new["queries"].items()}
+    drift = drift_of(qo, qn)
+    if drift != 1.0:
+        print(f"calibration: median same-key ratio {drift:.2f} taken as "
+              f"machine drift; flags use ratio/{drift:.2f}")
     flagged = []
     print(f"{'query':24s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for k in sorted(set(qo) & set(qn)):
@@ -162,11 +185,12 @@ def main() -> int:
             print(f"{k:24s} {a:8.2f} {b:8.2f}    {marker}")
             continue
         r = b / a
+        rc = r / drift  # drift-corrected: machine state divided out
         mark = ""
-        if r >= threshold and b >= 1.0:  # sub-second noise never flags
+        if rc >= threshold and b >= 1.0:  # sub-second noise never flags
             mark = " <-- REGRESSION"
             flagged.append((k, a, b, r))
-        elif r <= 1 / threshold and a >= 1.0:
+        elif rc <= 1 / threshold and a >= 1.0:
             mark = " (improved)"
         print(f"{k:24s} {a:8.2f} {b:8.2f} {r:7.2f}{mark}")
     # A key missing from a qmin-declaring (ds) artifact whose other-side

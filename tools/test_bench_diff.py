@@ -108,6 +108,53 @@ def main() -> int:
     os.unlink(new)
     print("OK sub-floor elision labels instead of removed")
 
+    # --- calibration anchor: a uniform 1.4x machine-drift slowdown
+    # across >=8 comparable entries must NOT flag anything (the median
+    # ratio IS the drift), while a single genuine 5x regression on top
+    # of that drift still must.
+    base = {str(i): 100 for i in range(1, 10)}          # 1.00 s each (cs)
+    drifted = {str(i): 140 for i in range(1, 10)}       # uniform 1.4x
+    old = write_tmp({"qunit": "cs", "queries": dict(base)})
+    new = write_tmp({"qunit": "cs", "queries": dict(drifted)})
+    argv, sys.argv = sys.argv, ["bench_diff.py", old, new, "1.3"]
+    try:
+        code, out = capture(bench_diff.main)
+    finally:
+        sys.argv = argv
+    assert code == 0, out  # 1.4x raw > 1.3x threshold, but drift-corrected = 1.0
+    assert "median same-key ratio 1.40" in out, out
+    os.unlink(old)
+    os.unlink(new)
+    print("OK uniform machine drift does not flag")
+
+    regressed = dict(drifted)
+    regressed["5"] = 500                                # 5x raw, 3.6x corrected
+    old = write_tmp({"qunit": "cs", "queries": dict(base)})
+    new = write_tmp({"qunit": "cs", "queries": regressed})
+    argv, sys.argv = sys.argv, ["bench_diff.py", old, new]
+    try:
+        code, out = capture(bench_diff.main)
+    finally:
+        sys.argv = argv
+    assert code == 1, out
+    assert "q5: 1.00 -> 5.00" in out, out
+    os.unlink(old)
+    os.unlink(new)
+    print("OK real regression flags through the drift correction")
+
+    # --- too few comparable entries: no calibration (drift stays 1.0)
+    old = write_tmp({"qunit": "cs", "queries": {"1": 100, "2": 100}})
+    new = write_tmp({"qunit": "cs", "queries": {"1": 400, "2": 100}})
+    argv, sys.argv = sys.argv, ["bench_diff.py", old, new]
+    try:
+        code, out = capture(bench_diff.main)
+    finally:
+        sys.argv = argv
+    assert code == 1 and "calibration" not in out, out
+    os.unlink(old)
+    os.unlink(new)
+    print("OK sparse artifacts skip calibration and still flag raw")
+
     print("PASS: all bench_diff fixtures")
     return 0
 
