@@ -235,6 +235,50 @@ object MediaDedup {
     * (hamming 0 within one group) are emitted straight from the
     * membership lists without touching the band join.
     */
+  /** DIRECTIONAL near-dup probe for eval-set decontamination (the
+    * media eye of the decon tier, q197): every (train image, eval
+    * image) pair within `maxHamming` of each other — q172's
+    * directionality applied to [[nearDupPairs]]' pigeonhole-exact
+    * banding. Differences from the symmetric kernel: equal hashes
+    * ACROSS sides are matches (the strongest ones — the symmetric
+    * kernel's `ha < hb` would drop them), and the EVAL side (benchmark
+    * suite: MBs against TBs in production) broadcasts into the band
+    * join, so the train corpus is hashed once and never shuffled.
+    * Exactness is the same pigeonhole argument: hamming ≤ h implies
+    * some band of the h+1 disjoint bands has zero differing bits. */
+  def deconPairs(trainHashes: DataFrame, evalHashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"radius must be in [0, 63], got $maxHamming")
+    val b = maxHamming + 1
+    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def bandCol(h: Column, i: Int): Column = {
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      shiftrightunsigned(h, starts(i)).bitwiseAND(lit(mask))
+    }
+    def grouped(hs: DataFrame): DataFrame =
+      graft.core.Caches.persistTracked(
+        hs.groupBy("dhash").agg(sort_array(collect_list(col("media_id"))).as("ids")))
+    def banded(g: DataFrame): DataFrame = g.select(
+      col("dhash"),
+      explode(array((0 until b).map(i =>
+        struct(lit(i).as("band"), bandCol(col("dhash"), i).as("v"))): _*)).as("bv"))
+      .select(col("dhash"), col("bv.band"), col("bv.v"))
+    val tg = grouped(trainHashes)
+    val eg = grouped(evalHashes)
+    val crossHash = banded(tg).select(col("dhash").as("ht"), col("band"), col("v"))
+      .join(broadcast(banded(eg).select(col("dhash").as("he"), col("band"), col("v"))),
+        Seq("band", "v"))
+      .select("ht", "he").distinct()
+      .withColumn("hamming", bit_count(col("ht").bitwiseXOR(col("he"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    crossHash
+      .join(tg.select(col("dhash").as("ht"), col("ids").as("ids_t")), "ht")
+      .join(broadcast(eg.select(col("dhash").as("he"), col("ids").as("ids_e"))), "he")
+      .select(explode(col("ids_t")).as("doc_id"), col("ids_e"), col("hamming"))
+      .select(col("doc_id"), explode(col("ids_e")).as("eval_doc"), col("hamming"))
+  }
+
   def nearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"radius must be in [0, 63], got $maxHamming")
     // One row per distinct hash value, with its (sorted) member ids.

@@ -310,13 +310,42 @@ object MediaQueries {
        |""".stripMargin
   }
 
+  /** Q197: MEDIA eval-set decontamination — the third eye of the decon
+    * tier (q172's grams see verbatim text, q185's embeddings see
+    * paraphrase; NEITHER sees a benchmark's IMAGE re-crawled into the
+    * training set with its caption rewritten). Directional: every
+    * (train image, eval image) pair within [[MaxHamming]] of each
+    * other by dHash over real decoded pixels, eval = doc_id % 10 == 0
+    * (the decon tier's suite convention). Rows-only like q153 (DuckDB
+    * cannot decode PNG); MediaDedupSpec pins exact parity with
+    * oracle-parity-pinned q153's pairs restricted to the cross-split
+    * orientation, plus a constructed verbatim re-crawl at hamming 0.
+    *
+    * Scale shape: both sides hash in one decode pass each;
+    * [[MediaDedup.deconPairs]] bands the benchmark-sized eval side and
+    * BROADCASTS it into the band join — the train corpus is decoded
+    * and hashed once, never shuffled (q185's eval-broadcast argument,
+    * modality three). A takedown of eval images retires through
+    * [[graft.sources.MediaHashStore]] exactly as dedup's do. */
+  def q197MediaDecon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = eligibleDocs(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val hashed = graft.core.Caches.persistTracked(
+      MediaDedup.hashImages(renderAll(docs)))
+    MediaDedup.deconPairs(
+      hashed.filter(col("media_id") % 10 =!= 0),
+      hashed.filter(col("media_id") % 10 === 0), MaxHamming)
+      .orderBy("doc_id", "eval_doc")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_image_neardup" -> q153ImageNearDup _,
     "q154_alignment_audit" -> q154AlignmentAudit _,
     "q155_video_segdup" -> q155VideoSegdup _,
     "q156_audio_audit" -> q156AudioAudit _,
     "q157_image_scrub" -> q157ImageScrub _,
-    "q178_audio_neardup" -> q178AudioNearDup _)
+    "q178_audio_neardup" -> q178AudioNearDup _,
+    "q197_media_decon" -> q197MediaDecon _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,

@@ -136,4 +136,40 @@ object DeconGate {
       gateBatch(df, evalRel, store, sinkId, outDir, batchId)
       ()
     }
+
+  /** Gate one micro-batch through the COMPOSED two-eye verdict
+    * ([[flagCombined]] — q196's kernel) exactly once into
+    * `outDir/batch=<id>`. The batch carries text AND embedding
+    * columns (doc_id, text, embedding — an embedding may be null for
+    * docs not yet embedded: the doc keeps its gram-only verdict, the
+    * flagCombined absence rule); returns true when this call wrote. */
+  def gateCombinedBatch(batch: DataFrame, evalRel: DataFrame,
+      evalEmb: DataFrame, store: JdbcStateStore, sinkId: String,
+      outDir: String, batchId: Long,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau): Boolean =
+    if (store.batchCommitted(sinkId, batchId)) false
+    else {
+      flagCombined(
+        batch.select("doc_id", "text"),
+        evalRel,
+        batch.where(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        evalEmb, tau)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      graft.core.Caches.releaseAll()
+      store.markBatch(sinkId, batchId)
+    }
+
+  /** Wire a streaming (doc_id, text, embedding) DataFrame into the
+    * composed gate. Caller starts it. */
+  def exactlyOnceCombined(stream: DataFrame, evalRel: DataFrame,
+      evalEmb: DataFrame, store: JdbcStateStore, sinkId: String,
+      outDir: String,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
+      gateCombinedBatch(df, evalRel, evalEmb, store, sinkId, outDir,
+        batchId, tau)
+      ()
+    }
 }

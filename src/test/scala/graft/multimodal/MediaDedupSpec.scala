@@ -162,4 +162,43 @@ class MediaDedupSpec extends SparkSpec {
     assert(pairs.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
     assert(pairs.count() > 0)
   }
+
+  test("q197 media decon equals q153's pairs restricted to the cross-split orientation") {
+    // Directional parity: the decon probe over the SAME corpus must
+    // produce exactly the symmetric kernel's pairs that straddle the
+    // train/eval split, re-oriented (train id first) — including
+    // hash-identical cross-split pairs, which the symmetric kernel
+    // reports at hamming 0.
+    val sym = MediaQueries.q153ImageNearDup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.core.Caches.releaseAll()
+    val expected = sym.flatMap { case (a, b, h) =>
+      if (a % 10 != 0 && b % 10 == 0) Some((a, b, h))
+      else if (a % 10 == 0 && b % 10 != 0) Some((b, a, h))
+      else None
+    }.toSet
+    val got = MediaQueries.q197MediaDecon(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.core.Caches.releaseAll()
+    assert(got == expected,
+      s"directional/symmetric divergence: missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "the planted near-dup texts must straddle the split")
+  }
+
+  test("deconPairs: a verbatim re-crawl of an eval image is caught at hamming 0") {
+    val cap = "a benchmark photograph of a very specific reference scene indeed"
+    val other = "completely unrelated training content describing something else"
+    val hashes = MediaDedup.hashImages(Seq(
+      (20L, MediaDedup.renderImage(cap)),      // the eval image
+      (101L, MediaDedup.renderImage(cap)),     // its re-crawled training copy
+      (102L, MediaDedup.renderImage(other)))   // clean training doc
+      .toDF("media_id", "content"))
+    val got = MediaDedup.deconPairs(
+      hashes.filter(col("media_id") =!= 20L),
+      hashes.filter(col("media_id") === 20L), MediaQueries.MaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.core.Caches.releaseAll()
+    assert(got == Set((101L, 20L, 0L)),
+      s"exactly the re-crawl, at hamming 0, train-first: $got")
+  }
 }

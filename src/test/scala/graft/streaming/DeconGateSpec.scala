@@ -79,6 +79,62 @@ class DeconGateSpec extends SparkSpec {
     }
   }
 
+  test("combined gate streams exactly once: two-eye verdicts per batch, null embeddings keep their gram verdict, replay skips") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val evText = Seq((90L, filler("ea", 35) + passage + filler("eb", 25)))
+      .toDF("doc_id", "text")
+    val evEmb = ((0 until 16).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)) :+
+      ((90L, base.map(_.toFloat).toSeq))).toDF("vec_id", "embedding")
+    // doc 50: gram leak, clean embedding; doc 51: paraphrase (embedding
+    // only); doc 52: clean both; doc 53: NULL embedding + gram leak —
+    // must still drop on the gram eye alone.
+    val b0 = Seq(
+      (50L, filler("da", 50) + passage + filler("db", 30),
+        Array.fill(16)(rnd.nextGaussian().toFloat).toSeq),
+      (51L, filler("dz", 130), base.map(x => (x + 0.01).toFloat).toSeq),
+      (52L, filler("dy", 110), Array.fill(16)(rnd.nextGaussian().toFloat).toSeq),
+      (53L, filler("dc", 20) + passage + filler("dd", 20),
+        null.asInstanceOf[Seq[Float]]))
+    val ctl = new JdbcStateStore("jdbc:derby:memory:decongate3;create=true")
+    ctl.ensureTable()
+    val outDir = tmpDir("decongate_comb_out")
+    val input = MemoryStream[(Long, String, Seq[Float])]
+    // τ = 0.9: random 16-dim gaussian pairs sit at |cos| ≲ 0.5, the
+    // planted near-copy at ≈ 1 — the margin that keeps the clean docs
+    // deterministic (the batch-face test's convention).
+    val q = DeconGate.exactlyOnceCombined(
+      input.toDF().toDF("doc_id", "text", "embedding"),
+      evText, evEmb, ctl, "decongate_comb", outDir, tau = 0.9)
+      .option("checkpointLocation", tmpDir("decongate_comb_cp")).start()
+    try {
+      input.addData(b0: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    Caches.releaseAll()
+
+    val got = spark.read.parquet(s"$outDir/batch=0").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    val L = passage.length.toLong
+    assert(got(50L)._1 == L && got(50L)._2 == 0L && !got(50L)._3,
+      s"gram leak drops with zero semantic hits: $got")
+    assert(got(51L)._1 == 0L && got(51L)._2 >= 1L && !got(51L)._3,
+      s"the paraphrase drops on the semantic eye alone: $got")
+    assert(got(52L) == ((0L, 0L, true)), s"clean doc keeps: $got")
+    assert(got(53L)._1 == L && got(53L)._2 == 0L && !got(53L)._3,
+      s"a null-embedding doc keeps its gram verdict: $got")
+
+    // committed replay skips; the partition survives
+    assert(!DeconGate.gateCombinedBatch(
+      b0.toDF("doc_id", "text", "embedding"), evText, evEmb, ctl,
+      "decongate_comb", outDir, batchId = 0L))
+    assert(spark.read.parquet(s"$outDir/batch=0").count() == 4)
+    ctl.close()
+  }
+
   test("combined gate: gram and semantic faces catch disjoint leaks; keep = clean under both") {
     val rnd = new scala.util.Random(31)
     val base = Array.fill(16)(rnd.nextGaussian())
