@@ -308,6 +308,26 @@ object PipelineDemo {
     graft.core.Caches.releaseAll()
     println(s"[demo] semantic decon gate: ${semOut.mkString(",")}")
 
+    // ...and the COMPOSED verdict (r14, q196's kernel): one relation,
+    // both eyes' evidence, keep = clean under both — doc 50 drops on
+    // grams alone, 51 on the embedding alone, 52 keeps.
+    val combOut = graft.streaming.DeconGate.flagCombined(
+      Seq((50L, "stolen text " + passage),
+        (51L, "a fully paraphrased benchmark with no shared runs at all"),
+        (52L, "original and clean training content through and through"))
+        .toDF("doc_id", "text"),
+      evalSuite,
+      Seq((50L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq),
+        (51L, base.map(x => (x - 0.01).toFloat).toSeq),
+        (52L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+        .toDF("vec_id", "embedding"),
+      Seq((90L, base.map(_.toFloat).toSeq)).toDF("vec_id", "embedding"),
+      tau = 0.9)
+      .collect().sortBy(_.getLong(0))
+      .map(r => s"${r.getLong(0)}:keep=${r.getBoolean(4)}")
+    graft.core.Caches.releaseAll()
+    println(s"[demo] combined decon verdict: ${combOut.mkString(",")}")
+
     spark.stop()
     println("[demo] DONE")
   }

@@ -166,4 +166,37 @@ class TrainedCodebookSpec extends SparkSpec {
       graft.core.Caches.releaseAll()
     }
   }
+
+  test("scaled-PQ store built with a trained codebook serves the q195 kernel end-to-end") {
+    val corpus = df(aSeeds ++ mass ++ Seq(v101) ++ queries)
+    val dir = tmpDir("pqstore_trained")
+    VectorIndexStore.buildPqScaled(corpus, dir, trained = true)
+    graft.core.Caches.releaseAll()
+    spark.conf.set(VectorIndexStore.DirKey, dir)
+    try {
+      val opened = VectorIndexStore.openFreshPqScaled(corpus)
+      assert(opened.isDefined, "trained scaled-PQ store must be fresh for its own corpus")
+      val k = SimilarityQueries.scaledK(corpus)
+      assert(opened.get._1 == SimilarityQueries.scaledCodebookTrained(corpus, k),
+        "the stored coarse codebook must be the trained artifact")
+      // stored artifacts ≡ the direct derivation with the SAME trained
+      // codebook (PQ codebooks and every code survive the roundtrip) —
+      // which is exactly what makes the served q195 kernel correct
+      def codeSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "bkt", "sub", "code").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+      val (_, pqCents, codes) = SimilarityQueries
+        .pqScaledIndexArtifactsWith(corpus, opened.get._1)
+      assert(opened.get._2 == pqCents,
+        "stored PQ codebooks must equal the trained derivation")
+      assert(codeSet(opened.get._3) == codeSet(codes),
+        "stored codes must equal the trained derivation")
+      // and the serving kernel runs end-to-end through the store
+      val viaStore = SimilarityQueries.ivfPqScaledOn(corpus)
+      assert(viaStore.count() > 0)
+    } finally {
+      spark.conf.unset(VectorIndexStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
 }
