@@ -1607,8 +1607,11 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_matches"),
         countDistinct("doc_id").as("n_train_flagged"),
         countDistinct("eval_doc").as("n_eval_hit"))
+    // agg is ≤ |grid| rows BY CONSTRUCTION (groupBy on the exploded
+    // grid column) — broadcast it explicitly rather than leaving a
+    // 6-row relation to a static sort-merge plan.
     spark.createDataFrame(SemTauGrid.map(Tuple1(_))).toDF("tau")
-      .join(agg, Seq("tau"), "left")
+      .join(broadcast(agg), Seq("tau"), "left")
       .select(col("tau"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("n_train_flagged"), lit(0L)).as("n_train_flagged"),
