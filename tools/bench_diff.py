@@ -152,7 +152,12 @@ def drift_of(qo: dict, qn: dict) -> float:
     shared entry estimates the machine-state component (a real
     regression moves one entry, not the median), and flags use the
     drift-CORRECTED ratio. Needs >=8 comparable entries (>=0.5 s both
-    sides) to be meaningful; returns 1.0 otherwise."""
+    sides) to be meaningful; returns 1.0 otherwise.
+
+    Blind spot, by design: a code change that slowed EVERY query by the
+    same factor would be read as machine drift. The headline total (and
+    the suite-wide 2x envelope the judge applies to it) still catches
+    that case — the correction only governs per-query flags."""
     ratios = sorted(qn[k] / qo[k] for k in set(qo) & set(qn)
                     if qo[k] >= 0.5 and qn[k] >= 0.5)
     if len(ratios) < 8:
