@@ -549,4 +549,36 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"per-day distinct must partial-aggregate map-side:\n$p")
   }
+
+  test("q193: the per-source curve's keys are hashed and the source tag rides the explode — no join back onto positions") {
+    val p = plan(SubstringDedup.q193NoveltyBySourceFast(spark, Dir))
+    assert(p.contains("xxhash64"), s"gram keys must be hashed in the plan:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"the (source, day, gram) distinct must partial-aggregate map-side:\n$p")
+    assert(!p.contains("SortMergeJoin") || "SortMergeJoin".r.findAllIn(p).size <= 1,
+      s"only the corpus-sized first-day join may merge-join — nothing else:\n$p")
+  }
+
+  test("q195: scaled IVF-PQ scoring joins are all broadcast — codes never shuffle for them") {
+    val df = SimilarityQueries.q195IvfPqScaled(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4,
+      s"probes, PQ centroids, query subvectors, and the refine fetch must all broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the compressed serving path must never shuffle or pair-product the codes:\n$p")
+    graft.core.Caches.releaseAll()
+  }
+
+  test("q197: the media decon band join broadcasts the eval side — never a cartesian over hashes") {
+    val df = MediaQueries.q197MediaDecon(spark, Dir)
+    df.count() // settle AQE
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"the banded eval side must broadcast into candidates AND the id expand:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must make the candidate join an equi-join:\n$p")
+    graft.core.Caches.releaseAll()
+  }
 }
