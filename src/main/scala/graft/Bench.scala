@@ -569,7 +569,7 @@ object Bench {
     val pqScaledProbe = if (!extraOn("xpk")) 0.0 else try {
       val e = graft.core.Tables(spark, sfDir, "embeddings")
       val dirPk = s"$scratch/pqstore_scaled"
-      graft.sources.VectorIndexStore.buildPqScaled(e, dirPk)
+      graft.sources.VectorIndexStore.buildPqScaled(e, e, dirPk)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirPk)
       try {

@@ -822,8 +822,10 @@ object SimilarityQueries {
     * and encoding run over. Callers persist it. */
   private[operators] def pqSubvectors(e0: DataFrame): DataFrame = {
     val e = e0.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val d = e.select(size(col("v"))).head.getInt(0) // schema-fixed dim, 1-row probe
-    val w = d / PqSubspaces
+    val hd = e.select(size(col("v"))).head(1) // schema-fixed dim, 1-row probe
+    if (hd.isEmpty) // empty relation: typed empty output, never a crash
+      return e.select(col("vec_id"), lit(0).as("sub"), col("v").as("sv"))
+    val w = hd(0).getInt(0) / PqSubspaces
     e.select(col("vec_id"), posexplode(
         array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
       .select(col("vec_id"), col("pos").as("sub"), col("col").as("sv"))
@@ -1004,8 +1006,11 @@ object SimilarityQueries {
       .withColumn("__c", topCentroids(centroidScores(col("embedding"), coarse), 1))
       .select(col("vec_id"), (-col("__c.negid")).as("bkt"),
         col("embedding").cast("array<double>").as("v"))
-    val d0 = e.select(size(col("v"))).head.getInt(0)
-    val w = d0 / PqSubspaces
+    val hd = e.select(size(col("v"))).head(1)
+    if (hd.isEmpty) // empty day: typed empty output, never a crash
+      return e.select(col("vec_id"), col("bkt"),
+        lit(0).as("sub"), lit(null).cast("long").as("code"))
+    val w = hd(0).getInt(0) / PqSubspaces
     e.select(col("vec_id"), col("bkt"), posexplode(
         array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
       .select(col("vec_id"), col("bkt"), col("pos").as("sub"),
@@ -1174,8 +1179,15 @@ object SimilarityQueries {
       "embedding", "nv", Seq("vec_id", "v"))
       .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
       .select(col("vec_id"), (-col("__s.negid")).as("bkt"), col("v"))
-    val d0 = e.select(size(col("v"))).head.getInt(0)
-    val w = d0 / PqSubspaces
+    // An EMPTY batch has no row to probe the dimension from — serve the
+    // typed empty relation instead of crashing `.head` (review r14
+    // finding 3: an empty ingest day must advance like every sibling
+    // store's, not leave the day half-retired).
+    val hd = e.select(size(col("v"))).head(1)
+    if (hd.isEmpty)
+      return e.select(col("vec_id"), col("bkt"),
+        lit(0).as("sub"), col("v").as("sv"))
+    val w = hd(0).getInt(0) / PqSubspaces
     e.select(col("vec_id"), col("bkt"), posexplode(
         array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
       .select(col("vec_id"), col("bkt"), col("pos").as("sub"), col("col").as("sv"))
@@ -1219,8 +1231,11 @@ object SimilarityQueries {
     // Store-or-inline, the q82/q88 contract: a configured-and-fresh
     // scaled PQ face supplies all three artifacts and the assignment +
     // training + encode passes are skipped entirely. Stale ⇒ inline.
+    // e0 serves as BOTH halves of the two-relation freshness contract
+    // here (q195 indexes its whole corpus); a maintenance caller opens
+    // with its build-time codebook corpus and the grown index instead.
     val (cents, pqCents, codes) =
-      graft.sources.VectorIndexStore.openFreshPqScaled(e0)
+      graft.sources.VectorIndexStore.openFreshPqScaled(e0, e0)
         .getOrElse(pqScaledIndexArtifacts(e0))
     val centDf = pqCents.toSeq
       .flatMap { case (sub, cs) => cs.map { case (cid, cv) => (sub, cid, cv) } }

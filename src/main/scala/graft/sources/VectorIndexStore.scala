@@ -172,11 +172,7 @@ object VectorIndexStore {
   /** The stored PQ codebooks — m × k' driver rows. */
   def storedPqCodebook(spark: SparkSession, dir: String)
       : Map[Int, Seq[(Long, Seq[Double])]] =
-    spark.read.parquet(s"$dir/pq_codebook")
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-      .groupBy(_._1).map { case (sub, rs) =>
-        sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq
-      }
+    storedPqCodebookAt(spark, s"$dir/pq_codebook")
 
   /** Append one day of PQ codes, encoded against BOTH frozen
     * codebooks. Idempotent per day (retire-then-rewrite). */
@@ -337,13 +333,17 @@ object VectorIndexStore {
       // over the offered corpus) — re-deriving the codebook would mean
       // re-running the k-means job for a trained store. Pre-meta stores
       // (no codebook_meta_scaled) fall back to the first-K comparison.
-      val cbFresh =
+      // Evaluated ONLY when untrusted (TrustKey skips both scans —
+      // review r14 finding 2: an eager digestOf here was exactly the
+      // per-open corpus pass the trust lever exists to avoid).
+      val cbFresh = trusted || {
         if (fs(spark, dir).exists(new Path(s"$dir/codebook_meta_scaled"))) {
           val m = spark.read.parquet(s"$dir/codebook_meta_scaled").head()
           (m.getLong(0), m.getLong(1)) == digestOf(corpus)
         } else graft.operators.SimilarityQueries.scaledCodebook(
           corpus, graft.operators.SimilarityQueries.scaledK(corpus)) == cents
-      if (!trusted && !cbFresh) {
+      }
+      if (!cbFresh) {
         System.err.println(s"[vectorstore] $dir scaled codebook differs from this corpus's — assigning inline")
         return None
       }
@@ -376,40 +376,50 @@ object VectorIndexStore {
     * face's: a build-time corpus digest for the codebooks (one hash
     * pass on open — no retraining to verify a trained codebook) plus
     * XOR-composed day digests for the codes. */
-  def buildPqScaled(corpus: DataFrame, dir: String, day: Int = 0,
-      trained: Boolean = false): Unit = {
+  def buildPqScaled(corpus: DataFrame, indexRel: DataFrame, dir: String,
+      day: Int = 0, trained: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val f = fs(spark, dir)
     Seq("codebook_pqs", "pq_codebook_pqs", "codes_pqs", "meta_pqs",
       "codebook_meta_pqs")
       .foreach(p => f.delete(new Path(s"$dir/$p"), true): Unit)
-    val pinned = corpus.persist()
+    val pinnedC = corpus.persist()
+    val pinnedI = indexRel.persist()
     try {
       val sq = graft.operators.SimilarityQueries
-      val k = sq.scaledK(pinned)
+      val k = sq.scaledK(pinnedC)
       val cents =
-        if (trained) sq.scaledCodebookTrained(pinned, k)
-        else sq.scaledCodebook(pinned, k)
+        if (trained) sq.scaledCodebookTrained(pinnedC, k)
+        else sq.scaledCodebook(pinnedC, k)
       spark.createDataFrame(cents.zipWithIndex.map { case (cv, i) => (i.toLong, cv) })
         .toDF("c_id", "cv")
         .coalesce(1).write.parquet(s"$dir/codebook_pqs")
-      // PQ codebooks train on the corpus's subvectors exactly like the
-      // inline derivation — same math, so store ≡ inline byte-exact.
-      val (_, pqCents, codes) = sq.pqScaledIndexArtifactsWith(pinned, cents)
+      // Codebooks (coarse AND PQ) train on the CORPUS — the model
+      // artifacts advance-days stay valid against (the buildScaled
+      // two-relation contract: the codebook source is keyed separately
+      // from the indexed data, so daily advances/retires of the code
+      // set never read stale just because the code set changed —
+      // review r14 finding 1).
+      val (_, pqCents, _) = sq.pqScaledIndexArtifactsWith(pinnedC, cents)
       pqCents.toSeq.flatMap { case (sub, cs) =>
         cs.map { case (cid, cv) => (sub, cid, cv) }
       }.toDF("sub", "cid", "cv")
         .coalesce(1).write.parquet(s"$dir/pq_codebook_pqs")
-      codes.withColumn("day", lit(day))
+      sq.pqEncodeScaledWith(pinnedI, cents, pqCents)
+        .withColumn("day", lit(day))
         .write.partitionBy("day").parquet(s"$dir/codes_pqs")
-      val (n, dg) = digestOf(pinned)
-      spark.createDataFrame(Seq((n, dg, trained)))
+      val (cn, cdg) = digestOf(pinnedC)
+      spark.createDataFrame(Seq((cn, cdg, trained)))
         .toDF("n_vecs", "digest", "trained")
         .coalesce(1).write.parquet(s"$dir/codebook_meta_pqs")
+      val (n, dg) = digestOf(pinnedI)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
         .coalesce(1).write.parquet(s"$dir/meta_pqs")
-    } finally pinned.unpersist(blocking = false): Unit
+    } finally {
+      pinnedC.unpersist(blocking = false): Unit
+      pinnedI.unpersist(blocking = false): Unit
+    }
   }
 
   /** The stored scaled coarse codebook — ⌈√N⌉ driver rows. */
@@ -423,11 +433,7 @@ object VectorIndexStore {
   def advanceDayPqScaled(batch: DataFrame, dir: String, day: Int): Unit = {
     val spark = batch.sparkSession
     val cents = storedPqScaledCodebook(spark, dir)
-    val pqCents = spark.read.parquet(s"$dir/pq_codebook_pqs")
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-      .groupBy(_._1).map { case (sub, rs) =>
-        sub -> rs.sortBy(_._2).map(t => (t._2, t._3)).toSeq
-      }
+    val pqCents = storedPqCodebookAt(spark, s"$dir/pq_codebook_pqs")
     retireDayPqScaled(spark, dir, day)
     val pinned = batch.persist()
     try {
@@ -455,10 +461,16 @@ object VectorIndexStore {
   }
 
   /** The stored (scaled codebook, PQ codebooks, codes) IF configured
-    * and fresh for this exact corpus: the build-time codebook digest
-    * AND the XOR-composed day digests must both equal the offered
-    * corpus's. Only live-meta day partitions are read. */
-  def openFreshPqScaled(corpus: DataFrame)
+    * and fresh for this exact (codebook corpus, indexed data) pair —
+    * the [[openFreshScaled]] two-relation contract: the build-time
+    * codebook digest must equal the OFFERED codebook corpus's (so a
+    * grown/mutated training corpus forces the Faiss retrain event,
+    * with no retraining needed to check), and the XOR-composed day
+    * digests must equal the offered INDEX relation's (so daily
+    * advances and takedowns stay servable — the codes changing is
+    * maintenance, not staleness). Only live-meta day partitions are
+    * read. */
+  def openFreshPqScaled(corpus: DataFrame, idxRel: DataFrame)
       : Option[(Seq[Seq[Double]], Map[Int, Seq[(Long, Seq[Double])]], DataFrame)] = {
     val spark = corpus.sparkSession
     val dir = spark.conf.get(DirKey, "")
@@ -466,15 +478,16 @@ object VectorIndexStore {
     try {
       val cents = storedPqScaledCodebook(spark, dir)
       val trusted = spark.conf.get(TrustKey, "false").toBoolean
-      val offered = if (trusted) (0L, 0L) else digestOf(corpus)
-      val cb = spark.read.parquet(s"$dir/codebook_meta_pqs").head()
-      if (!trusted && (cb.getLong(0), cb.getLong(1)) != offered) {
-        System.err.println(s"[vectorstore] $dir scaled-PQ codebook predates this corpus — deriving inline")
-        return None
+      if (!trusted) {
+        val cb = spark.read.parquet(s"$dir/codebook_meta_pqs").head()
+        if ((cb.getLong(0), cb.getLong(1)) != digestOf(corpus)) {
+          System.err.println(s"[vectorstore] $dir scaled-PQ codebook predates this corpus — deriving inline")
+          return None
+        }
       }
       val (days, stored) = liveMeta(spark, s"$dir/meta_pqs")
-      if (!trusted && offered != stored) {
-        System.err.println(s"[vectorstore] $dir scaled-PQ codes are stale for this corpus — deriving inline")
+      if (!trusted && digestOf(idxRel) != stored) {
+        System.err.println(s"[vectorstore] $dir scaled-PQ codes are stale for this index — deriving inline")
         None
       } else if (days.isEmpty) {
         Some((cents, storedPqCodebookAt(spark, s"$dir/pq_codebook_pqs"),

@@ -170,11 +170,11 @@ class TrainedCodebookSpec extends SparkSpec {
   test("scaled-PQ store built with a trained codebook serves the q195 kernel end-to-end") {
     val corpus = df(aSeeds ++ mass ++ Seq(v101) ++ queries)
     val dir = tmpDir("pqstore_trained")
-    VectorIndexStore.buildPqScaled(corpus, dir, trained = true)
+    VectorIndexStore.buildPqScaled(corpus, corpus, dir, trained = true)
     graft.core.Caches.releaseAll()
     spark.conf.set(VectorIndexStore.DirKey, dir)
     try {
-      val opened = VectorIndexStore.openFreshPqScaled(corpus)
+      val opened = VectorIndexStore.openFreshPqScaled(corpus, corpus)
       assert(opened.isDefined, "trained scaled-PQ store must be fresh for its own corpus")
       val k = SimilarityQueries.scaledK(corpus)
       assert(opened.get._1 == SimilarityQueries.scaledCodebookTrained(corpus, k),

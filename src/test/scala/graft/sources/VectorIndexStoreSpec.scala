@@ -232,10 +232,10 @@ class VectorIndexStoreSpec extends SparkSpec {
       .map(_.toString).toSet
     graft.core.Caches.releaseAll()
     val dir = tmpDir("pqstore_scaled")
-    VectorIndexStore.buildPqScaled(e, dir)
+    VectorIndexStore.buildPqScaled(e, e, dir)
     spark.conf.set(VectorIndexStore.DirKey, dir)
     try {
-      assert(VectorIndexStore.openFreshPqScaled(e).isDefined,
+      assert(VectorIndexStore.openFreshPqScaled(e, e).isDefined,
         "scaled-PQ store must be fresh for its own corpus")
       val stored = SimilarityQueries.q195IvfPqScaled(spark, sf0001).collect()
         .map(_.toString).toSet
@@ -246,24 +246,49 @@ class VectorIndexStoreSpec extends SparkSpec {
       // two-day advance against BOTH frozen codebooks ≡ the one-shot
       // build (codebooks from the FULL corpus, then day replacement)
       val dir2 = tmpDir("pqstore_scaled_incr")
-      VectorIndexStore.buildPqScaled(e, dir2, day = 0)
+      VectorIndexStore.buildPqScaled(e, e, dir2, day = 0)
       VectorIndexStore.retireDayPqScaled(spark, dir2, 0)
       VectorIndexStore.advanceDayPqScaled(e.where(col("vec_id") % 2 === 1), dir2, day = 1)
       VectorIndexStore.advanceDayPqScaled(e.where(col("vec_id") % 2 === 0), dir2, day = 2)
       spark.conf.set(VectorIndexStore.DirKey, dir2)
-      assert(VectorIndexStore.openFreshPqScaled(e).isDefined,
+      assert(VectorIndexStore.openFreshPqScaled(e, e).isDefined,
         "XOR-composed scaled-PQ day digests must cover the union")
       val incr = SimilarityQueries.q195IvfPqScaled(spark, sf0001).collect()
         .map(_.toString).toSet
       graft.core.Caches.releaseAll()
       assert(incr == inline, "incremental scaled-PQ days must serve the same index")
 
+      // MAINTENANCE stays servable (review r14 finding 1): a day of NEW
+      // vectors advances against the frozen codebooks, and a reader
+      // offering (build corpus, grown index) reads FRESH — the codes
+      // changing is maintenance, not staleness — while the grown index
+      // offered as the codebook corpus reads stale (the retrain event).
+      val newDay = e.withColumn("vec_id", col("vec_id") + 500000L)
+      VectorIndexStore.advanceDayPqScaled(newDay, dir2, day = 3)
+      val grown = e.unionByName(newDay)
+      val grownOpen = VectorIndexStore.openFreshPqScaled(e, grown)
+      assert(grownOpen.isDefined,
+        "an advanced day of new vectors must stay servable against the build corpus")
+      assert(grownOpen.get._3.select("vec_id").distinct().count() == 2 * e.count(),
+        "the served codes must cover the grown index")
+      assert(VectorIndexStore.openFreshPqScaled(grown, grown).isEmpty,
+        "a grown CODEBOOK corpus must read stale (forcing the retrain)")
+      VectorIndexStore.retireDayPqScaled(spark, dir2, 3)
+      assert(VectorIndexStore.openFreshPqScaled(e, e).isDefined,
+        "takedown of the advanced day restores freshness for the original index")
+      // an EMPTY ingest day advances like every sibling store's —
+      // no crash, zero digest contribution, store still fresh
+      VectorIndexStore.advanceDayPqScaled(e.where(lit(false)), dir2, day = 4)
+      assert(VectorIndexStore.openFreshPqScaled(e, e).isDefined,
+        "an empty advanced day must not unfreshen or crash the store")
+      graft.core.Caches.releaseAll()
+
       // stale: a mutated corpus digests differently on BOTH checks
       val mutated = e.withColumn("embedding",
         when(col("vec_id") === 21L,
           transform(col("embedding"), x => x * lit(2.0f)))
           .otherwise(col("embedding")))
-      assert(VectorIndexStore.openFreshPqScaled(mutated).isEmpty,
+      assert(VectorIndexStore.openFreshPqScaled(mutated, mutated).isEmpty,
         "digest must catch corpus mutation")
     } finally {
       spark.conf.unset(VectorIndexStore.DirKey)

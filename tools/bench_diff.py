@@ -119,6 +119,7 @@ X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xvg": "x_videoseg_store",
            "xvs": "x_vectorstore_probe", "xpq": "x_pqstore_topk",
            "xsk": "x_scaled_index_probe",
+           "xpk": "x_pqstore_scaled", "xsd": "x_semdecon_gate",
            "xprt": "x_pagerank_tol"}
 
 
