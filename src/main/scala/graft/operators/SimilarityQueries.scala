@@ -1608,7 +1608,15 @@ object SimilarityQueries {
     * already bounded (bucket-candidate pairs), so the sweep is a
     * 6×-explode of a bounded relation plus one aggregate — the
     * threshold never re-runs the candidate join. Oracle-green rollup
-    * of q185's relation at the floor τ. */
+    * of q185's relation at the floor τ.
+    *
+    * Grid rows count `round(sim, 6) >= τ` ([[semanticDeconOn]] emits
+    * the 6-dp rounded similarity; the oracle rounds identically, so
+    * parity is exact) — a boundary pair at c = τ − ε, ε < 5e-7 is
+    * counted here but not by q185's unrounded `c >= τ` verdict, so
+    * the operating-τ row can exceed q185's volume by such pairs. The
+    * report reads as "matches at 6-dp precision", which is what a
+    * governance sweep wants; the gate itself stays unrounded. */
   def q194SemTauSensitivity(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val m = semanticDeconOn(

@@ -961,7 +961,8 @@ object SubstringDedup {
     * bytes through two distincts and the corpus-wide first-day join.
     * Rows-only (collisions put it outside the oracle's exactness
     * contract); SubstringDedupSpec pins curve parity with oracle-green
-    * q192 at two SFs and the xns/q192 bench pair prices the key move. */
+    * q192 at two SFs and the q192/q193 suite entries price the key
+    * move (r14: 5.2 s vs 3.4 s at sf0.1, saving grows with corpus). */
   def q193NoveltyBySourceFast(spark: SparkSession, dir: String): DataFrame =
     noveltyBySourceOn(docs(spark, dir), hashedKeys = true)
 

@@ -384,8 +384,16 @@ object VectorIndexStore {
     Seq("codebook_pqs", "pq_codebook_pqs", "codes_pqs", "meta_pqs",
       "codebook_meta_pqs")
       .foreach(p => f.delete(new Path(s"$dir/$p"), true): Unit)
+    // The common build indexes the codebook corpus itself (Bench xpk,
+    // q195's specs) — in that case the artifacts' codes ARE the index
+    // codes, and re-encoding pinnedI would run the N·√N coarse
+    // assignment + subvector explode a second time over a distinct
+    // persisted plan (ADVICE r14). Reference equality is the honest
+    // test: value-equal but distinct plans still need their own encode
+    // because nothing ties their row sets together until the digests.
+    val same = corpus eq indexRel
     val pinnedC = corpus.persist()
-    val pinnedI = indexRel.persist()
+    val pinnedI = if (same) pinnedC else indexRel.persist()
     try {
       val sq = graft.operators.SimilarityQueries
       val k = sq.scaledK(pinnedC)
@@ -401,13 +409,15 @@ object VectorIndexStore {
       // from the indexed data, so daily advances/retires of the code
       // set never read stale just because the code set changed —
       // review r14 finding 1).
-      val (_, pqCents, _) = sq.pqScaledIndexArtifactsWith(pinnedC, cents)
+      val (_, pqCents, corpusCodes) = sq.pqScaledIndexArtifactsWith(pinnedC, cents)
       pqCents.toSeq.flatMap { case (sub, cs) =>
         cs.map { case (cid, cv) => (sub, cid, cv) }
       }.toDF("sub", "cid", "cv")
         .coalesce(1).write.parquet(s"$dir/pq_codebook_pqs")
-      sq.pqEncodeScaledWith(pinnedI, cents, pqCents)
-        .withColumn("day", lit(day))
+      val codes =
+        if (same) corpusCodes
+        else sq.pqEncodeScaledWith(pinnedI, cents, pqCents)
+      codes.withColumn("day", lit(day))
         .write.partitionBy("day").parquet(s"$dir/codes_pqs")
       val (cn, cdg) = digestOf(pinnedC)
       spark.createDataFrame(Seq((cn, cdg, trained)))
@@ -418,7 +428,7 @@ object VectorIndexStore {
         .coalesce(1).write.parquet(s"$dir/meta_pqs")
     } finally {
       pinnedC.unpersist(blocking = false): Unit
-      pinnedI.unpersist(blocking = false): Unit
+      if (!same) pinnedI.unpersist(blocking = false): Unit
     }
   }
 
