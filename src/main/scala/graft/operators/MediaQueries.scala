@@ -326,16 +326,65 @@ object MediaQueries {
     * BROADCASTS it into the band join — the train corpus is decoded
     * and hashed once, never shuffled (q185's eval-broadcast argument,
     * modality three). A takedown of eval images retires through
-    * [[graft.sources.MediaHashStore]] exactly as dedup's do. */
+    * [[graft.sources.MediaHashStore]] exactly as dedup's do.
+    *
+    * Store-or-inline (r15, the q82/q195 dispatch): a configured-and-
+    * fresh [[graft.sources.MediaHashStore]] sourced face serves the
+    * TRAIN corpus's day-partitioned hashes, so the corpus decode — the
+    * media tier's dominant cost, and at 100 TB the one you never re-run
+    * per suite edit — is paid at ingest, not per probe. Freshness is
+    * one xxhash64 scan of the offered captions (decode-free by
+    * construction); stale/missing ⇒ inline, cost never a missed pair.
+    * The benchmark-sized eval side always renders inline (MBs — the
+    * suite is the thing that CHANGED when this query runs). The xmd
+    * bench pair prices the serve vs the inline suite entry. */
   def q197MediaDecon(spark: SparkSession, dir: String): DataFrame = {
     val docs = eligibleDocs(spark, dir)
       .select(col("doc_id").as("media_id"), col("text"))
-    val hashed = graft.core.Caches.persistTracked(
-      MediaDedup.hashImages(renderAll(docs)))
     MediaDedup.deconPairs(
-      hashed.filter(col("media_id") % 10 =!= 0),
-      hashed.filter(col("media_id") % 10 === 0), MaxHamming)
+      trainHashesOf(docs.filter(col("media_id") % 10 =!= 0)),
+      MediaDedup.hashImages(renderAll(docs.filter(col("media_id") % 10 === 0))),
+      MaxHamming)
       .orderBy("doc_id", "eval_doc")
+  }
+
+  /** The train side's hashes, store-served when fresh (see q197). */
+  private def trainHashesOf(train: DataFrame): DataFrame =
+    graft.sources.MediaHashStore.openFreshFor(train)
+      .getOrElse(MediaDedup.hashImages(renderAll(train)))
+
+  /** Q198: the THREE-EYE decontamination verdict — q196's composed
+    * gram + semantic relation extended with the media eye (VERDICT r14
+    * next-1b): one row per training doc, all three eyes' evidence
+    * (gram span mass; semantic hit count / strongest sim / witness;
+    * image hit count / MIN hamming / witness), and keep = clean under
+    * every eye that saw the doc. The ABSENCE rule carries: a doc too
+    * short to render an image ([[MinChars]]) — or, in a real lake, one
+    * with no image attachment — keeps its two-eye verdict, with the
+    * media columns at 0/null, never coalesced to a value that would
+    * read as a hamming-0 verbatim hit.
+    *
+    * Rows-only by composition: the gram + semantic half IS q196's
+    * oracle-green relation (ThreeEyeDeconSpec pins column-for-column
+    * equality), and the media half is q197's rows-only rollup (DuckDB
+    * cannot decode PNG; the same spec pins it against q197's pairs) —
+    * the per-protocol parity pins, not a weaker claim. Scale shape:
+    * the three audited kernels plus doc-keyed full-outer joins; the
+    * train corpus's image hashes ride the same
+    * [[graft.sources.MediaHashStore]] dispatch as q197, so the
+    * three-eye verdict re-decodes nothing when the store is fresh. */
+  def q198ThreeEyeDecon(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    val e = Tables(spark, dir, "embeddings")
+    val media = eligibleDocs(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    graft.streaming.DeconGate.flagThreeEye(
+      d.filter(col("doc_id") % 10 =!= 0),
+      d.filter(col("doc_id") % 10 === 0),
+      e.filter(col("vec_id") % 10 =!= 0),
+      e.filter(col("vec_id") % 10 === 0),
+      trainHashesOf(media.filter(col("media_id") % 10 =!= 0)),
+      MediaDedup.hashImages(renderAll(media.filter(col("media_id") % 10 === 0))))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -345,7 +394,8 @@ object MediaQueries {
     "q156_audio_audit" -> q156AudioAudit _,
     "q157_image_scrub" -> q157ImageScrub _,
     "q178_audio_neardup" -> q178AudioNearDup _,
-    "q197_media_decon" -> q197MediaDecon _)
+    "q197_media_decon" -> q197MediaDecon _,
+    "q198_three_eye_decon" -> q198ThreeEyeDecon _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,

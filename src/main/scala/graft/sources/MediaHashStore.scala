@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.util.control.NonFatal
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,9 +29,26 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <dir>/hashes/day=N/  (media_id, dhash)
   *   <dir>/meta/          (day, n_media, digest) one row per day
+  *   <dir>/source_meta/   (day, n_src, digest)   sourced face only
   * }}}
+  *
+  * '''The SOURCED face (r15).''' The decon probe (q197) is offered the
+  * train corpus's SOURCE relation, not its hashes — so a store-or-
+  * inline dispatch needs freshness the caller can verify WITHOUT the
+  * decode the store exists to amortize. [[buildSourced]]/
+  * [[advanceDaySourced]] persist, per day, a digest over the source
+  * rows the day's hashes were derived from; [[openFreshFor]] then
+  * verifies the offered source in one xxhash64 scan (no render, no
+  * decode) and serves the stored index. The source meta is the LAST
+  * write — the sourced face's commit point — so a crashed advance
+  * leaves its day invisible to [[openFreshFor]] (live-meta rule) and
+  * the replay's retire-then-rewrite converges.
   */
 object MediaHashStore {
+
+  /** Session conf: root dir of the store for the SOURCED decon face
+    * ([[openFreshFor]]). Unset (default) = no store, hash inline. */
+  val DirKey = "spark.graft.mediastore.dir"
 
   /** Session conf: skip [[open]]'s digest verification and trust the
     * store — the same deployment lever its siblings expose
@@ -92,18 +111,124 @@ object MediaHashStore {
   }
 
   /** Retire one day (takedown/expiry): drop its partition, XOR its
-    * digest out. After this [[open]] serves the index exactly as if
-    * that day had never been ingested — no decode, no rebuild. Safe on
-    * a torn store (no meta ⇒ partition drop only). */
+    * digest out of BOTH metas. After this [[open]]/[[openFreshFor]]
+    * serve the index exactly as if that day had never been ingested —
+    * no decode, no rebuild. Safe on a torn store (no meta ⇒ partition
+    * drop only). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/hashes/day=$day"), true): Unit
+    if (f.exists(new Path(s"$dir/source_meta"))) {
+      val keptS = spark.read.parquet(s"$dir/source_meta")
+        .where(col("day") =!= day).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      spark.createDataFrame(keptS).toDF("day", "n_src", "digest")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/source_meta")
+    }
     if (!f.exists(new Path(s"$dir/meta"))) return
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     spark.createDataFrame(kept).toDF("day", "n_media", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  // -------------------------------------------- sourced decon face
+  /** Order-independent digest of the SOURCE relation (media_id, text)
+    * a day's hashes were rendered/decoded from — what makes the decon
+    * dispatch's freshness check decode-free: one xxhash64 scan over
+    * the offered captions instead of re-rendering + re-hashing the
+    * images to compare. A real lake digests (media_id, content-etag)
+    * the same way — any cheap per-row key that changes when the
+    * payload does. */
+  def sourceDigestOf(source: DataFrame): (Long, Long) = {
+    val r = source.agg(
+      count(lit(1)).as("n"),
+      coalesce(call_function("bit_xor",
+        xxhash64(col("media_id"), col("text"))), lit(0L)).as("dg"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeSourceMeta(spark: SparkSession, dir: String, day: Int,
+      source: DataFrame, mode: String): Unit = {
+    val (n, dg) = sourceDigestOf(source)
+    spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_src", "digest")
+      .coalesce(1).write.mode(mode).parquet(s"$dir/source_meta")
+  }
+
+  /** Build a fresh SOURCED store: the hash index plus the day's source
+    * digest, so [[openFreshFor]] can verify freshness against the
+    * offered source relation without a single decode. `source` must be
+    * the exact (media_id, text) relation `hashed` was derived from. */
+  def buildSourced(source: DataFrame, hashed: DataFrame, dir: String,
+      day: Int = 0): Unit = {
+    val spark = hashed.sparkSession
+    fs(spark, dir).delete(new Path(dir), true): Unit
+    writeDay(spark, dir, day, hashed, "errorifexists")
+    // Source meta lands LAST — the sourced face's commit point.
+    writeSourceMeta(spark, dir, day, source, "errorifexists")
+  }
+
+  /** Append one ingest day with its source digest. Idempotent per day
+    * (unconditional retire-then-write, source meta last). */
+  def advanceDaySourced(source: DataFrame, hashedBatch: DataFrame,
+      dir: String, day: Int): Unit = {
+    val spark = hashedBatch.sparkSession
+    retireDay(spark, dir, day)
+    writeDay(spark, dir, day, hashedBatch, "append")
+    writeSourceMeta(spark, dir, day, source, "append")
+  }
+
+  /** The stored hash index IF [[DirKey]] is configured and the store
+    * is FRESH for the offered (media_id, text) source — the q82/q195
+    * store-or-inline dispatch for the media decon eye (q197).
+    * Freshness: the XOR-composed per-day source digests must equal the
+    * offered source's (one caption hash pass, zero decodes). Only days
+    * named in the source meta are read (it is the last write of every
+    * build/advance, so a crashed advance's orphan day is invisible
+    * here). Untrusted opens additionally verify the served hash rows
+    * against the hash meta — an integrity scan of 16-byte rows, still
+    * no decode; [[TrustKey]] skips both scans. None (a driver-log
+    * line, never an error) on key unset, unreadable store, or any
+    * mismatch — the fallback costs an inline re-decode, never a wrong
+    * or missing pair. */
+  def openFreshFor(source: DataFrame): Option[DataFrame] = {
+    val spark = source.sparkSession
+    val dir = spark.conf.get(DirKey, "")
+    if (dir.isEmpty) return None
+    try {
+      val rows = spark.read.parquet(s"$dir/source_meta").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val trusted = spark.conf.get(TrustKey, "false").toBoolean
+      if (!trusted) {
+        val composed = (rows.map(_._2).sum, rows.map(_._3).foldLeft(0L)(_ ^ _))
+        if (sourceDigestOf(source) != composed) {
+          System.err.println(s"[mediastore] $dir is stale for this source — hashing inline")
+          return None
+        }
+      }
+      val live = rows.filter(_._2 > 0L)
+      if (live.isEmpty) {
+        import spark.implicits._
+        return Some(Seq.empty[(Long, Long)].toDF("media_id", "dhash"))
+      }
+      val idx = spark.read.parquet(live.map(d => s"$dir/hashes/day=${d._1}"): _*)
+        .select("media_id", "dhash")
+      if (!trusted) {
+        val hm = spark.read.parquet(s"$dir/meta")
+          .where(col("day").isin(live.map(_._1): _*))
+          .agg(coalesce(sum("n_media"), lit(0L)),
+            coalesce(call_function("bit_xor", col("digest")), lit(0L))).head()
+        require(digestOf(idx) == ((hm.getLong(0), hm.getLong(1))),
+          s"media hash store $dir is torn: partition digest != meta digest")
+      }
+      Some(idx)
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[mediastore] $dir unusable (${e.getMessage}) — hashing inline")
+        None
+    }
   }
 
   /** The stored index across all live days, verified self-consistent

@@ -34,6 +34,19 @@ import graft.state.JdbcStateStore
   * Per micro-batch the cost is one batch-sized winnow + the matched
   * sliver's gram join (SCALE.md's q175 shape) — nothing scales with
   * the stored suite beyond the shared-fingerprint join.
+  *
+  * '''Verdict-schema evolution (upgrade note).''' r14 appended a
+  * trailing `witness_eval` column to [[flagSemantic]]/[[flagCombined]]
+  * (and r15 appends the media-eye columns to [[flagThreeEye]]'s
+  * output); a gate `outDir` written before an upgrade therefore mixes
+  * schemas across its `batch=` partitions. A whole-directory parquet
+  * read resolves the schema from one file unless asked to merge — the
+  * new column silently reads absent (or errors, file-order-dependent).
+  * Readers of a sink that straddles an upgrade must pass
+  * `spark.read.option("mergeSchema", "true")`, or the deployment
+  * starts a fresh `outDir` (+ sinkId) at upgrade — the exactly-once
+  * markers are per-sinkId, so a fresh sink re-gates history instead of
+  * mixing schemas. New sinks need nothing.
   */
 object DeconGate {
 
@@ -111,6 +124,71 @@ object DeconGate {
         (coalesce(col("gram_keep"), lit(true)) &&
           coalesce(col("sem_keep"), lit(true))).as("keep"),
         col("witness_eval"))
+  }
+
+  /** MEDIA verdict face (r15): the third eye — neither grams (verbatim
+    * text) nor embeddings (paraphrase) can see a benchmark's IMAGE
+    * re-crawled into the training set under a rewritten caption, so
+    * this face probes the batch's image HASHES against the eval
+    * suite's at Hamming ≤ `maxHamming` — the same kernel as batch q197
+    * ([[graft.multimodal.MediaDedup.deconPairs]]: pigeonhole-exact
+    * banding, eval side broadcast), so stream and batch can never
+    * disagree. Inputs are HASHED relations (media_id, dhash): hashing
+    * happens once at ingest (or reads
+    * [[graft.sources.MediaHashStore]]), and the gate never touches a
+    * payload byte. Per batch image: how many eval images it matches,
+    * the STRONGEST match (min hamming — 0 is a verbatim re-crawl), the
+    * smallest witnessing eval id, and `keep` = none. */
+  def flagMedia(batchHashes: DataFrame, evalHashes: DataFrame,
+      maxHamming: Int = graft.operators.MediaQueries.MaxHamming): DataFrame = {
+    val hits = graft.multimodal.MediaDedup
+      .deconPairs(batchHashes, evalHashes, maxHamming)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_image_hits"), min("hamming").as("min_hamming"),
+        min("eval_doc").as("witness_image"))
+    batchHashes.select(col("media_id").as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_image_hits"), lit(0L)).as("n_image_hits"),
+        col("min_hamming"),
+        (coalesce(col("n_image_hits"), lit(0L)) === 0L).as("keep"),
+        col("witness_image"))
+  }
+
+  /** The THREE-EYE verdict — [[flagCombined]]'s gram + semantic
+    * conjunction extended with the media eye (q198's kernel): one row
+    * per doc present in ANY input, all three eyes' evidence, and
+    * `keep` = clean under every eye that saw the doc. The absence rule
+    * is unchanged: a doc with no image (text-only, or its payload not
+    * yet hashed) KEEPS its two-eye verdict — absence of evidence is
+    * not contamination — and `min_hamming`/`witness_image` stay null
+    * rather than coalescing to a value that would read as a hamming-0
+    * verbatim hit.
+    *
+    * Scale shape: the three kernels' own audited shapes (each eval
+    * side broadcast; each corpus scanned once) plus doc-keyed
+    * full-outer joins of train-sized verdict relations — composing
+    * eyes never re-runs an eye. */
+  def flagThreeEye(batch: DataFrame, evalRel: DataFrame,
+      batchEmb: DataFrame, evalEmb: DataFrame,
+      batchImg: DataFrame, evalImg: DataFrame,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
+      maxHamming: Int = graft.operators.MediaQueries.MaxHamming): DataFrame = {
+    val two = flagCombined(batch, evalRel, batchEmb, evalEmb, tau)
+      .select(col("doc_id"), col("contam_chars"), col("n_eval_hits"),
+        col("max_eval_sim"), col("keep").as("two_keep"), col("witness_eval"))
+    val m = flagMedia(batchImg, evalImg, maxHamming)
+      .select(col("doc_id"), col("n_image_hits"), col("min_hamming"),
+        col("keep").as("img_keep"), col("witness_image"))
+    two.join(m, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+        coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+        coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"),
+        coalesce(col("n_image_hits"), lit(0L)).as("n_image_hits"),
+        col("min_hamming"),
+        (coalesce(col("two_keep"), lit(true)) &&
+          coalesce(col("img_keep"), lit(true))).as("keep"),
+        col("witness_eval"), col("witness_image"))
   }
 
   /** Gate one micro-batch exactly once into `outDir/batch=<id>`;

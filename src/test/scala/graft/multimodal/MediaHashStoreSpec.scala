@@ -93,6 +93,106 @@ class MediaHashStoreSpec extends SparkSpec {
     assert(probePairs(idx).isEmpty)
   }
 
+  test("sourced face: openFreshFor serves on a caption-digest match, reads stale on source drift, and ignores orphan days") {
+    import spark.implicits._
+    val src0 = Seq(
+      (10L, "a red barn beside a quiet country road at dawn with mist"),
+      (11L, "an entirely unrelated picture of machinery in a factory hall"))
+    val src1 = Seq(
+      (20L, "a small boat crossing a calm lake under an overcast sky"))
+    def sdf(rows: Seq[(Long, String)]) = rows.toDF("media_id", "text")
+    val dir = tmpDir("mediastore_sourced")
+    MediaHashStore.buildSourced(sdf(src0), hashed(src0: _*), dir, day = 0)
+    MediaHashStore.advanceDaySourced(sdf(src1), hashed(src1: _*), dir, day = 1)
+    spark.conf.set(MediaHashStore.DirKey, dir)
+    try {
+      // fresh for the exact union source, byte-identical hashes served
+      val served = MediaHashStore.openFreshFor(sdf(src0 ++ src1))
+      assert(served.isDefined, "store must be fresh for its own source days")
+      val inline = hashed((src0 ++ src1): _*).collect().map(_.toString).toSet
+      assert(served.get.collect().map(_.toString).toSet == inline,
+        "served hashes must equal the inline render+hash, zero decodes paid")
+
+      // one edited caption → digest drift → inline fallback, never a
+      // stale pair
+      val drifted = src0.updated(0, (10L, "a red barn EDITED at dusk")) ++ src1
+      assert(MediaHashStore.openFreshFor(sdf(drifted)).isEmpty,
+        "an edited caption must read stale")
+      // …unless explicitly trusted (the external-integrity lever)
+      spark.conf.set(MediaHashStore.TrustKey, "true")
+      try assert(MediaHashStore.openFreshFor(sdf(drifted)).isDefined)
+      finally spark.conf.unset(MediaHashStore.TrustKey)
+
+      // a crashed advance (hashes/meta written, source meta NOT — the
+      // sourced face's commit point is the source meta) leaves an
+      // orphan day invisible: the pre-crash source still opens and the
+      // orphan rows are not served
+      hashed((30L, "yet another unrelated frame of dense city traffic at night"))
+        .withColumn("day", org.apache.spark.sql.functions.lit(9))
+        .write.partitionBy("day").mode("append").parquet(s"$dir/hashes")
+      val afterOrphan = MediaHashStore.openFreshFor(sdf(src0 ++ src1))
+      assert(afterOrphan.isDefined, "pre-crash source must still open")
+      assert(!afterOrphan.get.collect().exists(_.getLong(0) == 30L),
+        "the orphan day must not be served")
+      // the replayed advance converges: retire-then-write, then serve
+      MediaHashStore.advanceDaySourced(
+        sdf(Seq((30L, "caption thirty"))), hashed((30L, "caption thirty")), dir, day = 9)
+      val repaired = MediaHashStore.openFreshFor(
+        sdf(src0 ++ src1 ++ Seq((30L, "caption thirty"))))
+      assert(repaired.isDefined &&
+        repaired.get.collect().count(_.getLong(0) == 30L) == 1,
+        "a replayed advance must converge and serve the day exactly once")
+
+      // retire heals the source meta too: day 1's takedown serves day 0
+      // + 9 only, and the retired source reads stale
+      MediaHashStore.retireDay(spark, dir, day = 1)
+      assert(MediaHashStore.openFreshFor(
+        sdf(src0 ++ Seq((30L, "caption thirty")))).isDefined,
+        "post-takedown source must open without the retired day")
+      assert(MediaHashStore.openFreshFor(
+        sdf(src0 ++ src1 ++ Seq((30L, "caption thirty")))).isEmpty,
+        "the retired day's source must read stale")
+    } finally {
+      spark.conf.unset(MediaHashStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
+
+  test("q197 dispatches through the sourced store: served pairs equal inline; an unconfigured session hashes inline") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val inline = MediaQueries.q197MediaDecon(spark, sf).collect()
+      .map(_.toString).toSet
+    Caches.releaseAll()
+    // Build the sourced store from the exact train relation q197
+    // derives (eligible docs, train split) — a real deployment's
+    // ingest-time build.
+    val train = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .where(col("media_id") % 10 =!= 0)
+    import spark.implicits._
+    val trainHashes = MediaDedup.hashImages(
+      train.as[(Long, String)]
+        .map { case (id, t) => (id, MediaDedup.renderImage(t)) }
+        .toDF("media_id", "content"))
+    val dir = tmpDir("mediastore_q197")
+    MediaHashStore.buildSourced(train, trainHashes, dir)
+    Caches.releaseAll()
+    spark.conf.set(MediaHashStore.DirKey, dir)
+    try {
+      assert(MediaHashStore.openFreshFor(train).isDefined,
+        "the store must be fresh for q197's own train relation")
+      val served = MediaQueries.q197MediaDecon(spark, sf).collect()
+        .map(_.toString).toSet
+      assert(served == inline,
+        "q197 through the sourced store must equal the inline derivation")
+    } finally {
+      spark.conf.unset(MediaHashStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
+
   test("zero-meta with orphan day partitions is torn, not an empty index") {
     // A crashed advanceDay (hashes written, meta row not) after every
     // prior day was retired leaves a zero-sum meta over live data —

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Caches
+import graft.multimodal.MediaDedup
+import graft.streaming.DeconGate
+
+/** The three-eye decontamination verdict (q198): its gram + semantic
+  * half must BE q196's oracle-green relation column-for-column, its
+  * media columns must be q197's rows-only pair relation rolled up, and
+  * the absence rule must hold — a doc with no image keeps its two-eye
+  * verdict (the rows-only parity protocol: every non-SQL-expressible
+  * column pinned against its green or already-parity-pinned
+  * counterpart).
+  */
+class ThreeEyeDeconSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q198: two-eye columns ≡ q196; media columns ≡ q197 rolled up; no-image docs keep their two-eye verdict") {
+    val three = MediaQueries.q198ThreeEyeDecon(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))),
+        (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(8)) None else Some(r.getLong(8))),
+        r.getBoolean(6))).toMap
+    Caches.releaseAll()
+    val two = SubstringDedup.q196DeconVerdict(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))), r.getBoolean(4))).toMap
+    Caches.releaseAll()
+    val pairs = MediaQueries.q197MediaDecon(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caches.releaseAll()
+
+    // Same doc set: the media eye adds columns, never rows (eligible
+    // image docs are a subset of the documents train split).
+    assert(three.keySet == two.keySet,
+      s"three-eye and two-eye verdicts must cover the same docs " +
+        s"(only-three: ${(three.keySet -- two.keySet).take(5)}, " +
+        s"only-two: ${(two.keySet -- three.keySet).take(5)})")
+
+    // Eye 1+2: column-for-column equality with oracle-green q196.
+    three.foreach { case (doc, (twoCols, _, _)) =>
+      assert(twoCols == two(doc)._1,
+        s"doc $doc gram+semantic evidence must equal q196's: $twoCols vs ${two(doc)._1}")
+    }
+
+    // Eye 3: exactly q197's pair relation rolled up per train doc.
+    val rollup = pairs.groupBy(_._1).map { case (d, ps) =>
+      d -> ((ps.size.toLong, Some(ps.map(_._3).min), Some(ps.map(_._2).min)))
+    }
+    three.foreach { case (doc, (_, mediaCols, _)) =>
+      assert(mediaCols == rollup.getOrElse(doc, (0L, None, None)),
+        s"doc $doc media evidence must equal q197's rollup: $mediaCols vs ${rollup.get(doc)}")
+    }
+
+    // keep = two-eye keep ∧ media-clean; in particular every doc the
+    // media eye implicates and the other two eyes cleared flips.
+    three.foreach { case (doc, (_, (nImg, _, _), keep)) =>
+      assert(keep == (two(doc)._2 && nImg == 0L),
+        s"doc $doc keep must be the three-eye conjunction")
+    }
+
+    // Absence rule, on REAL absent-image docs: train docs too short to
+    // render (len < 50) carry no media evidence and keep their q196
+    // verdict — the fixture must actually contain some.
+    val noImage = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 10 =!= 0 && length(col("text")) < 50)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(noImage.nonEmpty, "fixture must contain train docs with no image")
+    noImage.foreach { doc =>
+      val (_, mediaCols, keep) = three(doc)
+      assert(mediaCols == ((0L, None, None)) && keep == two(doc)._2,
+        s"imageless doc $doc must keep its two-eye verdict untouched")
+    }
+  }
+
+  test("flagThreeEye: a benchmark image re-crawled under a rewritten caption drops on the media eye ALONE") {
+    val passage = "all rights reserved worldwide under the berne convention " +
+      "and no part of this publication may be reproduced without permission "
+    def filler(tag: String, n: Int): String =
+      Iterator.from(0).map(i => s"$tag$i ").take(n).mkString.take(n)
+        .dropRight(1) + tag.head
+    val rnd = new scala.util.Random(47)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val evCaption = "a benchmark photograph of a rare astronomical event over calm water"
+
+    val evText = Seq((90L, filler("ea", 35) + passage + filler("eb", 25)))
+      .toDF("doc_id", "text")
+    val evEmb = ((0 until 16).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)) :+
+      ((90L, base.map(_.toFloat).toSeq))).toDF("vec_id", "embedding")
+    val evImg = MediaDedup.hashImages(
+      Seq((90L, MediaDedup.renderImage(evCaption))).toDF("media_id", "content"))
+
+    // 60: clean text + clean embedding, but its IMAGE is the benchmark's
+    //     own (re-crawled, caption rewritten) — only the media eye sees it.
+    // 61: verbatim gram leak, NO image attachment — media columns must
+    //     stay 0/null and the gram verdict must stand.
+    // 62: clean under all three eyes, with its own unrelated image.
+    val batchText = Seq(
+      (60L, filler("dz", 130)),
+      (61L, filler("da", 50) + passage + filler("db", 30)),
+      (62L, filler("dy", 110))).toDF("doc_id", "text")
+    val batchEmb = Seq(
+      (60L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq),
+      (61L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq),
+      (62L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val batchImg = MediaDedup.hashImages(Seq(
+      (60L, MediaDedup.renderImage(evCaption)),
+      (62L, MediaDedup.renderImage("an entirely unrelated picture of dense machinery in a factory hall")))
+      .toDF("media_id", "content"))
+
+    val got = DeconGate.flagThreeEye(batchText, evText, batchEmb, evEmb,
+      batchImg, evImg, tau = 0.9).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6),
+        if (r.isNullAt(8)) None else Some(r.getLong(8))))).toMap
+    Caches.releaseAll()
+
+    val L = passage.length.toLong
+    assert(got(60L) == ((0L, 0L, 1L, Some(0L), false, Some(90L))),
+      s"the re-crawled image must drop doc 60 on the media eye alone (hamming 0, witness 90): ${got(60L)}")
+    assert(got(61L) == ((L, 0L, 0L, None, false, None)),
+      s"the imageless gram leak keeps its two-eye verdict, media columns absent: ${got(61L)}")
+    assert(got(62L) == ((0L, 0L, 0L, None, true, None)),
+      s"the clean doc keeps under all three eyes: ${got(62L)}")
+  }
+}
