@@ -328,6 +328,60 @@ object PipelineDemo {
     graft.core.Caches.releaseAll()
     println(s"[demo] combined decon verdict: ${combOut.mkString(",")}")
 
+    // ...and the THREE-EYE verdict (r15, q198's kernel): doc 60 is
+    // clean text + clean embedding, but its IMAGE is the benchmark's
+    // own, re-crawled under a rewritten caption — only the media eye
+    // (dHash over decoded pixels, hamming 0) sees it; doc 61 has no
+    // image and keeps its two-eye verdict (absence of evidence is not
+    // contamination).
+    val evCaption = "a benchmark photograph of a rare astronomical event"
+    val evImg = graft.multimodal.MediaDedup.hashImages(
+      Seq((90L, graft.multimodal.MediaDedup.renderImage(evCaption)))
+        .toDF("media_id", "content"))
+    val threeOut = graft.streaming.DeconGate.flagThreeEye(
+      Seq((60L, "original clean words through and through again"),
+        (61L, "more original clean words that never leak anything"))
+        .toDF("doc_id", "text"),
+      evalSuite,
+      Seq((60L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq),
+        (61L, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+        .toDF("vec_id", "embedding"),
+      Seq((90L, base.map(_.toFloat).toSeq)).toDF("vec_id", "embedding"),
+      graft.multimodal.MediaDedup.hashImages(
+        Seq((60L, graft.multimodal.MediaDedup.renderImage(evCaption)))
+          .toDF("media_id", "content")),
+      evImg, tau = 0.9)
+      .collect().sortBy(_.getLong(0))
+      .map(r => s"${r.getLong(0)}:imgHits=${r.getLong(4)},keep=${r.getBoolean(6)}")
+    graft.core.Caches.releaseAll()
+    println(s"[demo] three-eye decon verdict: ${threeOut.mkString(",")}")
+
+    // -- 14. the ANN serving face's daily maintenance (r15): the
+    //        scaled-K IVF store (xsk/xpk's deployed shape) advances by
+    //        micro-batch through the maintainer — exactly once, each
+    //        batch assigned against the FROZEN √N codebook — so the
+    //        serving face is stream-current with no nightly
+    //        re-assignment job; a replayed batch skips.
+    val embAll = (0 until 64).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val embBackfill = embAll.where(col("vec_id") < 48)
+    val embFresh = embAll.where(col("vec_id") >= 48)
+    val vdir = s"$root/scaledstore"
+    graft.sources.VectorIndexStore.buildScaled(embAll, embBackfill, vdir, day = -1)
+    val advanced = graft.streaming.VectorMaintainer.advanceBatchScaled(
+      embFresh, store, "demo_scaled", vdir, batchId = 0L)
+    val advReplay = graft.streaming.VectorMaintainer.advanceBatchScaled(
+      embFresh, store, "demo_scaled", vdir, batchId = 0L)
+    spark.conf.set(graft.sources.VectorIndexStore.DirKey, vdir)
+    val servedRows =
+      try graft.sources.VectorIndexStore
+        .openFreshScaled(embAll, embAll).map(_._2.count()).getOrElse(-1L)
+      finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+    graft.core.Caches.releaseAll()
+    println(s"[demo] scaled ANN maintainer: advanced=$advanced " +
+      s"replay_skipped=${!advReplay} served_index_rows=$servedRows")
+
     spark.stop()
     println("[demo] DONE")
   }
