@@ -137,6 +137,33 @@ object Bench {
         .select(aggregate(col("embedding").cast("array<double>"), lit(0.0),
           (a, x) => a + x * x).as("n2"))
         .agg(sum("n2")).collect()
+      // Media codec warm-path, ENFORCED here rather than adjudicated
+      // after the fact (VERDICT r14 what's-wrong 2): ImageIO/javax.sound
+      // provider registries + render/encode/decode JIT are one-time JVM
+      // state, and SCALE.md r13 measured the SAME q155 at 0.8–5.5 s
+      // depending on which media query ran first — r14's raw q155
+      // first-run hit 31.6 s (24×) before the self-adjudicator caught
+      // it. Exercise all three codec pipelines (PNG render+decode+dHash,
+      // GIF sequence encode+decode, WAV encode+PCM decode) on a 64-doc
+      // slice so no timed media entry absorbs the cold path; the
+      // adjudicator stays as the backstop for everything else.
+      import spark.implicits._
+      val mdocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).limit(64)
+        .repartition(4)
+      graft.multimodal.MediaDedup.hashImages(
+        mdocs.as[(Long, String)].mapPartitions(_.map { case (id, t) =>
+          (id, graft.multimodal.MediaDedup.renderImage(t)) })
+          .toDF("media_id", "content")).count()
+      graft.multimodal.VideoSegDedup.segmentFingerprints(
+        graft.multimodal.VideoSegDedup.renderVideos(mdocs)).count()
+      val aud = mdocs.as[(Long, String)].mapPartitions(_.map { case (id, t) =>
+        (id, graft.multimodal.AudioIntegrity.renderAudio(t)) })
+        .toDF("doc_id", "content")
+      graft.multimodal.AudioIntegrity.loudestBin(aud).count()
+      graft.multimodal.AudioDedup.hashAudio(
+        aud.withColumnRenamed("doc_id", "media_id")).count()
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
     }
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // Fixed ascending name order: deterministic run-to-run and
@@ -341,6 +368,46 @@ object Bench {
       times.sorted.apply((times.size - 1) / 2)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] image-dedup probe failed: ${e.getMessage}")
+      -1.0
+    }
+    // q197 through the prebuilt MediaHashStore SOURCED face: the train
+    // corpus decodes ONCE at build (untimed — per-day maintenance is
+    // advanceDaySourced), then the decon probe verifies freshness with
+    // one caption-hash scan and reads the stored 16-byte hashes; the
+    // timed run pays only the eval-side render + the band join. The
+    // delta vs the q197 suite entry (train re-decoded per run) is the
+    // media eye's store payoff — xmp's argument carried to the decon
+    // orientation, where the suite edit (not the corpus) is what
+    // changed.
+    val mediaDecon = if (!extraOn("xmd")) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables(spark, sfDir, "documents")
+        .filter(length(col("text")) >= 50)
+        .select(col("doc_id").as("media_id"), col("text"))
+      val train = docs.where(col("media_id") % 10 =!= 0)
+      def hashedD(part: org.apache.spark.sql.DataFrame) = {
+        import spark.implicits._
+        graft.multimodal.MediaDedup.hashImages(
+          part.as[(Long, String)]
+            .map { case (id, t) => (id, graft.multimodal.MediaDedup.renderImage(t)) }
+            .toDF("media_id", "content"))
+      }
+      val dirMd = s"$scratch/mediadeconidx"
+      graft.sources.MediaHashStore.buildSourced(train, hashedD(train), dirMd)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.MediaHashStore.DirKey, dirMd)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.MediaQueries.q197MediaDecon(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally spark.conf.unset(graft.sources.MediaHashStore.DirKey)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] media-decon store probe failed: ${e.getMessage}")
       -1.0
     }
     // Tokenizer store reuse (train-once/serve-many): build the
@@ -569,7 +636,14 @@ object Bench {
     val pqScaledProbe = if (!extraOn("xpk")) 0.0 else try {
       val e = graft.core.Tables(spark, sfDir, "embeddings")
       val dirPk = s"$scratch/pqstore_scaled"
-      graft.sources.VectorIndexStore.buildPqScaled(e, e, dirPk)
+      // trained = true (r15): the bench store now runs the spherical
+      // k-means job a production build would, so the published xpk row
+      // IS the serve-invariance measurement — the probe reads (codes,
+      // codebooks) whose derivation it never re-runs, so serve cost is
+      // codebook-provenance-independent by construction; the measured
+      // pair (SCALE.md r15: first-K vs trained serve) pins it. First-K
+      // stays the oracle/fixture convention elsewhere.
+      graft.sources.VectorIndexStore.buildPqScaled(e, e, dirPk, trained = true)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirPk)
       try {
@@ -780,6 +854,7 @@ object Bench {
       "xss" -> storeReuse,    // x_sigstore_lsh (q40 with the store)
       "xcp" -> containProbe,  // x_containment_probe
       "xmp" -> mediaProbe,    // x_media_probe (image dhash)
+      "xmd" -> mediaDecon,    // x_media_decon (q197 via MediaHashStore)
       "xts" -> tokReuse,      // x_tokstore_bakeoff (q166 via store)
       "xws" -> winnowReuse,   // x_winnowstore_probe (q168 via store)
       "xsp" -> armPick,       // x_arm_picker (q169 via store)

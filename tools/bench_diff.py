@@ -113,7 +113,8 @@ def contamination_banner(path: str, d: dict) -> None:
 # (xss/xcp added in round 10).
 X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xss": "x_sigstore_lsh", "xcp": "x_containment_probe",
-           "xmp": "x_media_probe", "xts": "x_tokstore_bakeoff",
+           "xmp": "x_media_probe", "xmd": "x_media_decon",
+           "xts": "x_tokstore_bakeoff",
            "xws": "x_winnowstore_probe", "xsp": "x_arm_picker",
            "xdc": "x_deconstore_probe", "xda": "x_decon_arm",
            "xvg": "x_videoseg_store",
@@ -158,7 +159,19 @@ def drift_of(qo: dict, qn: dict) -> float:
     Blind spot, by design: a code change that slowed EVERY query by the
     same factor would be read as machine drift. The headline total (and
     the suite-wide 2x envelope the judge applies to it) still catches
-    that case — the correction only governs per-query flags."""
+    that case — the correction only governs per-query flags.
+
+    The correction is deliberately SYMMETRIC: on a uniformly FASTER day
+    (drift < 1) an entry that did NOT share the fleet-wide speedup gets
+    rc = r/drift > r and can flag at extreme drift (< 1/threshold, i.e.
+    the machine ran 3x faster overall at the default threshold). That
+    is intentional — a query pinned at its old time while every sibling
+    sped up 3x is exactly the stuck-on-one-core / driver-serialized
+    anomaly worth reproducing isolated; the flag text already demands
+    isolated reproduction before treating it as real. The r14 tokenizer
+    cluster is the inverse lesson: family-clustered movement against a
+    faster median is a calibration question, answered by a same-JVM
+    anchor run (SCALE.md r15), never by this tool alone."""
     ratios = sorted(qn[k] / qo[k] for k in set(qo) & set(qn)
                     if qo[k] >= 0.5 and qn[k] >= 0.5)
     if len(ratios) < 8:
