@@ -643,7 +643,10 @@ object Bench {
       // codebook-provenance-independent by construction; the measured
       // pair (SCALE.md r15: first-K vs trained serve) pins it. First-K
       // stays the oracle/fixture convention elsewhere.
-      graft.sources.VectorIndexStore.buildPqScaled(e, e, dirPk, trained = true)
+      // SPARK_GRAFT_XPK_TRAINED=0 rebuilds first-K — the knob the
+      // serve-invariance pair is measured with (same day, same code).
+      graft.sources.VectorIndexStore.buildPqScaled(e, e, dirPk,
+        trained = sys.env.getOrElse("SPARK_GRAFT_XPK_TRAINED", "1") != "0")
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirPk)
       try {
