@@ -380,11 +380,12 @@ object Bench {
     // orientation, where the suite edit (not the corpus) is what
     // changed.
     val mediaDecon = if (!extraOn("xmd")) 0.0 else try {
-      import org.apache.spark.sql.functions._
-      val docs = graft.core.Tables(spark, sfDir, "documents")
-        .filter(length(col("text")) >= 50)
-        .select(col("doc_id").as("media_id"), col("text"))
-      val train = docs.where(col("media_id") % 10 =!= 0)
+      // The store is built from the EXACT relation q197 dispatches on
+      // (MediaQueries.deconTrainDocs) — a re-derived copy of the
+      // private eligibility/split predicates could drift, digest-
+      // mismatch, and silently demote every timed open to inline
+      // hashing (review r15 finding 3).
+      val train = graft.operators.MediaQueries.deconTrainDocs(spark, sfDir)
       def hashedD(part: org.apache.spark.sql.DataFrame) = {
         import spark.implicits._
         graft.multimodal.MediaDedup.hashImages(

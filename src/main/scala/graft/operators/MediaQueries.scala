@@ -342,11 +342,24 @@ object MediaQueries {
     val docs = eligibleDocs(spark, dir)
       .select(col("doc_id").as("media_id"), col("text"))
     MediaDedup.deconPairs(
-      trainHashesOf(docs.filter(col("media_id") % 10 =!= 0)),
+      trainHashesOf(deconTrainDocs(spark, dir)),
       MediaDedup.hashImages(renderAll(docs.filter(col("media_id") % 10 === 0))),
       MaxHamming)
       .orderBy("doc_id", "eval_doc")
   }
+
+  /** The decon tier's TRAIN image-source relation (media_id, text) —
+    * the exact relation q197/q198 offer to [[graft.sources
+    * .MediaHashStore.openFreshFor]]. Exposed (package-private) so a
+    * store BUILD — Bench's xmd probe, an ingest job — digests this
+    * same object rather than a re-derived copy of the private
+    * eligibility/split predicates: a drifted copy would digest-mismatch
+    * and silently demote every timed/served open to inline hashing
+    * (review r15 finding 3). */
+  private[graft] def deconTrainDocs(spark: SparkSession, dir: String): DataFrame =
+    eligibleDocs(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .filter(col("media_id") % 10 =!= 0)
 
   /** The train side's hashes, store-served when fresh (see q197). */
   private def trainHashesOf(train: DataFrame): DataFrame =
@@ -383,7 +396,7 @@ object MediaQueries {
       d.filter(col("doc_id") % 10 === 0),
       e.filter(col("vec_id") % 10 =!= 0),
       e.filter(col("vec_id") % 10 === 0),
-      trainHashesOf(media.filter(col("media_id") % 10 =!= 0)),
+      trainHashesOf(deconTrainDocs(spark, dir)),
       MediaDedup.hashImages(renderAll(media.filter(col("media_id") % 10 === 0))))
   }
 

@@ -50,12 +50,19 @@ object MediaHashStore {
     * ([[openFreshFor]]). Unset (default) = no store, hash inline. */
   val DirKey = "spark.graft.mediastore.dir"
 
-  /** Session conf: skip [[open]]'s digest verification and trust the
-    * store — the same deployment lever its siblings expose
-    * ([[WinnowStore.TrustKey]]/[[TokenizerStore.TrustKey]]). The
-    * verification is data-proportional (one scan of the full index per
-    * open), which an audit wants and a daily probe with external
-    * integrity guarantees does not. Default false: verify. */
+  /** Session conf: skip [[open]]'s digest verification — and, on the
+    * sourced face, [[openFreshFor]]'s source-freshness comparison —
+    * and trust the store: the same BOTH-scans lever as
+    * [[VectorIndexStore.TrustKey]] (its r14 review semantics: every
+    * per-open data-proportional scan is exactly what the trust lever
+    * exists to avoid). The checks are corpus-proportional (one hash
+    * scan each per open), which an audit wants and a daily probe with
+    * external integrity + pipeline-ordering guarantees does not. A
+    * TRUSTED sourced deployment therefore owns keeping the store
+    * advanced: trust serves whatever the live days hold, including
+    * hashes older than the offered source — set it only where ingest
+    * provably advances the store before any probe runs. Default
+    * false: verify both. */
   val TrustKey = "spark.graft.mediastore.trust"
 
   private def fs(spark: SparkSession, path: String) =
@@ -84,8 +91,15 @@ object MediaHashStore {
     // digest that never matches the stored rows, turning the store
     // permanently "torn" with no recovery besides a rebuild. Reading
     // back what parquet holds makes the digest provably cover the
-    // stored bytes.
-    val (n, dg) = digestOf(spark.read.parquet(s"$dir/hashes/day=$day"))
+    // stored bytes. An EMPTY day writes no partition directory at all
+    // (the sibling stores' empty-ingest-day rule, review r15): its meta
+    // row records (0, 0) — a zero XOR contribution — instead of the
+    // read-back crashing on the absent path.
+    val dayPath = new Path(s"$dir/hashes/day=$day")
+    val (n, dg) =
+      if (fs(spark, dir).exists(dayPath))
+        digestOf(spark.read.parquet(dayPath.toString))
+      else (0L, 0L)
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_media", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
   }

@@ -39,7 +39,7 @@ object SignatureMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      SignatureStore.advanceDay(batch, dir, batchId.toInt)
+      SignatureStore.advanceDay(batch, dir, BatchDay.of(batchId))
       graft.core.Caches.releaseAll() // free the advance's shingle pins
       // First-caller-wins marker: if a racing zombie committed first,
       // its advance stands — both wrote the same convergent content.

@@ -33,7 +33,7 @@ object VectorMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      VectorIndexStore.advanceDay(batch, dir, batchId.toInt)
+      VectorIndexStore.advanceDay(batch, dir, BatchDay.of(batchId))
       graft.core.Caches.releaseAll()
       store.markBatch(sinkId, batchId)
     }
@@ -74,7 +74,7 @@ object VectorMaintainer {
       sinkId: String, dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      VectorIndexStore.advanceDayScaled(batch, dir, batchId.toInt)
+      VectorIndexStore.advanceDayScaled(batch, dir, BatchDay.of(batchId))
       graft.core.Caches.releaseAll()
       store.markBatch(sinkId, batchId)
     }
@@ -98,7 +98,7 @@ object VectorMaintainer {
       sinkId: String, dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      VectorIndexStore.advanceDayPqScaled(batch, dir, batchId.toInt)
+      VectorIndexStore.advanceDayPqScaled(batch, dir, BatchDay.of(batchId))
       graft.core.Caches.releaseAll()
       store.markBatch(sinkId, batchId)
     }

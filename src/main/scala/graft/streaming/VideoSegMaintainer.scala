@@ -38,7 +38,7 @@ object VideoSegMaintainer {
     if (store.batchCommitted(sinkId, batchId)) false
     else {
       VideoSegStore.advanceDay(
-        VideoSegDedup.segmentFingerprints(batch), dir, batchId.toInt)
+        VideoSegDedup.segmentFingerprints(batch), dir, BatchDay.of(batchId))
       graft.core.Caches.releaseAll()
       store.markBatch(sinkId, batchId)
     }

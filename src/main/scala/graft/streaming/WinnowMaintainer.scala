@@ -28,7 +28,7 @@ object WinnowMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      WinnowStore.advanceDay(batch, dir, batchId.toInt)
+      WinnowStore.advanceDay(batch, dir, BatchDay.of(batchId))
       graft.core.Caches.releaseAll()
       store.markBatch(sinkId, batchId)
     }

@@ -143,6 +143,16 @@ class MediaHashStoreSpec extends SparkSpec {
         repaired.get.collect().count(_.getLong(0) == 30L) == 1,
         "a replayed advance must converge and serve the day exactly once")
 
+      // an EMPTY ingest day advances like every sibling store's — no
+      // crash on the absent partition, zero digest contribution, the
+      // store stays fresh for the unchanged source (review r15)
+      MediaHashStore.advanceDaySourced(
+        sdf(Seq.empty), Seq.empty[(Long, Long)].toDF("media_id", "dhash"),
+        dir, day = 12)
+      assert(MediaHashStore.openFreshFor(
+        sdf(src0 ++ src1 ++ Seq((30L, "caption thirty")))).isDefined,
+        "an empty advanced day must not unfreshen or crash the store")
+
       // retire heals the source meta too: day 1's takedown serves day 0
       // + 9 only, and the retired source reads stale
       MediaHashStore.retireDay(spark, dir, day = 1)
