@@ -338,14 +338,19 @@ object MediaQueries {
     * The benchmark-sized eval side always renders inline (MBs — the
     * suite is the thing that CHANGED when this query runs). The xmd
     * bench pair prices the serve vs the inline suite entry. */
-  def q197MediaDecon(spark: SparkSession, dir: String): DataFrame = {
+  def q197MediaDecon(spark: SparkSession, dir: String): DataFrame =
+    mediaDeconPairs(spark, dir).orderBy("doc_id", "eval_doc")
+
+  /** The (train, eval, hamming) media decon pair relation — q197's
+    * body, shared with the q199 coverage rollup so the two reports can
+    * never disagree on a pair. */
+  private def mediaDeconPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = eligibleDocs(spark, dir)
       .select(col("doc_id").as("media_id"), col("text"))
     MediaDedup.deconPairs(
       trainHashesOf(deconTrainDocs(spark, dir)),
       MediaDedup.hashImages(renderAll(docs.filter(col("media_id") % 10 === 0))),
       MaxHamming)
-      .orderBy("doc_id", "eval_doc")
   }
 
   /** The decon tier's TRAIN image-source relation (media_id, text) —
@@ -400,6 +405,39 @@ object MediaQueries {
       MediaDedup.hashImages(renderAll(media.filter(col("media_id") % 10 === 0))))
   }
 
+  /** Q199: per-benchmark MEDIA contamination coverage — the q183/q190
+    * mirror for the third eye, completing the coverage-report symmetry
+    * (one per modality a model card cites): for each eval doc, how many
+    * TRAINING images sit within dHash hamming [[MaxHamming]] of its
+    * image, the strongest match (min hamming — 0 is a verbatim
+    * re-crawl), and the smallest witnessing train doc. Every eval doc
+    * gets a row — zero matches reported at 0 with null min_hamming
+    * (q190's convention: the audit's point is the clean rows as much
+    * as the dirty ones; an eval doc too short to render an image is
+    * trivially clean on this eye and reports the same 0/null).
+    *
+    * Pure rollup of q197's pair relation ([[mediaDeconPairs]] — shared
+    * body, the two reports cannot disagree) plus one narrow eval-id
+    * scan; rides the same [[graft.sources.MediaHashStore]] dispatch,
+    * so a fresh store makes this report decode-free on the train side.
+    * Rows-only (q197's reason: DuckDB cannot decode PNG);
+    * ThreeEyeDeconSpec pins it against q197's pairs rolled up by
+    * eval_doc plus the zero rows. */
+  def q199MediaCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val hits = mediaDeconPairs(spark, dir)
+      .groupBy("eval_doc")
+      .agg(count(lit(1)).as("n_train_hits"), min("hamming").as("min_hamming"),
+        min("doc_id").as("witness_train"))
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_doc"))
+      .join(hits, Seq("eval_doc"), "left")
+      .select(col("eval_doc"),
+        coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"),
+        col("min_hamming"), col("witness_train"))
+      .orderBy("eval_doc")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_image_neardup" -> q153ImageNearDup _,
     "q154_alignment_audit" -> q154AlignmentAudit _,
@@ -408,7 +446,8 @@ object MediaQueries {
     "q157_image_scrub" -> q157ImageScrub _,
     "q178_audio_neardup" -> q178AudioNearDup _,
     "q197_media_decon" -> q197MediaDecon _,
-    "q198_three_eye_decon" -> q198ThreeEyeDecon _)
+    "q198_three_eye_decon" -> q198ThreeEyeDecon _,
+    "q199_media_coverage" -> q199MediaCoverage _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,

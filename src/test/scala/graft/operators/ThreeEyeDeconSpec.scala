@@ -79,6 +79,33 @@ class ThreeEyeDeconSpec extends SparkSpec {
     }
   }
 
+  test("q199: media coverage is exactly q197's pairs rolled up per eval doc, zeros reported for clean eval docs") {
+    val pairs = MediaQueries.q197MediaDecon(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caches.releaseAll()
+    val got = MediaQueries.q199MediaCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    Caches.releaseAll()
+    val rollup = pairs.groupBy(_._2).map { case (ev, ps) =>
+      ev -> ((ps.size.toLong, Some(ps.map(_._3).min), Some(ps.map(_._1).min)))
+    }
+    // Every eval doc of the suite gets a row — matched ones carry the
+    // exact rollup, clean ones (including docs too short to render an
+    // image) report 0 with null evidence.
+    val evalIds = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 10 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == evalIds, "one coverage row per eval doc, clean or not")
+    assert(rollup.keySet.nonEmpty && rollup.keySet != evalIds,
+      "fixture must have both matched and clean eval docs for the test to bite")
+    got.foreach { case (ev, cols) =>
+      assert(cols == rollup.getOrElse(ev, (0L, None, None)),
+        s"eval doc $ev coverage must equal q197's rollup: $cols vs ${rollup.get(ev)}")
+    }
+  }
+
   test("flagThreeEye: a benchmark image re-crawled under a rewritten caption drops on the media eye ALONE") {
     val passage = "all rights reserved worldwide under the berne convention " +
       "and no part of this publication may be reproduced without permission "
