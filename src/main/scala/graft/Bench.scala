@@ -793,7 +793,14 @@ object Bench {
     // 86%; floor 0.2 s measured 1353 = 71%, two past the 70% goal).
     // "nq" declares how many entries actually ran so an elided line
     // never reads as lost coverage.
-    val QMinDs = 3L
+    // Raised 3 → 5 in r15: the true forcing (toRdd, sorts included)
+    // lifted ~40 entries past the old floor and the line hit 1668 of
+    // the ~1900-char tail (warning fired). 0.5 s is exactly the
+    // self-adjudication eligibility floor, so nothing elided from the
+    // LINE can carry decision weight anywhere — and the cs sidecar
+    // keeps every entry for the overlay. Measured: floor 5 puts the
+    // 199-query line at ~1350 chars ≈ 71% of the tail.
+    val QMinDs = 5L
     // "repeats" is deliberately NOT in the line (it's documented here:
     // median-of-SPARK_GRAFT_REPEATS, default 3) — every non-contract
     // field costs chars against the driver's 2000-char stdout tail,
