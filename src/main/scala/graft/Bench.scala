@@ -784,7 +784,7 @@ object Bench {
       if (v < 0 && c >= 0) -1 else c
     }
     // Stdout elision floor, declared in the line as "qmin": suite
-    // entries under 0.3 s are dropped from the LINE (never from the
+    // entries under the floor (0.5 s since r15) are dropped from the LINE (never from the
     // sidecar) unless they failed or were adjudicated. Sub-floor
     // entries carry no decision weight anywhere — bench_diff flags
     // need ≥1 s, self-adjudication needs ≥0.5 s — and at the r12

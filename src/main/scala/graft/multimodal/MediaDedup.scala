@@ -193,6 +193,15 @@ object MediaDedup {
     h
   }
 
+  /** One payload's hash — decode + dHash, digest fallback on
+    * undecodable bytes. The per-row kernel of both hashing faces. */
+  private def hashOne(md: MessageDigest, content: Array[Byte]): Long =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(content)))
+        .map(dHashOf)
+        .getOrElse(digestHash(md, content))
+    } catch { case _: Throwable => digestHash(md, content) }
+
   /** (media_id, dhash) for every row of `media` (columns: media_id
     * LongType, content BinaryType). One decoder + digest per PARTITION;
     * payload bytes never leave the executor. */
@@ -203,17 +212,29 @@ object MediaDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val md = MessageDigest.getInstance("MD5")
-        rows.map { case (id, content) =>
-          val h =
-            try {
-              Option(ImageIO.read(new ByteArrayInputStream(content)))
-                .map(dHashOf)
-                .getOrElse(digestHash(md, content))
-            } catch { case _: Throwable => digestHash(md, content) }
-          (id, h)
-        }
+        rows.map { case (id, content) => (id, hashOne(md, content)) }
       }
       .toDF("media_id", "dhash")
+  }
+
+  /** (media_id, text, dhash) in ONE pass over (media_id, text,
+    * content) — the ingest-maintainer shape: the caption rides the
+    * hashing pass so a store's SOURCE digest and its hash rows are
+    * provably derived from the same single evaluation of a possibly
+    * non-deterministic upstream (pin THIS narrow output, never the
+    * payload-bearing input — review r15 finding 4: caching the raw
+    * batch kept every payload byte in executor storage for the length
+    * of the advance). Payload bytes are dropped inside the pass. */
+  def hashImagesWithSource(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("text"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (id, text, content) => (id, text, hashOne(md, content)) }
+      }
+      .toDF("media_id", "text", "dhash")
   }
 
   /** All pairs (a, b, hamming) with a < b and Hamming(dhash_a, dhash_b)

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.sources.DeconStore
@@ -38,28 +37,18 @@ import graft.state.JdbcStateStore
   */
 object DeconMaintainer {
 
-  /** Apply one micro-batch of suite edits exactly once; returns true
-    * when this call applied them (false = committed replay skipped). */
+  /** Apply one micro-batch of suite edits exactly once (the shared
+    * [[SuiteEditBatch]] protocol — pinned batch, retires first,
+    * unknown actions fail loud BEFORE the marker commits); returns
+    * true when this call applied them. */
   def applyBatch(batch: DataFrame, store: JdbcStateStore, sinkId: String,
-      dir: String, batchId: Long): Boolean =
-    if (store.batchCommitted(sinkId, batchId)) false
-    else {
-      val spark = batch.sparkSession
-      val pinned = batch.persist()
-      try {
-        // Bounded collect: one row per (benchmark, action) in the batch.
-        val events = pinned.select("bench", "action").distinct().collect()
-          .map(r => (r.getString(0), r.getString(1)))
-        events.collect { case (b, "retire") => b }.sorted.foreach(
-          DeconStore.retireBenchmark(_, spark, dir))
-        events.collect { case (b, "advance") => b }.sorted.foreach(b =>
-          DeconStore.advanceBenchmark(b,
-            pinned.filter(col("bench") === b && col("action") === "advance")
-              .select("doc_id", "text"), dir))
-      } finally pinned.unpersist(blocking = false): Unit
-      graft.core.Caches.releaseAll()
-      store.markBatch(sinkId, batchId)
-    }
+      dir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    SuiteEditBatch.applyOnce(batch, store, sinkId, batchId)(
+      DeconStore.retireBenchmark(_, spark, dir),
+      (b, rows) => DeconStore.advanceBenchmark(b,
+        rows.select("doc_id", "text"), dir))
+  }
 
   /** Wire a streaming suite-edit DataFrame (bench, action, doc_id,
     * text) into the maintainer. Caller starts it (and owns

@@ -41,14 +41,20 @@ object MediaHashMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      // Pinned: the source digest and the hash derivation must cover
-      // the same rows even under a non-deterministic upstream plan
-      // (the WinnowStore.writeDay argument, ingest face).
-      val pinned = batch.persist()
+      // The source digest and the hash rows must derive from the SAME
+      // evaluation of a possibly non-deterministic upstream (the
+      // WinnowStore.writeDay argument) — but pinning the RAW batch
+      // would cache every payload byte for the length of the advance
+      // (review r15 finding 4). Instead the hashing pass carries the
+      // caption through and the pinned relation is the NARROW
+      // (media_id, text, dhash) output: payloads dropped in-pass,
+      // consistency by construction.
+      val pinned = MediaDedup.hashImagesWithSource(
+        batch.select(col("media_id"), col("text"), col("content"))).persist()
       try {
         MediaHashStore.advanceDaySourced(
           pinned.select("media_id", "text"),
-          MediaDedup.hashImages(pinned.select(col("media_id"), col("content"))),
+          pinned.select("media_id", "dhash"),
           dir, BatchDay.of(batchId))
       } finally pinned.unpersist(blocking = false): Unit
       graft.core.Caches.releaseAll()

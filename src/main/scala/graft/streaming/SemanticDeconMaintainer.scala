@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.sources.SemanticDeconStore
@@ -33,29 +32,18 @@ import graft.state.JdbcStateStore
   */
 object SemanticDeconMaintainer {
 
-  /** Apply one micro-batch of suite edits exactly once; returns true
-    * when this call applied them (false = committed replay skipped). */
+  /** Apply one micro-batch of suite edits exactly once (the shared
+    * [[SuiteEditBatch]] protocol — pinned batch, retires first,
+    * unknown actions fail loud BEFORE the marker commits); returns
+    * true when this call applied them. */
   def applyBatch(batch: DataFrame, store: JdbcStateStore, sinkId: String,
-      dir: String, batchId: Long): Boolean =
-    if (store.batchCommitted(sinkId, batchId)) false
-    else {
-      val spark = batch.sparkSession
-      val pinned = batch.persist()
-      try {
-        // Bounded collect: one row per (benchmark, action) in the batch
-        // — suite edits are benchmark-sized, never corpus-sized.
-        val events = pinned.select("bench", "action").distinct().collect()
-          .map(r => (r.getString(0), r.getString(1)))
-        events.collect { case (b, "retire") => b }.sorted.foreach(
-          SemanticDeconStore.retireBenchmark(_, spark, dir))
-        events.collect { case (b, "advance") => b }.sorted.foreach(b =>
-          SemanticDeconStore.advanceBenchmark(b,
-            pinned.filter(col("bench") === b && col("action") === "advance")
-              .select("vec_id", "embedding"), dir))
-      } finally pinned.unpersist(blocking = false): Unit
-      graft.core.Caches.releaseAll()
-      store.markBatch(sinkId, batchId)
-    }
+      dir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    SuiteEditBatch.applyOnce(batch, store, sinkId, batchId)(
+      SemanticDeconStore.retireBenchmark(_, spark, dir),
+      (b, rows) => SemanticDeconStore.advanceBenchmark(b,
+        rows.select("vec_id", "embedding"), dir))
+  }
 
   /** Wire a streaming suite-edit DataFrame
     * (bench, action, vec_id, embedding) into the maintainer. Caller

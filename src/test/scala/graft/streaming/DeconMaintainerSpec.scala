@@ -114,4 +114,35 @@ class DeconMaintainerSpec extends SparkSpec {
       ctl.close()
     }
   }
+
+  test("an unknown edit action fails LOUD before anything applies and before the marker commits") {
+    // The old per-maintainer copies silently dropped unknown actions
+    // and then marked the batch committed — the edit was permanently
+    // lost behind the exactly-once marker (review r15 finding 1).
+    val ctl = new JdbcStateStore("jdbc:derby:memory:deconmaint3;create=true")
+    ctl.ensureTable()
+    val dir = tmpDir("deconmaint_badaction")
+    DeconStore.build(df(rel1), dir)
+    Caches.releaseAll()
+    val metasBefore = spark.read.parquet(s"$dir/meta").collect().toSet
+    val bad = Seq(("b9", "takedown", 0L, ""),
+      ("b2", "advance", 30L, rel2.head._2))
+      .toDF("bench", "action", "doc_id", "text")
+    intercept[IllegalArgumentException] {
+      DeconMaintainer.applyBatch(bad, ctl, "deconmaint_bad", dir, batchId = 0L)
+    }
+    Caches.releaseAll()
+    // nothing applied (not even the batch's VALID advance), nothing
+    // marked — a redelivery after the producer fix lands the whole edit
+    assert(spark.read.parquet(s"$dir/meta").collect().toSet == metasBefore,
+      "a rejected batch must apply none of its edits")
+    assert(!ctl.batchCommitted("deconmaint_bad", 0L),
+      "a rejected batch must stay uncommitted for redelivery")
+    assert(DeconMaintainer.applyBatch(
+      Seq(("b2", "advance", 30L, rel2.head._2))
+        .toDF("bench", "action", "doc_id", "text"),
+      ctl, "deconmaint_bad", dir, batchId = 0L),
+      "the corrected redelivery must apply")
+    ctl.close()
+  }
 }
