@@ -250,4 +250,52 @@ object DeconGate {
         batchId, tau)
       ()
     }
+
+  /** Gate one micro-batch through the THREE-EYE verdict
+    * ([[flagThreeEye]] — q198's kernel) exactly once into
+    * `outDir/batch=<id>`. The batch carries (doc_id, text, embedding,
+    * content): embedding and content may each be null per doc (the
+    * absence rule — a doc keeps whatever eyes saw it; a null payload
+    * never reads as a hamming-0 hit). The batch's image payloads are
+    * hashed HERE, once, at ingest ([[graft.multimodal.MediaDedup
+    * .hashImages]] — the bytes never outlive the batch); `evalImg` is
+    * the suite's already-HASHED (media_id, dhash) relation, hashed
+    * once when the suite was released (or served by
+    * [[graft.sources.MediaHashStore]]), never re-decoded per batch.
+    * Returns true when this call wrote. */
+  def gateThreeEyeBatch(batch: DataFrame, evalRel: DataFrame,
+      evalEmb: DataFrame, evalImg: DataFrame, store: JdbcStateStore,
+      sinkId: String, outDir: String, batchId: Long,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
+      maxHamming: Int = graft.operators.MediaQueries.MaxHamming): Boolean =
+    if (store.batchCommitted(sinkId, batchId)) false
+    else {
+      flagThreeEye(
+        batch.select("doc_id", "text"),
+        evalRel,
+        batch.where(col("embedding").isNotNull)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        evalEmb,
+        graft.multimodal.MediaDedup.hashImages(
+          batch.where(col("content").isNotNull)
+            .select(col("doc_id").as("media_id"), col("content"))),
+        evalImg, tau, maxHamming)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      graft.core.Caches.releaseAll()
+      store.markBatch(sinkId, batchId)
+    }
+
+  /** Wire a streaming (doc_id, text, embedding, content) DataFrame
+    * into the three-eye gate. Caller starts it. */
+  def exactlyOnceThreeEye(stream: DataFrame, evalRel: DataFrame,
+      evalEmb: DataFrame, evalImg: DataFrame, store: JdbcStateStore,
+      sinkId: String, outDir: String,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
+      maxHamming: Int = graft.operators.MediaQueries.MaxHamming)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
+      gateThreeEyeBatch(df, evalRel, evalEmb, evalImg, store, sinkId,
+        outDir, batchId, tau, maxHamming)
+      ()
+    }
 }

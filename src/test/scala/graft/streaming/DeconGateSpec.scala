@@ -135,6 +135,76 @@ class DeconGateSpec extends SparkSpec {
     ctl.close()
   }
 
+  test("three-eye gate streams exactly once: a re-crawled benchmark image drops on the media eye alone; null payloads keep their seen-eye verdicts; replay skips") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(73)
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val evCaption = "a benchmark photograph of a rare astronomical event over calm water"
+    val evText = Seq((90L, filler("ea", 35) + passage + filler("eb", 25)))
+      .toDF("doc_id", "text")
+    val evEmb = ((0 until 16).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)) :+
+      ((90L, base.map(_.toFloat).toSeq))).toDF("vec_id", "embedding")
+    // the suite's images are hashed ONCE at release — the gate never
+    // re-decodes them per batch
+    val evImg = graft.multimodal.MediaDedup.hashImages(
+      Seq((90L, graft.multimodal.MediaDedup.renderImage(evCaption)))
+        .toDF("media_id", "content"))
+
+    // 70: gram leak, clean embedding, NO image; 71: paraphrase only;
+    // 72: clean everywhere (own unrelated image); 73: clean text + clean
+    // embedding but the benchmark's own image re-crawled; 74: gram leak
+    // with NULL embedding AND null content — the gram verdict stands.
+    def rv() = Array.fill(16)(rnd.nextGaussian().toFloat).toSeq
+    val b0 = Seq(
+      (70L, filler("da", 50) + passage + filler("db", 30), rv(),
+        null.asInstanceOf[Array[Byte]]),
+      (71L, filler("dz", 130), base.map(x => (x + 0.01).toFloat).toSeq,
+        null.asInstanceOf[Array[Byte]]),
+      (72L, filler("dy", 110), rv(),
+        graft.multimodal.MediaDedup.renderImage(
+          "an entirely unrelated picture of dense machinery in a factory hall")),
+      (73L, filler("dw", 120), rv(),
+        graft.multimodal.MediaDedup.renderImage(evCaption)),
+      (74L, filler("dc", 20) + passage + filler("dd", 20),
+        null.asInstanceOf[Seq[Float]], null.asInstanceOf[Array[Byte]]))
+    val ctl = new JdbcStateStore("jdbc:derby:memory:decongate4;create=true")
+    ctl.ensureTable()
+    val outDir = tmpDir("decongate_three_out")
+    val input = MemoryStream[(Long, String, Seq[Float], Array[Byte])]
+    val q = DeconGate.exactlyOnceThreeEye(
+      input.toDF().toDF("doc_id", "text", "embedding", "content"),
+      evText, evEmb, evImg, ctl, "decongate_three", outDir, tau = 0.9)
+      .option("checkpointLocation", tmpDir("decongate_three_cp")).start()
+    try {
+      input.addData(b0: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    Caches.releaseAll()
+
+    val got = spark.read.parquet(s"$outDir/batch=0").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getBoolean(6)))).toMap
+    val L = passage.length.toLong
+    assert(got(70L) == ((L, 0L, 0L, None, false)),
+      s"imageless gram leak drops on grams alone: ${got(70L)}")
+    assert(got(71L)._1 == 0L && got(71L)._2 >= 1L && got(71L)._3 == 0L && !got(71L)._5,
+      s"the paraphrase drops on the semantic eye alone: ${got(71L)}")
+    assert(got(72L) == ((0L, 0L, 0L, None, true)),
+      s"the clean doc keeps under all three eyes: ${got(72L)}")
+    assert(got(73L) == ((0L, 0L, 1L, Some(0L), false)),
+      s"the re-crawled benchmark image drops doc 73 on the media eye alone: ${got(73L)}")
+    assert(got(74L) == ((L, 0L, 0L, None, false)),
+      s"null embedding + null payload keeps the gram verdict: ${got(74L)}")
+
+    // committed replay skips; the partition survives
+    assert(!DeconGate.gateThreeEyeBatch(
+      b0.toDF("doc_id", "text", "embedding", "content"), evText, evEmb,
+      evImg, ctl, "decongate_three", outDir, batchId = 0L, tau = 0.9))
+    assert(spark.read.parquet(s"$outDir/batch=0").count() == 5)
+    ctl.close()
+  }
+
   test("combined gate: gram and semantic faces catch disjoint leaks; keep = clean under both") {
     val rnd = new scala.util.Random(31)
     val base = Array.fill(16)(rnd.nextGaussian())
