@@ -106,6 +106,61 @@ class ThreeEyeDeconSpec extends SparkSpec {
     }
   }
 
+  test("q198 fully store-served: all three eyes read their stores and the verdict is byte-identical to inline") {
+    // The 100 TB suite-edit shape: gram suite from DeconStore, semantic
+    // suite from SemanticDeconStore, train image hashes from
+    // MediaHashStore — a re-probe touches three indexes and re-derives
+    // NOTHING corpus-sided. Parity must be exact, not approximate.
+    import spark.implicits._
+    val inline = MediaQueries.q198ThreeEyeDecon(spark, sf).collect()
+      .map(_.toString).toSet
+    Caches.releaseAll()
+
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val gramDir = tmpDir("three_gram_store")
+    graft.sources.DeconStore.build(d.filter(col("doc_id") % 10 === 0), gramDir)
+    Caches.releaseAll()
+    val semDir = tmpDir("three_sem_store")
+    // codebookFrom = the full table: the inline kernel derives its
+    // centroids from train ∪ eval, so the frozen store codebook must
+    // come from the same relation for exact parity.
+    graft.sources.SemanticDeconStore.build(
+      e.filter(col("vec_id") % 10 === 0), semDir, codebookFrom = Some(e))
+    Caches.releaseAll()
+    val mediaDir = tmpDir("three_media_store")
+    val train = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) >= 50)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .where(col("media_id") % 10 =!= 0)
+    graft.sources.MediaHashStore.buildSourced(train,
+      MediaDedup.hashImages(train.as[(Long, String)]
+        .map { case (id, t) => (id, MediaDedup.renderImage(t)) }
+        .toDF("media_id", "content")), mediaDir)
+    Caches.releaseAll()
+
+    spark.conf.set(graft.sources.DeconStore.DirKey, gramDir)
+    spark.conf.set(graft.sources.SemanticDeconStore.DirKey, semDir)
+    spark.conf.set(graft.sources.MediaHashStore.DirKey, mediaDir)
+    try {
+      assert(graft.sources.DeconStore.openFresh(
+        d.filter(col("doc_id") % 10 === 0)).isDefined, "gram store fresh")
+      assert(graft.sources.SemanticDeconStore.openFresh(
+        e.filter(col("vec_id") % 10 === 0)).isDefined, "semantic store fresh")
+      assert(graft.sources.MediaHashStore.openFreshFor(train).isDefined,
+        "media store fresh")
+      val served = MediaQueries.q198ThreeEyeDecon(spark, sf).collect()
+        .map(_.toString).toSet
+      assert(served == inline,
+        "the fully store-served three-eye verdict must equal inline")
+    } finally {
+      spark.conf.unset(graft.sources.DeconStore.DirKey)
+      spark.conf.unset(graft.sources.SemanticDeconStore.DirKey)
+      spark.conf.unset(graft.sources.MediaHashStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
+
   test("flagThreeEye: a benchmark image re-crawled under a rewritten caption drops on the media eye ALONE") {
     val passage = "all rights reserved worldwide under the berne convention " +
       "and no part of this publication may be reproduced without permission "
