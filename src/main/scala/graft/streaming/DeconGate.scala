@@ -141,12 +141,18 @@ object DeconGate {
     * smallest witnessing eval id, and `keep` = none. */
   def flagMedia(batchHashes: DataFrame, evalHashes: DataFrame,
       maxHamming: Int = graft.operators.MediaQueries.MaxHamming): DataFrame = {
+    // Pinned: the hash relation is consumed TWICE (the band join's
+    // grouped side and the every-doc verdict base) — unpinned, a
+    // hashImages plan upstream would DECODE every payload twice per
+    // call (review r15 finding: double the JDK codec work on the
+    // streaming hot path). Released by the callers' releaseAll.
+    val pinned = graft.core.Caches.persistTracked(batchHashes)
     val hits = graft.multimodal.MediaDedup
-      .deconPairs(batchHashes, evalHashes, maxHamming)
+      .deconPairs(pinned, evalHashes, maxHamming)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_image_hits"), min("hamming").as("min_hamming"),
         min("eval_doc").as("witness_image"))
-    batchHashes.select(col("media_id").as("doc_id")).join(hits, Seq("doc_id"), "left")
+    pinned.select(col("media_id").as("doc_id")).join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_image_hits"), lit(0L)).as("n_image_hits"),
         col("min_hamming"),
@@ -191,19 +197,27 @@ object DeconGate {
         col("witness_eval"), col("witness_image"))
   }
 
+  /** The shared exactly-once gate skeleton all three gate faces ride
+    * (extracted, review r15): a committed replay skips before any
+    * work, the verdict overwrites its OWN batch partition (convergent
+    * under replay), tracked caches release, and the control-table
+    * marker commits LAST. Any protocol fix lands once, for every eye. */
+  private def gated(store: JdbcStateStore, sinkId: String, outDir: String,
+      batchId: Long)(verdict: => DataFrame): Boolean =
+    if (store.batchCommitted(sinkId, batchId)) false
+    else {
+      verdict.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      graft.core.Caches.releaseAll()
+      store.markBatch(sinkId, batchId)
+    }
+
   /** Gate one micro-batch exactly once into `outDir/batch=<id>`;
     * returns true when this call wrote (false = committed replay
     * skipped). */
   def gateBatch(batch: DataFrame, evalRel: DataFrame,
       store: JdbcStateStore, sinkId: String, outDir: String,
       batchId: Long): Boolean =
-    if (store.batchCommitted(sinkId, batchId)) false
-    else {
-      flag(batch, evalRel)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      graft.core.Caches.releaseAll()
-      store.markBatch(sinkId, batchId)
-    }
+    gated(store, sinkId, outDir, batchId)(flag(batch, evalRel))
 
   /** Wire a streaming document DataFrame (doc_id, text, …) into the
     * gate. Caller starts it (and owns checkpointLocation, trigger). */
@@ -225,18 +239,13 @@ object DeconGate {
       evalEmb: DataFrame, store: JdbcStateStore, sinkId: String,
       outDir: String, batchId: Long,
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau): Boolean =
-    if (store.batchCommitted(sinkId, batchId)) false
-    else {
+    gated(store, sinkId, outDir, batchId)(
       flagCombined(
         batch.select("doc_id", "text"),
         evalRel,
         batch.where(col("embedding").isNotNull)
           .select(col("doc_id").as("vec_id"), col("embedding")),
-        evalEmb, tau)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      graft.core.Caches.releaseAll()
-      store.markBatch(sinkId, batchId)
-    }
+        evalEmb, tau))
 
   /** Wire a streaming (doc_id, text, embedding) DataFrame into the
     * composed gate. Caller starts it. */
@@ -268,8 +277,7 @@ object DeconGate {
       sinkId: String, outDir: String, batchId: Long,
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
       maxHamming: Int = graft.operators.MediaQueries.MaxHamming): Boolean =
-    if (store.batchCommitted(sinkId, batchId)) false
-    else {
+    gated(store, sinkId, outDir, batchId)(
       flagThreeEye(
         batch.select("doc_id", "text"),
         evalRel,
@@ -279,23 +287,27 @@ object DeconGate {
         graft.multimodal.MediaDedup.hashImages(
           batch.where(col("content").isNotNull)
             .select(col("doc_id").as("media_id"), col("content"))),
-        evalImg, tau, maxHamming)
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      graft.core.Caches.releaseAll()
-      store.markBatch(sinkId, batchId)
-    }
+        evalImg, tau, maxHamming))
 
   /** Wire a streaming (doc_id, text, embedding, content) DataFrame
-    * into the three-eye gate. Caller starts it. */
+    * into the three-eye gate. Caller starts it. `evalImg` is pinned
+    * HERE for the stream's lifetime (an UNTRACKED persist — the gate's
+    * per-batch releaseAll must not drop it): a caller passing a lazy
+    * `hashImages(suitePayloads)` plan would otherwise re-DECODE the
+    * whole benchmark suite every micro-batch, the exact per-batch
+    * suite-scaling cost this gate's docs promise away (review r15).
+    * Suite-sized (16 bytes/image), so the pin is bounded. */
   def exactlyOnceThreeEye(stream: DataFrame, evalRel: DataFrame,
       evalEmb: DataFrame, evalImg: DataFrame, store: JdbcStateStore,
       sinkId: String, outDir: String,
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
       maxHamming: Int = graft.operators.MediaQueries.MaxHamming)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val evalPinned = evalImg.persist()
     stream.writeStream.foreachBatch { (df: DataFrame, batchId: Long) =>
-      gateThreeEyeBatch(df, evalRel, evalEmb, evalImg, store, sinkId,
+      gateThreeEyeBatch(df, evalRel, evalEmb, evalPinned, store, sinkId,
         outDir, batchId, tau, maxHamming)
       ()
     }
+  }
 }

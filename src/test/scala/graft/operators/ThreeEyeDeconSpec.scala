@@ -129,10 +129,11 @@ class ThreeEyeDeconSpec extends SparkSpec {
       e.filter(col("vec_id") % 10 === 0), semDir, codebookFrom = Some(e))
     Caches.releaseAll()
     val mediaDir = tmpDir("three_media_store")
-    val train = spark.read.parquet(s"$sf/documents.parquet")
-      .filter(length(col("text")) >= 50)
-      .select(col("doc_id").as("media_id"), col("text"))
-      .where(col("media_id") % 10 =!= 0)
+    // The EXPOSED train relation, not a re-derived predicate copy —
+    // the same drift argument as MediaQueries.deconTrainDocs' scaladoc
+    // (a stale copy would digest-mismatch and fail this test's
+    // freshness precondition opaquely on any predicate change).
+    val train = MediaQueries.deconTrainDocs(spark, sf)
     graft.sources.MediaHashStore.buildSourced(train,
       MediaDedup.hashImages(train.as[(Long, String)]
         .map { case (id, t) => (id, MediaDedup.renderImage(t)) }
