@@ -438,6 +438,40 @@ object MediaQueries {
       .orderBy("eval_doc")
   }
 
+  /** Q200: media-decon SCRUB verdict — the ACT face of the media eye,
+    * completing per-modality act symmetry (q173 excises gram spans,
+    * q191 drops semantic copies whole, and an image has no excisable
+    * span either: a re-crawled benchmark image drops its training doc
+    * WHOLE, witness recorded for the audit trail). One row per
+    * training doc of the corpus: keep = no eval image within
+    * [[MaxHamming]] of the doc's image; flagged rows carry the
+    * smallest witnessing eval id and the STRONGEST match (min
+    * hamming). A doc with no image (too short to render — or, in a
+    * real lake, no attachment) keeps trivially with null evidence,
+    * the q198 absence rule.
+    *
+    * Pure rollup of q197's shared pair relation ([[mediaDeconPairs]])
+    * over one narrow train-id scan — the decision join is
+    * match-relation-sized (q191's shapes), and the train side rides
+    * the same [[graft.sources.MediaHashStore]] dispatch, so a fresh
+    * store makes the scrub decode-free. Rows-only (q197's reason:
+    * DuckDB cannot decode PNG); ThreeEyeDeconSpec pins survivors =
+    * train minus q197's flagged docs, evidence = the pair rollup, and
+    * the imageless-keep rule. */
+  def q200MediaScrub(spark: SparkSession, dir: String): DataFrame = {
+    val hits = mediaDeconPairs(spark, dir)
+      .groupBy("doc_id")
+      .agg(min("eval_doc").as("witness_eval"), min("hamming").as("min_hamming"))
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+      .select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("witness_eval").isNull.as("keep"),
+        col("witness_eval"), col("min_hamming"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_image_neardup" -> q153ImageNearDup _,
     "q154_alignment_audit" -> q154AlignmentAudit _,
@@ -447,7 +481,8 @@ object MediaQueries {
     "q178_audio_neardup" -> q178AudioNearDup _,
     "q197_media_decon" -> q197MediaDecon _,
     "q198_three_eye_decon" -> q198ThreeEyeDecon _,
-    "q199_media_coverage" -> q199MediaCoverage _)
+    "q199_media_coverage" -> q199MediaCoverage _,
+    "q200_media_scrub" -> q200MediaScrub _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,

@@ -106,6 +106,36 @@ class ThreeEyeDeconSpec extends SparkSpec {
     }
   }
 
+  test("q200: the media scrub keeps exactly the train docs q197 does not flag, with the pair rollup as evidence") {
+    val pairs = MediaQueries.q197MediaDecon(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    Caches.releaseAll()
+    val got = MediaQueries.q200MediaScrub(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    Caches.releaseAll()
+    val flagged = pairs.groupBy(_._1).map { case (d, ps) =>
+      d -> ((Some(ps.map(_._2).min), Some(ps.map(_._3).min)))
+    }
+    val trainIds = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 10 =!= 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet == trainIds, "one scrub row per train doc, imaged or not")
+    assert(flagged.nonEmpty && flagged.keySet != trainIds,
+      "fixture must have both flagged and surviving train docs")
+    got.foreach { case (doc, (keep, w, h)) =>
+      flagged.get(doc) match {
+        case Some((fw, fh)) =>
+          assert(!keep && w == fw && h == fh,
+            s"flagged doc $doc must drop with the rollup evidence: ($keep, $w, $h) vs ($fw, $fh)")
+        case None =>
+          assert(keep && w.isEmpty && h.isEmpty,
+            s"unflagged doc $doc (including imageless) must keep with null evidence")
+      }
+    }
+  }
+
   test("q198 fully store-served: all three eyes read their stores and the verdict is byte-identical to inline") {
     // The 100 TB suite-edit shape: gram suite from DeconStore, semantic
     // suite from SemanticDeconStore, train image hashes from
