@@ -628,8 +628,15 @@ object Bench {
       import org.apache.spark.sql.functions._
       val e = graft.core.Tables(spark, sfDir, "embeddings")
       val dirK = s"$scratch/scaledstore"
+      // trained = true is now the buildScaled DEFAULT (r16): the bench
+      // store is the production artifact, so the published xsk row
+      // prices the serve against a trained codebook — which the r15
+      // xpk pair measured as provenance-independent for the probe.
+      // SPARK_GRAFT_XSK_TRAINED=0 rebuilds first-K: the knob the
+      // serve-invariance pair is measured with (same day, same code).
       graft.sources.VectorIndexStore.buildScaled(
-        e, e.where(pmod(col("vec_id"), lit(5)) =!= 0), dirK)
+        e, e.where(pmod(col("vec_id"), lit(5)) =!= 0), dirK,
+        trained = sys.env.getOrElse("SPARK_GRAFT_XSK_TRAINED", "1") != "0")
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirK)
       try {
@@ -695,8 +702,13 @@ object Bench {
       val ev = e.filter(col("vec_id") % 10 === 0)
       val train = e.filter(col("vec_id") % 10 =!= 0)
       val dirS = s"$scratch/semdeconstore"
+      // trained = true is now the build DEFAULT (r16) — the gate's
+      // deployed shape trains its frozen codebook; the serve path
+      // reads (codebook, assignments) either way.
+      // SPARK_GRAFT_XSD_TRAINED=0 rebuilds first-K for the pair.
       graft.sources.SemanticDeconStore.build(ev, dirS,
-        codebookFrom = Some(e))
+        codebookFrom = Some(e),
+        trained = sys.env.getOrElse("SPARK_GRAFT_XSD_TRAINED", "1") != "0")
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       spark.conf.set(graft.sources.SemanticDeconStore.DirKey, dirS)
       try {
@@ -711,6 +723,67 @@ object Bench {
       } finally spark.conf.unset(graft.sources.SemanticDeconStore.DirKey)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] semantic decon gate failed: ${e.getMessage}")
+      -1.0
+    }
+    // q198 through a prebuilt VerdictStore: the three-eye suite-wide
+    // report served from per-(benchmark, day) EVIDENCE partitions —
+    // two digest scans + match-sized rollups — instead of the
+    // three-kernel corpus sweep the q198 suite entry prices. The delta
+    // vs that entry is the verdict tier's store payoff: the one
+    // operation that still rescanned history per report (VERDICT r15
+    // next-1) now reads what the maintainers keep current.
+    val verdictServe = if (!extraOn("xvd")) 0.0 else try {
+      import org.apache.spark.sql.functions._
+      val d = graft.core.Tables(spark, sfDir, "documents")
+      val e = graft.core.Tables(spark, sfDir, "embeddings")
+      // The EXPOSED split relations, not re-derived predicate copies —
+      // a drifted copy would digest-mismatch and silently demote every
+      // timed open to inline (the xmd argument, both sides).
+      def hashedOf(part: org.apache.spark.sql.DataFrame) = {
+        import spark.implicits._
+        graft.multimodal.MediaDedup.hashImages(
+          part.as[(Long, String)]
+            .map { case (id, t) => (id, graft.multimodal.MediaDedup.renderImage(t)) }
+            .toDF("media_id", "content"))
+      }
+      val train = graft.sources.VerdictStore.Corpus(
+        d.filter(col("doc_id") % 10 =!= 0),
+        e.filter(col("vec_id") % 10 =!= 0),
+        hashedOf(graft.operators.MediaQueries.deconTrainDocs(spark, sfDir)))
+      val suite = graft.sources.VerdictStore.Corpus(
+        d.filter(col("doc_id") % 10 === 0),
+        e.filter(col("vec_id") % 10 === 0),
+        hashedOf(graft.operators.MediaQueries.deconEvalDocs(spark, sfDir)))
+      val dirVd = s"$scratch/verdictstore"
+      graft.sources.VerdictStore.build(train, Seq("all" -> suite), dirVd)
+      // The deployed shape configures the MEDIA hash store too: q198's
+      // dispatch digests the offered train hashes, and only a fresh
+      // MediaHashStore makes that digest decode-free (one caption
+      // xxhash scan) — unstored, every timed run would re-render the
+      // train corpus just to CHECK freshness, pricing the codec, not
+      // the serve.
+      val dirVdM = s"$scratch/verdictstore_media"
+      graft.sources.MediaHashStore.buildSourced(
+        graft.operators.MediaQueries.deconTrainDocs(spark, sfDir),
+        train.img, dirVdM)
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      spark.conf.set(graft.sources.VerdictStore.DirKey, dirVd)
+      spark.conf.set(graft.sources.MediaHashStore.DirKey, dirVdM)
+      try {
+        val times = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sfDir).forceRows()
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+          dt
+        }
+        times.sorted.apply((times.size - 1) / 2)
+      } finally {
+        spark.conf.unset(graft.sources.VerdictStore.DirKey)
+        spark.conf.unset(graft.sources.MediaHashStore.DirKey)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] verdict-store serve failed: ${e.getMessage}")
       -1.0
     }
     // q82 through a prebuilt compressed (IVF-PQ) index: the k-means
@@ -895,6 +968,7 @@ object Bench {
       "xpq" -> pqProbe,       // x_pqstore_topk (q82 via store)
       "xpk" -> pqScaledProbe, // x_pqstore_scaled (q195 via store)
       "xsd" -> semDeconGate,  // x_semdecon_gate (flagSemantic via store)
+      "xvd" -> verdictServe,  // x_verdict_serve (q198 via VerdictStore)
       "xprt" -> prTol)        // x_pagerank_tol
     def queriesBlock(unit: Double => Long, floor: Long): String =
       (results.flatMap { case (k, v) =>

@@ -21,10 +21,59 @@ import org.apache.spark.sql.execution.LogicalRDD
 object Caches {
   private val tracked = new ConcurrentLinkedQueue[Dataset[_]]()
 
-  /** Persist `df` (MEMORY_AND_DISK) and track the handle for release. */
+  /** Per-thread stack of SCOPED registries (see [[scoped]]). A deque,
+    * not a single slot, so nested scopes (a gate whose verdict kernel
+    * itself brackets a sub-phase) compose: each persist lands in the
+    * innermost open scope. */
+  private val scopes =
+    new ThreadLocal[java.util.ArrayDeque[ConcurrentLinkedQueue[Dataset[_]]]] {
+      override def initialValue() =
+        new java.util.ArrayDeque[ConcurrentLinkedQueue[Dataset[_]]]()
+    }
+
+  private def registry: ConcurrentLinkedQueue[Dataset[_]] = {
+    val s = scopes.get()
+    if (s.isEmpty) tracked else s.peek()
+  }
+
+  /** Run `body` with its own PRIVATE tracked-persist registry and
+    * release exactly those persists afterwards — on success OR failure
+    * (review r16 / ADVICE r15: the gates' success-path-only releaseAll
+    * leaked a pinned relation per retry of a poison batch, and the
+    * session-GLOBAL sweep unpinned OTHER concurrent streams' in-flight
+    * tracked caches mid-batch, silently re-running the double decode
+    * the pin exists to avoid). Every maintainer/gate brackets its
+    * micro-batch with this; [[releaseAll]] remains the query-boundary
+    * sweep for single-driver harnesses (Bench, Verify, services).
+    *
+    * Scope residency is decided at [[persistTracked]] time on the
+    * CALLING thread — foreachBatch bodies and the plans they build run
+    * on the driver thread that opened the scope, so a gate's kernel
+    * pins land in the gate's scope while a concurrent stream's land in
+    * its own. Checkpoint blocks ([[localCheckpointTracked]]) stay
+    * global: no gate kernel checkpoints, and truncated lineage must
+    * never be released while a sibling scope could still reference it. */
+  def scoped[T](body: => T): T = {
+    val q = new ConcurrentLinkedQueue[Dataset[_]]()
+    scopes.get().push(q)
+    try body
+    finally {
+      scopes.get().pop(): Unit
+      var df = q.poll()
+      while (df != null) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        df = q.poll()
+      }
+    }
+  }
+
+  /** Persist `df` (MEMORY_AND_DISK) and track the handle for release —
+    * in the innermost open [[scoped]] registry of this thread, or the
+    * session-global one ([[releaseAll]]) outside any scope. */
   def persistTracked(df: DataFrame): DataFrame = {
     df.persist()
-    tracked.add(df)
+    registry.add(df)
     df
   }
 
@@ -32,7 +81,7 @@ object Caches {
     * that carry case-class state between rounds, e.g. BPE vocab). */
   def persistTrackedDs[T](ds: Dataset[T]): Dataset[T] = {
     ds.persist()
-    tracked.add(ds)
+    registry.add(ds)
     ds
   }
 
@@ -73,9 +122,11 @@ object Caches {
       try r.unpersist(blocking = false) catch { case _: Throwable => () }
     }
 
-  /** Unpersist every tracked relation and checkpoint block
-    * (non-blocking) and clear the registry. Safe to call at any query
-    * boundary. One contract note: a local-checkpointed relation's
+  /** Unpersist every GLOBALLY tracked relation and checkpoint block
+    * (non-blocking) and clear the registry — persists registered
+    * inside a live [[scoped]] bracket are that scope's to release, so
+    * a harness-level sweep can no longer unpin a concurrent stream's
+    * in-flight batch. Safe to call at any query boundary. One contract note: a local-checkpointed relation's
     * lineage is truncated, so unlike plain persists it CANNOT be
     * recomputed after release — callers must materialize (count /
     * write) results before the boundary, which is exactly what

@@ -43,7 +43,7 @@ object CodebookMeasure {
     }
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_cbm_${ProcessHandle.current.pid}"
     time("buildScaled_firstK") {
-      graft.sources.VectorIndexStore.buildScaled(e, e, s"$dir/f")
+      graft.sources.VectorIndexStore.buildScaled(e, e, s"$dir/f", trained = false)
     }
     time("buildScaled_trained") {
       graft.sources.VectorIndexStore.buildScaled(e, e, s"$dir/t", trained = true)

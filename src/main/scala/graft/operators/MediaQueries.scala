@@ -344,14 +344,11 @@ object MediaQueries {
   /** The (train, eval, hamming) media decon pair relation — q197's
     * body, shared with the q199 coverage rollup so the two reports can
     * never disagree on a pair. */
-  private def mediaDeconPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = eligibleDocs(spark, dir)
-      .select(col("doc_id").as("media_id"), col("text"))
+  private def mediaDeconPairs(spark: SparkSession, dir: String): DataFrame =
     MediaDedup.deconPairs(
       trainHashesOf(deconTrainDocs(spark, dir)),
-      MediaDedup.hashImages(renderAll(docs.filter(col("media_id") % 10 === 0))),
+      MediaDedup.hashImages(renderAll(deconEvalDocs(spark, dir))),
       MaxHamming)
-  }
 
   /** The decon tier's TRAIN image-source relation (media_id, text) —
     * the exact relation q197/q198 offer to [[graft.sources
@@ -365,6 +362,15 @@ object MediaQueries {
     eligibleDocs(spark, dir)
       .select(col("doc_id").as("media_id"), col("text"))
       .filter(col("media_id") % 10 =!= 0)
+
+  /** The decon tier's EVAL image-source relation — [[deconTrainDocs]]'
+    * suite-side twin, exposed for the same drift argument (a store
+    * build digesting a re-derived copy of the eligibility/split
+    * predicates would silently demote every served open to inline). */
+  private[graft] def deconEvalDocs(spark: SparkSession, dir: String): DataFrame =
+    eligibleDocs(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+      .filter(col("media_id") % 10 === 0)
 
   /** The train side's hashes, store-served when fresh (see q197). */
   private def trainHashesOf(train: DataFrame): DataFrame =
@@ -394,15 +400,24 @@ object MediaQueries {
   def q198ThreeEyeDecon(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir, "documents")
     val e = Tables(spark, dir, "embeddings")
-    val media = eligibleDocs(spark, dir)
-      .select(col("doc_id").as("media_id"), col("text"))
-    graft.streaming.DeconGate.flagThreeEye(
+    // Store-or-inline (r16): a configured-and-fresh VerdictStore
+    // serves the whole three-eye relation from its per-(benchmark,
+    // day) evidence — digest scans + match-sized rollups instead of
+    // the three-kernel corpus sweep. The train img side rides the
+    // MediaHashStore dispatch EITHER way, so a fresh hash store keeps
+    // even the freshness digest decode-free; the benchmark-sized eval
+    // side renders inline (the suite is what changed when this runs).
+    val train = graft.sources.VerdictStore.Corpus(
       d.filter(col("doc_id") % 10 =!= 0),
-      d.filter(col("doc_id") % 10 === 0),
       e.filter(col("vec_id") % 10 =!= 0),
+      trainHashesOf(deconTrainDocs(spark, dir)))
+    val suite = graft.sources.VerdictStore.Corpus(
+      d.filter(col("doc_id") % 10 === 0),
       e.filter(col("vec_id") % 10 === 0),
-      trainHashesOf(deconTrainDocs(spark, dir)),
-      MediaDedup.hashImages(renderAll(media.filter(col("media_id") % 10 === 0))))
+      MediaDedup.hashImages(renderAll(deconEvalDocs(spark, dir))))
+    graft.sources.VerdictStore.openFreshThreeEye(train, suite)
+      .getOrElse(graft.streaming.DeconGate.flagThreeEye(
+        train.txt, suite.txt, train.emb, suite.emb, train.img, suite.img))
   }
 
   /** Q199: per-benchmark MEDIA contamination coverage — the q183/q190

@@ -1039,9 +1039,21 @@ object SubstringDedup {
        |FROM documents d LEFT JOIN cov USING (doc_id)
        |WHERE d.doc_id % 10 = 0""".stripMargin
 
-  private[graft] def deconProbeOn(fresh: DataFrame,
-      evalRel: DataFrame): DataFrame = {
-    val pos = graft.sources.DeconStore.openFresh(evalRel) match {
+  /** The CONTAMINATED-POSITION relation behind [[deconProbeOn]] —
+    * (doc_id, p), one row per fresh-side gram position whose K-gram
+    * occurs anywhere in `evalRel`. Exposed (r16) because positions are
+    * the per-benchmark-DECOMPOSABLE form the
+    * [[graft.sources.VerdictStore]] persists: a position matches the
+    * suite iff it matches SOME benchmark, so the union of per-benchmark
+    * position relations (distinct'd — a position can match several
+    * benchmarks) is exactly this relation against the whole suite,
+    * and [[spansFromPositions]] over that union reproduces the inline
+    * spans byte-for-byte. Spans themselves do NOT decompose (islands
+    * merge across benchmarks), which is why the store keys evidence at
+    * the position level. */
+  private[graft] def deconPositionsOn(fresh: DataFrame,
+      evalRel: DataFrame): DataFrame =
+    graft.sources.DeconStore.openFresh(evalRel) match {
       case Some((eFps, eGrams)) =>
         val fFps = Caches.persistTracked(charWinnowOf(fresh))
         val shared = Caches.persistTracked(
@@ -1053,11 +1065,19 @@ object SubstringDedup {
           .select("doc_id", "p")
       case None => deconPosOn(fresh, evalRel, hashedKeys = false)
     }
+
+  /** Maximal spans from a contaminated-position relation — the shared
+    * back half of [[deconProbeOn]] and the verdict store's gram-eye
+    * serve path (same plan, so store ≡ inline by construction). */
+  private[graft] def spansFromPositions(pos: DataFrame): DataFrame =
     spansOf(pos).select(
       col("doc_id"),
       col("s").cast("long").as("span_start"),
       (col("e1") - col("s")).cast("long").as("span_len"))
-  }
+
+  private[graft] def deconProbeOn(fresh: DataFrame,
+      evalRel: DataFrame): DataFrame =
+    spansFromPositions(deconPositionsOn(fresh, evalRel))
 
   val deconProbeSql: String =
     s"SELECT * FROM (\n$deconSpansSql\n) WHERE doc_id % 10 = 1"
@@ -1207,12 +1227,24 @@ object SubstringDedup {
     * cosine verify) plus one doc-keyed full-outer join of two
     * train-sized verdict relations. Oracle-green: both halves have
     * hash-green oracles (q175's spans, q185's matches) and the
-    * composition is two LEFT JOIN rollups + one FULL OUTER JOIN. */
+    * composition is two LEFT JOIN rollups + one FULL OUTER JOIN.
+    *
+    * Store-or-inline (r16, the q82/q195 dispatch carried to the
+    * VERDICT tier): a configured-and-fresh
+    * [[graft.sources.VerdictStore]] serves this relation from its
+    * per-(benchmark, day) EVIDENCE partitions — two digest scans and
+    * match-sized rollups instead of the full winnow + cosine corpus
+    * sweep, maintained incrementally per ingest batch and per suite
+    * edit. Freshness is digest-exact; stale/missing ⇒ inline, cost
+    * never a wrong verdict. Unstored (the Verify gate) it recomputes
+    * inline; the xvd bench pair prices the dispatch. */
   def q196DeconVerdict(spark: SparkSession, dir: String): DataFrame = {
     val (train, ev) = deconSplit(spark, dir)
     val e = Tables(spark, dir, "embeddings")
-    graft.streaming.DeconGate.flagCombined(train, ev,
-      e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0))
+    val te = e.filter(col("vec_id") % 10 =!= 0)
+    val ee = e.filter(col("vec_id") % 10 === 0)
+    graft.sources.VerdictStore.openFreshTwoEye(train, te, ev, ee)
+      .getOrElse(graft.streaming.DeconGate.flagCombined(train, ev, te, ee))
   }
 
   val deconVerdictSql: String =

@@ -50,20 +50,33 @@ object MediaHashStore {
     * ([[openFreshFor]]). Unset (default) = no store, hash inline. */
   val DirKey = "spark.graft.mediastore.dir"
 
-  /** Session conf: skip [[open]]'s digest verification — and, on the
-    * sourced face, [[openFreshFor]]'s source-freshness comparison —
-    * and trust the store: the same BOTH-scans lever as
-    * [[VectorIndexStore.TrustKey]] (its r14 review semantics: every
-    * per-open data-proportional scan is exactly what the trust lever
-    * exists to avoid). The checks are corpus-proportional (one hash
-    * scan each per open), which an audit wants and a daily probe with
-    * external integrity + pipeline-ordering guarantees does not. A
-    * TRUSTED sourced deployment therefore owns keeping the store
-    * advanced: trust serves whatever the live days hold, including
-    * hashes older than the offered source — set it only where ingest
-    * provably advances the store before any probe runs. Default
-    * false: verify both. */
+  /** Session conf: skip the INTEGRITY scan — [[open]]'s digest
+    * verification of the stored index, and [[openFreshFor]]'s
+    * stored-rows-vs-hash-meta check — and trust the store's bytes:
+    * the [[VectorIndexStore.TrustKey]] semantics (a per-open
+    * index-proportional scan is exactly what the trust lever exists
+    * to avoid where external checksums / an immutable object store
+    * already guarantee integrity).
+    *
+    * Deliberately NOT covered (split, ADVICE r15): [[openFreshFor]]'s
+    * source-FRESHNESS comparison. Freshness is one xxhash64 scan over
+    * the OFFERED captions — no decode, no stored-index scan — and
+    * skipping it in a decontamination gate converts a lagging ingest
+    * into silently missed contamination pairs. A deployment whose
+    * pipeline ordering provably advances the store before any probe
+    * runs may additionally set [[TrustFreshKey]]. Default false:
+    * verify integrity. */
   val TrustKey = "spark.graft.mediastore.trust"
+
+  /** Session conf: ALSO skip [[openFreshFor]]'s source-freshness
+    * comparison (one caption xxhash64 scan — the stale-store-demotion
+    * signal). Its own lever, separate from [[TrustKey]], because the
+    * two checks fail differently: a torn store is an operational
+    * fault the integrity scan catches loudly, while a stale store is
+    * a SILENT decon miss the freshness scan demotes to inline. Set
+    * only where ingest provably advances the store before any probe
+    * runs. Default false: verify freshness even when trusted. */
+  val TrustFreshKey = "spark.graft.mediastore.trustfresh"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -174,9 +187,17 @@ object MediaHashStore {
   /** Build a fresh SOURCED store: the hash index plus the day's source
     * digest, so [[openFreshFor]] can verify freshness against the
     * offered source relation without a single decode. `source` must be
-    * the exact (media_id, text) relation `hashed` was derived from. */
+    * the exact (media_id, text) relation `hashed` was derived from.
+    *
+    * `day` defaults to -1 — OUTSIDE a Structured Streaming batch-id
+    * range — matching [[graft.streaming.MediaHashMaintainer]]'s
+    * documented backfill convention (ADVICE r15): a default-day-0
+    * backfill would collide with the stream's first batch, whose
+    * unconditional retire-then-write silently DELETES the backfill's
+    * hashes from the serving index. Builds that are not followed by a
+    * maintainer may pass any day. */
   def buildSourced(source: DataFrame, hashed: DataFrame, dir: String,
-      day: Int = 0): Unit = {
+      day: Int = -1): Unit = {
     val spark = hashed.sparkSession
     fs(spark, dir).delete(new Path(dir), true): Unit
     writeDay(spark, dir, day, hashed, "errorifexists")
@@ -203,7 +224,8 @@ object MediaHashStore {
     * build/advance, so a crashed advance's orphan day is invisible
     * here). Untrusted opens additionally verify the served hash rows
     * against the hash meta — an integrity scan of 16-byte rows, still
-    * no decode; [[TrustKey]] skips both scans. None (a driver-log
+    * no decode; [[TrustKey]] skips only that integrity scan, and the
+    * freshness comparison needs [[TrustFreshKey]] too. None (a driver-log
     * line, never an error) on key unset, unreadable store, or any
     * mismatch — the fallback costs an inline re-decode, never a wrong
     * or missing pair. */
@@ -215,7 +237,11 @@ object MediaHashStore {
       val rows = spark.read.parquet(s"$dir/source_meta").collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
       val trusted = spark.conf.get(TrustKey, "false").toBoolean
-      if (!trusted) {
+      // Freshness runs under its OWN lever (ADVICE r15): TrustKey skips
+      // only the integrity scan below. The caption-digest comparison is
+      // decode-free and is the sole signal that demotes a lagging
+      // ingest to inline instead of silently missing pairs.
+      if (!spark.conf.get(TrustFreshKey, "false").toBoolean) {
         val composed = (rows.map(_._2).sum, rows.map(_._3).foldLeft(0L)(_ ^ _))
         if (sourceDigestOf(source) != composed) {
           System.err.println(s"[mediastore] $dir is stale for this source — hashing inline")

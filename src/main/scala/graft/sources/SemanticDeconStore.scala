@@ -57,10 +57,16 @@ object SemanticDeconStore {
     * centroid-less and the candidate join under-recalls;
     * TrainedCodebookSpec plants that corpus and pins the repair. The
     * stored artifact's CONTRACT is unchanged either way — every later
-    * advance assigns against exactly these frozen centroids. */
+    * advance assigns against exactly these frozen centroids.
+    *
+    * `trained` defaults TRUE (r16, VERDICT r15 next-2): the
+    * production setting is the default; first-K is the EXPLICIT
+    * fixture convention — parity specs pass `trained = false` because
+    * the inline gate arm they pin against derives the union's first-K
+    * codebook. */
   def build(evalEmb: DataFrame, dir: String,
       codebookFrom: Option[DataFrame] = None,
-      trained: Boolean = false): Unit = {
+      trained: Boolean = true): Unit = {
     val spark = evalEmb.sparkSession
     fs(spark, dir).delete(new Path(dir), true): Unit
     val src = codebookFrom.getOrElse(evalEmb)

@@ -45,6 +45,13 @@ object VectorIndexStore {
   /** Session conf: skip BOTH freshness checks and trust the store. */
   val TrustKey = "spark.graft.vectorstore.trust"
 
+  /** Whether the last [[buildPqScaled]] reused the artifact pass's
+    * codes (`corpus eq indexRel`) instead of re-encoding the index
+    * relation — observability for the one-build-one-encode contract
+    * (VERDICT r15 next-4); result rows are identical either way. */
+  private[graft] val lastPqBuildReusedCodes =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -238,9 +245,19 @@ object VectorIndexStore {
     * at K = √N the assignment is K dots per vector — the dominant,
     * corpus-sided term of every probe — and the digest-verify scan it
     * pays instead is one hash per vector. Lives beside the base/PQ
-    * faces under the same [[DirKey]] (own subpaths + meta). */
+    * faces under the same [[DirKey]] (own subpaths + meta).
+    *
+    * `trained` defaults TRUE (r16, VERDICT r15 next-2): a production
+    * build runs the spherical k-means job — on a clustered corpus
+    * whose low ids share a cluster, first-K leaves other clusters
+    * centroid-less and the candidate join under-recalls
+    * (TrainedCodebookSpec plants that corpus and pins the repair).
+    * First-K remains the EXPLICIT fixture/oracle convention: parity
+    * specs pass `trained = false` because the inline arm they pin
+    * against derives first-K, and byte-parity across two separately
+    * trained builds would additionally hang on float-sum order. */
   def buildScaled(corpus: DataFrame, indexRel: DataFrame, dir: String,
-      day: Int = 0, trained: Boolean = false): Unit = {
+      day: Int = 0, trained: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/codebook_scaled"), true): Unit
@@ -375,9 +392,24 @@ object VectorIndexStore {
     * (the xpk bench pair prices the split). Freshness is the scaled
     * face's: a build-time corpus digest for the codebooks (one hash
     * pass on open — no retraining to verify a trained codebook) plus
-    * XOR-composed day digests for the codes. */
+    * XOR-composed day digests for the codes.
+    *
+    * When `corpus eq indexRel` (the common self-indexing build: Bench
+    * xpk, q195's specs) the artifacts' codes ARE the index codes and
+    * the build runs ONE assignment + subvector explode; value-equal
+    * but DISTINCT plans still re-encode because nothing ties their
+    * row sets together until the digests (ADVICE r14). Every in-repo
+    * caller now threads the same reference;
+    * [[lastPqBuildReusedCodes]] makes the dispatch spec-pinnable
+    * (VERDICT r15 next-4's one-build-one-encode).
+    *
+    * `trained` defaults TRUE (r16 — [[buildScaled]]'s argument; the
+    * r15 xpk serve-invariance pair measured that the probe cost is
+    * codebook-provenance-independent, so the default costs the serve
+    * path nothing and buys the recall). First-K stays the explicit
+    * fixture/oracle convention at parity call sites. */
   def buildPqScaled(corpus: DataFrame, indexRel: DataFrame, dir: String,
-      day: Int = 0, trained: Boolean = false): Unit = {
+      day: Int = 0, trained: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val f = fs(spark, dir)
@@ -417,6 +449,7 @@ object VectorIndexStore {
       val codes =
         if (same) corpusCodes
         else sq.pqEncodeScaledWith(pinnedI, cents, pqCents)
+      lastPqBuildReusedCodes.set(same)
       codes.withColumn("day", lit(day))
         .write.partitionBy("day").parquet(s"$dir/codes_pqs")
       val (cn, cdg) = digestOf(pinnedC)

@@ -35,32 +35,72 @@ import graft.state.JdbcStateStore
   * sliver's gram join (SCALE.md's q175 shape) — nothing scales with
   * the stored suite beyond the shared-fingerprint join.
   *
-  * '''Verdict-schema evolution (upgrade note).''' r14 appended a
+  * '''Verdict-schema evolution (mechanized, r16).''' r14 appended a
   * trailing `witness_eval` column to [[flagSemantic]]/[[flagCombined]]
-  * (and r15 appends the media-eye columns to [[flagThreeEye]]'s
-  * output); a gate `outDir` written before an upgrade therefore mixes
-  * schemas across its `batch=` partitions. A whole-directory parquet
-  * read resolves the schema from one file unless asked to merge — the
-  * new column silently reads absent (or errors, file-order-dependent).
-  * Readers of a sink that straddles an upgrade must pass
-  * `spark.read.option("mergeSchema", "true")`, or the deployment
-  * starts a fresh `outDir` (+ sinkId) at upgrade — the exactly-once
-  * markers are per-sinkId, so a fresh sink re-gates history instead of
-  * mixing schemas. New sinks need nothing.
+  * (and r15 appended the media-eye columns to [[flagThreeEye]]'s
+  * output), so a gate `outDir` that straddles an upgrade mixes
+  * schemas across its `batch=` partitions — and a whole-directory
+  * parquet read resolves the schema from ONE file unless asked to
+  * merge (the new column silently reads absent, or errors,
+  * file-order-dependent). The r15 NOTE told operators to pass
+  * `mergeSchema`; now the protocol enforces it: every [[gated]] write
+  * stamps a [[VerdictSchemaVersion]] column, and [[readVerdicts]] is
+  * the reader — mergeSchema'd, with pre-versioning rows surfaced as
+  * version 0 — so a sink that straddles an upgrade reads back
+  * correctly WITHOUT the caller knowing to pass anything
+  * (DeconGateSpec pins the mixed-sink roundtrip). Query-facing
+  * relations ([[flag]]/[[flagCombined]]/[[flagThreeEye]] returns) are
+  * unchanged — the stamp exists only in the sink files.
   */
 object DeconGate {
 
-  /** Batch kernel: per-doc verdict over one batch. `contam_chars` is
-    * the total span mass duplicating the eval suite; `keep` = no
-    * contamination. */
-  def flag(batch: DataFrame, evalRel: DataFrame): DataFrame = {
-    val spans = SubstringDedup.deconProbeOn(batch, evalRel)
+  /** Version stamped on every verdict row a gate writes. History: 1 =
+    * single-eye `flag` (r12); 2 = `witness_eval` appended (r14); 3 =
+    * media-eye columns appended (r15). Bump on ANY verdict-column
+    * change. */
+  val VerdictSchemaVersion = 3
+
+  /** Read a gate sink written across upgrades: mergeSchema unions the
+    * batch partitions' columns (absent ones null — and the
+    * [[flagThreeEye]] null conventions mean a null media column reads
+    * exactly like an imageless doc, never a hamming-0 lookalike), and
+    * rows from before versioning surface as `verdict_schema` 0 so a
+    * reader can tell "old write" from "new write with no media". */
+  def readVerdicts(spark: org.apache.spark.sql.SparkSession,
+      outDir: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(outDir)
+    if (raw.columns.contains("verdict_schema"))
+      raw.withColumn("verdict_schema",
+        coalesce(col("verdict_schema"), lit(0)))
+    else raw.withColumn("verdict_schema", lit(0))
+  }
+
+  // ------------------------------------------------- rollup halves
+  // Each eye factors into KERNEL (the expensive probe producing a
+  // match-sized evidence relation) + ROLLUP (evidence → per-doc
+  // verdict over a base id set). Extracted (r16) so the
+  // [[graft.sources.VerdictStore]]'s serve path — which reads the
+  // evidence relations from parquet instead of running the kernels —
+  // rolls up through the SAME code, making store ≡ inline a property
+  // of construction rather than of two copies staying in sync.
+
+  /** Gram-eye rollup: per-doc verdict from a span relation
+    * (doc_id, span_start, span_len) over a base (doc_id) set. */
+  private[graft] def flagFromSpans(docIds: DataFrame,
+      spanRel: DataFrame): DataFrame = {
+    val spans = spanRel
       .groupBy("doc_id").agg(sum("span_len").as("contam_chars"))
-    batch.select("doc_id").join(spans, Seq("doc_id"), "left")
+    docIds.select("doc_id").join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contam_chars"), lit(0L)).as("contam_chars"))
       .withColumn("keep", col("contam_chars") === 0L)
   }
+
+  /** Batch kernel: per-doc verdict over one batch. `contam_chars` is
+    * the total span mass duplicating the eval suite; `keep` = no
+    * contamination. */
+  def flag(batch: DataFrame, evalRel: DataFrame): DataFrame =
+    flagFromSpans(batch, SubstringDedup.deconProbeOn(batch, evalRel))
 
   /** Semantic verdict face (r13): the gram kernel above cannot see a
     * PARAPHRASED benchmark copy (no shared 40-char run), so this face
@@ -87,13 +127,21 @@ object DeconGate {
       case None =>
         graft.operators.SimilarityQueries.semanticDeconOn(batchEmb, evalEmb, tau)
     }
+    flagSemanticFromMatches(
+      batchEmb.select(col("vec_id").as("doc_id")), matches)
+  }
+
+  /** Semantic-eye rollup: per-doc verdict from a match relation
+    * (doc_id, eval_doc, sim) over a base (doc_id) set. witness_eval
+    * (the smallest witnessing eval id, q191's convention) rides AFTER
+    * keep so existing positional readers are unmoved. */
+  private[graft] def flagSemanticFromMatches(docIds: DataFrame,
+      matches: DataFrame): DataFrame = {
     val hits = matches
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_eval_hits"), max("sim").as("max_eval_sim"),
         min("eval_doc").as("witness_eval"))
-    // witness_eval (the smallest witnessing eval id, q191's convention)
-    // rides AFTER keep so existing positional readers are unmoved.
-    batchEmb.select(col("vec_id").as("doc_id")).join(hits, Seq("doc_id"), "left")
+    docIds.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
         coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"),
@@ -110,10 +158,16 @@ object DeconGate {
     * available verdict — absence of evidence is not contamination. */
   def flagCombined(batch: DataFrame, evalRel: DataFrame,
       batchEmb: DataFrame, evalEmb: DataFrame,
-      tau: Double = graft.operators.SimilarityQueries.SemDeconTau): DataFrame = {
-    val g = flag(batch, evalRel)
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau): DataFrame =
+    composeTwoEye(flag(batch, evalRel), flagSemantic(batchEmb, evalEmb, tau))
+
+  /** The two-eye composition over already-rolled-up per-eye verdicts
+    * ([[flag]]'s and [[flagSemantic]]'s output shapes) — the full-outer
+    * doc-keyed join with the absence rule. */
+  private[graft] def composeTwoEye(gram: DataFrame, sem: DataFrame): DataFrame = {
+    val g = gram
       .select(col("doc_id"), col("contam_chars"), col("keep").as("gram_keep"))
-    val s = flagSemantic(batchEmb, evalEmb, tau)
+    val s = sem
       .select(col("doc_id"), col("n_eval_hits"), col("max_eval_sim"),
         col("keep").as("sem_keep"), col("witness_eval"))
     g.join(s, Seq("doc_id"), "full_outer")
@@ -147,12 +201,20 @@ object DeconGate {
     // call (review r15 finding: double the JDK codec work on the
     // streaming hot path). Released by the callers' releaseAll.
     val pinned = graft.core.Caches.persistTracked(batchHashes)
-    val hits = graft.multimodal.MediaDedup
-      .deconPairs(pinned, evalHashes, maxHamming)
+    flagMediaFromPairs(
+      pinned.select(col("media_id").as("doc_id")),
+      graft.multimodal.MediaDedup.deconPairs(pinned, evalHashes, maxHamming))
+  }
+
+  /** Media-eye rollup: per-doc verdict from a pair relation
+    * (doc_id, eval_doc, hamming) over a base (doc_id) set. */
+  private[graft] def flagMediaFromPairs(docIds: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val hits = pairs
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_image_hits"), min("hamming").as("min_hamming"),
         min("eval_doc").as("witness_image"))
-    pinned.select(col("media_id").as("doc_id")).join(hits, Seq("doc_id"), "left")
+    docIds.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_image_hits"), lit(0L)).as("n_image_hits"),
         col("min_hamming"),
@@ -178,11 +240,21 @@ object DeconGate {
       batchEmb: DataFrame, evalEmb: DataFrame,
       batchImg: DataFrame, evalImg: DataFrame,
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
-      maxHamming: Int = graft.operators.MediaQueries.MaxHamming): DataFrame = {
-    val two = flagCombined(batch, evalRel, batchEmb, evalEmb, tau)
+      maxHamming: Int = graft.operators.MediaQueries.MaxHamming): DataFrame =
+    composeThreeEye(
+      flagCombined(batch, evalRel, batchEmb, evalEmb, tau),
+      flagMedia(batchImg, evalImg, maxHamming))
+
+  /** The three-eye composition over an already-composed two-eye
+    * verdict ([[flagCombined]]'s shape) and a media verdict
+    * ([[flagMedia]]'s shape) — full-outer doc-keyed join, absence
+    * rule, media nulls never coalesced to hamming-0 lookalikes. */
+  private[graft] def composeThreeEye(twoEye: DataFrame,
+      media: DataFrame): DataFrame = {
+    val two = twoEye
       .select(col("doc_id"), col("contam_chars"), col("n_eval_hits"),
         col("max_eval_sim"), col("keep").as("two_keep"), col("witness_eval"))
-    val m = flagMedia(batchImg, evalImg, maxHamming)
+    val m = media
       .select(col("doc_id"), col("n_image_hits"), col("min_hamming"),
         col("keep").as("img_keep"), col("witness_image"))
     two.join(m, Seq("doc_id"), "full_outer")
@@ -201,13 +273,23 @@ object DeconGate {
     * (extracted, review r15): a committed replay skips before any
     * work, the verdict overwrites its OWN batch partition (convergent
     * under replay), tracked caches release, and the control-table
-    * marker commits LAST. Any protocol fix lands once, for every eye. */
+    * marker commits LAST. Any protocol fix lands once, for every eye.
+    *
+    * The verdict write runs inside [[graft.core.Caches.scoped]]
+    * (ADVICE r15): the batch's tracked pins (flagMedia's hash
+    * relation, the probe kernels' winnow/shared-fp relations) release
+    * on FAILURE too — a stream stuck retrying a poison batch no longer
+    * accumulates a pinned relation per attempt — and the release is
+    * scope-private, so several graft streams sharing one SparkSession
+    * cannot unpin each other's in-flight batches mid-flight. */
   private def gated(store: JdbcStateStore, sinkId: String, outDir: String,
       batchId: Long)(verdict: => DataFrame): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      verdict.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-      graft.core.Caches.releaseAll()
+      graft.core.Caches.scoped {
+        verdict.withColumn("verdict_schema", lit(VerdictSchemaVersion))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      }
       store.markBatch(sinkId, batchId)
     }
 

@@ -49,15 +49,18 @@ object MediaHashMaintainer {
       // caption through and the pinned relation is the NARROW
       // (media_id, text, dhash) output: payloads dropped in-pass,
       // consistency by construction.
-      val pinned = MediaDedup.hashImagesWithSource(
-        batch.select(col("media_id"), col("text"), col("content"))).persist()
-      try {
-        MediaHashStore.advanceDaySourced(
-          pinned.select("media_id", "text"),
-          pinned.select("media_id", "dhash"),
-          dir, BatchDay.of(batchId))
-      } finally pinned.unpersist(blocking = false): Unit
-      graft.core.Caches.releaseAll()
+      // Caches.scoped (ADVICE r15): any kernel pins release on failure
+      // too, and only this batch's — never a sibling stream's.
+      graft.core.Caches.scoped {
+        val pinned = MediaDedup.hashImagesWithSource(
+          batch.select(col("media_id"), col("text"), col("content"))).persist()
+        try {
+          MediaHashStore.advanceDaySourced(
+            pinned.select("media_id", "text"),
+            pinned.select("media_id", "dhash"),
+            dir, BatchDay.of(batchId))
+        } finally pinned.unpersist(blocking = false): Unit
+      }
       store.markBatch(sinkId, batchId)
     }
 

@@ -39,8 +39,11 @@ object SignatureMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      SignatureStore.advanceDay(batch, dir, BatchDay.of(batchId))
-      graft.core.Caches.releaseAll() // free the advance's shingle pins
+      // Caches.scoped frees the advance's shingle pins on failure too,
+      // and only this batch's — never a sibling stream's (ADVICE r15).
+      graft.core.Caches.scoped {
+        SignatureStore.advanceDay(batch, dir, BatchDay.of(batchId))
+      }
       // First-caller-wins marker: if a racing zombie committed first,
       // its advance stands — both wrote the same convergent content.
       store.markBatch(sinkId, batchId)

@@ -34,22 +34,26 @@ private[streaming] object SuiteEditBatch {
       advance: (String, DataFrame) => Unit): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      val pinned = batch.persist()
-      try {
-        // Bounded collect: one row per (benchmark, action) in the batch
-        // — suite edits are benchmark-sized, never corpus-sized.
-        val events = pinned.select("bench", "action").distinct().collect()
-          .map(r => (r.getString(0), r.getString(1)))
-        val unknown = events.filter(e => e._2 != "advance" && e._2 != "retire")
-        require(unknown.isEmpty,
-          s"unknown suite-edit action(s) ${unknown.mkString(", ")} — " +
-            "refusing to commit a batch that would silently drop edits")
-        events.collect { case (b, "retire") => b }.sorted.foreach(retire)
-        events.collect { case (b, "advance") => b }.sorted.foreach(b =>
-          advance(b,
-            pinned.filter(col("bench") === b && col("action") === "advance")))
-      } finally pinned.unpersist(blocking = false): Unit
-      graft.core.Caches.releaseAll()
+      // Caches.scoped (ADVICE r15): the advances' kernel pins release
+      // on failure too, and only THIS batch's pins — a concurrent
+      // stream in the same session keeps its own.
+      graft.core.Caches.scoped {
+        val pinned = batch.persist()
+        try {
+          // Bounded collect: one row per (benchmark, action) in the batch
+          // — suite edits are benchmark-sized, never corpus-sized.
+          val events = pinned.select("bench", "action").distinct().collect()
+            .map(r => (r.getString(0), r.getString(1)))
+          val unknown = events.filter(e => e._2 != "advance" && e._2 != "retire")
+          require(unknown.isEmpty,
+            s"unknown suite-edit action(s) ${unknown.mkString(", ")} — " +
+              "refusing to commit a batch that would silently drop edits")
+          events.collect { case (b, "retire") => b }.sorted.foreach(retire)
+          events.collect { case (b, "advance") => b }.sorted.foreach(b =>
+            advance(b,
+              pinned.filter(col("bench") === b && col("action") === "advance")))
+        } finally pinned.unpersist(blocking = false): Unit
+      }
       store.markBatch(sinkId, batchId)
     }
 }

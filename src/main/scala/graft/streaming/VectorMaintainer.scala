@@ -33,8 +33,11 @@ object VectorMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      VectorIndexStore.advanceDay(batch, dir, BatchDay.of(batchId))
-      graft.core.Caches.releaseAll()
+      // Caches.scoped (ADVICE r15): kernel pins release on failure too,
+      // and only this batch's — never a sibling stream's.
+      graft.core.Caches.scoped {
+        VectorIndexStore.advanceDay(batch, dir, BatchDay.of(batchId))
+      }
       store.markBatch(sinkId, batchId)
     }
 
@@ -74,8 +77,9 @@ object VectorMaintainer {
       sinkId: String, dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      VectorIndexStore.advanceDayScaled(batch, dir, BatchDay.of(batchId))
-      graft.core.Caches.releaseAll()
+      graft.core.Caches.scoped {
+        VectorIndexStore.advanceDayScaled(batch, dir, BatchDay.of(batchId))
+      }
       store.markBatch(sinkId, batchId)
     }
 
@@ -98,8 +102,9 @@ object VectorMaintainer {
       sinkId: String, dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      VectorIndexStore.advanceDayPqScaled(batch, dir, BatchDay.of(batchId))
-      graft.core.Caches.releaseAll()
+      graft.core.Caches.scoped {
+        VectorIndexStore.advanceDayPqScaled(batch, dir, BatchDay.of(batchId))
+      }
       store.markBatch(sinkId, batchId)
     }
 

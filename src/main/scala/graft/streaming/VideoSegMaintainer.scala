@@ -37,9 +37,12 @@ object VideoSegMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      VideoSegStore.advanceDay(
-        VideoSegDedup.segmentFingerprints(batch), dir, BatchDay.of(batchId))
-      graft.core.Caches.releaseAll()
+      // Caches.scoped (ADVICE r15): kernel pins release on failure too,
+      // and only this batch's — never a sibling stream's.
+      graft.core.Caches.scoped {
+        VideoSegStore.advanceDay(
+          VideoSegDedup.segmentFingerprints(batch), dir, BatchDay.of(batchId))
+      }
       store.markBatch(sinkId, batchId)
     }
 

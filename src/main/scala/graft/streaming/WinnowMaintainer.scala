@@ -28,8 +28,11 @@ object WinnowMaintainer {
       dir: String, batchId: Long): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
-      WinnowStore.advanceDay(batch, dir, BatchDay.of(batchId))
-      graft.core.Caches.releaseAll()
+      // Caches.scoped (ADVICE r15): kernel pins release on failure too,
+      // and only this batch's — never a sibling stream's.
+      graft.core.Caches.scoped {
+        WinnowStore.advanceDay(batch, dir, BatchDay.of(batchId))
+      }
       store.markBatch(sinkId, batchId)
     }
 

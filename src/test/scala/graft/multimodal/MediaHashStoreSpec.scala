@@ -118,10 +118,17 @@ class MediaHashStoreSpec extends SparkSpec {
       val drifted = src0.updated(0, (10L, "a red barn EDITED at dusk")) ++ src1
       assert(MediaHashStore.openFreshFor(sdf(drifted)).isEmpty,
         "an edited caption must read stale")
-      // …unless explicitly trusted (the external-integrity lever)
+      // TrustKey alone no longer skips freshness (ADVICE r15: the
+      // integrity and freshness levers are split — a trusted store may
+      // still be STALE, and staleness is a silent decon miss)…
       spark.conf.set(MediaHashStore.TrustKey, "true")
-      try assert(MediaHashStore.openFreshFor(sdf(drifted)).isDefined)
+      try assert(MediaHashStore.openFreshFor(sdf(drifted)).isEmpty,
+        "TrustKey must not skip the caption-digest freshness check")
       finally spark.conf.unset(MediaHashStore.TrustKey)
+      // …freshness-skipping needs its OWN explicit lever
+      spark.conf.set(MediaHashStore.TrustFreshKey, "true")
+      try assert(MediaHashStore.openFreshFor(sdf(drifted)).isDefined)
+      finally spark.conf.unset(MediaHashStore.TrustFreshKey)
 
       // a crashed advance (hashes/meta written, source meta NOT — the
       // sourced face's commit point is the source meta) leaves an

@@ -156,7 +156,8 @@ class ThreeEyeDeconSpec extends SparkSpec {
     // centroids from train ∪ eval, so the frozen store codebook must
     // come from the same relation for exact parity.
     graft.sources.SemanticDeconStore.build(
-      e.filter(col("vec_id") % 10 === 0), semDir, codebookFrom = Some(e))
+      e.filter(col("vec_id") % 10 === 0), semDir, codebookFrom = Some(e),
+      trained = false)
     Caches.releaseAll()
     val mediaDir = tmpDir("three_media_store")
     // The EXPOSED train relation, not a re-derived predicate copy —

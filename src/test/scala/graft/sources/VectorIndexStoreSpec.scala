@@ -162,7 +162,7 @@ class VectorIndexStoreSpec extends SparkSpec {
       .map(_.toString).toSet
     graft.core.Caches.releaseAll()
     val dir = tmpDir("vectorstore_scaled")
-    VectorIndexStore.buildScaled(e, idx, dir)
+    VectorIndexStore.buildScaled(e, idx, dir, trained = false)
     spark.conf.set(VectorIndexStore.DirKey, dir)
     try {
       assert(VectorIndexStore.openFreshScaled(e, idx).isDefined,
@@ -191,7 +191,7 @@ class VectorIndexStoreSpec extends SparkSpec {
       val day0 = idx.where(col("vec_id") % 2 === 1)
       val day1 = idx.where(col("vec_id") % 2 === 0)
       val dirIncr = tmpDir("vectorstore_scaled_incr")
-      VectorIndexStore.buildScaled(e, day0, dirIncr, day = 0)
+      VectorIndexStore.buildScaled(e, day0, dirIncr, day = 0, trained = false)
       VectorIndexStore.advanceDayScaled(day1, dirIncr, day = 1)
       spark.conf.set(VectorIndexStore.DirKey, dirIncr)
       val incr = VectorIndexStore.openFreshScaled(e, idx)
@@ -232,7 +232,12 @@ class VectorIndexStoreSpec extends SparkSpec {
       .map(_.toString).toSet
     graft.core.Caches.releaseAll()
     val dir = tmpDir("pqstore_scaled")
-    VectorIndexStore.buildPqScaled(e, e, dir)
+    VectorIndexStore.buildPqScaled(e, e, dir, trained = false)
+    // One build, ONE encode: the self-indexing build must reuse the
+    // artifact pass's codes (same reference), never re-run the N·√N
+    // assignment + subvector explode (VERDICT r15 next-4).
+    assert(VectorIndexStore.lastPqBuildReusedCodes.get(),
+      "a same-reference build must reuse the artifact codes")
     spark.conf.set(VectorIndexStore.DirKey, dir)
     try {
       assert(VectorIndexStore.openFreshPqScaled(e, e).isDefined,
@@ -246,7 +251,7 @@ class VectorIndexStoreSpec extends SparkSpec {
       // two-day advance against BOTH frozen codebooks ≡ the one-shot
       // build (codebooks from the FULL corpus, then day replacement)
       val dir2 = tmpDir("pqstore_scaled_incr")
-      VectorIndexStore.buildPqScaled(e, e, dir2, day = 0)
+      VectorIndexStore.buildPqScaled(e, e, dir2, day = 0, trained = false)
       VectorIndexStore.retireDayPqScaled(spark, dir2, 0)
       VectorIndexStore.advanceDayPqScaled(e.where(col("vec_id") % 2 === 1), dir2, day = 1)
       VectorIndexStore.advanceDayPqScaled(e.where(col("vec_id") % 2 === 0), dir2, day = 2)

@@ -1,0 +1,234 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Caches
+import graft.multimodal.MediaDedup
+import graft.streaming.DeconGate
+
+/** The verdict store's contract (VERDICT r15 next-1):
+  *
+  *  - store ≡ inline BYTE-parity on q196 (two-eye) and q198
+  *    (three-eye) under the first-K codebook convention — the serve
+  *    path rolls stored evidence up through the SAME DeconGate code
+  *    the inline gate uses, so this pins the evidence relations, not
+  *    a re-implementation;
+  *  - per-(benchmark, day) evidence COMPOSES: day advances and
+  *    benchmark advances/retires each touch only their partitions and
+  *    the composed serve equals a from-scratch inline sweep of the
+  *    resulting corpus × suite;
+  *  - freshness is digest-exact in both directions (train drift and
+  *    suite drift read stale → inline), torn advances are invisible
+  *    (meta commit point), and retire clears flags with zero probes.
+  */
+class VerdictStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** The media tier's eligible (media_id, text) relation — the same
+    * eligibility MediaQueries' decon faces use. */
+  private def eligible = docs
+    .filter(length(col("text")) >= 50)
+    .select(col("doc_id").as("media_id"), col("text"))
+
+  private def hashed(media: DataFrame): DataFrame =
+    MediaDedup.hashImages(
+      media.as[(Long, String)]
+        .map { case (id, t) => (id, MediaDedup.renderImage(t)) }
+        .toDF("media_id", "content"))
+
+  private def trainCorpus = VerdictStore.Corpus(
+    docs.filter(col("doc_id") % 10 =!= 0),
+    emb.filter(col("vec_id") % 10 =!= 0),
+    hashed(eligible.filter(col("media_id") % 10 =!= 0)))
+
+  private def suiteCorpus(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : VerdictStore.Corpus = VerdictStore.Corpus(
+    docs.filter(pred(col("doc_id"))),
+    emb.filter(pred(col("vec_id"))),
+    hashed(eligible.filter(pred(col("media_id")))))
+
+  private def rows(df: DataFrame): Set[String] = {
+    val out = df.collect().map(_.toString).toSet
+    Caches.releaseAll()
+    out
+  }
+
+  /** The inline three-eye sweep under the store's FROZEN codebook
+    * (first-K of the full table). The plain [[DeconGate.flagThreeEye]]
+    * arm re-derives its semantic codebook from train ∪ suite per call,
+    * so on a SUB-corpus (one day retired, one benchmark retired) it
+    * would assign against a smaller union — the batch-dependence the
+    * frozen codebook exists to remove. On the full corpus the two
+    * arms coincide (union first-K = full first-K), which is what the
+    * dispatch parity test pins through the real queries. */
+  private def inlineThree(train: VerdictStore.Corpus,
+      suite: VerdictStore.Corpus): Set[String] = {
+    val sq = graft.operators.SimilarityQueries
+    val cents = sq.centroidList(emb)
+    val two = DeconGate.composeTwoEye(
+      DeconGate.flagFromSpans(
+        train.txt.select("doc_id"),
+        graft.operators.SubstringDedup.deconProbeOn(train.txt, suite.txt)),
+      DeconGate.flagSemanticFromMatches(
+        train.emb.select(col("vec_id").as("doc_id")),
+        sq.semanticDeconVia(train.emb, cents,
+          sq.multiAssignWithNv(suite.emb, cents), sq.SemDeconTau)))
+    rows(DeconGate.composeThreeEye(two,
+      DeconGate.flagMediaFromPairs(
+        train.img.select(col("media_id").as("doc_id")),
+        MediaDedup.deconPairs(train.img, suite.img,
+          graft.operators.MediaQueries.MaxHamming))))
+  }
+
+  test("store-served q196/q198 are byte-identical to the inline sweep (first-K codebook)") {
+    val inline196 = rows(graft.operators.SubstringDedup.q196DeconVerdict(spark, sf))
+    val inline198 = rows(graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sf))
+
+    val dir = tmpDir("verdictstore_parity")
+    // codebookFrom = the full table: the inline kernel derives its
+    // centroids from train ∪ eval = all embeddings, so the frozen
+    // store codebook must come from the same relation for exact
+    // parity; trained = false because the inline arm is first-K.
+    VerdictStore.build(trainCorpus,
+      Seq("all" -> suiteCorpus(_ % 10 === 0)), dir,
+      codebookFrom = Some(emb), trained = false)
+    Caches.releaseAll()
+
+    spark.conf.set(VerdictStore.DirKey, dir)
+    try {
+      assert(VerdictStore.openFreshTwoEye(
+        trainCorpus.txt, trainCorpus.emb,
+        docs.filter(col("doc_id") % 10 === 0),
+        emb.filter(col("vec_id") % 10 === 0)).isDefined,
+        "store must be fresh for its own build relations")
+      assert(rows(graft.operators.SubstringDedup.q196DeconVerdict(spark, sf)) == inline196,
+        "store-served q196 must equal the inline two-eye sweep byte-for-byte")
+      assert(rows(graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sf)) == inline198,
+        "store-served q198 must equal the inline three-eye sweep byte-for-byte")
+
+      // train drift (one doc edited) reads stale → the queries fall
+      // back inline and still produce the right verdicts
+      val drifted = VerdictStore.Corpus(
+        trainCorpus.txt.withColumn("text",
+          when(col("doc_id") === 1L, lit("EDITED")).otherwise(col("text"))),
+        trainCorpus.emb, trainCorpus.img)
+      assert(VerdictStore.openFreshThreeEye(drifted, suiteCorpus(_ % 10 === 0)).isEmpty,
+        "an edited train doc must read stale")
+      Caches.releaseAll()
+    } finally {
+      spark.conf.unset(VerdictStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
+
+  test("day advances compose: two-day ingest ≡ one build; retireDay excises exactly its day; torn advance is invisible") {
+    val suite = suiteCorpus(_ % 10 === 0)
+    val day1 = VerdictStore.Corpus(
+      trainCorpus.txt.where(col("doc_id") % 3 =!= 2),
+      trainCorpus.emb.where(col("vec_id") % 3 =!= 2),
+      hashed(eligible.filter(col("media_id") % 10 =!= 0 && col("media_id") % 3 =!= 2)))
+    val day2 = VerdictStore.Corpus(
+      trainCorpus.txt.where(col("doc_id") % 3 === 2),
+      trainCorpus.emb.where(col("vec_id") % 3 === 2),
+      hashed(eligible.filter(col("media_id") % 10 =!= 0 && col("media_id") % 3 === 2)))
+
+    val dir = tmpDir("verdictstore_days")
+    VerdictStore.build(day1, Seq("all" -> suite), dir, day = 1,
+      codebookFrom = Some(emb), trained = false)
+    VerdictStore.advanceDay(day2, Seq("all" -> suite), dir, day = 2)
+    Caches.releaseAll()
+
+    spark.conf.set(VerdictStore.DirKey, dir)
+    try {
+      val served = VerdictStore.openFreshThreeEye(trainCorpus, suite)
+      assert(served.isDefined,
+        "XOR-composed day metas must cover the two-day union")
+      assert(rows(served.get) == inlineThree(trainCorpus, suite),
+        "two-day maintained store must serve the one-sweep inline verdicts")
+
+      // day-level takedown: retire day 2, serve day 1's corpus alone
+      VerdictStore.retireDay(spark, dir, 2)
+      assert(VerdictStore.openFreshThreeEye(trainCorpus, suite).isEmpty,
+        "after retiring day 2 the full corpus must read stale")
+      val servedDay1 = VerdictStore.openFreshThreeEye(day1, suite)
+      assert(servedDay1.isDefined, "day 1 alone must still be fresh")
+      assert(rows(servedDay1.get) == inlineThree(day1, suite),
+        "the retired day's docs and evidence must be fully excised")
+
+      // re-advance day 2 (replay/convergence) and serve the union again
+      VerdictStore.advanceDay(day2, Seq("all" -> suite), dir, day = 2)
+      assert(rows(VerdictStore.openFreshThreeEye(trainCorpus, suite).get) ==
+        inlineThree(trainCorpus, suite),
+        "a re-advanced day must converge to the same serve")
+
+      // torn advance: evidence written, day meta lost → stale, inline
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      f.delete(new org.apache.hadoop.fs.Path(s"$dir/day_meta/day=2"), true)
+      assert(VerdictStore.openFreshThreeEye(trainCorpus, suite).isEmpty,
+        "a day without its meta commit must be invisible (stale → inline)")
+      Caches.releaseAll()
+    } finally {
+      spark.conf.unset(VerdictStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
+
+  test("suite edits: retire clears flags with zero probes; advance probes history once; composed ≡ inline per suite version") {
+    // Two benchmarks partitioning the eval split: a = %20==0, b = %20==10.
+    val benchA = suiteCorpus(_ % 20 === 0)
+    val benchB = suiteCorpus(c => c % 20 === 10)
+    val both = suiteCorpus(_ % 10 === 0)
+
+    val dir = tmpDir("verdictstore_suite")
+    VerdictStore.build(trainCorpus, Seq("a" -> benchA, "b" -> benchB), dir,
+      codebookFrom = Some(emb), trained = false)
+    Caches.releaseAll()
+
+    spark.conf.set(VerdictStore.DirKey, dir)
+    try {
+      // per-benchmark evidence composes to the whole-suite verdicts
+      assert(rows(VerdictStore.openFreshThreeEye(trainCorpus, both).get) ==
+        inlineThree(trainCorpus, both),
+        "two benchmarks' evidence must compose to the whole-suite inline sweep")
+
+      // retire benchmark a: zero probes — docs flagged only by a read
+      // clean again; the full suite now reads stale (never served
+      // against a suite the store no longer holds)
+      VerdictStore.retireBenchmark("a", spark, dir)
+      assert(VerdictStore.openFreshThreeEye(trainCorpus, both).isEmpty,
+        "the full suite must read stale after a retire")
+      assert(rows(VerdictStore.openFreshThreeEye(trainCorpus, benchB).get) ==
+        inlineThree(trainCorpus, benchB),
+        "after retiring a, the store must serve exactly the b-only inline verdicts")
+
+      // advance a back: ONE history probe against a alone, composed
+      // serve equals the whole-suite sweep again
+      VerdictStore.advanceBenchmark("a", benchA, trainCorpus, dir)
+      assert(rows(VerdictStore.openFreshThreeEye(trainCorpus, both).get) ==
+        inlineThree(trainCorpus, both),
+        "a re-advanced benchmark must restore the whole-suite verdicts")
+
+      // an advance over PARTIAL history must fail loud, not write a
+      // benchmark whose evidence silently misses docs
+      val partial = VerdictStore.Corpus(
+        trainCorpus.txt.where(col("doc_id") % 3 === 0),
+        trainCorpus.emb.where(col("vec_id") % 3 === 0),
+        trainCorpus.img)
+      intercept[Exception] {
+        VerdictStore.advanceBenchmark("c", benchA, partial, dir)
+      }
+      Caches.releaseAll()
+    } finally {
+      spark.conf.unset(VerdictStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
+}

@@ -261,7 +261,7 @@ class DeconGateSpec extends SparkSpec {
     assert(inlineV == Map(100L -> false, 101L -> true), s"inline sanity: $inlineV")
 
     val dir = tmpDir("semdecon_store")
-    SemanticDeconStore.build(ev, dir)
+    SemanticDeconStore.build(ev, dir, trained = false)
     Caches.releaseAll()
     spark.conf.set(SemanticDeconStore.DirKey, dir)
     try {
@@ -290,5 +290,57 @@ class DeconGateSpec extends SparkSpec {
       spark.conf.unset(SemanticDeconStore.DirKey)
       Caches.releaseAll()
     }
+  }
+
+  test("a sink straddling a schema upgrade reads back correctly through readVerdicts, without the caller passing mergeSchema") {
+    val ev = Seq((20L, filler("ua", 35) + passage + filler("ub", 25)))
+      .toDF("doc_id", "text")
+    val ctl = new JdbcStateStore("jdbc:derby:memory:decongateupg;create=true")
+    ctl.ensureTable()
+    val outDir = tmpDir("decongate_upgrade")
+
+    // PRE-upgrade batch: an r13-era gate wrote the bare single-eye
+    // verdict with NO version stamp (simulated by writing the kernel's
+    // relation directly, exactly what the old gated() did).
+    DeconGate.flag(
+      Seq((1L, filler("va", 50) + passage), (2L, filler("vz", 120)))
+        .toDF("doc_id", "text"), ev)
+      .write.parquet(s"$outDir/batch=0")
+    Caches.releaseAll()
+
+    // POST-upgrade batch: today's three-eye gate, stamped, more columns.
+    assert(DeconGate.gateThreeEyeBatch(
+      Seq((3L, filler("wa", 50) + passage,
+          Option.empty[Array[Float]], Option.empty[Array[Byte]]),
+        (4L, filler("wz", 120),
+          Option.empty[Array[Float]], Option.empty[Array[Byte]]))
+        .toDF("doc_id", "text", "embedding", "content"),
+      ev, spark.range(0).selectExpr("id as vec_id",
+        "cast(array() as array<float>) as embedding"),
+      spark.range(0).selectExpr("id as media_id", "id as dhash"),
+      ctl, "decongate_upg", outDir, batchId = 1L))
+    Caches.releaseAll()
+
+    val got = DeconGate.readVerdicts(spark, outDir)
+    // union schema: every column of both eras present exactly once
+    assert(got.columns.count(_ == "verdict_schema") == 1)
+    assert(got.columns.contains("witness_image"),
+      "the upgraded batch's columns must survive the mixed read")
+    val byDoc = got.collect().map(r =>
+      r.getLong(0) -> ((r.getAs[Long]("contam_chars"),
+        r.getAs[Boolean]("keep"), r.getAs[Int]("verdict_schema")))).toMap
+    Caches.releaseAll()
+    assert(byDoc(1L)._2 == false && byDoc(1L)._3 == 0,
+      "pre-upgrade rows surface as version 0 with their verdicts intact")
+    assert(byDoc(2L) == ((0L, true, 0)))
+    assert(byDoc(3L)._2 == false &&
+      byDoc(3L)._3 == DeconGate.VerdictSchemaVersion,
+      "post-upgrade rows carry the current stamp")
+    assert(byDoc(4L)._2 == true)
+    // the old rows' absent media columns read as null — an imageless
+    // doc, never a hamming-0 lookalike
+    val old1 = got.where(org.apache.spark.sql.functions.col("doc_id") === 1L).head()
+    assert(old1.isNullAt(old1.fieldIndex("witness_image")))
+    ctl.close()
   }
 }

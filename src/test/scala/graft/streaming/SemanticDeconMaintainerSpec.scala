@@ -44,7 +44,7 @@ class SemanticDeconMaintainerSpec extends SparkSpec {
     ctl.ensureTable()
     val dir = tmpDir("semmaint_store")
     // Initial release: fillers (the codebook-eligible ids) + benchmark 20.
-    SemanticDeconStore.build(df(fillers ++ b1), dir)
+    SemanticDeconStore.build(df(fillers ++ b1), dir, trained = false)
     Caches.releaseAll()
     spark.conf.set(SemanticDeconStore.DirKey, dir)
     try {

@@ -86,7 +86,7 @@ class VectorMaintainerSpec extends SparkSpec {
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toSeq
 
     val dir = tmpDir("vecmaint_scaled")
-    VectorIndexStore.buildScaled(e, backfill, dir, day = -1)
+    VectorIndexStore.buildScaled(e, backfill, dir, day = -1, trained = false)
     val ctl = new JdbcStateStore("jdbc:derby:memory:vecmaint2;create=true")
     ctl.ensureTable()
     val input = MemoryStream[(Long, Array[Float])]
@@ -152,7 +152,7 @@ class VectorMaintainerSpec extends SparkSpec {
     Caches.releaseAll()
 
     val dir = tmpDir("vecmaint_pqs")
-    VectorIndexStore.buildPqScaled(e, backfill, dir, day = -1)
+    VectorIndexStore.buildPqScaled(e, backfill, dir, day = -1, trained = false)
     val ctl = new JdbcStateStore("jdbc:derby:memory:vecmaint3;create=true")
     ctl.ensureTable()
     val input = MemoryStream[(Long, Array[Float])]

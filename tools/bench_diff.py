@@ -231,7 +231,39 @@ def main() -> int:
               f"(SPARK_GRAFT_ONLY=<name>) before treating as real:")
         for k, a, b, r in flagged:
             print(f"  {k}: {a:.2f} -> {b:.2f} ({r:.1f}x)")
+        anchor_cmd(flagged, drift)
     return 1 if flagged else 0
+
+
+ANCHORS = ("q42", "q117")
+
+
+def anchor_cmd(flagged, drift: float) -> None:
+    """Mechanize the same-JVM anchor protocol (VERDICT r15 next-5 —
+    previously prose + one worked example in SCALE.md, relied on the
+    operator remembering it). Trigger: flags that moved by a SHARED
+    factor (family-clustered movement, the r14 tokenizer case: raw
+    ratios within 1.5x of each other across >=2 flags), a broad flag
+    set (>=3), or pronounced calibration drift — all three are
+    machine-state signatures the per-entry correction cannot
+    adjudicate alone. Emit the one command that can: run the SCALE.md
+    anchors (structurally UNCHANGED queries) in the SAME JVM as the
+    flagged keys; if the anchors moved by the same factor, the flags
+    are machine state, else real, net of the anchors' movement."""
+    ratios = sorted(r for _, _, _, r in flagged)
+    clustered = len(ratios) >= 2 and ratios[-1] / ratios[0] <= 1.5
+    if not (clustered or len(ratios) >= 3 or drift >= 1.25 or drift <= 0.8):
+        return
+    keys = ",".join(list(ANCHORS) + sorted(k for k, _, _, _ in flagged))
+    why = ("family-clustered movement" if clustered
+           else f"{len(ratios)} flags" if len(ratios) >= 3
+           else f"calibration drift {drift:.2f}")
+    print(f"{why}: adjudicate machine state with a same-JVM anchor run "
+          f"(SCALE.md r15) before treating any of these as real —")
+    print(f'  SPARK_GRAFT_ONLY="{keys}" SPARK_GRAFT_SF_DIR=<sfdir> '
+          f'sbt "runMain graft.Bench"')
+    print(f"  anchors {', '.join(ANCHORS)} are structurally unchanged: "
+          f"if they move by the flags' factor, it is machine state")
 
 
 if __name__ == "__main__":

@@ -155,6 +155,45 @@ def main() -> int:
     os.unlink(new)
     print("OK sparse artifacts skip calibration and still flag raw")
 
+    # --- anchors mode (VERDICT r15 next-5): the r14 tokenizer case —
+    # a FAMILY of entries moving by a shared ~3.5x factor against a
+    # flat median is a calibration question, and the tool must emit
+    # the same-JVM anchor-run command, not bare flags.
+    base = {str(i): 100 for i in range(1, 10)}
+    base.update({"160": 200, "165": 300, "166": 400})
+    fam = dict(base)
+    fam.update({"160": 700, "165": 1000, "166": 1400})  # ~3.5x, clustered
+    old = write_tmp({"qunit": "cs", "queries": base})
+    new = write_tmp({"qunit": "cs", "queries": fam})
+    argv, sys.argv = sys.argv, ["bench_diff.py", old, new]
+    try:
+        code, out = capture(bench_diff.main)
+    finally:
+        sys.argv = argv
+    assert code == 1, out
+    assert "family-clustered movement" in out, out
+    assert 'SPARK_GRAFT_ONLY="q42,q117,q160,q165,q166"' in out, out
+    os.unlink(old)
+    os.unlink(new)
+    print("OK family-clustered flags emit the same-JVM anchor command")
+
+    # --- a single lone regression (no cluster, low drift) stays a
+    # plain flag: the anchor protocol is for calibration questions,
+    # not every regression.
+    lone = dict(base)
+    lone["5"] = 500
+    old = write_tmp({"qunit": "cs", "queries": base})
+    new = write_tmp({"qunit": "cs", "queries": lone})
+    argv, sys.argv = sys.argv, ["bench_diff.py", old, new]
+    try:
+        code, out = capture(bench_diff.main)
+    finally:
+        sys.argv = argv
+    assert code == 1 and "SPARK_GRAFT_ONLY=\"q42" not in out, out
+    os.unlink(old)
+    os.unlink(new)
+    print("OK a lone regression flags without the anchor ceremony")
+
     print("PASS: all bench_diff fixtures")
     return 0
 
