@@ -382,6 +382,55 @@ object PipelineDemo {
     println(s"[demo] scaled ANN maintainer: advanced=$advanced " +
       s"replay_skipped=${!advReplay} served_index_rows=$servedRows")
 
+    // -- 15. the VERDICT STORE (r16): the decon tier's capstone — the
+    //        suite-wide per-doc verdict report served INCREMENTALLY.
+    //        Build from a backfill day, stream one ingest batch in
+    //        (decoded once, probed against the suite, appended as its
+    //        own day), then RETIRE the benchmark via a suite-edit
+    //        batch: the flagged doc's verdict clears with ZERO probes
+    //        — the store just drops the benchmark's evidence and the
+    //        rollup re-serves.
+    def vRel(rows: Seq[(Long, String, Option[Seq[Float]], Option[Array[Byte]])]) =
+      rows.toDF("doc_id", "text", "embedding", "content")
+    val vSuite = Seq("bench90" -> graft.streaming.VerdictMaintainer.corpusOf(
+      vRel(Seq((90L, passage, Some(base.map(_.toFloat).toSeq),
+        Some(graft.multimodal.MediaDedup.renderImage(evCaption)))))))
+    val vBackfill = vRel(Seq(
+      (0L, "backfill words that are clean and short",
+        Some(Array.fill(16)(rnd.nextGaussian().toFloat).toSeq), None)))
+    val vdirV = s"$root/verdictstore"
+    graft.sources.VerdictStore.build(
+      graft.streaming.VerdictMaintainer.corpusOf(vBackfill), vSuite, vdirV,
+      trained = false)
+    val vBatch = vRel(Seq(
+      (70L, "re-crawled " + passage,
+        Some(base.map(x => (x + 0.01).toFloat).toSeq),
+        Some(graft.multimodal.MediaDedup.renderImage(evCaption))),
+      (71L, "a clean arrival with entirely original words",
+        Some(Array.fill(16)(rnd.nextGaussian().toFloat).toSeq), None)))
+    val vAdv = graft.streaming.VerdictMaintainer.advanceBatch(
+      vBatch, vSuite, store, "demo_verdict", vdirV, batchId = 0L)
+    val vHistory = graft.streaming.VerdictMaintainer.corpusOf(
+      vBackfill.unionByName(vBatch))
+    spark.conf.set(graft.sources.VerdictStore.DirKey, vdirV)
+    val served70 = graft.sources.VerdictStore
+      .openFreshThreeEye(vHistory, vSuite.head._2).get
+      .collect().sortBy(_.getLong(0))
+      .map(r => s"${r.getLong(0)}:keep=${r.getBoolean(6)}").mkString(",")
+    graft.core.Caches.releaseAll()
+    // benchmark takedown: one suite-edit batch, zero probes
+    graft.streaming.VerdictMaintainer.applySuiteBatch(
+      Seq(("bench90", "retire", 0L, "", Option.empty[Seq[Float]],
+        Option.empty[Array[Byte]]))
+        .toDF("bench", "action", "doc_id", "text", "embedding", "content"),
+      vHistory, store, "demo_verdict_suite", vdirV, batchId = 0L)
+    val clearedStale = graft.sources.VerdictStore
+      .openFreshThreeEye(vHistory, vSuite.head._2).isEmpty
+    spark.conf.unset(graft.sources.VerdictStore.DirKey)
+    graft.core.Caches.releaseAll()
+    println(s"[demo] verdict store: advanced=$vAdv served=[$served70] " +
+      s"retired_suite_reads_stale=$clearedStale")
+
     spark.stop()
     println("[demo] DONE")
   }
