@@ -104,6 +104,34 @@ object VerdictStore {
     * store never touches a payload byte. */
   final case class Corpus(txt: DataFrame, emb: DataFrame, img: DataFrame)
 
+  /** Per-store-dir mutation lock (review r16 finding 1). This store is
+    * the one in the family with TWO maintainer faces writing the same
+    * root (ingest days and suite edits): unserialized, a suite
+    * advance's retire-first could delete an in-flight day advance's
+    * just-written evidence AFTER its digest check, and once both metas
+    * commit the store reads FRESH but is missing that (benchmark, day)
+    * evidence — a fresh-but-WRONG serve, the one state the commit
+    * protocol exists to forbid. Both faces run in one driver JVM in
+    * the advertised topology (two streams, one SparkSession), so a
+    * per-dir monitor serializes them; ACROSS processes the store keeps
+    * the family's single-writer contract (one maintainer owner per
+    * store root) — reads need no lock, they see only committed metas. */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    dirLocks.computeIfAbsent(dir, _ => new Object)
+
+  /** Benchmark names splice into partition paths (`bench=<name>`), so
+    * a name containing the partition separator would write under one
+    * path and be read back truncated at the first '=' — the digest
+    * composition (file contents) would still MATCH while the evidence
+    * lookup misses, serving keep=true for contaminated docs (review
+    * r16 finding 3). Fail loud at write time instead. */
+  private def requireSafeBenchName(name: String): Unit =
+    require(name.nonEmpty && !name.exists(c => c == '=' || c == '/' || c == '\\'),
+      s"benchmark name '$name' cannot be used in a bench= partition path " +
+        "(must be non-empty and contain no '=', '/' or '\\')")
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -143,7 +171,9 @@ object VerdictStore {
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
       maxHamming: Int = graft.operators.MediaQueries.MaxHamming): Unit = {
     require(suite.nonEmpty, s"verdict store $dir: empty benchmark suite")
+    suite.foreach { case (name, _) => requireSafeBenchName(name) }
     val spark = train.txt.sparkSession
+    lockFor(dir).synchronized {
     fs(spark, dir).delete(new Path(dir), true): Unit
     spark.createDataFrame(Seq((tau, maxHamming)))
       .toDF("tau", "max_hamming")
@@ -162,6 +192,7 @@ object VerdictStore {
       writeMetaRow(spark, s"$dir/suite_meta/bench=$name", digests(c))
     }
     advanceDay(train, suite, dir, day)
+    }
   }
 
   /** The stored frozen codebook — K driver rows (bounded by the
@@ -215,18 +246,23 @@ object VerdictStore {
     * one batch band join per benchmark against the broadcast
     * benchmark-sized eval side — nothing scales with stored history. */
   def advanceDay(batch: Corpus, suite: Seq[(String, Corpus)], dir: String,
-      day: Int): Unit = {
+      day: Int): Unit = lockFor(dir).synchronized {
     val spark = batch.txt.sparkSession
     retireDay(spark, dir, day)
     val cents = storedCodebook(spark, dir)
     val (tau, maxHamming) = storedParams(spark, dir)
+    // One meta read for the whole batch (review r16 finding 6: reading
+    // it per benchmark made every micro-batch O(B²) in driver-side
+    // parquet opens) — the metas cannot change mid-call, the dir lock
+    // holds.
+    val storedMetas = readMetas(spark, s"$dir/suite_meta")
     graft.core.Caches.scoped {
       val pinned = Corpus(batch.txt.persist(), batch.emb.persist(),
         batch.img.persist())
       try {
         suite.foreach { case (name, bench) =>
           val offered = digests(bench)
-          val stored = readMetas(spark, s"$dir/suite_meta")
+          val stored = storedMetas
             .find(_._1 == name)
             .getOrElse(sys.error(
               s"verdict store $dir has no live benchmark '$name' — advance the suite first"))
@@ -272,7 +308,8 @@ object VerdictStore {
     * (including evidence a later [[advanceBenchmark]] history probe
     * attributed back to this day — the per-day split exists exactly so
     * this retire is total). */
-  def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+  def retireDay(spark: SparkSession, dir: String, day: Int): Unit =
+      lockFor(dir).synchronized {
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/day_meta/day=$day"), true): Unit
     f.delete(new Path(s"$dir/base/day=$day"), true): Unit
@@ -296,7 +333,8 @@ object VerdictStore {
     * `src=d<day>` partitions its docs arrived in, so later day
     * retires/re-advances stay exact. */
   def advanceBenchmark(name: String, bench: Corpus, history: Corpus,
-      dir: String): Unit = {
+      dir: String): Unit = lockFor(dir).synchronized {
+    requireSafeBenchName(name)
     val spark = bench.txt.sparkSession
     retireBenchmark(name, spark, dir)
     val cents = storedCodebook(spark, dir)
@@ -334,7 +372,8 @@ object VerdictStore {
     * evidence re-rolls up at serve time, so every doc flagged only by
     * the retired benchmark reads clean again, exactly as if the
     * benchmark had never been in the suite. */
-  def retireBenchmark(name: String, spark: SparkSession, dir: String): Unit = {
+  def retireBenchmark(name: String, spark: SparkSession, dir: String): Unit =
+      lockFor(dir).synchronized {
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/suite_meta/bench=$name"), true): Unit
     Seq("ev_gram", "ev_sem", "ev_img").foreach(eye =>
@@ -355,7 +394,9 @@ object VerdictStore {
       .filter(s => s.getPath.getName.contains("=")).map(_.getPath)
     parts.map { p =>
       val r = spark.read.parquet(p.toString).head()
-      (p.getName.split('=')(1),
+      // limit-2 split: names are validated '='-free at write time, but
+      // a reader must not silently truncate if handed a foreign dir
+      (p.getName.split("=", 2)(1),
         ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)),
           (r.getLong(4), r.getLong(5))))
     }.toSeq
@@ -439,12 +480,22 @@ object VerdictStore {
     * rollups run over match-sized evidence. None (a driver-log line,
     * never an error) on key unset, unreadable store, or any digest
     * mismatch — the caller recomputes inline. */
-  def openFreshThreeEye(train: Corpus, suite: Corpus): Option[DataFrame] = {
+  def openFreshThreeEye(train: Corpus, suite: Corpus,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
+      maxHamming: Int = graft.operators.MediaQueries.MaxHamming)
+      : Option[DataFrame] = {
     val spark = train.txt.sparkSession
     opened(spark).flatMap { case (dir, benches, days, suiteDg, dayDg) =>
       val trusted = spark.conf.get(TrustKey, "false").toBoolean
       val fresh =
-        try trusted || (digests(suite) == suiteDg && digests(train) == dayDg)
+        try
+          // Thresholds are part of freshness (review r16 finding 2): a
+          // store built at a different τ / hamming radius holds
+          // evidence thresholded differently from what the caller's
+          // verdict contract promises — digest-fresh data, WRONG
+          // verdicts. Never trusted away: params are one driver row.
+          storedParams(spark, dir) == ((tau, maxHamming)) &&
+            (trusted || (digests(suite) == suiteDg && digests(train) == dayDg))
         catch {
           case NonFatal(e) =>
             System.err.println(s"[verdictstore] $dir freshness scan failed (${e.getMessage}) — recomputing inline")
@@ -469,16 +520,22 @@ object VerdictStore {
     * holds no image relations, and the media evidence it ignores
     * cannot change a two-eye verdict. */
   def openFreshTwoEye(trainTxt: DataFrame, trainEmb: DataFrame,
-      suiteTxt: DataFrame, suiteEmb: DataFrame): Option[DataFrame] = {
+      suiteTxt: DataFrame, suiteEmb: DataFrame,
+      tau: Double = graft.operators.SimilarityQueries.SemDeconTau)
+      : Option[DataFrame] = {
     val spark = trainTxt.sparkSession
     opened(spark).flatMap { case (dir, benches, days, suiteDg, dayDg) =>
       val trusted = spark.conf.get(TrustKey, "false").toBoolean
       val fresh =
-        try trusted ||
+        try
+          // τ is part of freshness (the three-eye face's argument); the
+          // hamming radius is not compared here — a two-eye reader
+          // ignores the media evidence the radius thresholded.
+          storedParams(spark, dir)._1 == tau && (trusted ||
           ((SignatureStore.digestOf(suiteTxt), VectorIndexStore.digestOf(suiteEmb)) ==
             ((suiteDg._1, suiteDg._2)) &&
           (SignatureStore.digestOf(trainTxt), VectorIndexStore.digestOf(trainEmb)) ==
-            ((dayDg._1, dayDg._2)))
+            ((dayDg._1, dayDg._2))))
         catch {
           case NonFatal(e) =>
             System.err.println(s"[verdictstore] $dir freshness scan failed (${e.getMessage}) — recomputing inline")

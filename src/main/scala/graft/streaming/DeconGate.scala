@@ -54,10 +54,14 @@ import graft.state.JdbcStateStore
   */
 object DeconGate {
 
-  /** Version stamped on every verdict row a gate writes. History: 1 =
-    * single-eye `flag` (r12); 2 = `witness_eval` appended (r14); 3 =
-    * media-eye columns appended (r15). Bump on ANY verdict-column
-    * change. */
+  /** Version stamped on every verdict row a gate writes — the ROW's
+    * schema, not the writer-code era (review r16 finding 5: stamping
+    * the current code version on every face would make a two-eye
+    * sink's rows claim media columns they never had). Each face stamps
+    * its own: 1 = single-eye [[flag]] (r12); 2 = two-eye with
+    * `witness_eval` ([[flagCombined]], r14); 3 = three-eye media
+    * columns ([[flagThreeEye]], r15). [[VerdictSchemaVersion]] is the
+    * current maximum. Bump on ANY verdict-column change. */
   val VerdictSchemaVersion = 3
 
   /** Read a gate sink written across upgrades: mergeSchema unions the
@@ -283,11 +287,11 @@ object DeconGate {
     * scope-private, so several graft streams sharing one SparkSession
     * cannot unpin each other's in-flight batches mid-flight. */
   private def gated(store: JdbcStateStore, sinkId: String, outDir: String,
-      batchId: Long)(verdict: => DataFrame): Boolean =
+      batchId: Long, schemaVersion: Int)(verdict: => DataFrame): Boolean =
     if (store.batchCommitted(sinkId, batchId)) false
     else {
       graft.core.Caches.scoped {
-        verdict.withColumn("verdict_schema", lit(VerdictSchemaVersion))
+        verdict.withColumn("verdict_schema", lit(schemaVersion))
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       store.markBatch(sinkId, batchId)
@@ -299,7 +303,8 @@ object DeconGate {
   def gateBatch(batch: DataFrame, evalRel: DataFrame,
       store: JdbcStateStore, sinkId: String, outDir: String,
       batchId: Long): Boolean =
-    gated(store, sinkId, outDir, batchId)(flag(batch, evalRel))
+    gated(store, sinkId, outDir, batchId, schemaVersion = 1)(
+      flag(batch, evalRel))
 
   /** Wire a streaming document DataFrame (doc_id, text, …) into the
     * gate. Caller starts it (and owns checkpointLocation, trigger). */
@@ -321,7 +326,7 @@ object DeconGate {
       evalEmb: DataFrame, store: JdbcStateStore, sinkId: String,
       outDir: String, batchId: Long,
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau): Boolean =
-    gated(store, sinkId, outDir, batchId)(
+    gated(store, sinkId, outDir, batchId, schemaVersion = 2)(
       flagCombined(
         batch.select("doc_id", "text"),
         evalRel,
@@ -359,7 +364,8 @@ object DeconGate {
       sinkId: String, outDir: String, batchId: Long,
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
       maxHamming: Int = graft.operators.MediaQueries.MaxHamming): Boolean =
-    gated(store, sinkId, outDir, batchId)(
+    gated(store, sinkId, outDir, batchId,
+        schemaVersion = VerdictSchemaVersion)(
       flagThreeEye(
         batch.select("doc_id", "text"),
         evalRel,

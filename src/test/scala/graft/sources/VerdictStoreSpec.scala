@@ -122,6 +122,37 @@ class VerdictStoreSpec extends SparkSpec {
       assert(VerdictStore.openFreshThreeEye(drifted, suiteCorpus(_ % 10 === 0)).isEmpty,
         "an edited train doc must read stale")
       Caches.releaseAll()
+
+      // thresholds are part of freshness (review r16): evidence
+      // gathered at the build's τ / radius cannot serve a caller whose
+      // verdict contract names different ones — even under TrustKey
+      spark.conf.set(VerdictStore.TrustKey, "true")
+      try {
+        assert(VerdictStore.openFreshThreeEye(trainCorpus,
+          suiteCorpus(_ % 10 === 0), tau = 0.9).isEmpty,
+          "a τ the store was not built at must read stale")
+        assert(VerdictStore.openFreshThreeEye(trainCorpus,
+          suiteCorpus(_ % 10 === 0), maxHamming = 0).isEmpty,
+          "a radius the store was not built at must read stale")
+        assert(VerdictStore.openFreshTwoEye(
+          trainCorpus.txt, trainCorpus.emb,
+          docs.filter(col("doc_id") % 10 === 0),
+          emb.filter(col("vec_id") % 10 === 0), tau = 0.9).isEmpty,
+          "the two-eye face checks τ too")
+      } finally spark.conf.unset(VerdictStore.TrustKey)
+
+      // benchmark names splice into bench= partition paths: a name the
+      // path would truncate must be rejected at build time, before any
+      // store content is touched
+      intercept[IllegalArgumentException] {
+        VerdictStore.build(trainCorpus,
+          Seq("mmlu=v2" -> suiteCorpus(_ % 10 === 0)), dir)
+      }
+      intercept[IllegalArgumentException] {
+        VerdictStore.advanceBenchmark("a/b",
+          suiteCorpus(_ % 10 === 0), trainCorpus, dir)
+      }
+      Caches.releaseAll()
     } finally {
       spark.conf.unset(VerdictStore.DirKey)
       Caches.releaseAll()

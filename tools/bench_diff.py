@@ -121,7 +121,14 @@ X_CODES = {"xt": "x_transform", "xip": "x_incr_probe",
            "xvs": "x_vectorstore_probe", "xpq": "x_pqstore_topk",
            "xsk": "x_scaled_index_probe",
            "xpk": "x_pqstore_scaled", "xsd": "x_semdecon_gate",
+           "xvd": "x_verdict_serve",
            "xprt": "x_pagerank_tol"}
+
+# Normalized long name -> the short code Bench's SPARK_GRAFT_ONLY
+# matches on (extraOn tests code.contains(entry), so the anchor-run
+# command must emit SHORT codes or flagged x-entries silently never
+# re-run — review r16 finding 4).
+X_SHORT = {v: k for k, v in X_CODES.items()}
 
 
 def norm(k: str) -> str:
@@ -254,7 +261,8 @@ def anchor_cmd(flagged, drift: float) -> None:
     clustered = len(ratios) >= 2 and ratios[-1] / ratios[0] <= 1.5
     if not (clustered or len(ratios) >= 3 or drift >= 1.25 or drift <= 0.8):
         return
-    keys = ",".join(list(ANCHORS) + sorted(k for k, _, _, _ in flagged))
+    keys = ",".join(list(ANCHORS) +
+                    sorted(X_SHORT.get(k, k) for k, _, _, _ in flagged))
     why = ("family-clustered movement" if clustered
            else f"{len(ratios)} flags" if len(ratios) >= 3
            else f"calibration drift {drift:.2f}")

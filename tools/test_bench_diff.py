@@ -194,6 +194,28 @@ def main() -> int:
     os.unlink(new)
     print("OK a lone regression flags without the anchor ceremony")
 
+    # --- flagged x-entries come back as SHORT codes in the anchor
+    # command: SPARK_GRAFT_ONLY matches Bench's short codes, so the
+    # normalized long form would silently never re-run the entry.
+    xbase = {str(i): 100 for i in range(1, 10)}
+    xbase.update({"xsd": 150, "160": 100})
+    xfam = dict(xbase)
+    xfam.update({"xsd": 600, "160": 380})       # 4.0x and 3.8x, clustered
+    old = write_tmp({"qunit": "cs", "queries": xbase})
+    new = write_tmp({"qunit": "cs", "queries": xfam})
+    argv, sys.argv = sys.argv, ["bench_diff.py", old, new]
+    try:
+        code, out = capture(bench_diff.main)
+    finally:
+        sys.argv = argv
+    assert code == 1, out
+    cmd_line = [l for l in out.splitlines() if 'SPARK_GRAFT_ONLY="' in l]
+    assert cmd_line and 'SPARK_GRAFT_ONLY="q42,q117,q160,xsd"' in cmd_line[0], out
+    assert "x_semdecon_gate" not in cmd_line[0], out
+    os.unlink(old)
+    os.unlink(new)
+    print("OK flagged x-entries emit their SHORT codes in the anchor command")
+
     print("PASS: all bench_diff fixtures")
     return 0
 
