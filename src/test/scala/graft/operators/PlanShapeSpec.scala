@@ -571,6 +571,59 @@ class PlanShapeSpec extends SparkSpec {
     graft.core.Caches.releaseAll()
   }
 
+  test("verdict-store serve: the base read is day-partition-pruned and evidence scans read only their columns") {
+    // Build a two-day store and serve only day 1's corpus: the serve
+    // plan's base scan must carry a PartitionFilters entry on `day`
+    // (pruning retired/unoffered days at the directory level, the
+    // property that keeps the serve evidence-sized as days accumulate)
+    // and no evidence scan may read beyond its declared columns.
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$Dir/documents.parquet")
+    val e = spark.read.parquet(s"$Dir/embeddings.parquet")
+    import spark.implicits._
+    def hashed(part: DataFrame) = graft.multimodal.MediaDedup.hashImages(
+      part.as[(Long, String)]
+        .map { case (id, t) => (id, graft.multimodal.MediaDedup.renderImage(t)) }
+        .toDF("media_id", "content"))
+    val elig = d.filter(length(col("text")) >= 50)
+      .select(col("doc_id").as("media_id"), col("text"))
+    def corpus(dayPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.sources.VerdictStore.Corpus(
+        d.filter(col("doc_id") % 10 =!= 0).where(dayPred(col("doc_id"))),
+        e.filter(col("vec_id") % 10 =!= 0).where(dayPred(col("vec_id"))),
+        hashed(elig.filter(col("media_id") % 10 =!= 0)
+          .where(dayPred(col("media_id")))))
+    val suite = graft.sources.VerdictStore.Corpus(
+      d.filter(col("doc_id") % 10 === 0), e.filter(col("vec_id") % 10 === 0),
+      hashed(elig.filter(col("media_id") % 10 === 0)))
+    val dir = tmpDir("planshape_verdict")
+    graft.sources.VerdictStore.build(corpus(_ % 3 =!= 2),
+      Seq("all" -> suite), dir, day = 1, codebookFrom = Some(e),
+      trained = false)
+    graft.sources.VerdictStore.advanceDay(corpus(_ % 3 === 2),
+      Seq("all" -> suite), dir, day = 2)
+    graft.core.Caches.releaseAll()
+    spark.conf.set(graft.sources.VerdictStore.DirKey, dir)
+    try {
+      graft.sources.VerdictStore.retireDay(spark, dir, 2)
+      val served = graft.sources.VerdictStore
+        .openFreshThreeEye(corpus(_ % 3 =!= 2), suite)
+      assert(served.isDefined)
+      served.get.count() // settle AQE
+      val p = plan(served.get)
+      assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
+        s"the base scan must prune day partitions, not filter post-scan:\n$p")
+      val evSchemas = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      assert(evSchemas.exists(_.startsWith("doc_id")),
+        s"evidence scans must project their declared columns only:\n$p")
+      graft.core.Caches.releaseAll()
+    } finally {
+      spark.conf.unset(graft.sources.VerdictStore.DirKey)
+      graft.core.Caches.releaseAll()
+    }
+  }
+
   test("q197: the media decon band join broadcasts the eval side — never a cartesian over hashes") {
     val df = MediaQueries.q197MediaDecon(spark, Dir)
     df.count() // settle AQE
