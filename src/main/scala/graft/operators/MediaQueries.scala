@@ -487,6 +487,52 @@ object MediaQueries {
       .orderBy("doc_id")
   }
 
+  /** Q201: the EYE-OVERLAP summary — the model-card table the per-doc
+    * verdict relation (q198) rolls up to: for every combination of the
+    * three eyes (gram / semantic / media dirty), how many training
+    * docs that combination flags, with the two masses a governance
+    * owner reads next to the counts (total contaminated chars for the
+    * gram-dirty rows; strongest semantic match for the sem-dirty
+    * ones). All 8 combinations are reported — zeros included, from a
+    * static 8-row grid left-joined with the rollup — because "no doc
+    * is media-only dirty" is exactly the kind of finding the report
+    * exists to state, and a combination silently absent reads as
+    * unmeasured. The overlap structure is the actionable part: docs
+    * caught by ONE eye only are the proof each eye pays its way (the
+    * disjoint-failure-modes argument made measurable), and the
+    * all-three row sizes the verbatim re-crawl population.
+    *
+    * Pure 8-way rollup of q198's relation (shared body — the summary
+    * and the per-doc verdicts cannot disagree), so it rides the same
+    * VerdictStore dispatch: with a fresh store this model-card table
+    * costs evidence-sized rollups, zero corpus probes. Rows-only
+    * (q198's reason: the media columns have no SQL oracle);
+    * ThreeEyeDeconSpec pins it cell-for-cell against q198's collected
+    * relation rolled up in memory. */
+  def q201EyeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = q198ThreeEyeDecon(spark, dir)
+      .select((col("contam_chars") > 0L).as("gram_dirty"),
+        (col("n_eval_hits") > 0L).as("sem_dirty"),
+        (col("n_image_hits") > 0L).as("img_dirty"),
+        col("contam_chars"), col("max_eval_sim"))
+      .groupBy("gram_dirty", "sem_dirty", "img_dirty")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("contam_chars").as("contam_chars"),
+        max("max_eval_sim").as("max_eval_sim"))
+    val grid = (for { g <- Seq(false, true); s <- Seq(false, true)
+      i <- Seq(false, true) } yield (g, s, i))
+      .toDF("gram_dirty", "sem_dirty", "img_dirty")
+    // ≤8 rows by construction — broadcast rather than leaving a
+    // static sort-merge plan (q194's grid argument).
+    grid.join(broadcast(v), Seq("gram_dirty", "sem_dirty", "img_dirty"), "left")
+      .select(col("gram_dirty"), col("sem_dirty"), col("img_dirty"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+        coalesce(col("max_eval_sim"), lit(0.0)).as("max_eval_sim"))
+      .orderBy("gram_dirty", "sem_dirty", "img_dirty")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_image_neardup" -> q153ImageNearDup _,
     "q154_alignment_audit" -> q154AlignmentAudit _,
@@ -497,7 +543,8 @@ object MediaQueries {
     "q197_media_decon" -> q197MediaDecon _,
     "q198_three_eye_decon" -> q198ThreeEyeDecon _,
     "q199_media_coverage" -> q199MediaCoverage _,
-    "q200_media_scrub" -> q200MediaScrub _)
+    "q200_media_scrub" -> q200MediaScrub _,
+    "q201_eye_overlap" -> q201EyeOverlap _)
 
   val oracles: Map[String, String] = Map(
     "q154_alignment_audit" -> alignmentAuditSql,

@@ -245,4 +245,30 @@ class ThreeEyeDeconSpec extends SparkSpec {
     assert(got(62L) == ((0L, 0L, 0L, None, true, None)),
       s"the clean doc keeps under all three eyes: ${got(62L)}")
   }
+
+  test("q201: the eye-overlap summary is exactly q198 rolled up, all 8 combinations reported") {
+    val verdicts = MediaQueries.q198ThreeEyeDecon(spark, sf).collect()
+      .map(r => (r.getLong(1) > 0L, r.getLong(2) > 0L, r.getLong(4) > 0L,
+        r.getLong(1), r.getDouble(3)))
+    Caches.releaseAll()
+    val got = MediaQueries.q201EyeOverlap(spark, sf).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    Caches.releaseAll()
+    val combos = for { g <- Seq(false, true); s <- Seq(false, true)
+      i <- Seq(false, true) } yield (g, s, i)
+    assert(got.keySet == combos.toSet,
+      s"all 8 eye combinations must be reported, zeros included: ${got.keySet}")
+    combos.foreach { c =>
+      val cell = verdicts.filter(v => (v._1, v._2, v._3) == c)
+      val want = (cell.size.toLong,
+        cell.map(_._4).sum,
+        if (cell.isEmpty) 0.0 else cell.map(_._5).max)
+      assert(got(c) == want,
+        s"combination $c must equal q198's in-memory rollup: ${got(c)} vs $want")
+    }
+    // the fixture's planted structure makes the report non-degenerate:
+    // some docs are dirty, most are clean
+    assert(got((false, false, false))._1 > 0L && got.exists(kv => kv._1 != ((false, false, false)) && kv._2._1 > 0L))
+  }
 }
