@@ -115,6 +115,41 @@ class VerdictMaintainerSpec extends SparkSpec {
     }
   }
 
+  test("streamed ingest wiring: micro-batches advance the store through foreachBatch, verdicts current through the last batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("verdictmaint_stream")
+    VerdictStore.build(VerdictMaintainer.corpusOf(rel(fillers)), suiteA, dir,
+      trained = false)
+    val ctl = new JdbcStateStore("jdbc:derby:memory:verdmaint3;create=true")
+    ctl.ensureTable()
+    val input = MemoryStream[(Long, String, Option[Array[Float]], Option[Array[Byte]])]
+    val q = VerdictMaintainer.exactlyOnce(
+      input.toDF().toDF("doc_id", "text", "embedding", "content"),
+      suiteA, ctl, "verdict_stream", dir)
+      .option("checkpointLocation", tmpDir("verdictmaint_stream_cp")).start()
+    try {
+      input.addData(dirty)
+      q.processAllAvailable()
+      input.addData(clean)
+      q.processAllAvailable()
+    } finally q.stop()
+    Caches.releaseAll()
+    spark.conf.set(VerdictStore.DirKey, dir)
+    try {
+      val served = VerdictStore.openFreshThreeEye(fullTrain, suiteA.head._2)
+      assert(served.isDefined,
+        "the stream-maintained store must be fresh through the last committed batch")
+      val keeps = served.get.collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      Caches.releaseAll()
+      assert(!keeps(23L) && keeps(24L),
+        "streamed batches must carry the same verdicts as the direct advances")
+    } finally {
+      spark.conf.unset(VerdictStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
+
   test("suite-edit face: an advance probes history once and flags it; a retire clears its flags; replays skip") {
     val dir = tmpDir("verdictmaint_suite")
     VerdictStore.build(fullTrain, suiteA, dir, trained = false)
