@@ -344,11 +344,18 @@ object MediaQueries {
   /** The (train, eval, hamming) media decon pair relation — q197's
     * body, shared with the q199 coverage rollup so the two reports can
     * never disagree on a pair. */
-  private def mediaDeconPairs(spark: SparkSession, dir: String): DataFrame =
-    MediaDedup.deconPairs(
-      trainHashesOf(deconTrainDocs(spark, dir)),
-      MediaDedup.hashImages(renderAll(deconEvalDocs(spark, dir))),
-      MaxHamming)
+  private def mediaDeconPairs(spark: SparkSession, dir: String): DataFrame = {
+    val train = trainHashesOf(deconTrainDocs(spark, dir))
+    val eval = MediaDedup.hashImages(renderAll(deconEvalDocs(spark, dir)))
+    // Store-or-inline (r16): the VerdictStore's img evidence IS this
+    // pair relation, so q197/q199/q200 all serve from it through this
+    // one shared body when it is fresh — per-modality freshness, two
+    // hash scans, zero band joins. Stale/missing ⇒ the inline exact
+    // banding; the MediaHashStore dispatch above keeps even the
+    // freshness digest decode-free on the train side.
+    graft.sources.VerdictStore.openFreshMediaPairs(train, eval, MaxHamming)
+      .getOrElse(MediaDedup.deconPairs(train, eval, MaxHamming))
+  }
 
   /** The decon tier's TRAIN image-source relation (media_id, text) —
     * the exact relation q197/q198 offer to [[graft.sources

@@ -514,6 +514,41 @@ object VerdictStore {
     }
   }
 
+  /** The stored MEDIA PAIR relation (doc_id, eval_doc, hamming) — the
+    * q197 relation itself, because the media eye's evidence one level
+    * below the verdict IS the pair relation the coverage (q199) and
+    * scrub (q200) reports roll up. Served when the store is fresh for
+    * the offered (train hashes, suite hashes) at the stored radius —
+    * and ONLY the image modality is compared: the eyes are
+    * independent, so a text edit that staled the gram evidence cannot
+    * invalidate a media pair (per-modality freshness, the store's
+    * decomposition argument applied to reads). With this dispatch the
+    * whole media decon report tier costs two 16-byte-row hash scans +
+    * an evidence read when maintained — zero decodes, zero band
+    * joins. */
+  def openFreshMediaPairs(trainImg: DataFrame, suiteImg: DataFrame,
+      maxHamming: Int = graft.operators.MediaQueries.MaxHamming)
+      : Option[DataFrame] = {
+    val spark = trainImg.sparkSession
+    opened(spark).flatMap { case (dir, benches, days, suiteDg, dayDg) =>
+      val trusted = spark.conf.get(TrustKey, "false").toBoolean
+      val fresh =
+        try
+          storedParams(spark, dir)._2 == maxHamming && (trusted ||
+            (MediaHashStore.digestOf(suiteImg) == suiteDg._3 &&
+              MediaHashStore.digestOf(trainImg) == dayDg._3))
+        catch {
+          case NonFatal(e) =>
+            System.err.println(s"[verdictstore] $dir freshness scan failed (${e.getMessage}) — recomputing inline")
+            false
+        }
+      if (!fresh) {
+        System.err.println(s"[verdictstore] $dir is stale for these media hashes — recomputing inline")
+        None
+      } else Some(readEvidence(spark, dir, "img", benches, days))
+    }
+  }
+
   /** The stored TWO-EYE verdict relation (q196's shape) — the same
     * store serving its gram + semantic evidence only. Freshness
     * compares ONLY the text and embedding digests: a two-eye reader

@@ -90,6 +90,9 @@ class VerdictStoreSpec extends SparkSpec {
   test("store-served q196/q198 are byte-identical to the inline sweep (first-K codebook)") {
     val inline196 = rows(graft.operators.SubstringDedup.q196DeconVerdict(spark, sf))
     val inline198 = rows(graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sf))
+    val inline197 = rows(graft.operators.MediaQueries.q197MediaDecon(spark, sf))
+    val inline199 = rows(graft.operators.MediaQueries.q199MediaCoverage(spark, sf))
+    val inline200 = rows(graft.operators.MediaQueries.q200MediaScrub(spark, sf))
 
     val dir = tmpDir("verdictstore_parity")
     // codebookFrom = the full table: the inline kernel derives its
@@ -113,6 +116,15 @@ class VerdictStoreSpec extends SparkSpec {
       assert(rows(graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sf)) == inline198,
         "store-served q198 must equal the inline three-eye sweep byte-for-byte")
 
+      // the img evidence IS q197's pair relation: the whole media
+      // report tier serves from it through the shared body
+      assert(rows(graft.operators.MediaQueries.q197MediaDecon(spark, sf)) == inline197,
+        "store-served q197 pairs must equal the inline banding byte-for-byte")
+      assert(rows(graft.operators.MediaQueries.q199MediaCoverage(spark, sf)) == inline199,
+        "store-served q199 coverage must equal the inline rollup")
+      assert(rows(graft.operators.MediaQueries.q200MediaScrub(spark, sf)) == inline200,
+        "store-served q200 scrub must equal the inline rollup")
+
       // train drift (one doc edited) reads stale → the queries fall
       // back inline and still produce the right verdicts
       val drifted = VerdictStore.Corpus(
@@ -121,6 +133,17 @@ class VerdictStoreSpec extends SparkSpec {
         trainCorpus.emb, trainCorpus.img)
       assert(VerdictStore.openFreshThreeEye(drifted, suiteCorpus(_ % 10 === 0)).isEmpty,
         "an edited train doc must read stale")
+      Caches.releaseAll()
+
+      // per-modality freshness: the text edit cannot invalidate the
+      // MEDIA pairs (the eyes are independent; only the img digests
+      // gate the pair serve) — but a different radius must
+      assert(VerdictStore.openFreshMediaPairs(trainCorpus.img,
+        suiteCorpus(_ % 10 === 0).img).isDefined,
+        "a text edit must not stale the media pair serve")
+      assert(VerdictStore.openFreshMediaPairs(trainCorpus.img,
+        suiteCorpus(_ % 10 === 0).img, maxHamming = 0).isEmpty,
+        "a radius the store was not built at must read stale")
       Caches.releaseAll()
 
       // thresholds are part of freshness (review r16): evidence
