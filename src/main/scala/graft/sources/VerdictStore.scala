@@ -420,19 +420,38 @@ object VerdictStore {
   /** Union of one eye's evidence across live benchmarks and live days
     * — partition-filtered so a crashed advance's orphan partitions
     * (bench without suite meta, day without day meta) are invisible,
-    * the sibling stores' live-meta rule. */
+    * the sibling stores' live-meta rule.
+    *
+    * ONE partition-discovery read of the eye's root with bench/src
+    * pruning filters, not an explicit path list: the path-list form
+    * cost O(benches × days) SERIAL driver `exists()` RPCs per serve —
+    * 150k round-trips at 50 benchmarks × 1000 days, a real object-
+    * store bottleneck — where discovery is a single (parallelized)
+    * listing and the isin filters prune at the partition level
+    * (PlanShapeSpec pins PartitionFilters on the serve plan). The
+    * explicit schema carries the partition columns so an
+    * all-evidence-empty root reads as the typed empty relation
+    * instead of an inference error. */
   private def readEvidence(spark: SparkSession, dir: String, eye: String,
       benches: Seq[String], days: Seq[String]): DataFrame = {
-    val cols = evSchema(eye).fields.map(f => col(f.name)).toSeq
-    val paths = for {
-      b <- benches; d <- days
-      p = s"$dir/ev_$eye/bench=$b/src=d$d"
-      if fs(spark, dir).exists(new Path(p))
-    } yield p
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        evSchema(eye))
-    else spark.read.schema(evSchema(eye)).parquet(paths: _*).select(cols: _*)
+    val dataSchema = evSchema(eye)
+    val cols = dataSchema.fields.map(f => col(f.name)).toSeq
+    val root = s"$dir/ev_$eye"
+    // A missing root is the one legal empty: a fresh store whose
+    // evidence is genuinely match-free (nothing contaminated yet)
+    // serves all-keep, correctly. Any OTHER read failure propagates
+    // loudly — after the freshness digests passed, silently serving
+    // empty evidence would under-report contamination.
+    if (!fs(spark, dir).exists(new Path(root)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+    spark.read
+      .schema(StructType(dataSchema.fields ++ Seq(
+        StructField("bench", StringType), StructField("src", StringType))))
+      .option("basePath", root).parquet(root)
+      .where(col("bench").isin(benches: _*) &&
+        col("src").isin(days.map(d => s"d$d"): _*))
+      .select(cols: _*)
   }
 
   /** Everything a serve needs, or None when unset/unreadable/stale:
