@@ -126,11 +126,28 @@ object VerdictStore {
     * path and be read back truncated at the first '=' — the digest
     * composition (file contents) would still MATCH while the evidence
     * lookup misses, serving keep=true for contaminated docs (review
-    * r16 finding 3). Fail loud at write time instead. */
+    * r16 finding 3). '%' is rejected for the same reason one layer
+    * down (r17 advice): paths are written RAW but Spark's partition
+    * discovery URL-unescapes values on read, so 'mmlu%3Dv2' reads back
+    * as 'mmlu=v2' and the serve-side isin filter misses every pair of
+    * that benchmark while the content digests still pass — the same
+    * fresh-but-under-reporting class. Fail loud at write time instead. */
   private def requireSafeBenchName(name: String): Unit =
-    require(name.nonEmpty && !name.exists(c => c == '=' || c == '/' || c == '\\'),
+    require(name.nonEmpty &&
+        !name.exists(c => c == '=' || c == '/' || c == '\\' || c == '%'),
       s"benchmark name '$name' cannot be used in a bench= partition path " +
-        "(must be non-empty and contain no '=', '/' or '\\')")
+        "(must be non-empty and contain no '=', '/', '\\' or '%')")
+
+  /** A benchmark listed twice would pass every per-name meta check and
+    * append its sem/img evidence twice — keep flags survive (gram is
+    * rescued by the serve-side distinct()), but n_eval_hits /
+    * n_image_hits the reports publish would double-count (r17 advice). */
+  private def requireDistinctSuite(suite: Seq[(String, Corpus)], dir: String): Unit = {
+    val dup = suite.map(_._1).groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    require(dup.isEmpty,
+      s"verdict store $dir: benchmark(s) ${dup.mkString(", ")} listed more than " +
+        "once in the offered suite — duplicate evidence would inflate hit counts")
+  }
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -171,6 +188,7 @@ object VerdictStore {
       tau: Double = graft.operators.SimilarityQueries.SemDeconTau,
       maxHamming: Int = graft.operators.MediaQueries.MaxHamming): Unit = {
     require(suite.nonEmpty, s"verdict store $dir: empty benchmark suite")
+    requireDistinctSuite(suite, dir)
     suite.foreach { case (name, _) => requireSafeBenchName(name) }
     val spark = train.txt.sparkSession
     lockFor(dir).synchronized {
@@ -247,6 +265,7 @@ object VerdictStore {
     * benchmark-sized eval side — nothing scales with stored history. */
   def advanceDay(batch: Corpus, suite: Seq[(String, Corpus)], dir: String,
       day: Int): Unit = lockFor(dir).synchronized {
+    requireDistinctSuite(suite, dir)
     val spark = batch.txt.sparkSession
     retireDay(spark, dir, day)
     val cents = storedCodebook(spark, dir)
@@ -255,7 +274,21 @@ object VerdictStore {
     // it per benchmark made every micro-batch O(B²) in driver-side
     // parquet opens) — the metas cannot change mid-call, the dir lock
     // holds.
-    val storedMetas = readMetas(spark, s"$dir/suite_meta")
+    val storedMetas = readMetas(spark, s"$dir/suite_meta", "bench")
+    // The offered suite must name EVERY stored benchmark, not just be
+    // a subset of it (r17 advice, high): an ingest face whose captured
+    // `suite` predates a concurrent advanceBenchmark would otherwise
+    // probe this day against the smaller suite, commit its day meta,
+    // and the store would read FRESH while that (benchmark, day)
+    // evidence is absent — keep=true for docs contaminated against the
+    // unprobed benchmark, the exact fresh-but-wrong state the commit
+    // protocol forbids. (Offered-but-not-stored already fails below.)
+    val unoffered = storedMetas.map(_._1).toSet -- suite.map(_._1).toSet
+    require(unoffered.isEmpty,
+      s"verdict store $dir holds live benchmark(s) ${unoffered.mkString(", ")} " +
+        "the offered suite does not name — a day advanced without probing them " +
+        "would serve fresh-but-wrong verdicts; re-wire the ingest face with the " +
+        "current suite (or retire the benchmark first)")
     graft.core.Caches.scoped {
       val pinned = Corpus(batch.txt.persist(), batch.emb.persist(),
         batch.img.persist())
@@ -343,7 +376,7 @@ object VerdictStore {
       val pinned = Corpus(history.txt.persist(), history.emb.persist(),
         history.img.persist())
       try {
-        val dayRows = readMetas(spark, s"$dir/day_meta")
+        val dayRows = readMetas(spark, s"$dir/day_meta", "day")
         val composed = composeDigests(dayRows.map(_._2))
         require(composed == digests(pinned),
           s"verdict store $dir: offered history does not match the live day metas — " +
@@ -386,20 +419,33 @@ object VerdictStore {
 
   /** Meta partitions under `root` as (partition value, per-eye
     * digests) — bench names for suite_meta, day ints (as strings) for
-    * day_meta. Bounded: one row per benchmark/day. */
-  private def readMetas(spark: SparkSession, root: String): Seq[(String, Dg)] = {
-    val f = fs(spark, root)
-    if (!f.exists(new Path(root))) return Seq.empty
-    val parts = f.listStatus(new Path(root))
-      .filter(s => s.getPath.getName.contains("=")).map(_.getPath)
-    parts.map { p =>
-      val r = spark.read.parquet(p.toString).head()
-      // limit-2 split: names are validated '='-free at write time, but
-      // a reader must not silently truncate if handed a foreign dir
-      (p.getName.split("=", 2)(1),
-        ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)),
-          (r.getLong(4), r.getLong(5))))
-    }.toSeq
+    * day_meta. Bounded: one row per benchmark/day.
+    *
+    * ONE partitioned read per meta root (VERDICT r16 next-1), not one
+    * `spark.read.parquet(p).head()` per partition: the per-partition
+    * form cost O(B + D) SERIAL driver plan-executions per serve —
+    * ~1050 at the store's own 50-benchmark × 1000-day design point,
+    * the same bottleneck class the evidence path shed in 7e4338a. The
+    * explicit schema (partition column included, declared StringType
+    * so day=-1 and bench names come back as raw strings) skips footer
+    * inference, so the whole call is one listing + one collect of a
+    * B- or D-row result. A torn meta partition (dir without committed
+    * files) simply contributes no row — exactly the commit-point
+    * semantics: a day/bench without its meta is not live. Partition
+    * values are URL-unescaped by discovery, which is identity for
+    * legal names ([[requireSafeBenchName]] rejects '%'). */
+  private[sources] def readMetas(spark: SparkSession, root: String,
+      partCol: String): Seq[(String, Dg)] = {
+    if (!fs(spark, root).exists(new Path(root))) return Seq.empty
+    val schema = StructType(
+      Seq("n_txt", "dg_txt", "n_emb", "dg_emb", "n_img", "dg_img")
+        .map(StructField(_, LongType)) :+ StructField(partCol, StringType))
+    spark.read.schema(schema).option("basePath", root).parquet(root)
+      .collect().map { r =>
+        (r.getString(6),
+          ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)),
+            (r.getLong(4), r.getLong(5))))
+      }.toSeq
   }
 
   private def composeDigests(ds: Seq[Dg]): Dg = {
@@ -460,8 +506,8 @@ object VerdictStore {
     val dir = spark.conf.get(DirKey, "")
     if (dir.isEmpty) return None
     try {
-      val suiteRows = readMetas(spark, s"$dir/suite_meta")
-      val dayRows = readMetas(spark, s"$dir/day_meta")
+      val suiteRows = readMetas(spark, s"$dir/suite_meta", "bench")
+      val dayRows = readMetas(spark, s"$dir/day_meta", "day")
       if (suiteRows.isEmpty || dayRows.isEmpty) {
         System.err.println(s"[verdictstore] $dir has no live benchmarks/days — recomputing inline")
         None

@@ -52,7 +52,12 @@ object VerdictMaintainer {
     * with a day outside the stream's batch-id range (the -1 default).
     * `suite` is the live suite's relations, digest-verified against
     * the stored suite metas inside the advance (a drifted suite fails
-    * LOUD — mixed-suite evidence would serve wrong verdicts). */
+    * LOUD — mixed-suite evidence would serve wrong verdicts). The
+    * advance also requires `suite` to name EVERY stored benchmark
+    * (r17): this face captures `suite` at [[exactlyOnce]] wiring time,
+    * so a concurrent suite-edit advance would otherwise leave later
+    * ingest days silently unprobed against the new benchmark —
+    * re-wire the ingest stream after editing the suite. */
   def advanceBatch(batch: DataFrame, suite: Seq[(String, VerdictStore.Corpus)],
       store: JdbcStateStore, sinkId: String, dir: String,
       batchId: Long): Boolean =

@@ -60,6 +60,22 @@ class VerdictStoreSpec extends SparkSpec {
     out
   }
 
+  /** Spark jobs started while `body` runs (event-bus drain by a short
+    * poll — the bus posts asynchronously). */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(1000) }
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
   /** The inline three-eye sweep under the store's FROZEN codebook
     * (first-K of the full table). The plain [[DeconGate.flagThreeEye]]
     * arm re-derives its semantic codebook from train ∪ suite per call,
@@ -175,6 +191,22 @@ class VerdictStoreSpec extends SparkSpec {
         VerdictStore.advanceBenchmark("a/b",
           suiteCorpus(_ % 10 === 0), trainCorpus, dir)
       }
+      // '%' is rejected too: discovery URL-unescapes partition values,
+      // so 'mmlu%3Dv2' would read back as 'mmlu=v2' and the serve-side
+      // isin filter would miss all of that benchmark's evidence while
+      // the content digests still pass (fresh-but-under-reporting)
+      intercept[IllegalArgumentException] {
+        VerdictStore.build(trainCorpus,
+          Seq("mmlu%3Dv2" -> suiteCorpus(_ % 10 === 0)), dir)
+      }
+      // a benchmark listed twice would append its sem/img evidence
+      // twice and inflate the published hit counts — rejected before
+      // any store content is touched
+      intercept[IllegalArgumentException] {
+        VerdictStore.build(trainCorpus,
+          Seq("a" -> suiteCorpus(_ % 20 === 0),
+            "a" -> suiteCorpus(_ % 20 === 0)), dir)
+      }
       Caches.releaseAll()
     } finally {
       spark.conf.unset(VerdictStore.DirKey)
@@ -280,6 +312,28 @@ class VerdictStoreSpec extends SparkSpec {
         VerdictStore.advanceBenchmark("c", benchA, partial, dir)
       }
       Caches.releaseAll()
+
+      // a day advanced against a SUBSET suite must fail loud (r17
+      // advice, high): an ingest face whose captured suite predates a
+      // concurrent advanceBenchmark would otherwise commit a day whose
+      // evidence silently misses the new benchmark — fresh-but-wrong
+      val e = intercept[IllegalArgumentException] {
+        VerdictStore.advanceDay(trainCorpus, Seq("a" -> benchA), dir, day = 99)
+      }
+      assert(e.getMessage.contains("b"),
+        "the error must name the stored benchmark the offered suite misses")
+
+      // the meta roots (2 benchmarks here, any number of days) are
+      // each read as ONE partitioned scan — one Spark job per call,
+      // never one driver-side parquet open per partition (O(B + D)
+      // serial plan-executions per serve at the 50×1000 design point)
+      assert(countJobs(VerdictStore.readMetas(spark, s"$dir/suite_meta", "bench")) == 1,
+        "suite_meta must be one partitioned read, not a scan per benchmark")
+      assert(countJobs(VerdictStore.readMetas(spark, s"$dir/day_meta", "day")) == 1,
+        "day_meta must be one partitioned read, not a scan per day")
+      assert(VerdictStore.readMetas(spark, s"$dir/suite_meta", "bench")
+        .map(_._1).toSet == Set("a", "b"),
+        "the batched read must surface every live benchmark's meta")
     } finally {
       spark.conf.unset(VerdictStore.DirKey)
       Caches.releaseAll()
