@@ -20,7 +20,16 @@ object Bench {
     * silently never fired. The tolerant regex accepts all three
     * encodings and both units (cs = r9–r11, ds = r12+); BenchParseSpec
     * pins it against the real committed BENCH_r11.json wrapper. */
-  private[graft] def parsePrevRef(text: String): Map[String, Double] = {
+  private[graft] def parsePrevRef(text: String): Map[String, Double] =
+    parsePrevRefFull(text).map { case (k, (v, _)) => k -> v }
+
+  /** Like [[parsePrevRef]] but keeping WHETHER each entry was
+    * adjudicated (a 2-array): the baseline floor (r16 next-4) trusts
+    * an adjudicated quiet value as-is but floors an un-adjudicated
+    * scalar at min with the round before — a contended scalar that
+    * shipped without an isolated re-run must not become the baseline
+    * and mask regressions up to its own inflation. */
+  private[graft] def parsePrevRefFull(text: String): Map[String, (Double, Boolean)] = {
     val div = """qunit\\?"?\s*:\s*\\?"?(cs|ds)""".r
       .findFirstMatchIn(text).map(_.group(1)) match {
       case Some("cs") => 100.0
@@ -50,12 +59,25 @@ object Bench {
     }
     pair.findAllMatchIn(block).flatMap { m =>
       val raw = m.group(2)
-      val num = (if (raw.startsWith("["))
+      val adjudicated = raw.startsWith("[")
+      val num = (if (adjudicated)
         raw.stripPrefix("[").stripSuffix("]").split(",").last.trim
       else raw).toDoubleOption
-      num.map(v => nk(m.group(1)) -> v / div)
+      num.map(v => nk(m.group(1)) -> (v / div, adjudicated))
     }.toMap
   }
+
+  /** Baseline floor (VERDICT r16 next-4): an entry the previous round
+    * ADJUDICATED carries its isolated quiet value — trusted as-is. An
+    * un-adjudicated scalar may be a contended number that slipped
+    * under the trigger; taking it verbatim would let it mask real
+    * regressions up to its own inflation next round (r16's contended
+    * q107 at 2.8×), so it floors at min with the round before. */
+  private[graft] def floorBaseline(latest: Map[String, (Double, Boolean)],
+      older: Map[String, Double]): Map[String, Double] =
+    latest.map { case (k, (v, adjudicated)) =>
+      k -> (if (adjudicated) v else older.get(k).fold(v)(math.min(v, _)))
+    }
 
   def main(args: Array[String]): Unit = {
     // Load sentinel (r9 post-mortem): a contended machine inflated every
@@ -898,7 +920,7 @@ object Bench {
     // machine, and the load sentinel missed the last one (pre-load 3.92
     // on 32 cores inflated q111 12× without tripping nc/2). Rather than
     // hoping a threshold catches the next one, the bench adjudicates
-    // itself: any query whose suite median exceeds 3× its value in the
+    // itself: any query whose suite median reaches 2× its value in the
     // PREVIOUS round's artifact (isolated overlay preferred) is re-run
     // ALONE after a System.gc() + 2 s quiesce, and BOTH numbers ship as
     // a 2-array ("111":[482,55] = suite median, quiet re-run) so
@@ -913,9 +935,14 @@ object Bench {
         .filter(_.getName.matches("BENCH_r\\d+(_isolated)?\\.json"))
       val base = if (files.isEmpty) Map.empty[String, Double] else {
         val byRound = files.groupBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
-        val latest = byRound(byRound.keys.max)
+        def roundRef(r: Int) = byRound(r)
           .sortBy(f => !f.getName.contains("_isolated")).head // isolated wins
-        parsePrevRef(readFile(latest))
+        val rounds = byRound.keys.toSeq.sorted.reverse
+        val latest = parsePrevRefFull(readFile(roundRef(rounds.head)))
+        val older = rounds.drop(1).headOption
+          .map(r => parsePrevRef(readFile(roundRef(r))))
+          .getOrElse(Map.empty[String, Double])
+        floorBaseline(latest, older)
       }
       // The detail sidecar (written at the end of every full run, so at
       // this point it still holds the PREVIOUS round's values) carries
@@ -935,14 +962,16 @@ object Bench {
       System.err.println(s"[bench] previous-round artifact unreadable, no self-adjudication: ${e.getMessage}")
       Map.empty
     }
-    // Flag only deltas a human would chase: >3× the previous round AND
-    // ≥0.5 s absolute (sub-half-second jitter never flags). Cap at 24
-    // re-runs to bound wall time on a catastrophically loaded machine.
+    // Flag deltas ≥2× the floored baseline AND ≥0.5 s absolute
+    // (sub-half-second jitter never flags). The r16 graded run showed
+    // the old >3× trigger leaves a 2–3× blind band that contention
+    // routinely lands in (q107 2.78×, q18 2.42× stood un-adjudicated);
+    // the 24-re-run cap already bounds the cost of the wider net.
     val suspect = results.filter { case (name, v) =>
-      v >= 0.5 && prevRef.get(short(name)).exists(p => p > 0 && v > 3 * p)
+      v >= 0.5 && prevRef.get(short(name)).exists(p => p > 0 && v >= 2 * p)
     }
     if (suspect.size > 24)
-      System.err.println(s"[bench] ${suspect.size} queries flagged >3x prev round; adjudicating first 24")
+      System.err.println(s"[bench] ${suspect.size} queries flagged >=2x prev round; adjudicating first 24")
     val adjudicated: Map[String, Double] = suspect.take(24).map { case (name, _) =>
       System.gc(); Thread.sleep(2000) // let ContextCleaner + the OS quiesce
       name -> timeOnce(name, SparkEntry.queries(name))

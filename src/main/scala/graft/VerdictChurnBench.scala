@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured churn economics of the [[graft.sources.VerdictStore]]
+  * maintainers (VERDICT r16 next-6) — the three numbers a capacity
+  * plan needs, which the per-round Bench does not price (its xvd entry
+  * prices the SERVE):
+  *
+  *  - '''day_advance''': one ingest batch probed against the live
+  *    suite and committed as its own day — the per-batch cost the
+  *    ingest maintainer pays forever (claim: batch-sized, independent
+  *    of stored history);
+  *  - '''bench_advance''': one new benchmark probed against the FULL
+  *    stored history — the one corpus sweep a suite edit costs
+  *    (claim: corpus × delta, not corpus × suite);
+  *  - '''bench_retire''': a benchmark takedown (claim: zero probes —
+  *    partition drops only).
+  *
+  * Payload decode is NOT in these numbers: the deployed contract
+  * hashes media once at ingest ([[graft.sources.MediaHashStore]]), so
+  * the image modality enters as prebuilt (media_id, dhash) relations —
+  * the codec tier is priced by Bench's xmp/xmd entries.
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 runMain graft.VerdictChurnBench <sfDir>
+  * [scratch]`; prints one JSON line with the la sentinel.
+  */
+object VerdictChurnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scratch = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_vchurn").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val laPre = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.core.GraftSession.initialPartitionNum(cpus.toInt, sfDir).toString)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.VerdictStore
+
+    val d = graft.core.Tables(spark, sfDir, "documents")
+    val e = graft.core.Tables(spark, sfDir, "embeddings")
+
+    // Decode-once-at-ingest: hash the whole eligible image corpus ONCE
+    // (untimed — the codec tier's cost, priced elsewhere) and persist,
+    // so every churn face below reads (media_id, dhash) like deployed
+    // maintainers do via MediaHashStore.
+    val hashesDir = s"$scratch/hashes"
+    def hashedOf(part: DataFrame): DataFrame = {
+      import spark.implicits._
+      graft.multimodal.MediaDedup.hashImages(
+        part.as[(Long, String)]
+          .map { case (id, t) => (id, graft.multimodal.MediaDedup.renderImage(t)) }
+          .toDF("media_id", "content"))
+    }
+    hashedOf(graft.operators.MediaQueries.deconTrainDocs(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$hashesDir/train")
+    hashedOf(graft.operators.MediaQueries.deconEvalDocs(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$hashesDir/eval")
+    graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+
+    def corpus(txtP: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        imgSide: String, imgP: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+        : VerdictStore.Corpus = VerdictStore.Corpus(
+      d.filter(txtP(col("doc_id"))).select("doc_id", "text"),
+      e.filter(txtP(col("vec_id"))).select("vec_id", "embedding"),
+      spark.read.parquet(s"$hashesDir/$imgSide")
+        .filter(imgP(col("media_id"))).select("media_id", "dhash"))
+
+    // history = full train split; day 1 = ~6/7 of it, day 2 = the
+    // remaining batch-sized slice; benchmarks a/b halve the eval split
+    val train = corpus(id => id % 10 =!= 0, "train", _ => lit(true))
+    val day1 = corpus(id => id % 10 =!= 0 && id % 7 =!= 0, "train", _ % 7 =!= 0)
+    val day2 = corpus(id => id % 10 =!= 0 && id % 7 === 0, "train", _ % 7 === 0)
+    val benchA = corpus(id => id % 20 === 0, "eval", _ % 20 === 0)
+    val benchB = corpus(id => id % 20 === 10, "eval", _ % 20 === 10)
+
+    val dir = s"$scratch/verdictstore"
+    VerdictStore.build(day1, Seq("a" -> benchA), dir, day = 1)
+    graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      dt
+    }
+
+    val dayAdvance = timed {
+      VerdictStore.advanceDay(day2, Seq("a" -> benchA), dir, day = 2)
+    }
+    val benchAdvance = timed {
+      VerdictStore.advanceBenchmark("b", benchB, train, dir)
+    }
+    val benchRetire = timed {
+      VerdictStore.retireBenchmark("b", spark, dir)
+    }
+    // sanity: the maintained store must actually serve the result state
+    spark.conf.set(VerdictStore.DirKey, dir)
+    val served = VerdictStore.openFreshThreeEye(train, benchA)
+      .map(_.queryExecution.toRdd.count()).getOrElse(-1L)
+    spark.conf.unset(VerdictStore.DirKey)
+
+    val laPost = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"""{"metric":"verdict_churn","sf":"${new java.io.File(sfDir).getName}","day_advance":$dayAdvance%.2f,"bench_advance":$benchAdvance%.2f,"bench_retire":$benchRetire%.2f,"served_rows":$served,"unit":"sec","la":[$laPre%.2f,$laPost%.2f]}""")
+    spark.stop()
+  }
+}

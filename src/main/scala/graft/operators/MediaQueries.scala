@@ -353,8 +353,13 @@ object MediaQueries {
     // hash scans, zero band joins. Stale/missing ⇒ the inline exact
     // banding; the MediaHashStore dispatch above keeps even the
     // freshness digest decode-free on the train side.
-    graft.sources.VerdictStore.openFreshMediaPairs(train, eval, MaxHamming)
-      .getOrElse(MediaDedup.deconPairs(train, eval, MaxHamming))
+    graft.sources.VerdictStore.openFreshMediaPairs(train, eval, MaxHamming) match {
+      case Some(served) =>
+        graft.sources.VerdictStore.recordArm(spark, "q197", "store"); served
+      case None =>
+        graft.sources.VerdictStore.recordArm(spark, "q197", "inline")
+        MediaDedup.deconPairs(train, eval, MaxHamming)
+    }
   }
 
   /** The decon tier's TRAIN image-source relation (media_id, text) —
@@ -422,9 +427,20 @@ object MediaQueries {
       d.filter(col("doc_id") % 10 === 0),
       e.filter(col("vec_id") % 10 === 0),
       MediaDedup.hashImages(renderAll(deconEvalDocs(spark, dir))))
-    graft.sources.VerdictStore.openFreshThreeEye(train, suite)
-      .getOrElse(graft.streaming.DeconGate.flagThreeEye(
-        train.txt, suite.txt, train.emb, suite.emb, train.img, suite.img))
+    // The two arms are result-identical only under the first-K fixture
+    // convention; a deployed store's trained codebook and the inline
+    // sweep's first-K union derivation can legitimately disagree on
+    // near-τ semantic verdicts — so the chosen arm is stamped as a
+    // STRUCTURED signal (r17 advice), not just a stderr line:
+    // spark.conf "spark.graft.verdictstore.arm.q198" = store | inline.
+    graft.sources.VerdictStore.openFreshThreeEye(train, suite) match {
+      case Some(served) =>
+        graft.sources.VerdictStore.recordArm(spark, "q198", "store"); served
+      case None =>
+        graft.sources.VerdictStore.recordArm(spark, "q198", "inline")
+        graft.streaming.DeconGate.flagThreeEye(
+          train.txt, suite.txt, train.emb, suite.emb, train.img, suite.img)
+    }
   }
 
   /** Q199: per-benchmark MEDIA contamination coverage — the q183/q190

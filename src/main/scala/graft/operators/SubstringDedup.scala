@@ -1243,8 +1243,13 @@ object SubstringDedup {
     val e = Tables(spark, dir, "embeddings")
     val te = e.filter(col("vec_id") % 10 =!= 0)
     val ee = e.filter(col("vec_id") % 10 === 0)
-    graft.sources.VerdictStore.openFreshTwoEye(train, te, ev, ee)
-      .getOrElse(graft.streaming.DeconGate.flagCombined(train, ev, te, ee))
+    graft.sources.VerdictStore.openFreshTwoEye(train, te, ev, ee) match {
+      case Some(served) =>
+        graft.sources.VerdictStore.recordArm(spark, "q196", "store"); served
+      case None =>
+        graft.sources.VerdictStore.recordArm(spark, "q196", "inline")
+        graft.streaming.DeconGate.flagCombined(train, ev, te, ee)
+    }
   }
 
   val deconVerdictSql: String =

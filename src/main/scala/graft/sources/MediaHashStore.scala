@@ -82,15 +82,10 @@ object MediaHashStore {
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Order-independent digest of a hashed batch:
-    * (count, XOR of xxhash64(media_id, dhash)). */
-  def digestOf(hashed: DataFrame): (Long, Long) = {
-    val r = hashed.agg(
-      count(lit(1)).as("n"),
-      coalesce(call_function("bit_xor",
-        xxhash64(col("media_id"), col("dhash"))), lit(0L)).as("dg"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+    * (count, XOR of xxhash64(media_id, dhash)) — [[FileDigests]]-cached
+    * per file, so an unchanged stored-hash corpus digests scan-free. */
+  def digestOf(hashed: DataFrame): (Long, Long) =
+    FileDigests.digestOf(hashed, xxhash64(col("media_id"), col("dhash")))
 
   private def writeDay(spark: SparkSession, dir: String, day: Int,
       hashedBatch: DataFrame, mode: String): Unit = {

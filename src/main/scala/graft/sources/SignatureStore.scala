@@ -61,15 +61,11 @@ object SignatureStore {
 
   /** Order-independent corpus digest: (n_docs, XOR of per-doc hashes).
     * Exact under union/difference of disjoint doc sets — the algebra
-    * that makes incremental maintenance honest. */
-  def digestOf(docRel: DataFrame): (Long, Long) = {
-    val r = docRel.agg(
-      count(lit(1)).as("n"),
-      coalesce(call_function("bit_xor",
-        xxhash64(col("doc_id"), col("text"))), lit(0L)).as("dg"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+    * that makes incremental maintenance honest. Served through the
+    * [[FileDigests]] per-file cache (r17): a file-backed corpus whose
+    * files are unchanged digests from one LISTING, zero data scanned. */
+  def digestOf(docRel: DataFrame): (Long, Long) =
+    FileDigests.digestOf(docRel, xxhash64(col("doc_id"), col("text")))
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())

@@ -78,14 +78,8 @@ object VectorIndexStore {
     * the [[SignatureStore.digestOf]] shape for the vector tier.
     * xxhash64 hashes the float array exactly, so the digest is
     * bit-stable across partitionings and parquet roundtrips. */
-  def digestOf(e: DataFrame): (Long, Long) = {
-    val r = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(call_function("bit_xor",
-        xxhash64(col("vec_id"), col("embedding"))), lit(0L)).as("dg"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+  def digestOf(e: DataFrame): (Long, Long) =
+    FileDigests.digestOf(e, xxhash64(col("vec_id"), col("embedding")))
 
   private def writeDay(spark: SparkSession, dir: String, day: Int,
       batch: DataFrame, cents: Seq[(Long, Seq[Double])], mode: String): Unit = {

@@ -97,6 +97,22 @@ object VerdictStore {
     * runs (the [[MediaHashStore.TrustFreshKey]] argument). */
   val TrustKey = "spark.graft.verdictstore.trust"
 
+  /** Session conf prefix for the serve-arm signal (r17 advice): every
+    * store-or-inline dispatch site stamps `<prefix><face>` with
+    * "store" or "inline" after choosing, so report consumers can tell
+    * STRUCTURALLY which arm produced a relation. The arms are
+    * result-identical only under the first-K fixture convention — a
+    * deployed store serves semantic verdicts under its FROZEN trained
+    * codebook, while the inline fallback derives first-K from
+    * train ∪ suite, so near-τ verdicts can legitimately differ by arm
+    * and a consumer comparing reports across runs must compare
+    * like-armed runs (or pin `trained = false`). */
+  val ArmKeyPrefix = "spark.graft.verdictstore.arm."
+
+  /** Stamp which arm served `face` (a query id like "q198"). */
+  def recordArm(spark: SparkSession, face: String, arm: String): Unit =
+    spark.conf.set(ArmKeyPrefix + face, arm)
+
   /** One corpus side's three modality relations: `txt` (doc_id, text),
     * `emb` (vec_id, embedding), `img` (media_id, dhash) — the img side
     * already HASHED, because hashing is the decode-bearing step that
@@ -113,9 +129,11 @@ object VerdictStore {
     * evidence — a fresh-but-WRONG serve, the one state the commit
     * protocol exists to forbid. Both faces run in one driver JVM in
     * the advertised topology (two streams, one SparkSession), so a
-    * per-dir monitor serializes them; ACROSS processes the store keeps
-    * the family's single-writer contract (one maintainer owner per
-    * store root) — reads need no lock, they see only committed metas. */
+    * per-dir monitor serializes them; ACROSS processes the
+    * single-writer contract is mechanized by [[StoreLease]] (r17):
+    * every mutator checks the fencing epoch at its commit point, so a
+    * second writer fails loud instead of racing — reads need no lock,
+    * they see only committed metas. */
   private val dirLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(dir: String): Object =
@@ -192,7 +210,14 @@ object VerdictStore {
     suite.foreach { case (name, _) => requireSafeBenchName(name) }
     val spark = train.txt.sparkSession
     lockFor(dir).synchronized {
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    // Replace prior CONTENT but keep the owner lease — a rebuild is a
+    // store mutation by the same owner, not a change of ownership.
+    val f = fs(spark, dir)
+    if (f.exists(new Path(dir)))
+      f.listStatus(new Path(dir))
+        .filterNot(_.getPath.getName == "_lease")
+        .foreach(s => f.delete(s.getPath, true): Unit)
     spark.createDataFrame(Seq((tau, maxHamming)))
       .toDF("tau", "max_hamming")
       .coalesce(1).write.parquet(s"$dir/params")
@@ -267,6 +292,7 @@ object VerdictStore {
       day: Int): Unit = lockFor(dir).synchronized {
     requireDistinctSuite(suite, dir)
     val spark = batch.txt.sparkSession
+    StoreLease.checkWrite(spark, dir)
     retireDay(spark, dir, day)
     val cents = storedCodebook(spark, dir)
     val (tau, maxHamming) = storedParams(spark, dir)
@@ -343,6 +369,7 @@ object VerdictStore {
     * this retire is total). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit =
       lockFor(dir).synchronized {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/day_meta/day=$day"), true): Unit
     f.delete(new Path(s"$dir/base/day=$day"), true): Unit
@@ -369,6 +396,7 @@ object VerdictStore {
       dir: String): Unit = lockFor(dir).synchronized {
     requireSafeBenchName(name)
     val spark = bench.txt.sparkSession
+    StoreLease.checkWrite(spark, dir)
     retireBenchmark(name, spark, dir)
     val cents = storedCodebook(spark, dir)
     val (tau, maxHamming) = storedParams(spark, dir)
@@ -407,6 +435,7 @@ object VerdictStore {
     * benchmark had never been in the suite. */
   def retireBenchmark(name: String, spark: SparkSession, dir: String): Unit =
       lockFor(dir).synchronized {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/suite_meta/bench=$name"), true): Unit
     Seq("ev_gram", "ev_sem", "ev_img").foreach(eye =>

@@ -42,15 +42,10 @@ object VideoSegStore {
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Order-independent digest of a fingerprint batch:
-    * (count, XOR of xxhash64(video_id, seg_fp)). */
-  def digestOf(fps: DataFrame): (Long, Long) = {
-    val r = fps.agg(
-      count(lit(1)).as("n"),
-      coalesce(call_function("bit_xor",
-        xxhash64(col("video_id"), col("seg_fp"))), lit(0L)).as("dg"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+    * (count, XOR of xxhash64(video_id, seg_fp)) — [[FileDigests]]-cached
+    * per file like the rest of the store family. */
+  def digestOf(fps: DataFrame): (Long, Long) =
+    FileDigests.digestOf(fps, xxhash64(col("video_id"), col("seg_fp")))
 
   private def writeDay(spark: SparkSession, dir: String, day: Int,
       fpBatch: DataFrame, mode: String): Unit = {

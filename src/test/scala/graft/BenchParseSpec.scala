@@ -46,4 +46,24 @@ class BenchParseSpec extends AnyFunSuite {
     val line = """{"qunit":"cs","queries":{"111":[482,55],"40":286}}"""
     assert(Bench.parsePrevRef(line) == Map("111" -> 0.55, "40" -> 2.86))
   }
+
+  test("the full parse keeps the adjudicated flag per entry") {
+    val line = """{"qunit":"ds","queries":{"107":[284,51],"18":133}}"""
+    assert(Bench.parsePrevRefFull(line) ==
+      Map("107" -> (5.1, true), "18" -> (13.3, false)))
+  }
+
+  test("baseline floor: un-adjudicated scalars floor at min with the round before; adjudicated quiet values stand") {
+    // r16's shape: q107 shipped adjudicated ([contended, quiet] — the
+    // quiet 5.1 is the baseline), q18 shipped a contended scalar 13.3
+    // that the old loader took verbatim, masking regressions to 2.4x.
+    val latest = Map(
+      "107" -> (5.1, true),   // adjudicated: trust the quiet value
+      "18" -> (13.3, false),  // contended scalar: floor with r15's 5.5
+      "42" -> (9.9, false),   // no older entry: stands
+      "3" -> (0.4, false))    // improved: min keeps the better value
+    val older = Map("18" -> 5.5, "107" -> 90.0, "3" -> 0.6)
+    assert(Bench.floorBaseline(latest, older) ==
+      Map("107" -> 5.1, "18" -> 5.5, "42" -> 9.9, "3" -> 0.4))
+  }
 }

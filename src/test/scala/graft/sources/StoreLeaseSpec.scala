@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Caches
+
+/** The owner lease's fencing contract (VERDICT r16 next-5): the
+  * cross-process single-writer rule as mechanism — a second writer
+  * fails LOUD at its next commit point, never silently races. */
+class StoreLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plant a higher epoch file the way a foreign PROCESS would — via
+    * the filesystem, not acquire() (which would re-register ownership
+    * in THIS JVM's held map). */
+  private def foreignAcquire(dir: String, epoch: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_lease", f"epoch-$epoch%020d"), false)
+    out.write("foreign".getBytes("UTF-8")); out.close()
+  }
+
+  test("fencing: a newer owner's acquire makes the old owner's next commit fail loud; lease-less writers are rejected") {
+    val dir = tmpDir("lease_basic")
+    // unleased store: legacy single-writer-by-convention, writes pass
+    StoreLease.checkWrite(spark, dir)
+
+    val e1 = StoreLease.acquire(spark, dir, "maintainer-a")
+    StoreLease.checkWrite(spark, dir) // holder at max epoch: fine
+
+    // a foreign process takes the store over with a newer epoch: this
+    // (old) owner's next commit-point check fails LOUD
+    foreignAcquire(dir, e1 + 1)
+    val fenced = intercept[IllegalArgumentException] {
+      StoreLease.checkWrite(spark, dir)
+    }
+    assert(fenced.getMessage.contains("FENCED"))
+
+    // a fresh process holding NO lease must not write a leased store
+    StoreLease.forgetForTest(dir)
+    val unleased = intercept[IllegalArgumentException] {
+      StoreLease.checkWrite(spark, dir)
+    }
+    assert(unleased.getMessage.contains("lease-owned"))
+
+    // the documented takeover: acquire wins a strictly newer epoch and
+    // writes flow again in the new owner's process
+    val e2 = StoreLease.acquire(spark, dir, "maintainer-b")
+    assert(e2 > e1 + 1, "a takeover must win a strictly newer epoch")
+    StoreLease.checkWrite(spark, dir)
+
+    // clean retirement releases; the store returns to legacy mode only
+    // if no other epochs remain (here older files remain ⇒ still leased)
+    StoreLease.release(spark, dir)
+    intercept[IllegalArgumentException] { StoreLease.checkWrite(spark, dir) }
+  }
+
+  test("verdict store wiring: every mutator checks the lease; a fenced maintainer cannot advance, retire or rebuild") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def corpus(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      VerdictStore.Corpus(
+        docs.filter(p(col("doc_id"))).select("doc_id", "text"),
+        emb.filter(p(col("vec_id"))).select("vec_id", "embedding"),
+        Seq.empty[(Long, Long)].toDF("media_id", "dhash"))
+    val train = corpus(_ % 10 =!= 0)
+    val suite = Seq("all" -> corpus(_ % 10 === 0))
+
+    val dir = tmpDir("lease_verdict")
+    StoreLease.acquire(spark, dir, "owner-1")
+    VerdictStore.build(train, suite, dir, trained = false)
+    Caches.releaseAll()
+    assert(new java.io.File(s"$dir/_lease").exists(),
+      "build must preserve the owner lease while replacing content")
+
+    // a foreign owner fences this JVM
+    val cur = new java.io.File(s"$dir/_lease").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch-"))
+      .map(_.drop(6).toLong).max
+    foreignAcquire(dir, cur + 1)
+
+    intercept[IllegalArgumentException] {
+      VerdictStore.advanceDay(train, suite, dir, day = 5)
+    }
+    intercept[IllegalArgumentException] {
+      VerdictStore.retireBenchmark("all", spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      VerdictStore.retireDay(spark, dir, -1)
+    }
+    intercept[IllegalArgumentException] {
+      VerdictStore.build(train, suite, dir, trained = false)
+    }
+    // the fenced writer's serve-side READS stay valid (committed metas
+    // only) — freshness is unaffected by who owns the pen
+    spark.conf.set(VerdictStore.DirKey, dir)
+    try assert(VerdictStore.openFreshTwoEye(
+      train.txt, train.emb, suite.head._2.txt, suite.head._2.emb).isDefined)
+    finally spark.conf.unset(VerdictStore.DirKey)
+    Caches.releaseAll()
+    StoreLease.forgetForTest(dir)
+  }
+}

@@ -60,21 +60,6 @@ class VerdictStoreSpec extends SparkSpec {
     out
   }
 
-  /** Spark jobs started while `body` runs (event-bus drain by a short
-    * poll — the bus posts asynchronously). */
-  private def countJobs(body: => Unit): Int = {
-    val n = new java.util.concurrent.atomic.AtomicInteger(0)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        n.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(l)
-    try { body; Thread.sleep(1000) }
-    finally spark.sparkContext.removeSparkListener(l)
-    n.get()
-  }
 
   /** The inline three-eye sweep under the store's FROZEN codebook
     * (first-K of the full table). The plain [[DeconGate.flagThreeEye]]
@@ -106,6 +91,9 @@ class VerdictStoreSpec extends SparkSpec {
   test("store-served q196/q198 are byte-identical to the inline sweep (first-K codebook)") {
     val inline196 = rows(graft.operators.SubstringDedup.q196DeconVerdict(spark, sf))
     val inline198 = rows(graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sf))
+    // the serve-arm signal is structured, not a stderr line (r17
+    // advice): unstored runs stamp "inline"
+    assert(spark.conf.get(VerdictStore.ArmKeyPrefix + "q198") == "inline")
     val inline197 = rows(graft.operators.MediaQueries.q197MediaDecon(spark, sf))
     val inline199 = rows(graft.operators.MediaQueries.q199MediaCoverage(spark, sf))
     val inline200 = rows(graft.operators.MediaQueries.q200MediaScrub(spark, sf))
@@ -131,6 +119,8 @@ class VerdictStoreSpec extends SparkSpec {
         "store-served q196 must equal the inline two-eye sweep byte-for-byte")
       assert(rows(graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sf)) == inline198,
         "store-served q198 must equal the inline three-eye sweep byte-for-byte")
+      assert(spark.conf.get(VerdictStore.ArmKeyPrefix + "q198") == "store",
+        "a fresh store must stamp the store arm")
 
       // the img evidence IS q197's pair relation: the whole media
       // report tier serves from it through the shared body
@@ -260,6 +250,76 @@ class VerdictStoreSpec extends SparkSpec {
       f.delete(new org.apache.hadoop.fs.Path(s"$dir/day_meta/day=2"), true)
       assert(VerdictStore.openFreshThreeEye(trainCorpus, suite).isEmpty,
         "a day without its meta commit must be invisible (stale → inline)")
+      Caches.releaseAll()
+    } finally {
+      spark.conf.unset(VerdictStore.DirKey)
+      Caches.releaseAll()
+    }
+  }
+
+  test("file-backed serve freshness: unchanged corpus digests scan-free; a mutated single day still demotes to inline") {
+    // The deployed shape: the offered train corpus is day-partitioned
+    // parquet. The freshness digests must then ride the FileDigests
+    // per-file cache — an unchanged corpus costs a LISTING per serve,
+    // zero data scanned (the 100 TB serve is flat) — while any
+    // in-place day mutation changes that day's file signatures,
+    // re-scans exactly those files, and demotes the serve to inline.
+    FileDigests.clearForTest()
+    val root = tmpDir("verdictstore_files")
+    def dayOf(id: org.apache.spark.sql.Column) =
+      when(id % 3 === 2, 2).otherwise(1)
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("day", dayOf(col("doc_id")))
+      .write.partitionBy("day").parquet(s"$root/txt")
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .withColumn("day", dayOf(col("vec_id")))
+      .write.partitionBy("day").parquet(s"$root/emb")
+    hashed(eligible.filter(col("media_id") % 10 =!= 0))
+      .withColumn("day", dayOf(col("media_id")))
+      .write.partitionBy("day").parquet(s"$root/img")
+    Caches.releaseAll()
+    def fTrain = VerdictStore.Corpus(
+      spark.read.parquet(s"$root/txt").select("doc_id", "text"),
+      spark.read.parquet(s"$root/emb").select("vec_id", "embedding"),
+      spark.read.parquet(s"$root/img").select("media_id", "dhash"))
+    val suite = suiteCorpus(_ % 10 === 0)
+
+    val dir = tmpDir("verdictstore_files_store")
+    VerdictStore.build(fTrain, Seq("all" -> suite), dir,
+      codebookFrom = Some(emb), trained = false)
+    Caches.releaseAll()
+
+    spark.conf.set(VerdictStore.DirKey, dir)
+    try {
+      assert(VerdictStore.openFreshThreeEye(fTrain, suite).isDefined,
+        "the file-backed corpus must read fresh")
+      Caches.releaseAll()
+      // steady state: the repeat serve's freshness digests compose
+      // from the per-file cache — zero additional files scanned
+      val scanned = FileDigests.filesScanned.sum()
+      assert(VerdictStore.openFreshThreeEye(fTrain, suite).isDefined)
+      assert(FileDigests.filesScanned.sum() == scanned,
+        "an unchanged offered corpus must digest scan-free (flat serve)")
+      Caches.releaseAll()
+
+      // mutate ONE day in place (new part files under day=2): the
+      // digest sees it through the changed file signatures and the
+      // serve demotes to inline — cost, never a missed pair
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val day2 = spark.read.parquet(s"$root/txt").where(col("day") === 2)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0),
+          if (r.getLong(0) == 2L) "EDITED BODY" else r.getString(1))).toSeq
+      assert(day2.exists(_._1 == 2L), "doc 2 must sit in day 2 of this split")
+      f.delete(new org.apache.hadoop.fs.Path(s"$root/txt/day=2"), true)
+      day2.toDF("doc_id", "text").write.parquet(s"$root/txt/day=2")
+      assert(VerdictStore.openFreshThreeEye(fTrain, suite).isEmpty,
+        "a mutated single day must demote the serve to inline")
+      // per-modality freshness: the text mutation cannot stale the
+      // media pair serve — its img files are untouched
+      assert(VerdictStore.openFreshMediaPairs(fTrain.img, suite.img).isDefined,
+        "a text-day mutation must not stale the media pair serve")
       Caches.releaseAll()
     } finally {
       spark.conf.unset(VerdictStore.DirKey)
