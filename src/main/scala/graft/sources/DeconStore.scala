@@ -62,7 +62,8 @@ object DeconStore {
     * content — the one-shot face (equivalently: advance of a single
     * benchmark named `all` into an empty store). */
   def build(evalRel: DataFrame, dir: String): Unit = {
-    fs(evalRel.sparkSession, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(evalRel.sparkSession, dir)
+    StoreLease.replaceContents(evalRel.sparkSession, dir)
     advanceBenchmark("all", evalRel, dir)
   }
 
@@ -98,6 +99,7 @@ object DeconStore {
     * commit order: a crash mid-retire leaves orphan fps/grams whose
     * digest the combined meta no longer covers → stale → inline). */
   def retireBenchmark(name: String, spark: SparkSession, dir: String): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/meta/bench=$name"), true): Unit
     f.delete(new Path(s"$dir/fps/bench=$name"), true): Unit

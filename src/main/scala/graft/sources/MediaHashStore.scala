@@ -116,7 +116,8 @@ object MediaHashStore {
     * relation, replacing any prior content. */
   def build(hashed: DataFrame, dir: String, day: Int = 0): Unit = {
     val spark = hashed.sparkSession
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     writeDay(spark, dir, day, hashed, "errorifexists")
   }
 
@@ -138,6 +139,7 @@ object MediaHashStore {
     * no decode, no rebuild. Safe on a torn store (no meta ⇒ partition
     * drop only). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/hashes/day=$day"), true): Unit
     if (f.exists(new Path(s"$dir/source_meta"))) {
@@ -194,7 +196,8 @@ object MediaHashStore {
   def buildSourced(source: DataFrame, hashed: DataFrame, dir: String,
       day: Int = -1): Unit = {
     val spark = hashed.sparkSession
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     writeDay(spark, dir, day, hashed, "errorifexists")
     // Source meta lands LAST — the sourced face's commit point.
     writeSourceMeta(spark, dir, day, source, "errorifexists")

@@ -68,7 +68,8 @@ object SemanticDeconStore {
       codebookFrom: Option[DataFrame] = None,
       trained: Boolean = true): Unit = {
     val spark = evalEmb.sparkSession
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     val src = codebookFrom.getOrElse(evalEmb)
     val cents =
       if (trained) graft.operators.SimilarityQueries
@@ -108,6 +109,7 @@ object SemanticDeconStore {
     * mid-retire leaves orphans the combined digest no longer covers →
     * stale → inline). The codebook stays. */
   def retireBenchmark(name: String, spark: SparkSession, dir: String): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/meta/bench=$name"), true): Unit
     f.delete(new Path(s"$dir/vecs/bench=$name"), true): Unit

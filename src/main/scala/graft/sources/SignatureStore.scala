@@ -92,7 +92,8 @@ object SignatureStore {
     * (bracket with `Caches.releaseAll()` as usual). */
   def build(docRel: DataFrame, dir: String, day: Int = 0): Unit = {
     val spark = docRel.sparkSession
-    fs(spark, dir).delete(new Path(dir), true)
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     writeDay(spark, dir, day, docRel, "errorifexists")
   }
 
@@ -118,6 +119,7 @@ object SignatureStore {
     * the corpus WITHOUT that day's documents. Safe on a torn store
     * (no meta ⇒ partition drops only). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/shingles/day=$day"), true)
     f.delete(new Path(s"$dir/sigs/day=$day"), true)

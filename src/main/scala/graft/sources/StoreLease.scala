@@ -107,6 +107,17 @@ object StoreLease {
     }
   }
 
+  /** Delete a store's CONTENT but keep its owner lease — a rebuild is
+    * a mutation by the same owner, not a change of ownership. The
+    * store builds all use this instead of a recursive root delete. */
+  def replaceContents(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new Path(dir)
+    if (f.exists(p))
+      f.listStatus(p).filterNot(_.getPath.getName == "_lease")
+        .foreach(s => f.delete(s.getPath, true): Unit)
+  }
+
   /** Test hook: make this JVM forget it holds `dir` (simulates a fresh
     * foreign process observing the on-disk lease). */
   private[sources] def forgetForTest(dir: String): Unit = {

@@ -99,7 +99,8 @@ object TokenizerStore {
   def build(docRel: DataFrame, dir: String): Unit = {
     val spark = docRel.sparkSession
     import spark.implicits._
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     BpeQueries.bpeMergesOn(docRel)
       .coalesce(1).write.parquet(s"$dir/bpe")
     BpeQueries.byteBpeMergesOn(docRel)

@@ -103,7 +103,8 @@ object VectorIndexStore {
   def build(corpus: DataFrame, indexRel: DataFrame, dir: String,
       day: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     val cents = graft.operators.SimilarityQueries.centroidList(corpus)
     spark.createDataFrame(cents).toDF("c_id", "cv")
       .coalesce(1).write.parquet(s"$dir/codebook")
@@ -130,6 +131,7 @@ object VectorIndexStore {
     * digest back out of the meta. The codebook stays — it is a model
     * artifact, not data derived from the retired day. */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/assign/day=$day"), true): Unit
     f.delete(new Path(s"$dir/codes/day=$day"), true): Unit
@@ -151,7 +153,8 @@ object VectorIndexStore {
   def buildPq(corpus: DataFrame, dir: String, day: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     val pinned = corpus.persist()
     try {
       val (coarse, cents, codes) =
@@ -317,6 +320,7 @@ object VectorIndexStore {
 
   /** Retire one scaled-face day: partition drop + XOR-heal. */
   def retireDayScaled(spark: SparkSession, dir: String, day: Int): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/assign_scaled/day=$day"), true): Unit
     if (!f.exists(new Path(s"$dir/meta_scaled"))) return
@@ -487,6 +491,7 @@ object VectorIndexStore {
   /** Retire one scaled-PQ day: partition drop + XOR-heal (safe on a
     * torn store — no meta ⇒ partition drop only). */
   def retireDayPqScaled(spark: SparkSession, dir: String, day: Int): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/codes_pqs/day=$day"), true): Unit
     if (!f.exists(new Path(s"$dir/meta_pqs"))) return

@@ -211,13 +211,7 @@ object VerdictStore {
     val spark = train.txt.sparkSession
     lockFor(dir).synchronized {
     StoreLease.checkWrite(spark, dir)
-    // Replace prior CONTENT but keep the owner lease — a rebuild is a
-    // store mutation by the same owner, not a change of ownership.
-    val f = fs(spark, dir)
-    if (f.exists(new Path(dir)))
-      f.listStatus(new Path(dir))
-        .filterNot(_.getPath.getName == "_lease")
-        .foreach(s => f.delete(s.getPath, true): Unit)
+    StoreLease.replaceContents(spark, dir)
     spark.createDataFrame(Seq((tau, maxHamming)))
       .toDF("tau", "max_hamming")
       .coalesce(1).write.parquet(s"$dir/params")

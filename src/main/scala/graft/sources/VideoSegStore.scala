@@ -65,7 +65,8 @@ object VideoSegStore {
     * (video_id, seg_fp) relation, replacing any prior content. */
   def build(fps: DataFrame, dir: String, day: Int = 0): Unit = {
     val spark = fps.sparkSession
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     writeDay(spark, dir, day, fps, "errorifexists")
   }
 
@@ -88,6 +89,7 @@ object VideoSegStore {
     * when no meta was ever committed (ADVICE r13 — retire must be able
     * to REPAIR a crashed build, not throw on it). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/segs/day=$day"), true): Unit
     if (!f.exists(new Path(s"$dir/meta"))) return

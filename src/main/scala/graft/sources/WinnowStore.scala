@@ -73,7 +73,8 @@ object WinnowStore {
     * prior content), recorded as `day`. */
   def build(docRel: DataFrame, dir: String, day: Int = 0): Unit = {
     val spark = docRel.sparkSession
-    fs(spark, dir).delete(new Path(dir), true): Unit
+    StoreLease.checkWrite(spark, dir)
+    StoreLease.replaceContents(spark, dir)
     writeDay(spark, dir, day, docRel, "errorifexists")
   }
 
@@ -93,6 +94,7 @@ object WinnowStore {
     * digest back out of the meta. Safe on a torn store (no meta ⇒
     * partition drop only). */
   def retireDay(spark: SparkSession, dir: String, day: Int): Unit = {
+    StoreLease.checkWrite(spark, dir)
     val f = fs(spark, dir)
     f.delete(new Path(s"$dir/fps/day=$day"), true): Unit
     if (!f.exists(new Path(s"$dir/meta"))) return

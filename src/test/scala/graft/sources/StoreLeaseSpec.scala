@@ -103,4 +103,29 @@ class StoreLeaseSpec extends SparkSpec {
     Caches.releaseAll()
     StoreLease.forgetForTest(dir)
   }
+
+  test("the whole store family is fenced: a sibling store's build/advance/retire check the lease too") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val dir = tmpDir("lease_sibling")
+    StoreLease.acquire(spark, dir, "owner-sig")
+    SignatureStore.build(docs, dir, day = 0)
+    assert(new java.io.File(s"$dir/_lease").exists(),
+      "a sibling build must preserve the owner lease while replacing content")
+    val cur = new java.io.File(s"$dir/_lease").listFiles()
+      .map(_.getName).filter(_.startsWith("epoch-"))
+      .map(_.drop(6).toLong).max
+    foreignAcquire(dir, cur + 1)
+    intercept[IllegalArgumentException] {
+      SignatureStore.advanceDay(docs, dir, day = 1)
+    }
+    intercept[IllegalArgumentException] {
+      SignatureStore.retireDay(spark, dir, 0)
+    }
+    intercept[IllegalArgumentException] {
+      SignatureStore.build(docs, dir, day = 0)
+    }
+    Caches.releaseAll()
+    StoreLease.forgetForTest(dir)
+  }
 }
