@@ -250,6 +250,26 @@ object Bench {
       // plausible-looking timing would corrupt baseline comparisons.
       if (ok) dt else -dt
     }
+    // r18 (VERDICT next-2): every extra registers a RE-RUNNABLE
+    // single-shot thunk — store conf set/unset INSIDE the shot, store
+    // artifacts still on disk until the end-of-run scratch cleanup —
+    // so the ≥2× self-adjudication net covers the x-entries too. In
+    // BENCH_r17 xvg shipped at 8× its prior (contention) with no
+    // defense while 13 suite queries got quiet re-runs, because the
+    // extras were bespoke one-way timings appended after adjudication.
+    val extraRerun = scala.collection.mutable.LinkedHashMap[String, () => Double]()
+    def medianExtra(code: String)(shot: => Double): Double = {
+      extraRerun(code) = () => shot
+      val times = (1 to repeats).map(_ => shot)
+      times.sorted.apply((times.size - 1) / 2)
+    }
+    // Single-shot extras (xt's 3M-row write, xprt's ~50-round loop)
+    // already average internal noise; registering the same shot keeps
+    // them re-runnable without paying repeats in the main pass.
+    def singleExtra(code: String)(shot: => Double): Double = {
+      extraRerun(code) = () => shot
+      shot
+    }
     // Extras participate in the ONLY filter under their short codes
     // (xt/xip/xss/xcp/xmp/xts/xprt), so a scale-point run can time the
     // incremental probes without paying the whole 167-query suite:
@@ -279,15 +299,17 @@ object Bench {
       val big = ev.withColumn("rep", explode(array((0 until copies).map(lit): _*)))
         .withColumn("heartbeat", unix_micros(col("ts").cast("timestamp")))
       val out = s"$scratch/ingest"
-      val t0 = System.nanoTime()
-      val (wita, hp) = graft.functions.TimeExprs.enrichment(col("heartbeat"))
-      big.withColumn("datetime_wita", wita.cast("timestamp_ntz"))
-        .withColumn("hiveperiod", hp)
-        .withColumn("dstrct_code", concat(lit("D"), pmod(col("user_id"), lit(4))))
-        .repartition(col("hiveperiod"), col("dstrct_code"))
-        .write.mode("overwrite").option("compression", "snappy")
-        .partitionBy("hiveperiod", "dstrct_code").parquet(out)
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = singleExtra("xt") {
+        val t0 = System.nanoTime()
+        val (wita, hp) = graft.functions.TimeExprs.enrichment(col("heartbeat"))
+        big.withColumn("datetime_wita", wita.cast("timestamp_ntz"))
+          .withColumn("hiveperiod", hp)
+          .withColumn("dstrct_code", concat(lit("D"), pmod(col("user_id"), lit(4))))
+          .repartition(col("hiveperiod"), col("dstrct_code"))
+          .write.mode("overwrite").option("compression", "snappy")
+          .partitionBy("hiveperiod", "dstrct_code").parquet(out)
+        (System.nanoTime() - t0) / 1e9
+      }
       (n * copies, dt)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] transform benchmark failed: ${e.getMessage}")
@@ -308,7 +330,7 @@ object Bench {
       graft.operators.DedupQueries.bandIndexOf(d.where(pmod(col("doc_id"), lit(5)) =!= 0))
         .write.mode("overwrite").parquet(idxPath)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      val times = (1 to repeats).map { _ =>
+      medianExtra("xip") {
         val t0 = System.nanoTime()
         val idx = spark.read.parquet(idxPath)
         val fresh = graft.operators.DedupQueries.bandIndexOf(
@@ -318,7 +340,6 @@ object Bench {
         graft.core.Caches.releaseAll(); spark.catalog.clearCache()
         dt
       }
-      times.sorted.apply((times.size - 1) / 2)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] incremental probe failed: ${e.getMessage}")
       -1.0
@@ -335,17 +356,16 @@ object Bench {
       val dirS = s"$scratch/sigstore"
       graft.sources.SignatureStore.build(d, dirS)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.SignatureStore.DirKey, dirS)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xss") {
+        spark.conf.set(graft.sources.SignatureStore.DirKey, dirS)
+        try {
           val t0 = System.nanoTime()
           graft.operators.DedupQueries.minhashLshFast(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.SignatureStore.DirKey)
+        } finally spark.conf.unset(graft.sources.SignatureStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] signature-store reuse failed: ${e.getMessage}")
       -1.0
@@ -360,7 +380,7 @@ object Bench {
       val dirC = s"$scratch/containidx"
       graft.sources.SignatureStore.build(d.where(pmod(col("doc_id"), lit(5)) =!= 0), dirC)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      val times = (1 to repeats).map { _ =>
+      medianExtra("xcp") {
         val t0 = System.nanoTime()
         val idxSigs = spark.read.parquet(s"$dirC/sigs")
         graft.operators.DedupQueries.containmentProbeIndexed(
@@ -369,7 +389,6 @@ object Bench {
         graft.core.Caches.releaseAll(); spark.catalog.clearCache()
         dt
       }
-      times.sorted.apply((times.size - 1) / 2)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] containment probe failed: ${e.getMessage}")
       -1.0
@@ -395,7 +414,7 @@ object Bench {
       graft.sources.MediaHashStore.build(
         hashed(docs.where(pmod(col("media_id"), lit(5)) =!= 0)), dirM)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      val times = (1 to repeats).map { _ =>
+      medianExtra("xmp") {
         val t0 = System.nanoTime()
         val idx = graft.sources.MediaHashStore.open(spark, dirM)
         graft.multimodal.MediaDedup.nearDupProbe(
@@ -405,7 +424,6 @@ object Bench {
         graft.core.Caches.releaseAll(); spark.catalog.clearCache()
         dt
       }
-      times.sorted.apply((times.size - 1) / 2)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] image-dedup probe failed: ${e.getMessage}")
       -1.0
@@ -436,17 +454,16 @@ object Bench {
       val dirMd = s"$scratch/mediadeconidx"
       graft.sources.MediaHashStore.buildSourced(train, hashedD(train), dirMd)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.MediaHashStore.DirKey, dirMd)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xmd") {
+        spark.conf.set(graft.sources.MediaHashStore.DirKey, dirMd)
+        try {
           val t0 = System.nanoTime()
           graft.operators.MediaQueries.q197MediaDecon(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.MediaHashStore.DirKey)
+        } finally spark.conf.unset(graft.sources.MediaHashStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] media-decon store probe failed: ${e.getMessage}")
       -1.0
@@ -464,17 +481,16 @@ object Bench {
       val dirT = s"$scratch/tokstore"
       graft.sources.TokenizerStore.build(d, dirT)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.TokenizerStore.DirKey, dirT)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xts") {
+        spark.conf.set(graft.sources.TokenizerStore.DirKey, dirT)
+        try {
           val t0 = System.nanoTime()
           graft.operators.TokenizerCompare.q166TokenizerCompare(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.TokenizerStore.DirKey)
+        } finally spark.conf.unset(graft.sources.TokenizerStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] tokenizer-store reuse failed: ${e.getMessage}")
       -1.0
@@ -495,21 +511,20 @@ object Bench {
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       dirW
     }
-    def timeWithWinnowStore(fn: => Long): Double = {
-      spark.conf.set(graft.sources.WinnowStore.DirKey, winnowStoreDir)
-      try {
-        val times = (1 to repeats).map { _ =>
+    def timeWithWinnowStore(code: String)(fn: => Long): Double = {
+      medianExtra(code) {
+        spark.conf.set(graft.sources.WinnowStore.DirKey, winnowStoreDir)
+        try {
           val t0 = System.nanoTime()
           fn: Unit
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.WinnowStore.DirKey)
+        } finally spark.conf.unset(graft.sources.WinnowStore.DirKey)
+      }
     }
     val winnowReuse = if (!extraOn("xws")) 0.0 else try {
-      timeWithWinnowStore(
+      timeWithWinnowStore("xws")(
         graft.operators.SubstringDedup.q168SubstringProbeFast(spark, sfDir).forceRows())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] winnow-store probe failed: ${e.getMessage}")
@@ -522,7 +537,7 @@ object Bench {
     // to the recompute arm (char-mass ratio ~0.77 at the 50/50 split) —
     // the measured-correct choice (see SubstringDedup.ProbeCharRatio).
     val armPick = if (!extraOn("xsp")) 0.0 else try {
-      timeWithWinnowStore(
+      timeWithWinnowStore("xsp")(
         graft.operators.SubstringDedup.q169SubstringAuto(spark, sfDir).forceRows())
     } catch { case e: Throwable =>
       System.err.println(s"[bench] arm picker failed: ${e.getMessage}")
@@ -542,17 +557,16 @@ object Bench {
       val dirD = s"$scratch/deconstore"
       graft.sources.DeconStore.build(ev, dirD)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.DeconStore.DirKey, dirD)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xdc") {
+        spark.conf.set(graft.sources.DeconStore.DirKey, dirD)
+        try {
           val t0 = System.nanoTime()
           graft.operators.SubstringDedup.q175DeconProbe(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.DeconStore.DirKey)
+        } finally spark.conf.unset(graft.sources.DeconStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] decon-store probe failed: ${e.getMessage}")
       -1.0
@@ -570,17 +584,16 @@ object Bench {
       val dirA = s"$scratch/deconstore_arm"
       graft.sources.DeconStore.build(ev, dirA)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.DeconStore.DirKey, dirA)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xda") {
+        spark.conf.set(graft.sources.DeconStore.DirKey, dirA)
+        try {
           val t0 = System.nanoTime()
           graft.operators.SubstringDedup.q189DeconAuto(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.DeconStore.DirKey)
+        } finally spark.conf.unset(graft.sources.DeconStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] decon arm picker failed: ${e.getMessage}")
       -1.0
@@ -601,7 +614,7 @@ object Bench {
         graft.multimodal.VideoSegDedup.segmentFingerprints(
           graft.multimodal.VideoSegDedup.renderVideos(docs)), dirG)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      val times = (1 to repeats).map { _ =>
+      medianExtra("xvg") {
         val t0 = System.nanoTime()
         graft.multimodal.VideoSegDedup.sharedSegmentPairs(
           graft.sources.VideoSegStore.open(spark, dirG)).forceRows()
@@ -609,7 +622,6 @@ object Bench {
         graft.core.Caches.releaseAll(); spark.catalog.clearCache()
         dt
       }
-      times.sorted.apply((times.size - 1) / 2)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] video segment store failed: ${e.getMessage}")
       -1.0
@@ -625,17 +637,16 @@ object Bench {
       graft.sources.VectorIndexStore.build(
         e, e.where(pmod(col("vec_id"), lit(5)) =!= 0), dirV)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirV)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xvs") {
+        spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirV)
+        try {
           val t0 = System.nanoTime()
           graft.operators.SimilarityQueries.q139IvfProbe(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+        } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vector-store probe failed: ${e.getMessage}")
       -1.0
@@ -660,17 +671,16 @@ object Bench {
         e, e.where(pmod(col("vec_id"), lit(5)) =!= 0), dirK,
         trained = sys.env.getOrElse("SPARK_GRAFT_XSK_TRAINED", "1") != "0")
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirK)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xsk") {
+        spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirK)
+        try {
           val t0 = System.nanoTime()
           graft.operators.SimilarityQueries.q188IvfScaled(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+        } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaled-index probe failed: ${e.getMessage}")
       -1.0
@@ -696,17 +706,16 @@ object Bench {
       graft.sources.VectorIndexStore.buildPqScaled(e, e, dirPk,
         trained = sys.env.getOrElse("SPARK_GRAFT_XPK_TRAINED", "1") != "0")
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirPk)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xpk") {
+        spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirPk)
+        try {
           val t0 = System.nanoTime()
           graft.operators.SimilarityQueries.q195IvfPqScaled(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+        } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] scaled-PQ store probe failed: ${e.getMessage}")
       -1.0
@@ -732,17 +741,16 @@ object Bench {
         codebookFrom = Some(e),
         trained = sys.env.getOrElse("SPARK_GRAFT_XSD_TRAINED", "1") != "0")
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.SemanticDeconStore.DirKey, dirS)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xsd") {
+        spark.conf.set(graft.sources.SemanticDeconStore.DirKey, dirS)
+        try {
           val t0 = System.nanoTime()
           graft.streaming.DeconGate.flagSemantic(train, ev).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.SemanticDeconStore.DirKey)
+        } finally spark.conf.unset(graft.sources.SemanticDeconStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] semantic decon gate failed: ${e.getMessage}")
       -1.0
@@ -789,20 +797,19 @@ object Bench {
         graft.operators.MediaQueries.deconTrainDocs(spark, sfDir),
         train.img, dirVdM)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.VerdictStore.DirKey, dirVd)
-      spark.conf.set(graft.sources.MediaHashStore.DirKey, dirVdM)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xvd") {
+        spark.conf.set(graft.sources.VerdictStore.DirKey, dirVd)
+        spark.conf.set(graft.sources.MediaHashStore.DirKey, dirVdM)
+        try {
           val t0 = System.nanoTime()
           graft.operators.MediaQueries.q198ThreeEyeDecon(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
+        } finally {
+          spark.conf.unset(graft.sources.VerdictStore.DirKey)
+          spark.conf.unset(graft.sources.MediaHashStore.DirKey)
         }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally {
-        spark.conf.unset(graft.sources.VerdictStore.DirKey)
-        spark.conf.unset(graft.sources.MediaHashStore.DirKey)
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] verdict-store serve failed: ${e.getMessage}")
@@ -817,17 +824,16 @@ object Bench {
       val dirP = s"$scratch/pqstore"
       graft.sources.VectorIndexStore.buildPq(e, dirP)
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirP)
-      try {
-        val times = (1 to repeats).map { _ =>
+      medianExtra("xpq") {
+        spark.conf.set(graft.sources.VectorIndexStore.DirKey, dirP)
+        try {
           val t0 = System.nanoTime()
           graft.operators.SimilarityQueries.ivfPqTopK(spark, sfDir).forceRows()
           val dt = (System.nanoTime() - t0) / 1e9
           graft.core.Caches.releaseAll(); spark.catalog.clearCache()
           dt
-        }
-        times.sorted.apply((times.size - 1) / 2)
-      } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+        } finally spark.conf.unset(graft.sources.VectorIndexStore.DirKey)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pq-store probe failed: ${e.getMessage}")
       -1.0
@@ -842,14 +848,16 @@ object Bench {
     // more repeats would add ~100 s of wall for no extra signal.
     val prTol = if (!extraOn("xprt")) 0.0 else try {
       import org.apache.spark.sql.functions.col
-      val t0 = System.nanoTime()
-      val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(col("l_orderkey"), col("l_partkey"))
-      graft.operators.GraphQueries.pageRankUntil(pairs, tol = 1e-7).forceRows()
-      val dt = (System.nanoTime() - t0) / 1e9
-      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      dt
+      singleExtra("xprt") {
+        val t0 = System.nanoTime()
+        val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        graft.operators.GraphQueries.pageRankUntil(pairs, tol = 1e-7).forceRows()
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pagerank tolerance loop failed: ${e.getMessage}")
       -1.0
@@ -999,6 +1007,26 @@ object Bench {
       "xsd" -> semDeconGate,  // x_semdecon_gate (flagSemantic via store)
       "xvd" -> verdictServe,  // x_verdict_serve (q198 via VerdictStore)
       "xprt" -> prTol)        // x_pagerank_tol
+    // The extras join the same ≥2× net (VERDICT r18 next-2): their
+    // registered thunks re-run the exact timed shot (store conf + probe)
+    // against the still-on-disk scratch stores, under the shared 24-
+    // re-run cap (suite suspects first — they feed the headline total).
+    val suspectX = xSeq.filter { case (c, v) =>
+      v >= 0.5 && extraRerun.contains(c) &&
+        prevRef.get(c).exists(p => p > 0 && v >= 2 * p)
+    }
+    val adjudicatedX: Map[String, Double] =
+      suspectX.take(math.max(0, 24 - math.min(24, suspect.size))).map { case (c, _) =>
+        System.gc(); Thread.sleep(2000)
+        c -> (try extraRerun(c)() catch { case e: Throwable =>
+          System.err.println(s"[bench] extra $c adjudication re-run failed: ${e.getMessage}")
+          -1.0
+        })
+      }.toMap
+    if (adjudicatedX.nonEmpty)
+      System.err.println(s"[bench] self-adjudicated ${adjudicatedX.size} extras: " +
+        adjudicatedX.map { case (k, v) =>
+          f"$k ${xSeq.toMap.apply(k)}%.2f->$v%.2f" }.mkString(", "))
     def queriesBlock(unit: Double => Long, floor: Long): String =
       (results.flatMap { case (k, v) =>
         val head = "\"" + short(k) + "\":"
@@ -1008,8 +1036,12 @@ object Bench {
             val u = unit(v)
             if (v < 0 || math.abs(u) >= floor) Some(head + u) else None
         }
-      } ++ xSeq.map { case (c, v) => s""""$c":${unit(v)}""" })
-        .mkString("{", ",", "}")
+      } ++ xSeq.map { case (c, v) =>
+        adjudicatedX.get(c) match {
+          case Some(a) => s""""$c":[${unit(v)},${unit(a)}]"""
+          case None => s""""$c":${unit(v)}"""
+        }
+      }).mkString("{", ",", "}")
     // Headline total prefers the adjudicated (quiet re-run) value where
     // one exists — the suite-median tail is still visible per-query.
     val total = results.map { case (k, v) => adjudicated.getOrElse(k, v) }

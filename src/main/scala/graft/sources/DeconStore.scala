@@ -89,7 +89,8 @@ object DeconStore {
       graft.operators.SubstringDedup.rawGramsOf(pinned)
         .select("g").distinct()
         .write.parquet(s"$dir/grams/bench=$name")
-      val (n, dg) = SignatureStore.digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = SignatureStore.digestOfPinned(pinned)
       spark.createDataFrame(Seq((n, dg))).toDF("n_docs", "digest")
         .coalesce(1).write.parquet(s"$dir/meta/bench=$name")
     } finally pinned.unpersist(blocking = false): Unit

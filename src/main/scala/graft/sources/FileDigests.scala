@@ -4,8 +4,8 @@ import java.util.{LinkedHashMap => JLinkedHashMap, Map => JMap}
 
 import scala.util.control.NonFatal
 
-import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, GraftPlanBridge}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 /** Content-addressed per-file cache for the store family's corpus
-  * digests (VERDICT r16 next-2).
+  * digests (VERDICT r16 next-2; persistence + cap policy r18 next-1).
   *
   * Every store's freshness contract is the same order-independent
   * digest: `(count, bit_xor(xxhash64(key, value)))` over one offered
@@ -46,9 +46,11 @@ import org.apache.spark.sql.types.StructType
   * in the engine produces). Anything else — in-memory fixtures,
   * typed-map pipelines like the inline image hasher, nondeterministic
   * expressions whose per-file re-evaluation could diverge from the
-  * original plan — falls back to the single whole-relation aggregate,
-  * which is also the tear-safety arm: a PINNED nondeterministic batch
-  * digests through its cache, never through a second file evaluation.
+  * original plan — falls back to the single whole-relation aggregate.
+  * Maintainer WRITE paths must not use this cache at all: a pinned
+  * (persisted) batch's meta digest has to describe the snapshot its
+  * evidence derived from, and the per-file path re-reads disk behind
+  * the persist — they call [[digestOfPinned]] (ADVICE r17).
   *
   * Cached partials are keyed by (plan signature, hash expression,
   * file content address), where the plan signature renders the
@@ -60,25 +62,72 @@ import org.apache.spark.sql.types.StructType
   * mtime-based cache (Spark's included): an in-place byte edit that
   * preserves path, length AND mtime is invisible — unreachable through
   * Spark writers, which never rewrite a part-file in place.
+  *
+  * '''Persistence (r18).''' The r17 cache was JVM-local, so the
+  * O(changed-files) property died with the process: every fresh
+  * session re-paid one full corpus scan per (plan, store). When
+  * [[DirKey]] is set, every newly scanned partial is ALSO appended to
+  * a sidecar directory of fixed-width binary records and loaded back
+  * on the next session's first digest — a cold JVM on an unchanged
+  * corpus composes with zero data scanned. The sidecar needs no
+  * invalidation protocol either (same content-addressed keys); losing
+  * a record, a torn append tail, or a concurrent-compaction race can
+  * only cost a rescan, never a wrong digest. Entries for deleted files
+  * linger at 48 bytes each until a compaction rewrite drops nothing —
+  * disk growth is bounded by total historical (plan, file) pairs, and
+  * the sidecar can simply be deleted to reclaim it (the next digest
+  * re-primes it). Persisted keys are the 128-bit MD5 of the full cache
+  * key (plan signatures are ~0.5 kB; the content address inside the
+  * key makes every record immutable): at 10^6 entries the collision
+  * probability is ~10^-27 — far below any hardware fault rate.
+  *
+  * '''Cap policy (r18).''' The in-memory LRU cap is sized in FILES of
+  * provenance via [[MaxEntriesKey]] (default 2^20 ≈ 1M entries ≈
+  * ~200 MB of driver strings — covers the 100 TB design point's
+  * 400k–700k part-files with headroom). A digest call that both writes
+  * new partials AND evicts during the same call is thrashing — the cap
+  * is too small for the corpus — and logs a one-line warning naming
+  * the knob.
   */
 object FileDigests {
 
-  /** LRU-bounded partial-digest cache: key → (n, xor). ~100 B/entry at
-    * the cap — a few MB of driver memory for 64k files of provenance. */
-  private val MaxEntries = 1 << 16
+  /** Session conf: sidecar directory persisting per-file partials
+    * across JVMs. Unset (default) = in-memory only. */
+  val DirKey = "spark.graft.filedigests.dir"
+
+  /** Session conf: in-memory LRU capacity in entries (≈ files ×
+    * distinct digested plans). Size it at or above the corpus's
+    * part-file count; the thrash warning below fires when it's low. */
+  val MaxEntriesKey = "spark.graft.filedigests.maxentries"
+  private val DefaultMaxEntries = 1 << 20
+
+  @volatile private var maxEntries: Int = DefaultMaxEntries
+  private val evictions = new java.util.concurrent.atomic.LongAdder
   private val cache = java.util.Collections.synchronizedMap(
     new JLinkedHashMap[String, (Long, Long)](1024, 0.75f, true) {
-      override def removeEldestEntry(e: JMap.Entry[String, (Long, Long)]): Boolean =
-        size() > MaxEntries
+      override def removeEldestEntry(e: JMap.Entry[String, (Long, Long)]): Boolean = {
+        val evict = size() > maxEntries
+        if (evict) evictions.increment()
+        evict
+      }
     })
 
   // Observability hooks (spec-pinned): how each digest was served.
   private[sources] val composedServes = new java.util.concurrent.atomic.LongAdder
   private[sources] val filesScanned = new java.util.concurrent.atomic.LongAdder
   private[sources] val fullScans = new java.util.concurrent.atomic.LongAdder
+  private[sources] val pinnedScans = new java.util.concurrent.atomic.LongAdder
+  /** Observability snapshot for benches (ColdServeBench): how digests
+    * were served since JVM start. */
+  def counters: Map[String, Long] = Map(
+    "scanned" -> filesScanned.sum(), "composed" -> composedServes.sum(),
+    "full" -> fullScans.sum(), "pinned" -> pinnedScans.sum())
+
   private[sources] def clearForTest(): Unit = {
     cache.clear()
+    loadedDir = null
     composedServes.reset(); filesScanned.reset(); fullScans.reset()
+    pinnedScans.reset(); evictions.reset()
   }
 
   /** The digest `(count(*), bit_xor(hash))` of `df`, served from the
@@ -87,15 +136,40 @@ object FileDigests {
     * aggregate either way — FileDigestsSpec pins the equality on
     * partitioned, filtered and projected reads. */
   def digestOf(df: DataFrame, hash: Column): (Long, Long) = {
+    val spark = df.sparkSession
+    maxEntries = spark.conf.get(MaxEntriesKey, DefaultMaxEntries.toString).toInt
+    val persistDir = spark.conf.get(DirKey, "")
+    if (persistDir.nonEmpty) ensureLoaded(spark, persistDir)
+    val (scanned0, evicted0) = (filesScanned.sum(), evictions.sum())
     val served =
-      try perFile(df, hash)
+      try perFile(df, hash, spark, persistDir)
       catch {
         case NonFatal(e) =>
           System.err.println(
             s"[filedigests] per-file path failed (${e.getMessage}) — whole-relation scan")
           None
       }
+    val wrote = filesScanned.sum() - scanned0
+    val evicted = evictions.sum() - evicted0
+    if (wrote > 0 && evicted > 0)
+      System.err.println(
+        s"[filedigests] cache thrash: evicted $evicted entrie(s) while writing $wrote " +
+          s"in one digest call — the corpus has more (plan, file) pairs than the " +
+          s"$maxEntries-entry cap; raise $MaxEntriesKey")
     served.getOrElse { fullScans.increment(); fullScan(df, hash) }
+  }
+
+  /** Maintainer-write-path digest: ALWAYS one whole-relation aggregate
+    * over `df` AS EVALUATED — honoring a caller's `persist()` through
+    * Spark's CacheManager — never the per-file cache. The cache
+    * re-reads files from disk, so for a pinned batch it could commit a
+    * meta digest describing content the just-derived evidence was NOT
+    * computed from (a source file changed between probe and meta
+    * write) — the exact tear the pinned-batch protocol forbids
+    * (ADVICE r17). Serve-side freshness checks stay on [[digestOf]]. */
+  def digestOfPinned(df: DataFrame, hash: Column): (Long, Long) = {
+    pinnedScans.increment()
+    fullScan(df, hash)
   }
 
   private def fullScan(df: DataFrame, hash: Column): (Long, Long) = {
@@ -105,6 +179,98 @@ object FileDigests {
       .head()
     (r.getLong(0), r.getLong(1))
   }
+
+  // ------------------------------------------------- sidecar persistence
+
+  /** One record: 32 ASCII hex chars (MD5 of the full cache key) +
+    * n (8 B) + xor (8 B). Fixed width so a torn append tail is
+    * detectable by length and simply ignored. */
+  private val RecordBytes = 48
+  private val CompactAt = 64 // sidecar files tolerated before a load rewrites them
+
+  @volatile private var loadedDir: String = null
+  private val loadLock = new Object
+
+  private def keyHash(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def sidecarFs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Load every sidecar record into the in-memory cache, once per
+    * (JVM, configured dir). Over [[CompactAt]] files, rewrite them as
+    * one (dropping nothing — liveness of a content-addressed entry is
+    * unknowable and irrelevant; see object doc) and delete exactly the
+    * files read, so a concurrent appender's file is never touched and
+    * the worst concurrent-compaction outcome is a duplicate record the
+    * map put dedupes. */
+  private def ensureLoaded(spark: SparkSession, dir: String): Unit = {
+    if (dir == loadedDir) return
+    loadLock.synchronized {
+      if (dir == loadedDir) return
+      try {
+        val f = sidecarFs(spark, dir)
+        val p = new Path(dir)
+        if (f.exists(p)) {
+          val files = f.listStatus(p).filter(_.getPath.getName.endsWith(".bin"))
+          val all = files.iterator.flatMap(s => readRecords(f, s)).toSeq
+          all.foreach { case (k, d) => cache.put(k, d): Unit }
+          if (files.length > CompactAt && all.nonEmpty) {
+            appendRecords(f, p, all.toMap.toSeq)
+            files.foreach(s => f.delete(s.getPath, false): Unit)
+          }
+        }
+        loadedDir = dir
+      } catch {
+        case NonFatal(e) =>
+          // Persistence is an optimization: a lost load costs rescans,
+          // never a wrong digest. Don't retry per call.
+          System.err.println(s"[filedigests] sidecar load from $dir failed: ${e.getMessage}")
+          loadedDir = dir
+      }
+    }
+  }
+
+  private def readRecords(f: FileSystem, s: FileStatus): Seq[(String, (Long, Long))] = {
+    val whole = math.toIntExact(s.getLen / RecordBytes) // ignore a torn tail
+    if (whole == 0) return Nil
+    val in = new java.io.DataInputStream(f.open(s.getPath))
+    try {
+      val buf = new Array[Byte](32)
+      (0 until whole).map { _ =>
+        in.readFully(buf)
+        (new String(buf, java.nio.charset.StandardCharsets.US_ASCII),
+          (in.readLong(), in.readLong()))
+      }
+    } finally in.close()
+  }
+
+  private def appendRecords(f: FileSystem, dir: Path,
+      entries: Seq[(String, (Long, Long))]): Unit = {
+    val name = s"digests-${java.util.UUID.randomUUID}.bin"
+    val out = new java.io.DataOutputStream(f.create(new Path(dir, name), false))
+    try entries.foreach { case (k, (n, x)) =>
+      out.write(k.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.writeLong(n); out.writeLong(x)
+    } finally out.close()
+  }
+
+  private def persist(spark: SparkSession, dir: String,
+      entries: Seq[(String, (Long, Long))]): Unit =
+    try {
+      val f = sidecarFs(spark, dir)
+      val p = new Path(dir)
+      if (!f.exists(p)) f.mkdirs(p): Unit
+      appendRecords(f, p, entries)
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"[filedigests] sidecar append to $dir failed: ${e.getMessage}")
+    }
+
+  // ------------------------------------------------------ decomposition
 
   /** The deterministic Project/Filter chain over one parquet relation,
     * or None when the plan has any other shape. Ambiguous output names
@@ -156,32 +322,56 @@ object FileDigests {
       s"H:$hash").mkString("|")
   }
 
-  private def perFile(df: DataFrame, hash: Column): Option[(Long, Long)] = {
+  private def perFile(df: DataFrame, hash: Column, spark: SparkSession,
+      persistDir: String): Option[(Long, Long)] = {
     if (!GraftColumnBridge.expression(hash).deterministic) return None
     val analyzed = GraftPlanBridge.analyzed(df)
-    decompose(analyzed).map { rel =>
+    decompose(analyzed).flatMap { rel =>
       val fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
       val sig = planSig(analyzed, rel, fsRel, hash)
       val files = fsRel.location.asInstanceOf[PartitioningAwareFileIndex].allFiles()
       def keyOf(f: FileStatus): String =
-        s"$sig§${f.getPath}@${f.getLen}@${f.getModificationTime}"
-      val known = files.map(f => (f, Option(cache.get(keyOf(f)))))
-      val missing = known.collect { case (f, None) => f }
+        keyHash(s"$sig§${f.getPath}@${f.getLen}@${f.getModificationTime}")
+      val known = files.map(f => (f, keyOf(f))).map { case (f, k) =>
+        (f, k, Option(cache.get(k)))
+      }
+      val missing = known.collect { case (f, k, None) => (f, k) }
       val scanned: Map[String, (Long, Long)] =
         if (missing.isEmpty) Map.empty
-        else scanFiles(df.sparkSession, analyzed, rel, fsRel, missing, hash)
-      if (missing.nonEmpty) {
-        if (sys.env.contains("GRAFT_DIGEST_DEBUG"))
-          System.err.println(s"[filedigests-debug] scan ${missing.size} sig=$sig")
-        filesScanned.add(missing.size.toLong)
-        missing.foreach { f =>
-          val d = scanned.getOrElse(f.getPath.toString, (0L, 0L))
-          cache.put(keyOf(f), d): Unit
-        }
-      } else composedServes.increment()
-      known.foldLeft((0L, 0L)) { case ((n, x), (f, hit)) =>
-        val d = hit.getOrElse(scanned.getOrElse(f.getPath.toString, (0L, 0L)))
-        (n + d._1, x ^ d._2)
+        else scanFiles(spark, analyzed, rel, fsRel, missing.map(_._1), hash)
+      // Exactness guard (ADVICE r17): the scan groups by
+      // input_file_name() and this composition matches those strings
+      // to FileStatus paths. A path-form mismatch (URL-encoded vs
+      // decoded for spaces/non-ASCII) would silently default a
+      // row-bearing file's partial to (0, 0) — a WRONG digest that the
+      // serve side would then reproduce, freshness passing on a
+      // changed corpus. Any scanned group that matches no listed file
+      // is exactly that mismatch: refuse the per-file path (nothing
+      // cached, nothing persisted) and let the caller's whole-relation
+      // scan stay correct. A genuinely empty/filtered-away file
+      // produces NO group, so (0, 0) for a group-less file is exact.
+      val missingPaths = missing.iterator.map(_._1.getPath.toString).toSet
+      val orphans = scanned.keysIterator.filterNot(missingPaths.contains).toList
+      if (orphans.nonEmpty) {
+        System.err.println(
+          s"[filedigests] ${orphans.size} scanned file group(s) match no listed file " +
+            s"(path-form mismatch?) — refusing the per-file path; first: ${orphans.head}")
+        None
+      } else {
+        if (missing.nonEmpty) {
+          if (sys.env.contains("GRAFT_DIGEST_DEBUG"))
+            System.err.println(s"[filedigests-debug] scan ${missing.size} sig=$sig")
+          filesScanned.add(missing.size.toLong)
+          val fresh = missing.map { case (f, k) =>
+            k -> scanned.getOrElse(f.getPath.toString, (0L, 0L))
+          }
+          fresh.foreach { case (k, d) => cache.put(k, d): Unit }
+          if (persistDir.nonEmpty) persist(spark, persistDir, fresh)
+        } else composedServes.increment()
+        Some(known.foldLeft((0L, 0L)) { case ((n, x), (f, k, hit)) =>
+          val d = hit.getOrElse(scanned.getOrElse(f.getPath.toString, (0L, 0L)))
+          (n + d._1, x ^ d._2)
+        })
       }
     }
   }

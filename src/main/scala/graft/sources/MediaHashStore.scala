@@ -87,6 +87,12 @@ object MediaHashStore {
   def digestOf(hashed: DataFrame): (Long, Long) =
     FileDigests.digestOf(hashed, xxhash64(col("media_id"), col("dhash")))
 
+  /** Write-path variant: whole-relation aggregate over `hashed` as
+    * evaluated (honors a pinned batch), never the per-file cache —
+    * [[FileDigests.digestOfPinned]]'s tear argument (ADVICE r17). */
+  def digestOfPinned(hashed: DataFrame): (Long, Long) =
+    FileDigests.digestOfPinned(hashed, xxhash64(col("media_id"), col("dhash")))
+
   private def writeDay(spark: SparkSession, dir: String, day: Int,
       hashedBatch: DataFrame, mode: String): Unit = {
     hashedBatch.select("media_id", "dhash").withColumn("day", lit(day))
@@ -108,6 +114,7 @@ object MediaHashStore {
       if (fs(spark, dir).exists(dayPath))
         digestOf(spark.read.parquet(dayPath.toString))
       else (0L, 0L)
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_media", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
   }
@@ -153,6 +160,7 @@ object MediaHashStore {
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(kept).toDF("day", "n_media", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -165,18 +173,17 @@ object MediaHashStore {
     * images to compare. A real lake digests (media_id, content-etag)
     * the same way — any cheap per-row key that changes when the
     * payload does. */
-  def sourceDigestOf(source: DataFrame): (Long, Long) = {
-    val r = source.agg(
-      count(lit(1)).as("n"),
-      coalesce(call_function("bit_xor",
-        xxhash64(col("media_id"), col("text"))), lit(0L)).as("dg"))
-      .head()
-    (r.getLong(0), r.getLong(1))
-  }
+  def sourceDigestOf(source: DataFrame): (Long, Long) =
+    FileDigests.digestOf(source, xxhash64(col("media_id"), col("text")))
 
   private def writeSourceMeta(spark: SparkSession, dir: String, day: Int,
       source: DataFrame, mode: String): Unit = {
-    val (n, dg) = sourceDigestOf(source)
+    // Write path: whole-relation aggregate (never the per-file cache)
+    // so the committed digest describes the evaluation the day's hashes
+    // derived from — FileDigests.digestOfPinned's tear argument.
+    val (n, dg) =
+      FileDigests.digestOfPinned(source, xxhash64(col("media_id"), col("text")))
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_src", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/source_meta")
   }

@@ -99,7 +99,8 @@ object SemanticDeconStore {
     try {
       graft.operators.SimilarityQueries.multiAssignWithNv(pinned, cents)
         .write.parquet(s"$dir/vecs/bench=$name")
-      val (n, dg) = VectorIndexStore.digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = VectorIndexStore.digestOfPinned(pinned)
       spark.createDataFrame(Seq((n, dg))).toDF("n_vecs", "digest")
         .coalesce(1).write.parquet(s"$dir/meta/bench=$name")
     } finally pinned.unpersist(blocking = false): Unit

@@ -67,6 +67,15 @@ object SignatureStore {
   def digestOf(docRel: DataFrame): (Long, Long) =
     FileDigests.digestOf(docRel, xxhash64(col("doc_id"), col("text")))
 
+  /** Write-path variant: one whole-relation aggregate over `docRel` AS
+    * EVALUATED (a caller's persist() is honored through the
+    * CacheManager), never the per-file cache — a maintainer's meta
+    * digest must describe the snapshot its evidence derived from, and
+    * the per-file path re-reads disk behind the pin
+    * ([[FileDigests.digestOfPinned]], ADVICE r17). */
+  def digestOfPinned(docRel: DataFrame): (Long, Long) =
+    FileDigests.digestOfPinned(docRel, xxhash64(col("doc_id"), col("text")))
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -82,6 +91,7 @@ object SignatureStore {
     // partition writes but before this row leaves day=N data the
     // digest doesn't cover: openFresh correctly reports stale, and the
     // replay's retire-then-rewrite converges.
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     val (n, dg) = digestOf(docBatch)
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_docs", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
@@ -127,6 +137,7 @@ object SignatureStore {
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(kept).toDF("day", "n_docs", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }

@@ -111,6 +111,7 @@ object TokenizerStore {
       .coalesce(1).write.parquet(s"$dir/wordpiece")
     WordPieceQueries.alphabetOf(docRel).toSeq.sorted.toDF("ch")
       .coalesce(1).write.parquet(s"$dir/wp_alphabet")
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     val (n, dg) = SignatureStore.digestOf(docRel)
     Seq((n, dg)).toDF("n_docs", "digest")
       .coalesce(1).write.parquet(s"$dir/meta")

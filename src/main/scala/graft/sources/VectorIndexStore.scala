@@ -81,6 +81,12 @@ object VectorIndexStore {
   def digestOf(e: DataFrame): (Long, Long) =
     FileDigests.digestOf(e, xxhash64(col("vec_id"), col("embedding")))
 
+  /** Write-path variant: whole-relation aggregate over `e` as
+    * evaluated (honors a pinned batch), never the per-file cache —
+    * [[FileDigests.digestOfPinned]]'s tear argument (ADVICE r17). */
+  def digestOfPinned(e: DataFrame): (Long, Long) =
+    FileDigests.digestOfPinned(e, xxhash64(col("vec_id"), col("embedding")))
+
   private def writeDay(spark: SparkSession, dir: String, day: Int,
       batch: DataFrame, cents: Seq[(Long, Seq[Double])], mode: String): Unit = {
     // Pinned across assignment write + digest (the WinnowStore.writeDay
@@ -92,7 +98,8 @@ object VectorIndexStore {
         .withColumn("day", lit(day))
         .write.mode(mode).partitionBy("day").parquet(s"$dir/assign")
       // Meta lands LAST — the commit point.
-      val (n, dg) = digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = digestOfPinned(pinned)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
         .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
     } finally pinned.unpersist(blocking = false): Unit
@@ -139,6 +146,7 @@ object VectorIndexStore {
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(kept).toDF("day", "n_vecs", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -167,7 +175,8 @@ object VectorIndexStore {
         .coalesce(1).write.parquet(s"$dir/pq_codebook")
       codes.withColumn("day", lit(day))
         .write.partitionBy("day").parquet(s"$dir/codes")
-      val (n, dg) = digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = digestOfPinned(pinned)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
         .coalesce(1).write.parquet(s"$dir/meta")
     } finally pinned.unpersist(blocking = false): Unit
@@ -190,7 +199,8 @@ object VectorIndexStore {
       graft.operators.SimilarityQueries.pqEncodeWith(pinned, coarse, cents)
         .withColumn("day", lit(day))
         .write.mode("append").partitionBy("day").parquet(s"$dir/codes")
-      val (n, dg) = digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = digestOfPinned(pinned)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
         .coalesce(1).write.mode("append").parquet(s"$dir/meta")
     } finally pinned.unpersist(blocking = false): Unit
@@ -280,7 +290,8 @@ object VectorIndexStore {
       // every open (and for first-K was a collect of the same cost
       // class anyway). A grown/mutated corpus digests differently →
       // stale → the Faiss retrain event, same contract as before.
-      val (n, dg) = digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = digestOfPinned(pinned)
       spark.createDataFrame(Seq((n, dg, trained)))
         .toDF("n_vecs", "digest", "trained")
         .coalesce(1).write.parquet(s"$dir/codebook_meta_scaled")
@@ -301,7 +312,8 @@ object VectorIndexStore {
       graft.operators.SimilarityQueries.scaledAssign(pinned, cents)
         .withColumn("day", lit(day))
         .write.mode(mode).partitionBy("day").parquet(s"$dir/assign_scaled")
-      val (n, dg) = digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = digestOfPinned(pinned)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
         .coalesce(1).write.mode(mode).parquet(s"$dir/meta_scaled")
     } finally pinned.unpersist(blocking = false): Unit
@@ -327,6 +339,7 @@ object VectorIndexStore {
     val kept = spark.read.parquet(s"$dir/meta_scaled")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(kept).toDF("day", "n_vecs", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_scaled")
   }
@@ -450,11 +463,12 @@ object VectorIndexStore {
       lastPqBuildReusedCodes.set(same)
       codes.withColumn("day", lit(day))
         .write.partitionBy("day").parquet(s"$dir/codes_pqs")
-      val (cn, cdg) = digestOf(pinnedC)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (cn, cdg) = digestOfPinned(pinnedC)
       spark.createDataFrame(Seq((cn, cdg, trained)))
         .toDF("n_vecs", "digest", "trained")
         .coalesce(1).write.parquet(s"$dir/codebook_meta_pqs")
-      val (n, dg) = digestOf(pinnedI)
+      val (n, dg) = digestOfPinned(pinnedI)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
         .coalesce(1).write.parquet(s"$dir/meta_pqs")
     } finally {
@@ -482,7 +496,8 @@ object VectorIndexStore {
         .pqEncodeScaledWith(pinned, cents, pqCents)
         .withColumn("day", lit(day))
         .write.mode("append").partitionBy("day").parquet(s"$dir/codes_pqs")
-      val (n, dg) = digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = digestOfPinned(pinned)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_vecs", "digest")
         .coalesce(1).write.mode("append").parquet(s"$dir/meta_pqs")
     } finally pinned.unpersist(blocking = false): Unit
@@ -498,6 +513,7 @@ object VectorIndexStore {
     val kept = spark.read.parquet(s"$dir/meta_pqs")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(kept).toDF("day", "n_vecs", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_pqs")
   }

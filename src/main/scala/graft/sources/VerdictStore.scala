@@ -176,12 +176,30 @@ object VerdictStore {
     (SignatureStore.digestOf(c.txt), VectorIndexStore.digestOf(c.emb),
       MediaHashStore.digestOf(c.img))
 
-  private def writeMetaRow(spark: SparkSession, path: String,
-      d: ((Long, Long), (Long, Long), (Long, Long))): Unit =
+  /** Maintainer-write digests of a PINNED corpus: whole-relation
+    * aggregates that honor the persist, never the per-file cache — a
+    * committed meta must describe the snapshot the just-written
+    * evidence derived from, and the per-file path re-reads disk behind
+    * the pin (ADVICE r17; [[FileDigests.digestOfPinned]]). */
+  private def digestsPinned(c: Corpus): ((Long, Long), (Long, Long), (Long, Long)) =
+    (SignatureStore.digestOfPinned(c.txt), VectorIndexStore.digestOfPinned(c.emb),
+      MediaHashStore.digestOfPinned(c.img))
+
+  /** Meta rows are the stores' COMMIT points, and the probe between a
+    * mutator's entry check and its meta write is long — re-check the
+    * lease immediately before committing so a writer fenced mid-probe
+    * fails loud HERE instead of committing metas over a new owner's
+    * content (ADVICE r17). The residual window is one FS write: a fence
+    * landing inside it still reads as stale (digest backstop), never
+    * wrong. */
+  private def writeMetaRow(spark: SparkSession, dir: String, path: String,
+      d: ((Long, Long), (Long, Long), (Long, Long))): Unit = {
+    StoreLease.checkWrite(spark, dir)
     spark.createDataFrame(Seq(
         (d._1._1, d._1._2, d._2._1, d._2._2, d._3._1, d._3._2)))
       .toDF("n_txt", "dg_txt", "n_emb", "dg_emb", "n_img", "dg_img")
       .coalesce(1).write.parquet(path)
+  }
 
   // ------------------------------------------------------- build
 
@@ -226,7 +244,7 @@ object VerdictStore {
     spark.createDataFrame(cents).toDF("c_id", "cv")
       .coalesce(1).write.parquet(s"$dir/codebook")
     suite.foreach { case (name, c) =>
-      writeMetaRow(spark, s"$dir/suite_meta/bench=$name", digests(c))
+      writeMetaRow(spark, dir, s"$dir/suite_meta/bench=$name", digests(c))
     }
     advanceDay(train, suite, dir, day)
     }
@@ -343,9 +361,11 @@ object VerdictStore {
             coalesce(col("in_img"), lit(false)).as("in_img"))
           .write.parquet(s"$dir/base/day=$day")
         // Day meta LAST — the commit point. Digests are taken over the
-        // PINNED batch, the same evaluation the evidence derived from
-        // (the WinnowStore tear argument).
-        writeMetaRow(spark, s"$dir/day_meta/day=$day", digests(pinned))
+        // PINNED batch via the whole-relation aggregate — the same
+        // evaluation the evidence derived from (the WinnowStore tear
+        // argument); the per-file cache would re-read disk behind the
+        // pin (ADVICE r17).
+        writeMetaRow(spark, dir, s"$dir/day_meta/day=$day", digestsPinned(pinned))
       } finally {
         pinned.txt.unpersist(blocking = false): Unit
         pinned.emb.unpersist(blocking = false): Unit
@@ -397,27 +417,35 @@ object VerdictStore {
     graft.core.Caches.scoped {
       val pinned = Corpus(history.txt.persist(), history.emb.persist(),
         history.img.persist())
+      // The benchmark is pinned too (eval-suite-sized): its suite meta
+      // commits a digest, and that digest must describe the snapshot
+      // the probe's evidence derived from — both read one pin.
+      val pinnedBench = Corpus(bench.txt.persist(), bench.emb.persist(),
+        bench.img.persist())
       try {
         val dayRows = readMetas(spark, s"$dir/day_meta", "day")
         val composed = composeDigests(dayRows.map(_._2))
-        require(composed == digests(pinned),
+        require(composed == digestsPinned(pinned),
           s"verdict store $dir: offered history does not match the live day metas — " +
             "a benchmark advanced over partial history would silently miss docs")
         val liveDays = dayRows.map(_._1)
         val base = spark.read.parquet(s"$dir/base")
           .where(col("day").isin(liveDays: _*))
-        val (g, s, i) = probe(pinned, bench, cents, tau, maxHamming)
+        val (g, s, i) = probe(pinned, pinnedBench, cents, tau, maxHamming)
         def attributed(ev: DataFrame, flag: String): DataFrame =
           ev.join(base.where(col(flag)).select(col("doc_id"), col("day")), "doc_id")
             .withColumn("src", concat(lit("d"), col("day"))).drop("day")
         writeEvidence(dir, "gram", name, attributed(g, "in_txt"))
         writeEvidence(dir, "sem", name, attributed(s, "in_emb"))
         writeEvidence(dir, "img", name, attributed(i, "in_img"))
-        writeMetaRow(spark, s"$dir/suite_meta/bench=$name", digests(bench))
+        writeMetaRow(spark, dir, s"$dir/suite_meta/bench=$name",
+          digestsPinned(pinnedBench))
       } finally {
-        pinned.txt.unpersist(blocking = false): Unit
-        pinned.emb.unpersist(blocking = false): Unit
-        pinned.img.unpersist(blocking = false): Unit
+        Seq(pinned, pinnedBench).foreach { c =>
+          c.txt.unpersist(blocking = false): Unit
+          c.emb.unpersist(blocking = false): Unit
+          c.img.unpersist(blocking = false): Unit
+        }
       }
     }
   }

@@ -56,6 +56,7 @@ object VideoSegStore {
     // decode behind segmentFingerprints is exactly the kind of
     // re-evaluated input whose second run must not be trusted to
     // reproduce byte-identically (MediaHashStore.writeDay's argument).
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     val (n, dg) = digestOf(spark.read.parquet(s"$dir/segs/day=$day"))
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_segs", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
@@ -96,6 +97,7 @@ object VideoSegStore {
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(kept).toDF("day", "n_segs", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }

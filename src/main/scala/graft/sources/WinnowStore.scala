@@ -63,7 +63,8 @@ object WinnowStore {
       // Meta lands LAST — the commit point (same crash story as
       // SignatureStore.writeDay: a torn day isn't covered by the digest,
       // so openFresh reports stale and a replay converges).
-      val (n, dg) = SignatureStore.digestOf(pinned)
+      StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
+      val (n, dg) = SignatureStore.digestOfPinned(pinned)
       spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_docs", "digest")
         .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
     } finally pinned.unpersist(blocking = false): Unit
@@ -101,6 +102,7 @@ object WinnowStore {
     val kept = spark.read.parquet(s"$dir/meta")
       .where(col("day") =!= day).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
     spark.createDataFrame(kept).toDF("day", "n_docs", "digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }

@@ -53,6 +53,16 @@ class BenchParseSpec extends AnyFunSuite {
       Map("107" -> (5.1, true), "18" -> (13.3, false)))
   }
 
+  test("an adjudicated EXTRA (r18: the x-entries joined the >=2x net) parses like any suite entry") {
+    // xvg shipped 8x contended and un-adjudicated in BENCH_r17 because
+    // the extras sat outside the net; since r18 they carry the same
+    // 2-array form, so the loader must resolve the quiet value and
+    // keep the adjudicated flag under the extra's bare short code.
+    val line = """{"qunit":"ds","queries":{"xvg":[40,5],"xvd":20,"198":78}}"""
+    assert(Bench.parsePrevRefFull(line) ==
+      Map("xvg" -> (0.5, true), "xvd" -> (2.0, false), "198" -> (7.8, false)))
+  }
+
   test("baseline floor: un-adjudicated scalars floor at min with the round before; adjudicated quiet values stand") {
     // r16's shape: q107 shipped adjudicated ([contended, quiet] — the
     // quiet 5.1 is the baseline), q18 shipped a contended scalar 13.3

@@ -128,6 +128,77 @@ class FileDigestsSpec extends SparkSpec {
     assert(mutated != first, "the digest must see the mutation")
   }
 
+  test("persisted partials survive a process restart: a COLD session composes with zero files scanned (r18)") {
+    FileDigests.clearForTest()
+    val root = tmpDir("filedigests_persist")
+    val side = tmpDir("filedigests_sidecar")
+    writeDay(root, 1, 0 until 40)
+    writeDay(root, 2, 40 until 80)
+    spark.conf.set(FileDigests.DirKey, side)
+    try {
+      val first = FileDigests.digestOf(corpus(root), hashCol)
+      assert(FileDigests.filesScanned.sum() > 0, "the priming digest scans")
+
+      // simulate a fresh JVM: wipe the in-memory cache (and the
+      // loaded-dir latch); only the on-disk sidecar survives
+      FileDigests.clearForTest()
+      val schema = corpus(root).schema
+      val jobs = countJobs {
+        assert(FileDigests.digestOf(
+          spark.read.schema(schema).parquet(root), hashCol) == first)
+      }
+      assert(FileDigests.filesScanned.sum() == 0,
+        "a cold session on an unchanged corpus must compose from the sidecar, zero scans")
+      assert(jobs == 0, s"and with zero Spark jobs (got $jobs)")
+
+      // churn in the cold session: exactly the new files scan, and the
+      // new partials persist too — the NEXT cold session is again scan-free
+      writeDay(root, 3, 80 until 100)
+      assert(FileDigests.digestOf(corpus(root), hashCol) == rawDigest(corpus(root)))
+      assert(FileDigests.filesScanned.sum() > 0)
+      FileDigests.clearForTest()
+      assert(FileDigests.digestOf(
+        spark.read.schema(schema).parquet(root), hashCol) == rawDigest(corpus(root)))
+      assert(FileDigests.filesScanned.sum() == 0,
+        "churn-scanned partials must persist for the next session")
+    } finally spark.conf.unset(FileDigests.DirKey)
+  }
+
+  test("digestOfPinned always takes the whole-relation aggregate and honors a persisted snapshot (ADVICE r17)") {
+    FileDigests.clearForTest()
+    val root = tmpDir("filedigests_pinned")
+    writeDay(root, 1, 0 until 20)
+    val df = corpus(root)
+    assert(FileDigests.digestOfPinned(df, hashCol) == rawDigest(df),
+      "the pinned arm computes the same digest on an unchanged relation")
+    assert(FileDigests.pinnedScans.sum() == 1)
+    assert(FileDigests.filesScanned.sum() == 0,
+      "the write path must never populate (or read) the per-file cache")
+
+    // The tear the arm exists to forbid: a maintainer pins a batch,
+    // derives evidence from the pin, then digests for the meta — if the
+    // corpus mutates in between, the meta digest must describe the
+    // PINNED snapshot (what the evidence came from), not the new disk.
+    val pinned = corpus(root).persist()
+    pinned.count(): Unit // materialize the snapshot
+    val before = FileDigests.digestOfPinned(pinned, hashCol)
+    // Mutate the way a FOREIGN process would — raw FS rename, not a
+    // DataFrameWriter to the same root (whose refreshByPath would
+    // helpfully re-cache the pin in THIS JVM and hide the tear).
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = tmpDir("filedigests_pinned_stage")
+    writeDay(stage, 1, 0 until 20, tag = " MUTATED")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/day=1"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/day=1"),
+      new org.apache.hadoop.fs.Path(s"$root/day=1")))
+    assert(FileDigests.digestOfPinned(pinned, hashCol) == before,
+      "the pinned digest reads the snapshot the evidence derived from")
+    assert(FileDigests.digestOf(corpus(root), hashCol) != before,
+      "while the serve-side digest sees the mutated disk (stale, demote)")
+    pinned.unpersist(blocking = true): Unit
+  }
+
   test("non-file and nondeterministic plans fall back to the whole-relation aggregate") {
     FileDigests.clearForTest()
     val mem = (0L until 20L).map(i => (i, s"mem $i")).toDF("doc_id", "text")

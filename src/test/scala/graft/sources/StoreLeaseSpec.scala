@@ -128,4 +128,41 @@ class StoreLeaseSpec extends SparkSpec {
     Caches.releaseAll()
     StoreLease.forgetForTest(dir)
   }
+
+  test("acquire fails loud on filesystems without atomic exclusive create (r18: object-store honesty)") {
+    // S3's connectors implement create(overwrite=false) as
+    // check-then-PUT, so two racing acquirers could BOTH win an epoch
+    // — the one filesystem assumption the fencing protocol stands on.
+    val e = intercept[IllegalArgumentException] {
+      StoreLease.requireAtomicCreate("s3a", allowNonAtomic = false)
+    }
+    assert(e.getMessage.contains("atomic"))
+    intercept[IllegalArgumentException] {
+      StoreLease.requireAtomicCreate("s3", allowNonAtomic = false)
+    }
+    // atomic-create filesystems pass; conditional-write deployments
+    // opt in explicitly via the session conf
+    StoreLease.requireAtomicCreate("file", allowNonAtomic = false)
+    StoreLease.requireAtomicCreate("hdfs", allowNonAtomic = false)
+    StoreLease.requireAtomicCreate("s3a", allowNonAtomic = true)
+    // and the real acquire path runs the guard: local fs still works
+    val dir = tmpDir("lease_atomic")
+    assert(StoreLease.acquire(spark, dir) == 1L)
+    StoreLease.release(spark, dir)
+  }
+
+  test("a malformed epoch file name reads as not-an-epoch instead of crashing every check") {
+    val dir = tmpDir("lease_malformed")
+    val e1 = StoreLease.acquire(spark, dir, "owner")
+    // a manual touch / torn upload under _lease must not
+    // NumberFormatException every subsequent maxEpoch listing
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val junk = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_lease", "epoch-garbage"), false)
+    junk.write("x".getBytes("UTF-8")); junk.close()
+    StoreLease.checkWrite(spark, dir) // still the holder, still passes
+    assert(StoreLease.acquire(spark, dir) == e1 + 1)
+    StoreLease.release(spark, dir)
+    StoreLease.forgetForTest(dir)
+  }
 }
