@@ -199,6 +199,73 @@ class FileDigestsSpec extends SparkSpec {
     pinned.unpersist(blocking = true): Unit
   }
 
+  test("an undersized cache cap degrades to rescans, never to a wrong digest (r18 cap policy)") {
+    FileDigests.clearForTest()
+    val root = tmpDir("filedigests_thrash")
+    // 3 days × 2 part-files = 6 (plan, file) partials against a cap of 4:
+    // every digest call evicts what an earlier call wrote
+    writeDay(root, 1, 0 until 20)
+    writeDay(root, 2, 20 until 40)
+    writeDay(root, 3, 40 until 60)
+    spark.conf.set(FileDigests.MaxEntriesKey, "4")
+    try {
+      val expected = rawDigest(corpus(root))
+      (1 to 3).foreach { i =>
+        assert(FileDigests.digestOf(corpus(root), hashCol) == expected,
+          s"pass $i: thrashing must cost scans only, never exactness")
+      }
+      assert(FileDigests.filesScanned.sum() > 6,
+        "an undersized cap visibly rescans (the thrash warning's trigger)")
+    } finally spark.conf.unset(FileDigests.MaxEntriesKey)
+  }
+
+  test("sidecar compaction folds an accumulation of append files into one, losing nothing (r18)") {
+    FileDigests.clearForTest()
+    val root = tmpDir("filedigests_compact")
+    val side = tmpDir("filedigests_compact_side")
+    writeDay(root, 1, 0 until 30)
+    spark.conf.set(FileDigests.DirKey, side)
+    try {
+      // prime + persist the real corpus partials
+      val first = FileDigests.digestOf(corpus(root), hashCol)
+      // then simulate a long deployment history: many tiny append files
+      // (foreign keys — compaction must carry them, not judge them)
+      val fs = new org.apache.hadoop.fs.Path(side)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val junk = 70
+      (1 to junk).foreach { i =>
+        val out = new java.io.DataOutputStream(fs.create(
+          new org.apache.hadoop.fs.Path(side, f"digests-junk-$i%03d.bin"), false))
+        out.write(f"$i%032d".getBytes("US-ASCII")) // 32-char pseudo-key
+        out.writeLong(i.toLong); out.writeLong(i.toLong)
+        out.close()
+      }
+      val countBefore = fs.listStatus(new org.apache.hadoop.fs.Path(side))
+        .count(_.getPath.getName.endsWith(".bin"))
+      assert(countBefore > 70)
+
+      // a fresh session's load compacts: few files, every record kept
+      FileDigests.clearForTest()
+      val schema = corpus(root).schema
+      assert(FileDigests.digestOf(
+        spark.read.schema(schema).parquet(root), hashCol) == first)
+      assert(FileDigests.filesScanned.sum() == 0,
+        "compaction must not lose the real partials — still zero scans")
+      val after = fs.listStatus(new org.apache.hadoop.fs.Path(side))
+        .filter(_.getPath.getName.endsWith(".bin"))
+      assert(after.length < countBefore && after.length <= 2,
+        s"the load must rewrite ${countBefore} append files into one (got ${after.length})")
+      assert(after.map(_.getLen).sum >= junk.toLong * 48,
+        "every record — including foreign keys — survives the rewrite")
+
+      // and the compacted sidecar still serves the NEXT cold session
+      FileDigests.clearForTest()
+      assert(FileDigests.digestOf(
+        spark.read.schema(schema).parquet(root), hashCol) == first)
+      assert(FileDigests.filesScanned.sum() == 0)
+    } finally spark.conf.unset(FileDigests.DirKey)
+  }
+
   test("non-file and nondeterministic plans fall back to the whole-relation aggregate") {
     FileDigests.clearForTest()
     val mem = (0L until 20L).map(i => (i, s"mem $i")).toDF("doc_id", "text")
