@@ -151,6 +151,20 @@ class StoreLeaseSpec extends SparkSpec {
     StoreLease.release(spark, dir)
   }
 
+  test("replaceContents re-checks the lease after its delete (commit-point narrowing, ADVICE r17)") {
+    // A builder fenced DURING replaceContents' delete pass must fail
+    // before writing replacement content over the new owner's store.
+    val dir = tmpDir("lease_replace")
+    val e1 = StoreLease.acquire(spark, dir, "builder-a")
+    StoreLease.replaceContents(spark, dir) // owner at max epoch: passes
+    foreignAcquire(dir, e1 + 1)
+    val fenced = intercept[IllegalArgumentException] {
+      StoreLease.replaceContents(spark, dir)
+    }
+    assert(fenced.getMessage.contains("FENCED"))
+    StoreLease.forgetForTest(dir)
+  }
+
   test("a malformed epoch file name reads as not-an-epoch instead of crashing every check") {
     val dir = tmpDir("lease_malformed")
     val e1 = StoreLease.acquire(spark, dir, "owner")
