@@ -197,6 +197,17 @@ object FileDigests {
       .map("%02x".format(_)).mkString
   }
 
+  /** Per-call key maker: the plan signature (~0.5 kB of rendered
+    * filter/projection SQL) is hashed ONCE and only its 32-char digest
+    * is folded into each file's key — at the design point (~700k
+    * part-files × 3 store faces per serve) hashing the full signature
+    * per file would be ~1 GB of driver MD5 per report; this keeps the
+    * per-file hashed bytes at the content address's own size. */
+  private def keyMaker(sig: String): FileStatus => String = {
+    val sigH = keyHash(sig)
+    f => keyHash(s"$sigH§${f.getPath}@${f.getLen}@${f.getModificationTime}")
+  }
+
   private def sidecarFs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -330,8 +341,7 @@ object FileDigests {
       val fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
       val sig = planSig(analyzed, rel, fsRel, hash)
       val files = fsRel.location.asInstanceOf[PartitioningAwareFileIndex].allFiles()
-      def keyOf(f: FileStatus): String =
-        keyHash(s"$sig§${f.getPath}@${f.getLen}@${f.getModificationTime}")
+      val keyOf = keyMaker(sig)
       val known = files.map(f => (f, keyOf(f))).map { case (f, k) =>
         (f, k, Option(cache.get(k)))
       }
