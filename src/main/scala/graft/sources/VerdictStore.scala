@@ -331,35 +331,34 @@ object VerdictStore {
       val pinned = Corpus(batch.txt.persist(), batch.emb.persist(),
         batch.img.persist())
       try {
-        suite.foreach { case (name, bench0) =>
-          // Pin the benchmark (eval-suite-sized) across its digest
-          // check AND its probe: a bench file mutating between the two
-          // would otherwise write evidence from a suite version the
-          // just-verified meta does not describe — the advanceBenchmark
-          // pinning argument, applied to the day face (r18).
-          val bench = Corpus(bench0.txt.persist(), bench0.emb.persist(),
-            bench0.img.persist())
-          try {
-            val offered = digestsPinned(bench)
-            val stored = storedMetas
-              .find(_._1 == name)
-              .getOrElse(sys.error(
-                s"verdict store $dir has no live benchmark '$name' — advance the suite first"))
-            require(offered == stored._2,
-              s"verdict store $dir: offered relations for benchmark '$name' do not match " +
-                "its stored suite meta — refusing to mix evidence across suite versions")
-            val (g, s, i) = probe(pinned, bench, cents, tau, maxHamming)
-            val srcCol = lit(s"d$day").as("src")
-            writeEvidence(dir, "gram", name, g.select(col("doc_id"), col("p"), srcCol))
-            writeEvidence(dir, "sem", name,
-              s.select(col("doc_id"), col("eval_doc"), col("sim"), srcCol))
-            writeEvidence(dir, "img", name,
-              i.select(col("doc_id"), col("eval_doc"), col("hamming"), srcCol))
-          } finally {
-            bench.txt.unpersist(blocking = false): Unit
-            bench.emb.unpersist(blocking = false): Unit
-            bench.img.unpersist(blocking = false): Unit
-          }
+        suite.foreach { case (name, bench) =>
+          // The check-vs-probe coherence here deliberately does NOT pin
+          // the benchmark (measured r18: persisting the bench corpus
+          // cost 2–3× on this hot maintainer face at sf0.1, 7.8 →
+          // 26.6 s). It doesn't need to: the digest below and the probe
+          // read the SAME frozen file listing inside `bench`'s analyzed
+          // relations, so a file replaced mid-call fails BOTH loudly
+          // (FileNotFound) rather than diverging, and the only silent
+          // divergence is an in-place byte edit preserving (path, len,
+          // mtime) — the documented FileDigests caveat, unreachable
+          // through Spark writers. Contrast advanceBenchmark, which
+          // COMMITS a meta digest derived from its bench and therefore
+          // does pin (ADVICE r17).
+          val offered = digests(bench)
+          val stored = storedMetas
+            .find(_._1 == name)
+            .getOrElse(sys.error(
+              s"verdict store $dir has no live benchmark '$name' — advance the suite first"))
+          require(offered == stored._2,
+            s"verdict store $dir: offered relations for benchmark '$name' do not match " +
+              "its stored suite meta — refusing to mix evidence across suite versions")
+          val (g, s, i) = probe(pinned, bench, cents, tau, maxHamming)
+          val srcCol = lit(s"d$day").as("src")
+          writeEvidence(dir, "gram", name, g.select(col("doc_id"), col("p"), srcCol))
+          writeEvidence(dir, "sem", name,
+            s.select(col("doc_id"), col("eval_doc"), col("sim"), srcCol))
+          writeEvidence(dir, "img", name,
+            i.select(col("doc_id"), col("eval_doc"), col("hamming"), srcCol))
         }
         val t = pinned.txt.select(col("doc_id")).withColumn("in_txt", lit(true))
         val e = pinned.emb.select(col("vec_id").as("doc_id"))
