@@ -137,7 +137,10 @@ object FileDigests {
     * partitioned, filtered and projected reads. */
   def digestOf(df: DataFrame, hash: Column): (Long, Long) = {
     val spark = df.sparkSession
-    maxEntries = spark.conf.get(MaxEntriesKey, DefaultMaxEntries.toString).toInt
+    // toIntOption + positivity guard: a malformed cap conf must cost
+    // the default, not crash every freshness check in the session
+    maxEntries = spark.conf.get(MaxEntriesKey, "")
+      .toIntOption.filter(_ > 0).getOrElse(DefaultMaxEntries)
     val persistDir = spark.conf.get(DirKey, "")
     if (persistDir.nonEmpty) ensureLoaded(spark, persistDir)
     val (scanned0, evicted0) = (filesScanned.sum(), evictions.sum())
