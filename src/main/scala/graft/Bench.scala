@@ -980,10 +980,23 @@ object Bench {
     }
     if (suspect.size > 24)
       System.err.println(s"[bench] ${suspect.size} queries flagged >=2x prev round; adjudicating first 24")
-    val adjudicated: Map[String, Double] = suspect.take(24).map { case (name, _) =>
+    val adjudicatedRaw: Map[String, Double] = suspect.take(24).map { case (name, _) =>
       System.gc(); Thread.sleep(2000) // let ContextCleaner + the OS quiesce
       name -> timeOnce(name, SparkEntry.queries(name))
     }.toMap
+    // A FAILED re-run (negative) must ship the original scalar, not a
+    // 2-array: parsePrevRefFull trusts an array's last element as the
+    // adjudicated quiet value and floorBaseline takes it verbatim, so
+    // a -1.0 would become next round's baseline and the `p > 0`
+    // suspect guard would then disable the regression net for that
+    // entry permanently (review r18).
+    val adjudicated = adjudicatedRaw.filter { case (k, v) =>
+      v > 0 || {
+        System.err.println(
+          s"[bench] $k adjudication re-run failed — shipping the suite median un-adjudicated")
+        false
+      }
+    }
     if (adjudicated.nonEmpty)
       System.err.println(s"[bench] self-adjudicated ${adjudicated.size} queries: " +
         adjudicated.map { case (k, v) => f"$k ${results.toMap.apply(k)}%.2f->$v%.2f" }.mkString(", "))
@@ -1023,6 +1036,9 @@ object Bench {
           -1.0
         })
       }.toMap
+        // same rule as the suite map: a failed re-run ships the
+        // original scalar, never a trusted-as-quiet negative
+        .filter(_._2 > 0)
     if (adjudicatedX.nonEmpty)
       System.err.println(s"[bench] self-adjudicated ${adjudicatedX.size} extras: " +
         adjudicatedX.map { case (k, v) =>

@@ -109,9 +109,10 @@ object ColdServeBench {
         val c1 = FileDigests.counters
         val serve2 = timedServe()
         val serve3 = timedServe()
+        // all three counters snapshot after serve1 — one coherent window
         s""""phase":"serve","serve1_s":${f(serve1)},"serve2_s":${f(serve2)},""" +
           s""""serve3_s":${f(serve3)},"scanned":${c1("scanned")},""" +
-          s""""fullscans":${c1("full")},"composed":${FileDigests.counters("composed")}"""
+          s""""fullscans":${c1("full")},"composed":${c1("composed")}"""
       case other => sys.error(s"unknown phase '$other' (build|serve)")
     }
     val laPost = java.lang.management.ManagementFactory

@@ -125,7 +125,7 @@ object FileDigests {
 
   private[sources] def clearForTest(): Unit = {
     cache.clear()
-    loadedDir = null
+    loadedDirs.clear()
     composedServes.reset(); filesScanned.reset(); fullScans.reset()
     pinnedScans.reset(); evictions.reset()
   }
@@ -190,8 +190,18 @@ object FileDigests {
     * detectable by length and simply ignored. */
   private val RecordBytes = 48
   private val CompactAt = 64 // sidecar files tolerated before a load rewrites them
+  // Compaction deletes only files older than this: a concurrent
+  // session's IN-PROGRESS append file is listed at its current length
+  // (its whole records load fine) but must not be deleted under the
+  // writer — records it appends after our read would be silently lost
+  // to a rescan (review r18).
+  private val CompactGraceMs = 10L * 60 * 1000
 
-  @volatile private var loadedDir: String = null
+  // Per-dir loaded set (review r18): a single latch would re-read the
+  // whole sidecar from disk on EVERY digest call when two stores in
+  // one session alternate between two configured dirs.
+  private val loadedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val loadLock = new Object
 
   private def keyHash(key: String): String = {
@@ -222,9 +232,9 @@ object FileDigests {
     * the worst concurrent-compaction outcome is a duplicate record the
     * map put dedupes. */
   private def ensureLoaded(spark: SparkSession, dir: String): Unit = {
-    if (dir == loadedDir) return
+    if (loadedDirs.contains(dir)) return
     loadLock.synchronized {
-      if (dir == loadedDir) return
+      if (loadedDirs.contains(dir)) return
       try {
         val f = sidecarFs(spark, dir)
         val p = new Path(dir)
@@ -234,16 +244,22 @@ object FileDigests {
           all.foreach { case (k, d) => cache.put(k, d): Unit }
           if (files.length > CompactAt && all.nonEmpty) {
             appendRecords(f, p, all.toMap.toSeq)
-            files.foreach(s => f.delete(s.getPath, false): Unit)
+            // Delete only files past the grace window: a younger file
+            // may be a concurrent session's open append — its settled
+            // records are in the compact copy (a duplicate the map put
+            // dedupes), and it gets collected by a later compaction.
+            val cutoff = System.currentTimeMillis() - CompactGraceMs
+            files.filter(_.getModificationTime < cutoff)
+              .foreach(s => f.delete(s.getPath, false): Unit)
           }
         }
-        loadedDir = dir
+        loadedDirs.add(dir): Unit
       } catch {
         case NonFatal(e) =>
           // Persistence is an optimization: a lost load costs rescans,
           // never a wrong digest. Don't retry per call.
           System.err.println(s"[filedigests] sidecar load from $dir failed: ${e.getMessage}")
-          loadedDir = dir
+          loadedDirs.add(dir): Unit
       }
     }
   }

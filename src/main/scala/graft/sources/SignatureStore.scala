@@ -92,7 +92,7 @@ object SignatureStore {
     // digest doesn't cover: openFresh correctly reports stale, and the
     // replay's retire-then-rewrite converges.
     StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
-    val (n, dg) = digestOf(docBatch)
+    val (n, dg) = digestOfPinned(docBatch) // write path: aggregate, never the cache
     spark.createDataFrame(Seq((day, n, dg))).toDF("day", "n_docs", "digest")
       .coalesce(1).write.mode(mode).parquet(s"$dir/meta")
   }

@@ -110,9 +110,11 @@ object StoreLease {
     * lost races (a pathological stampede, not a deployment). */
   def acquire(spark: SparkSession, dir: String, owner: String = ""): Long = {
     val f = fs(spark, dir)
+    // toBooleanOption: a malformed opt-in value must read as "not
+    // opted in" (the safe direction), not crash every acquire
     requireAtomicCreate(
       Option(f.getUri.getScheme).getOrElse("file").toLowerCase(java.util.Locale.ROOT),
-      spark.conf.get(AllowNonAtomicKey, "false").toBoolean)
+      spark.conf.get(AllowNonAtomicKey, "false").toBooleanOption.getOrElse(false))
     var epoch = maxEpoch(spark, dir) + 1
     var won = false
     var attempts = 0

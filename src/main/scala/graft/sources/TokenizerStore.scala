@@ -112,7 +112,7 @@ object TokenizerStore {
     WordPieceQueries.alphabetOf(docRel).toSeq.sorted.toDF("ch")
       .coalesce(1).write.parquet(s"$dir/wp_alphabet")
     StoreLease.checkWrite(spark, dir) // commit-point re-check (ADVICE r17)
-    val (n, dg) = SignatureStore.digestOf(docRel)
+    val (n, dg) = SignatureStore.digestOfPinned(docRel) // write path: aggregate, never the cache
     Seq((n, dg)).toDF("n_docs", "digest")
       .coalesce(1).write.parquet(s"$dir/meta")
     invalidate(dir) // a rebuilt store must re-verify, not serve old verdicts

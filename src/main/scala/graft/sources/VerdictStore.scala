@@ -244,7 +244,9 @@ object VerdictStore {
     spark.createDataFrame(cents).toDF("c_id", "cv")
       .coalesce(1).write.parquet(s"$dir/codebook")
     suite.foreach { case (name, c) =>
-      writeMetaRow(spark, dir, s"$dir/suite_meta/bench=$name", digests(c))
+      // Write path: aggregate digests, never the per-file cache — the
+      // uniform maintainer-commit rule (FileDigests.digestOfPinned).
+      writeMetaRow(spark, dir, s"$dir/suite_meta/bench=$name", digestsPinned(c))
     }
     advanceDay(train, suite, dir, day)
     }

@@ -234,11 +234,14 @@ class FileDigestsSpec extends SparkSpec {
         .getFileSystem(spark.sessionState.newHadoopConf())
       val junk = 70
       (1 to junk).foreach { i =>
-        val out = new java.io.DataOutputStream(fs.create(
-          new org.apache.hadoop.fs.Path(side, f"digests-junk-$i%03d.bin"), false))
+        val p = new org.apache.hadoop.fs.Path(side, f"digests-junk-$i%03d.bin")
+        val out = new java.io.DataOutputStream(fs.create(p, false))
         out.write(f"$i%032d".getBytes("US-ASCII")) // 32-char pseudo-key
         out.writeLong(i.toLong); out.writeLong(i.toLong)
         out.close()
+        // age past the compaction grace window (a fresh file could be a
+        // concurrent session's open append and is deliberately spared)
+        fs.setTimes(p, System.currentTimeMillis() - 11L * 60 * 1000, -1)
       }
       val countBefore = fs.listStatus(new org.apache.hadoop.fs.Path(side))
         .count(_.getPath.getName.endsWith(".bin"))
