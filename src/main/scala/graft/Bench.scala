@@ -193,6 +193,16 @@ object Bench {
     // queries instead of a random expensive one. SPARK_GRAFT_ONLY
     // (comma-separated substrings) narrows the suite for iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // Attribution knob (VERDICT r18 next-1): price the digest sidecar
+    // on the timed serve faces. The graded bench never sets
+    // FileDigests.DirKey (nor acquires a lease — serve faces don't
+    // call checkWrite), so the r18 store-face numbers structurally
+    // exclude both mechanisms; running the band WITH the sidecar
+    // enabled bounds its cost in the other direction.
+    sys.env.get("SPARK_GRAFT_DIGEST_DIR").foreach { d =>
+      spark.conf.set(graft.sources.FileDigests.DirKey, d)
+      System.err.println(s"[bench] digest sidecar enabled at $d (attribution run)")
+    }
     // Per-run scratch root for every probe's persisted index: a FIXED
     // tmpdir path meant two concurrent bench invocations on one machine
     // overwrote each other's index mid-run, and the directories were
@@ -1028,8 +1038,11 @@ object Bench {
       v >= 0.5 && extraRerun.contains(c) &&
         prevRef.get(c).exists(p => p > 0 && v >= 2 * p)
     }
+    // Quota from the POST-filter adjudicated suite count (ADVICE r18):
+    // a suite re-run that failed (and ships un-adjudicated anyway)
+    // must not consume a slot an extra could have used.
     val adjudicatedX: Map[String, Double] =
-      suspectX.take(math.max(0, 24 - math.min(24, suspect.size))).map { case (c, _) =>
+      suspectX.take(math.max(0, 24 - adjudicated.size)).map { case (c, _) =>
         System.gc(); Thread.sleep(2000)
         c -> (try extraRerun(c)() catch { case e: Throwable =>
           System.err.println(s"[bench] extra $c adjudication re-run failed: ${e.getMessage}")

@@ -86,6 +86,17 @@ object VerdictChurnBench {
     val benchB = corpus(id => id % 20 === 10, "eval", _ % 20 === 10)
 
     val dir = s"$scratch/verdictstore"
+    // Attribution knob (VERDICT r18 next-1): price the owner lease's
+    // commit-point re-checks on the maintainer faces. With the lease
+    // held, every one of the store's meta commits re-runs checkWrite
+    // (a _lease listStatus); without it, maxEpoch is one exists()
+    // probe. Compare day_advance lease-on vs lease-off to bound the
+    // r18 fencing hardening's cost on the face that runs per batch.
+    val leased = sys.env.get("SPARK_GRAFT_LEASE").contains("1")
+    if (leased) {
+      graft.sources.StoreLease.acquire(spark, dir, "churnbench"): Unit
+      System.err.println(s"[churn] lease held on $dir (attribution run)")
+    }
     VerdictStore.build(day1, Seq("a" -> benchA), dir, day = 1)
     graft.core.Caches.releaseAll(); spark.catalog.clearCache()
 
@@ -114,7 +125,7 @@ object VerdictChurnBench {
 
     val laPost = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"""{"metric":"verdict_churn","sf":"${new java.io.File(sfDir).getName}","day_advance":$dayAdvance%.2f,"bench_advance":$benchAdvance%.2f,"bench_retire":$benchRetire%.2f,"served_rows":$served,"unit":"sec","la":[$laPre%.2f,$laPost%.2f]}""")
+    println(f"""{"metric":"verdict_churn","sf":"${new java.io.File(sfDir).getName}","day_advance":$dayAdvance%.2f,"bench_advance":$benchAdvance%.2f,"bench_retire":$benchRetire%.2f,"served_rows":$served,"leased":$leased,"unit":"sec","la":[$laPre%.2f,$laPost%.2f]}""")
     spark.stop()
   }
 }

@@ -54,8 +54,18 @@ object StoreLease {
   /** Session conf: accept a lease on a filesystem whose
     * `create(overwrite = false)` is NOT atomic (see
     * [[requireAtomicCreate]]). Default false — fail loud instead of
-    * silently weakening the fencing guarantee. */
+    * silently weakening the fencing guarantee. The opt-in is only
+    * honored when the connector itself reports
+    * [[ConditionalCreateCapability]] for the store path (VERDICT r18
+    * next-5): the operator's word alone is not a fencing guarantee. */
   val AllowNonAtomicKey = "spark.graft.storelease.allownonatomic"
+
+  /** Hadoop path capability (3.4.1+) a non-atomic-create scheme must
+    * report for the [[AllowNonAtomicKey]] opt-in to be honored: with
+    * `fs.s3a.create.conditional` the connector maps
+    * `create(overwrite=false)` onto S3 If-None-Match, restoring the
+    * atomic exclusive create the protocol stands on. */
+  val ConditionalCreateCapability = "fs.s3a.create.conditional"
 
   /** Filesystems whose exclusive-create the protocol cannot trust:
     * S3's connectors historically implement `create(overwrite=false)`
@@ -65,8 +75,10 @@ object StoreLease {
     * local/file, and the rename-based Azure connectors give real
     * atomic create. Deployments on S3 with conditional writes enabled
     * (If-None-Match, Hadoop 3.4.1+ `fs.s3a.create.conditional`) may
-    * opt in via [[AllowNonAtomicKey]] after verifying their connector
-    * version actually maps exclusive create onto it. */
+    * opt in via [[AllowNonAtomicKey]]; acquire then PROBES the
+    * connector for [[ConditionalCreateCapability]] and still fails
+    * loud when it's absent — the opt-in names intent, the capability
+    * check verifies it (VERDICT r18 next-5). */
   private val NonAtomicCreateSchemes = Set("s3", "s3a", "s3n")
 
   private val MaxAcquireAttempts = 1000
@@ -80,14 +92,28 @@ object StoreLease {
 
   /** Loud guard on the protocol's one load-bearing filesystem
     * assumption (VERDICT r17 next-4). Package-visible so the spec can
-    * pin both faces without instantiating an S3 client. */
+    * pin every face without instantiating an S3 client —
+    * `conditionalCreate` is the probed
+    * `fs.hasPathCapability(path, ConditionalCreateCapability)`,
+    * by-name so atomic-create schemes never pay the probe. An opt-in
+    * whose connector does NOT report the capability fails loud too
+    * (VERDICT r18 next-5): trusting the conf alone would let a
+    * check-then-PUT connector mint duplicate epochs. */
   private[sources] def requireAtomicCreate(scheme: String,
-      allowNonAtomic: Boolean): Unit =
-    require(allowNonAtomic || !NonAtomicCreateSchemes.contains(scheme),
-      s"StoreLease.acquire on scheme '$scheme': this filesystem does not " +
-        "guarantee atomic exclusive create, so two racing acquirers could " +
-        "both win an epoch and the fencing contract would silently not hold. " +
-        s"If the deployment has conditional-write support, set $AllowNonAtomicKey=true")
+      allowNonAtomic: Boolean, conditionalCreate: => Boolean): Unit =
+    if (NonAtomicCreateSchemes.contains(scheme)) {
+      require(allowNonAtomic,
+        s"StoreLease.acquire on scheme '$scheme': this filesystem does not " +
+          "guarantee atomic exclusive create, so two racing acquirers could " +
+          "both win an epoch and the fencing contract would silently not hold. " +
+          s"If the deployment has conditional-write support, set $AllowNonAtomicKey=true")
+      require(conditionalCreate,
+        s"StoreLease.acquire on scheme '$scheme': $AllowNonAtomicKey is set, but " +
+          s"the connector does not report $ConditionalCreateCapability for this " +
+          "path — exclusive create would still be check-then-PUT and two racing " +
+          "acquirers could both win an epoch. Upgrade to a connector with " +
+          "conditional-write support (Hadoop 3.4.1+ S3A) and enable it")
+    }
 
   private def maxEpoch(spark: SparkSession, dir: String): Long = {
     val f = fs(spark, dir)
@@ -114,7 +140,11 @@ object StoreLease {
     // opted in" (the safe direction), not crash every acquire
     requireAtomicCreate(
       Option(f.getUri.getScheme).getOrElse("file").toLowerCase(java.util.Locale.ROOT),
-      spark.conf.get(AllowNonAtomicKey, "false").toBooleanOption.getOrElse(false))
+      spark.conf.get(AllowNonAtomicKey, "false").toBooleanOption.getOrElse(false),
+      // a probe failure (old Hadoop, connector quirk) reads as
+      // capability-absent — the safe direction is refusing the lease
+      try f.hasPathCapability(new Path(dir), ConditionalCreateCapability)
+      catch { case scala.util.control.NonFatal(_) => false })
     var epoch = maxEpoch(spark, dir) + 1
     var won = false
     var attempts = 0

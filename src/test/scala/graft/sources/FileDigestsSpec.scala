@@ -164,6 +164,75 @@ class FileDigestsSpec extends SparkSpec {
     } finally spark.conf.unset(FileDigests.DirKey)
   }
 
+  test("partials a FOREIGN process persists after this JVM's first load compose on the next miss, zero files scanned (r19)") {
+    FileDigests.clearForTest()
+    val root = tmpDir("filedigests_foreign")
+    val side = tmpDir("filedigests_foreign_side")
+    writeDay(root, 1, 0 until 40)
+    writeDay(root, 2, 40 until 80)
+    spark.conf.set(FileDigests.DirKey, side)
+    try {
+      // "maintainer process": scans the corpus and persists every partial
+      val first = FileDigests.digestOf(corpus(root), hashCol)
+      assert(FileDigests.filesScanned.sum() > 0)
+
+      // "serve process": its first sidecar load happened BEFORE those
+      // appends (dir latched as loaded, nothing cached, nothing
+      // consumed) — the r18 load-once latch would re-scan the corpus
+      // here; the r19 miss-path re-list must compose instead
+      FileDigests.simulateStaleProcessForTest(side)
+      val before = FileDigests.filesScanned.sum()
+      val schema = corpus(root).schema
+      val jobs = countJobs {
+        assert(FileDigests.digestOf(
+          spark.read.schema(schema).parquet(root), hashCol) == first)
+      }
+      assert(FileDigests.filesScanned.sum() == before,
+        "the server must compose the maintainer's persisted partials, zero files scanned")
+      assert(jobs == 0, s"and with zero Spark jobs (got $jobs)")
+
+      // churn on top: the re-list finds nothing new for day 3, so
+      // exactly its files scan — the miss-path refresh must not mask
+      // genuinely new data
+      writeDay(root, 3, 80 until 100)
+      val day3Files = new java.io.File(s"$root/day=3").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(FileDigests.digestOf(corpus(root), hashCol) == rawDigest(corpus(root)))
+      assert(FileDigests.filesScanned.sum() - before == day3Files,
+        "an appended day still scans exactly its own files")
+    } finally spark.conf.unset(FileDigests.DirKey)
+  }
+
+  test("an evicting cache never re-appends records the sidecar already holds (r19: no duplicate-record growth)") {
+    FileDigests.clearForTest()
+    val root = tmpDir("filedigests_noredup")
+    val side = tmpDir("filedigests_noredup_side")
+    // 3 days × 2 part-files = 6 (plan, file) partials against a cap of
+    // 4: every digest call rescans some files the LRU evicted — the
+    // r18 sidecar grew by ~one corpus of duplicate records per call
+    writeDay(root, 1, 0 until 20)
+    writeDay(root, 2, 20 until 40)
+    writeDay(root, 3, 40 until 60)
+    spark.conf.set(FileDigests.MaxEntriesKey, "4")
+    spark.conf.set(FileDigests.DirKey, side)
+    try {
+      val expected = rawDigest(corpus(root))
+      (1 to 3).foreach { i =>
+        assert(FileDigests.digestOf(corpus(root), hashCol) == expected,
+          s"pass $i: thrashing must cost scans only, never exactness")
+      }
+      val fs = new org.apache.hadoop.fs.Path(side)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(side))
+        .filter(_.getPath.getName.endsWith(".bin")).map(_.getLen).sum
+      assert(bytes == 6L * 48,
+        s"the sidecar must hold each partial exactly once (got $bytes bytes, want ${6 * 48})")
+    } finally {
+      spark.conf.unset(FileDigests.MaxEntriesKey)
+      spark.conf.unset(FileDigests.DirKey)
+    }
+  }
+
   test("digestOfPinned always takes the whole-relation aggregate and honors a persisted snapshot (ADVICE r17)") {
     FileDigests.clearForTest()
     val root = tmpDir("filedigests_pinned")

@@ -133,22 +133,41 @@ class StoreLeaseSpec extends SparkSpec {
     // S3's connectors implement create(overwrite=false) as
     // check-then-PUT, so two racing acquirers could BOTH win an epoch
     // — the one filesystem assumption the fencing protocol stands on.
+    def probeMustNotRun: Boolean =
+      fail("an atomic-create scheme (or a refused opt-in) must never pay the capability probe")
     val e = intercept[IllegalArgumentException] {
-      StoreLease.requireAtomicCreate("s3a", allowNonAtomic = false)
+      StoreLease.requireAtomicCreate("s3a", allowNonAtomic = false, probeMustNotRun)
     }
     assert(e.getMessage.contains("atomic"))
     intercept[IllegalArgumentException] {
-      StoreLease.requireAtomicCreate("s3", allowNonAtomic = false)
+      StoreLease.requireAtomicCreate("s3", allowNonAtomic = false, probeMustNotRun)
     }
-    // atomic-create filesystems pass; conditional-write deployments
-    // opt in explicitly via the session conf
-    StoreLease.requireAtomicCreate("file", allowNonAtomic = false)
-    StoreLease.requireAtomicCreate("hdfs", allowNonAtomic = false)
-    StoreLease.requireAtomicCreate("s3a", allowNonAtomic = true)
+    // atomic-create filesystems pass without even probing
+    StoreLease.requireAtomicCreate("file", allowNonAtomic = false, probeMustNotRun)
+    StoreLease.requireAtomicCreate("hdfs", allowNonAtomic = false, probeMustNotRun)
     // and the real acquire path runs the guard: local fs still works
     val dir = tmpDir("lease_atomic")
     assert(StoreLease.acquire(spark, dir) == 1L)
     StoreLease.release(spark, dir)
+  }
+
+  test("the non-atomic opt-in is only honored when the connector reports conditional-create (r19)") {
+    // Opt-in WITHOUT the capability: the operator's conf says
+    // If-None-Match is available but the connector itself doesn't
+    // report fs.s3a.create.conditional — exclusive create would still
+    // be check-then-PUT, so acquire must refuse rather than trust the
+    // word over the probe (VERDICT r18 next-5).
+    val e = intercept[IllegalArgumentException] {
+      StoreLease.requireAtomicCreate("s3a", allowNonAtomic = true,
+        conditionalCreate = false)
+    }
+    assert(e.getMessage.contains(StoreLease.ConditionalCreateCapability))
+    // Opt-in WITH the capability: the conditional-write deployment is
+    // accepted — If-None-Match restores atomic exclusive create.
+    StoreLease.requireAtomicCreate("s3a", allowNonAtomic = true,
+      conditionalCreate = true)
+    StoreLease.requireAtomicCreate("s3", allowNonAtomic = true,
+      conditionalCreate = true)
   }
 
   test("replaceContents re-checks the lease after its delete (commit-point narrowing, ADVICE r17)") {
