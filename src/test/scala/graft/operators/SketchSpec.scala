@@ -28,6 +28,22 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q15_approx HLL estimates land within the declared rsd of the exact distinct counts") {
+    // The q15_approx entry is rows-only (sketch estimates are
+    // engine-specific by design); this is its DIRECT accuracy pin —
+    // the declared rsd is 0.02, checked at 3 sigma against the exact
+    // countDistinct the q15_dedup oracle path computes.
+    import org.apache.spark.sql.functions._
+    val approx = CoreQueries.q15ApproxDistinct(spark, Dir).head()
+    val exact = graft.core.Tables(spark, Dir, "events")
+      .agg(countDistinct(col("user_id")), countDistinct(col("event_id"))).head()
+    for ((i, what) <- Seq(0 -> "users", 1 -> "events")) {
+      val (a, e) = (approx.getLong(i), exact.getLong(i))
+      assert(math.abs(a - e) <= math.max(3L, (3 * 0.02 * e).toLong),
+        s"$what: approx=$a exact=$e outside 3x the declared rsd")
+    }
+  }
+
   test("q58 closed-form moments agree with Spark's streaming stddev_samp") {
     import org.apache.spark.sql.functions._
     val ours = RelationalExtras.q58Stats(spark, Dir).collect()

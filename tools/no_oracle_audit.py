@@ -28,8 +28,8 @@ import sys
 # where the spec names it, otherwise the pinned function/fixture name.
 AUDIT = {
     "q15_approx_distinct": (
-        [("SketchRollupSpec", "sketch estimate")],
-        "exact countDistinct (q15_dedup's counterpart) within the HLL tolerance"),
+        [("SketchSpec", "q15_approx"), ("SketchRollupSpec", "sketch estimate")],
+        "exact countDistinct within 3x the declared rsd; HLL merge via rollup"),
     "q40_minhash_lsh_fast": (
         [("DedupSpec", "minhashLshFast")],
         "pair-set agreement with the md5-parity path q18 and the exact pair set"),
