@@ -338,6 +338,46 @@ class FileDigestsSpec extends SparkSpec {
     } finally spark.conf.unset(FileDigests.DirKey)
   }
 
+  test("concurrent digests into one sidecar stay exact and reload exactly (r19)") {
+    // Two threads digest two different relations (distinct plan
+    // signatures) against ONE configured sidecar dir, repeatedly and
+    // concurrently — the documented worst cases are duplicate records
+    // (deduped on load) and rescans, NEVER a wrong digest. Assertions
+    // are exactness-only; no counter assertions (schedules vary).
+    FileDigests.clearForTest()
+    val root = tmpDir("filedigests_conc")
+    val side = tmpDir("filedigests_conc_side")
+    writeDay(root, 1, 0 until 40)
+    writeDay(root, 2, 40 until 80)
+    spark.conf.set(FileDigests.DirKey, side)
+    try {
+      val relA = () => corpus(root).where(col("day") === 1)
+      val relB = () => corpus(root).where(col("day") === 2)
+      val wantA = rawDigest(relA())
+      val wantB = rawDigest(relB())
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(
+        (relA, wantA), (relB, wantB), (relA, wantA), (relB, wantB)
+      ).map { case (rel, want) =>
+        new Thread(() =>
+          try (1 to 3).foreach { i =>
+            val got = FileDigests.digestOf(rel(), hashCol)
+            assert(got == want, s"pass $i: concurrent digest must stay exact")
+          } catch { case t: Throwable => errs.add(t): Unit })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent digests failed: ${Option(errs.peek()).map(_.getMessage)}")
+
+      // a cold session over whatever record set the race persisted
+      // still composes both relations exactly, zero files scanned
+      FileDigests.clearForTest()
+      assert(FileDigests.digestOf(relA(), hashCol) == wantA)
+      assert(FileDigests.digestOf(relB(), hashCol) == wantB)
+      assert(FileDigests.filesScanned.sum() == 0,
+        "every partial the race persisted must reload exactly")
+    } finally spark.conf.unset(FileDigests.DirKey)
+  }
+
   test("non-file and nondeterministic plans fall back to the whole-relation aggregate") {
     FileDigests.clearForTest()
     val mem = (0L until 20L).map(i => (i, s"mem $i")).toDF("doc_id", "text")
