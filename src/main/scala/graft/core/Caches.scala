@@ -103,7 +103,12 @@ object Caches {
   def localCheckpointTracked[T](ds: Dataset[T]): Dataset[T] = {
     val cp = ds.localCheckpoint()
     checkpointRdd(cp).foreach(trackedRdds.add)
-    cp
+    // Iterative loops re-checkpoint relations derived from previous
+    // checkpoints; the carried origin stats compound multiplicatively
+    // per round until the driver stalls inside BigInteger products
+    // during size estimation — see GraftPlanBridge.capCheckpointStats
+    // (r19; measured 88 s of one PageRank round in stats math).
+    org.apache.spark.sql.GraftPlanBridge.capCheckpointStats(cp)
   }
 
   /** The persisted RDD behind a local-checkpointed Dataset: its

@@ -45,8 +45,13 @@ object DedupQueries {
   private val KmPrime = 1125899906842597L
   private val JaccardThreshold = 0.8
 
+  /** Widened ([[graft.core.Par.widen]]): the shingle explode+distinct
+    * and the signature aggregates are CPU-bound per row, so the
+    * bytes-sized scan partitioning serializes them on a small-file
+    * corpus (r19 profile at sf0.1: the shingle build's map side ran on
+    * one task). At scale the scan is already wide — identity. */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    graft.core.Par.widen(Tables(spark, dir, "documents"))
 
   /** The capped shingle relation, read from the configured
     * [[graft.sources.SignatureStore]] when one is present AND fresh for
@@ -59,7 +64,9 @@ object DedupQueries {
     * store falls back to direct computation. */
   private def shinglesShared(docRel: DataFrame): DataFrame =
     graft.sources.SignatureStore.openFresh(docRel)
-      .map(s => Caches.persistTracked(s.shingles))
+      // Widened like [[docs]]: the store's single parquet reads as one
+      // split, and every signature aggregate downstream is CPU-bound.
+      .map(s => Caches.persistTracked(graft.core.Par.widen(s.shingles)))
       .getOrElse(shinglesOf(docRel))
 
   /** Distinct word-3-gram shingles per document, document-frequency

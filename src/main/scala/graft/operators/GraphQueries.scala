@@ -130,6 +130,15 @@ object GraphQueries {
     val verbose = sys.env.contains("SPARK_GRAFT_PR_VERBOSE")
     while (iter < maxIter && delta > tol) {
       val tRound = System.nanoTime()
+      // The previous round's rank rides INSIDE the checkpointed round
+      // relation (r19, guide §2.4): the delta used to be its own
+      // node-keyed join job over the two checkpointed rank relations —
+      // one extra shuffle per round, ~50 rounds deep. Joining `ranks`
+      // once here (every node has in-edges — the graph is symmetric —
+      // so the inner join drops nothing) makes the stop-condition a
+      // shuffle-free scan of the freshly checkpointed blocks. Rank
+      // values are untouched: `r` is computed before the join and the
+      // join only appends `r0`.
       val next = Caches.localCheckpointTracked(wedges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"),
@@ -138,12 +147,12 @@ object GraphQueries {
         .crossJoin(broadcast(nRel))
         .select(col("dst").as("node"),
           (lit(1.0 - Damping) / col("n").cast("double") +
-            lit(Damping) * col("s").cast("double")).as("r")))
-      delta = next.as("a")
-        .join(ranks.withColumnRenamed("r", "r0").as("b"), "node")
+            lit(Damping) * col("s").cast("double")).as("r"))
+        .join(ranks.select(col("node"), col("r").as("r0")), "node"))
+      delta = next
         .agg(sum(abs(col("r") - col("r0"))).as("d"))
         .collect().head.getDouble(0)
-      // the delta join was round N-1's last reader of `ranks` — free it
+      // the delta agg was round N-1's last reader of `ranks` — free it
       Caches.releaseCheckpoint(ranks)
       ranks = next
       iter += 1

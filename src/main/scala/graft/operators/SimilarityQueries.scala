@@ -40,8 +40,13 @@ object SimilarityQueries {
   private val NearDupThreshold = 0.4
   private val NearDupProbes = 2
 
+  /** Widened ([[graft.core.Par.widen]]): normalization + codebook
+    * scoring cost K dots PER ROW — CPU-bound, so the bytes-sized scan
+    * partitioning serializes it on a small-file corpus (r19 profile at
+    * sf0.1: q188's √N-codebook assignment ran 9.2 s on ONE task while
+    * 31 cores idled). At scale the scan is already wide — identity. */
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    graft.core.Par.widen(Tables(spark, dir, "embeddings"))
 
   // ------------------------------------------------- centroid codebook
   /** Collect the coarse centroids to the driver — [[NumCentroids]] rows,
@@ -77,6 +82,23 @@ object SimilarityQueries {
     * centroid id asc (ascending struct sort on (cc, -id), reversed). */
   private def topCentroids(scores: Column, m: Int): Column =
     explode(slice(reverse(array_sort(scores)), 1, m))
+
+  /** Non-nullable join-key wrapper. Every equi-join makes Catalyst
+    * infer `IsNotNull(key)` on both sides, and predicate pushdown
+    * SUBSTITUTES a derived key's defining expression into the pushed
+    * filter — for keys derived by codebook scoring ([[scaledScores]])
+    * or PQ coding ([[pqCode]], a k'-dot CASE chain) the whole scoring
+    * pass re-evaluates a second time below the join (r19 plan audit:
+    * q188's scan stage carried `isnotnull(<100-centroid transform>)`,
+    * q80/q82/q195 carried `isnotnull(CASE WHEN …)` over the full PQ
+    * chain — the assignment computed twice per row). The sentinel is
+    * unreachable (bucket/code ids are ≥ 0) so values never change; the
+    * coalesce only flips nullability, and a non-nullable key infers no
+    * filter. Keys produced BY a generator ([[topCentroids]]' explode)
+    * don't need this — substitution cannot cross a Generate. Output
+    * columns of oracle-checked queries (q79's `code`) are left
+    * untouched: this is a join-key-site wrapper, not a pqCode change. */
+  private def nnKey(c: Column): Column = coalesce(c, lit(-1L))
 
   // ------------------------------------------------------- shared top-k
   /** Top-k rows per q_id from (q_id, n_id, cos) via the bounded-buffer
@@ -296,7 +318,7 @@ object SimilarityQueries {
       cents: Seq[Seq[Double]]): DataFrame =
     VectorExprs.normalized(rel, "embedding", "nv", Seq("vec_id"))
       .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
-      .select(col("vec_id"), col("nv"), (-col("__s.negid")).as("bkt"))
+      .select(col("vec_id"), col("nv"), nnKey(-col("__s.negid")).as("bkt"))
 
   private[graft] def ivfProbeScaledOn(fresh: DataFrame, idx: DataFrame,
       corpus: DataFrame, nprobe: Int = NProbe): DataFrame = {
@@ -889,7 +911,7 @@ object SimilarityQueries {
     val subs = graft.core.Caches.persistTracked(pqSubvectors(e0))
     val cents = pqTrain(subs, PqIters)
     val codes = subs.select(col("vec_id"), col("sub"),
-      pqCode(col("sv"), col("sub"), cents).as("code"))
+      nnKey(pqCode(col("sv"), col("sub"), cents)).as("code"))
     val centDf = cents.toSeq
       .flatMap { case (sub, cs) => cs.map { case (cid, cv) => (sub, cid, cv) } }
       .toDF("csub", "cid", "cv")
@@ -993,7 +1015,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("bkt"), col("pos").as("sub"), col("col").as("sv")))
     val cents = pqTrain(subs, PqIters)
     val codes = subs.select(col("vec_id"), col("bkt"), col("sub"),
-      pqCode(col("sv"), col("sub"), cents).as("code"))
+      nnKey(pqCode(col("sv"), col("sub"), cents)).as("code"))
     (coarse, cents, codes)
   }
 
@@ -1014,7 +1036,7 @@ object SimilarityQueries {
     e.select(col("vec_id"), col("bkt"), posexplode(
         array((0 until PqSubspaces).map(s => slice(col("v"), s * w + 1, w)): _*)))
       .select(col("vec_id"), col("bkt"), col("pos").as("sub"),
-        pqCode(col("col"), col("pos"), cents).as("code"))
+        nnKey(pqCode(col("col"), col("pos"), cents)).as("code"))
   }
 
   private def ivfPqAdc(e0: DataFrame): DataFrame = {
@@ -1166,7 +1188,7 @@ object SimilarityQueries {
       pqScaledSubvectors(e0, cents))
     val pqCents = pqTrain(subs, PqIters)
     val codes = subs.select(col("vec_id"), col("bkt"), col("sub"),
-      pqCode(col("sv"), col("sub"), pqCents).as("code"))
+      nnKey(pqCode(col("sv"), col("sub"), pqCents)).as("code"))
     (cents, pqCents, codes)
   }
 
@@ -1178,7 +1200,7 @@ object SimilarityQueries {
       batch.withColumn("v", col("embedding").cast("array<double>")),
       "embedding", "nv", Seq("vec_id", "v"))
       .withColumn("__s", element_at(scaledScores(col("nv"), cents), 1))
-      .select(col("vec_id"), (-col("__s.negid")).as("bkt"), col("v"))
+      .select(col("vec_id"), nnKey(-col("__s.negid")).as("bkt"), col("v"))
     // An EMPTY batch has no row to probe the dimension from — serve the
     // typed empty relation instead of crashing `.head` (review r14
     // finding 3: an empty ingest day must advance like every sibling
@@ -1201,7 +1223,7 @@ object SimilarityQueries {
       pqCents: Map[Int, Seq[(Long, Seq[Double])]]): DataFrame =
     pqScaledSubvectors(batch, cents)
       .select(col("vec_id"), col("bkt"), col("sub"),
-        pqCode(col("sv"), col("sub"), pqCents).as("code"))
+        nnKey(pqCode(col("sv"), col("sub"), pqCents)).as("code"))
 
   /** Q195: the 100 TB ANN SERVING shape as one tested artifact —
     * IVF-PQ at DATA-SCALED K (VERDICT r13 next-2): q188 fixed the flat

@@ -43,8 +43,13 @@ object SubstringDedup {
     * real reuse, short enough to catch one-sentence boilerplate. */
   private[operators] val K = 40
 
+  /** Widened ([[graft.core.Par.widen]]): every consumer in this file
+    * runs a per-character hash chain or a K-fold gram explode over the
+    * text — CPU-bound per row, so the bytes-sized scan partitioning
+    * serializes it on a small-file corpus (r19 profile: the winnow
+    * pass ran 3.4 s on ONE task at sf0.1 while 31 cores idled). */
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    graft.core.Par.widen(Tables(spark, dir, "documents"))
 
   /** (doc_id, p, g): every K-char gram of every document, 1-based.
     * Persisted — both consumers reference it twice (the df aggregate
@@ -866,8 +871,16 @@ object SubstringDedup {
     val dayGrams = grams
       .select((col("doc_id") % 10).as("day"), col("g"))
       .distinct()
-    val firstDay = dayGrams.groupBy("g").agg(min("day").as("fd"))
-    dayGrams.join(firstDay, "g")
+    // First-day-of-gram as a WINDOW over the distinct relation, not a
+    // groupBy+self-join (r19, guide §2.4): the join form referenced
+    // the un-persisted dayGrams twice, re-running the corpus-wide
+    // explode+distinct per reference (persisting it instead would pin
+    // a corpus-proportional relation — the q151 thrash lesson), and
+    // paid three exchanges of the gram relation (agg by g, then both
+    // join sides by g) where the window pays one. Same rows: min(day)
+    // over (partition by g) is exactly the join's fd per row.
+    dayGrams
+      .withColumn("fd", min("day").over(Window.partitionBy("g")))
       .groupBy("day")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("fd") < col("day"), 1L).otherwise(0L)).as("seen_grams"))
@@ -941,8 +954,11 @@ object SubstringDedup {
         col("text"))
       .select(col("source"), col("day"), gramKey.as("g"))
       .distinct()
-    val firstDay = sdGrams.groupBy("g").agg(min("day").as("fd"))
-    sdGrams.join(firstDay, "g")
+    // Window instead of groupBy+self-join — q184's argument verbatim
+    // (one corpus explode and one gram-keyed exchange instead of two
+    // explodes and three exchanges); see [[noveltyCurveFrom]].
+    sdGrams
+      .withColumn("fd", min("day").over(Window.partitionBy("g")))
       .groupBy("source", "day")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("fd") < col("day"), 1L).otherwise(0L)).as("seen_grams"))

@@ -7,7 +7,7 @@ import scala.util.control.NonFatal
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.AttributeReference
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, RepartitionOperation, SubqueryAlias}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
@@ -473,7 +473,20 @@ object FileDigests {
   private def perFile(df: DataFrame, hash: Column, spark: SparkSession,
       persistDir: String): Option[(Long, Long)] = {
     if (!GraftColumnBridge.expression(hash).deterministic) return None
-    val analyzed = GraftPlanBridge.analyzed(df)
+    // Repartition/RepartitionByExpression change the partition LAYOUT,
+    // never row content, and the digest is order-independent by
+    // construction (count sums, XOR commutes) — so they are stripped
+    // before decomposition. Two reasons, both load-bearing: (a) the
+    // scale-adaptive scan widening (graft.core.Par.widen, r19) puts a
+    // Repartition over exactly the relations stores digest, and it
+    // must not demote every serve to a whole-relation scan; (b) the
+    // transplanted per-file scan groups by input_file_name(), which an
+    // exchange would erase — stripping keeps the file provenance
+    // intact. Widened and unwidened reads of the same content thus
+    // share cache keys and digest values (FileDigestsSpec pins both).
+    val analyzed = GraftPlanBridge.analyzed(df).transformUp {
+      case r: RepartitionOperation => r.child
+    }
     decompose(analyzed).flatMap { rel =>
       val fsRel = rel.relation.asInstanceOf[HadoopFsRelation]
       val sig = planSig(analyzed, rel, fsRel, hash)
