@@ -137,7 +137,11 @@ object DedupQueries {
   /** Exact dedup by content hash: every doc annotated with its group's
     * canonical keeper (lowest doc_id) and duplicate count. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    // Deliberately NOT [[docs]]' widened read: one md5 per document is
+    // bytes-bound, not per-char-CPU-bound, so the widen exchange here
+    // is pure tax (measured r19: 0.13 s → 0.45 s with it). The shingle
+    // family keeps the widen; this exact-hash face keeps the raw scan.
+    val d = Tables(spark, dir, "documents")
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val groups = d.groupBy("h")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("group_n"))

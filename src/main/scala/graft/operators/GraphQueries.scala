@@ -116,11 +116,17 @@ object GraphQueries {
       edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val wedges = Caches.persistTracked(
       edges.join(deg, "src").repartition(col("src")))
-    val nRel = deg.agg(count(lit(1)).as("n"))
+    // N as a one-time bounded driver count of the PERSISTED node
+    // relation (r19): q107's broadcast-1-row-aggregate form re-plans
+    // and re-executes a BroadcastExchange subtree EVERY round — fine
+    // for 3 unrolled rounds, a per-round stage tax over ~50 tolerance
+    // rounds. One long is driver-bounded by construction; the teleport
+    // arithmetic is the same correctly-rounded IEEE sequence, so ranks
+    // are bit-identical to q107's (PipelineAuditSpec's fixed point).
+    val n = deg.count()
     var ranks = Caches.localCheckpointTracked(
-      deg.crossJoin(broadcast(nRel))
-        .select(col("src").as("node"),
-          (lit(1.0) / col("n").cast("double")).as("r")))
+      deg.select(col("src").as("node"),
+        (lit(1.0) / lit(n.toDouble)).as("r")))
     var iter = 0
     var delta = Double.MaxValue
     // Per-round observability for the xprt drift watch (VERDICT r11
@@ -144,9 +150,8 @@ object GraphQueries {
         .select(col("dst"),
           (col("r") / col("outdeg").cast("double")).cast("decimal(28,12)").as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
-        .crossJoin(broadcast(nRel))
         .select(col("dst").as("node"),
-          (lit(1.0 - Damping) / col("n").cast("double") +
+          (lit(1.0 - Damping) / lit(n.toDouble) +
             lit(Damping) * col("s").cast("double")).as("r"))
         .join(ranks.select(col("node"), col("r").as("r0")), "node"))
       delta = next

@@ -410,8 +410,14 @@ object MediaQueries {
     * [[graft.sources.MediaHashStore]] dispatch as q197, so the
     * three-eye verdict re-decodes nothing when the store is fresh. */
   def q198ThreeEyeDecon(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents")
-    val e = Tables(spark, dir, "embeddings")
+    // Widened like [[spread]]'s render inputs (graft.core.Par.widen,
+    // r19): the gram eye's winnow chain and the semantic eye's
+    // normalization are CPU-bound per row, and the bytes-sized scan of
+    // a small-file corpus serialized both on one task (profiled: two
+    // concurrent 2.85 s single-task jobs — the two eyes racing the
+    // same one-partition scan). At scale this is the identity.
+    val d = graft.core.Par.widen(Tables(spark, dir, "documents"))
+    val e = graft.core.Par.widen(Tables(spark, dir, "embeddings"))
     // Store-or-inline (r16): a configured-and-fresh VerdictStore
     // serves the whole three-eye relation from its per-(benchmark,
     // day) evidence — digest scans + match-sized rollups instead of

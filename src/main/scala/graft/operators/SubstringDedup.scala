@@ -1256,7 +1256,9 @@ object SubstringDedup {
     * inline; the xvd bench pair prices the dispatch. */
   def q196DeconVerdict(spark: SparkSession, dir: String): DataFrame = {
     val (train, ev) = deconSplit(spark, dir)
-    val e = Tables(spark, dir, "embeddings")
+    // Widened like [[docs]] (the semantic eye normalizes a vector per
+    // row — CPU-bound; the one-partition scan serialized it).
+    val e = graft.core.Par.widen(Tables(spark, dir, "embeddings"))
     val te = e.filter(col("vec_id") % 10 =!= 0)
     val ee = e.filter(col("vec_id") % 10 === 0)
     graft.sources.VerdictStore.openFreshTwoEye(train, te, ev, ee) match {

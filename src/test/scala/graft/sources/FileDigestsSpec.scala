@@ -54,6 +54,13 @@ class FileDigestsSpec extends SparkSpec {
       corpus(root).where(col("day") === 1 && col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text")),               // both + projection
       corpus(root).withColumn("text", upper(col("text"))), // computed column
+      // Widened reads (graft.core.Par.widen, r19): the Repartition is
+      // layout-only, so it must neither demote the digest to a
+      // whole-relation scan nor change its value or cache keys.
+      graft.core.Par.widen(corpus(root)),                  // widened scan
+      graft.core.Par.widen(corpus(root))
+        .where(col("doc_id") % 3 =!= 0),                   // widened + filter
+      corpus(root).repartition(col("day")),                // keyed repartition
     )
     shapes.foreach { df =>
       assert(FileDigests.digestOf(df, hashCol) == rawDigest(df),
@@ -62,6 +69,12 @@ class FileDigestsSpec extends SparkSpec {
     // every shape above took the per-file path, never the fallback
     assert(FileDigests.fullScans.sum() == 0,
       "file-backed deterministic plans must all decompose")
+    // A widened read shares the unwidened read's partials: digesting
+    // the widened shape again after the cache is warm scans nothing.
+    val scanned0 = FileDigests.filesScanned.sum()
+    FileDigests.digestOf(graft.core.Par.widen(corpus(root)), hashCol)
+    assert(FileDigests.filesScanned.sum() == scanned0,
+      "a repartitioned read must hit the same per-file cache entries")
   }
 
   test("steady state composes from cache with zero jobs; churn scans exactly the changed files") {
